@@ -1,0 +1,88 @@
+"""KNN operator tests: GEMM path vs pure-expression path vs NumPy oracle;
+empty inputs; determinism of tie-breaks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.config import Metric
+from vectorsearch_spark.operators.knn import brute_force_topk, knn_join, knn_join_expr
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _np_knn(ids, mat, qmat, k, metric):
+    out = []
+    for qi in range(qmat.shape[0]):
+        if metric == Metric.L2:
+            d = np.linalg.norm(mat - qmat[qi], axis=1)
+        else:
+            sim = (mat @ qmat[qi]) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qmat[qi]))
+            d = 1.0 - sim
+        order = np.lexsort((ids, d))[:k]
+        out.append([(int(ids[i]), float(d[i])) for i in order])
+    return out
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.COSINE])
+def test_knn_join_matches_numpy(spark, emb, emb_np, metric):
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(emb, queries, k=5, metric=metric, id_col="vec_id").collect()
+    qmat = mat[:4]
+    exp = _np_knn(ids, mat, qmat, 5, metric)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        for r, (eid, ed) in zip(rows, exp[qid]):
+            assert r["id"] == eid
+            assert abs(r["distance"] - ed) < 1e-9
+
+
+def test_knn_join_expr_agrees_with_gemm(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = knn_join(emb, queries, k=7, id_col="vec_id").select("query_id", "id", "rank")
+    b = knn_join_expr(emb, queries, k=7, id_col="vec_id").select("query_id", "id", "rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_knn_self_query_rank1_is_self(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(emb, queries, k=1, id_col="vec_id").collect()
+    for r in got:
+        assert r["id"] == r["query_id"]  # exact self-match at distance 0
+        assert abs(r["distance"]) < 1e-6
+
+
+def test_knn_empty_queries(spark, emb):
+    empty = emb.filter(F.lit(False)).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert knn_join(emb, empty, k=3, id_col="vec_id").count() == 0
+
+
+def test_brute_force_topk_single(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    rows = brute_force_topk(emb, list(q), k=3, id_col="vec_id").collect()
+    assert rows[0]["id"] == 0 and abs(rows[0]["distance"]) < 1e-6
+    assert [r["distance"] for r in rows] == sorted(r["distance"] for r in rows)

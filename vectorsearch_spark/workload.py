@@ -1,0 +1,376 @@
+"""Query workload registry: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Conventions (critical for the hash compare):
+- every computed column is aliased identically in Spark and SQL;
+- float outputs are computed in DOUBLE and rounded to a fixed number of
+  decimals on BOTH sides; scores are derived from the *rounded* distance;
+- integer outputs are cast to BIGINT on both sides;
+- timestamps are formatted to strings on both sides;
+- deterministic tie-breaks (id columns) on every rank/limit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.config import Metric
+from vectorsearch_spark.operators.knn import brute_force_topk, knn_join
+
+# DuckDB lambda computing l2 distance in double precision between list
+# columns {a} and {b} — mirrors functions/distances.py exactly.
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))^2), (x,y) -> x+y))"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x,y) -> x+y)"
+    )
+
+
+def _duck_cosine_dist(a: str, b: str) -> str:
+    na, nb = f"sqrt({_duck_dot(a, a)})", f"sqrt({_duck_dot(b, b)})"
+    return (
+        f"(1.0 - CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {_duck_dot(a, b)} / ({na} * {nb}) END)"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # UTC so timestamp formatting matches DuckDB's naive timestamps
+    # regardless of the host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
+    natively — read as long nanos and convert to a microsecond timestamp
+    (truncation, matching DuckDB's ns→µs conversion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (TPC-H-flavored; exercise scan/filter/agg/join/window —
+# all pure built-ins so Catalyst handles pushdown/pruning/broadcast).
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: scan+filter+groupBy aggregation, map-side partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       round(avg(l_discount), 4)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join customer⋈orders⋈lineitem with selective filters; broadcast dim."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join; all dims broadcast, single shuffle on the agg."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, orders, customer, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time bucketed aggregation (batch analog of the streaming path)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*)                 AS n_events,
+       round(sum(value), 4)     AS sum_value,
+       count(DISTINCT user_id)  AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (T2-style per-group top-k on relational data)."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rk",
+        )
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+       round(c_acctbal, 2) AS acctbal, rk
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer)
+WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vector queries (C1-C6, J5, T2, T4): exact brute-force KNN with DuckDB
+# oracles computed in double precision via list lambdas.
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 8  # first 8 embeddings double as the query batch
+_KNN_K = 10
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _knn_batch(spark: SparkSession, sf_dir: str, metric: Metric) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_join(
+        emb, _emb_queries(spark, sf_dir), k=_KNN_K, metric=metric, id_col="vec_id"
+    )
+    return res.select(
+        "query_id",
+        "id",
+        F.round("distance", 4).alias("distance"),
+        (-F.round("distance", 4)).alias("score")
+        if metric == Metric.L2
+        else (F.lit(1.0) - F.round("distance", 4)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def knn_l2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_batch(spark, sf_dir, Metric.L2)
+
+
+def knn_cosine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_batch(spark, sf_dir, Metric.COSINE)
+
+
+def _knn_sql(metric: Metric) -> str:
+    dist = (
+        _duck_l2("e.embedding", "q.qe")
+        if metric == Metric.L2
+        else _duck_cosine_dist("e.embedding", "q.qe")
+    )
+    score = "-round(d, 4)" if metric == Metric.L2 else "(1.0 - round(d, 4))"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS id, {dist} AS d
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rank
+  FROM pairs)
+SELECT query_id, id, round(d, 4) AS distance, {score} AS score, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+def knn_topk_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query global top-k → TakeOrderedAndProject plan (T2+T4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    res = brute_force_topk(emb, list(qvec), k=5, metric=Metric.L2, id_col="vec_id")
+    return res.select("id", F.round("distance", 4).alias("distance"))
+
+
+KNN_SINGLE_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id, round({_duck_l2("e.embedding", "q.qe")}, 4) AS distance
+FROM embeddings e CROSS JOIN q
+ORDER BY {_duck_l2("e.embedding", "q.qe")} ASC, e.vec_id ASC
+LIMIT 5
+"""
+
+
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function parity check: norm / dot / dimension (C3, C4, F3)."""
+    from vectorsearch_spark.functions.distances import dot, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(norm("embedding"), 4).alias("l2_norm"),
+        F.round(dot("embedding", "embedding"), 4).alias("self_dot"),
+    )
+
+
+VECTOR_NORMS_SQL = f"""
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt({_duck_dot("embedding", "embedding")}), 4) AS l2_norm,
+       round({_duck_dot("embedding", "embedding")}, 4) AS self_dot
+FROM embeddings
+"""
+
+
+def segment_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest math (S6): strict-cap segment rotation as deterministic
+    partition assignment — seg_id = floor(gid / max_segment_size), last
+    segment ACTIVE, full segments PENDING (fdb/FdbVectorStore.java:455-539).
+    """
+    cap = 200
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = (
+        emb.select((F.col("vec_id") / cap).cast("long").alias("seg_id"))
+        .groupBy("seg_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    max_seg = seg.agg(F.max("seg_id")).collect()[0][0]
+    return seg.withColumn(
+        "state",
+        F.when(F.col("seg_id") == max_seg, F.lit("ACTIVE")).otherwise(F.lit("PENDING")),
+    ).select("seg_id", "n_vectors", "state")
+
+
+SEGMENT_ASSIGNMENT_SQL = """
+WITH seg AS (
+  SELECT CAST(floor(vec_id / 200) AS BIGINT) AS seg_id, count(*) AS n_vectors
+  FROM embeddings GROUP BY 1)
+SELECT seg_id, n_vectors,
+       CASE WHEN seg_id = (SELECT max(seg_id) FROM seg) THEN 'ACTIVE' ELSE 'PENDING' END AS state
+FROM seg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "events_hourly_rollup": events_hourly_rollup,
+        "top_customers_per_nation": top_customers_per_nation,
+        "knn_l2_batch": knn_l2_batch,
+        "knn_cosine_batch": knn_cosine_batch,
+        "knn_topk_single": knn_topk_single,
+        "vector_norms": vector_norms,
+        "segment_assignment": segment_assignment,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "events_hourly_rollup": EVENTS_HOURLY_SQL,
+        "top_customers_per_nation": TOP_CUSTOMERS_SQL,
+        "knn_l2_batch": _knn_sql(Metric.L2),
+        "knn_cosine_batch": _knn_sql(Metric.COSINE),
+        "knn_topk_single": KNN_SINGLE_SQL,
+        "vector_norms": VECTOR_NORMS_SQL,
+        "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
+    }
