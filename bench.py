@@ -27,10 +27,23 @@ HEADLINE = [
     "knn_cosine_batch",
 ]
 
-# Heavier end-to-end jobs (index build + sealed search) are appended by
-# name when implemented; each callable takes (spark, sf_dir) and its
-# result is fully materialized.
-EXTRA: dict = {}
+def _index_build(spark, sf_dir):
+    """Fresh ingest + PQ/graph build of the embeddings index."""
+    import shutil
+
+    from vectorsearch_spark import workload as w
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    shutil.rmtree(f"/tmp/vsidx_{tag}", ignore_errors=True)
+    w._INDEX_CACHE.pop(f"/tmp/vsidx_{tag}", None)
+    idx = w._ensure_index(spark, sf_dir)
+    return idx.segments()
+
+
+EXTRA: dict = {
+    "index_build": _index_build,
+    "index_search_sealed": None,  # resolved from the workload registry
+}
 
 
 def main() -> None:
@@ -44,7 +57,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     registry = dict(workload.queries())
-    registry.update(EXTRA)
+    registry.update({k: v for k, v in EXTRA.items() if v is not None})
     timings: dict[str, float] = {}
     for name in HEADLINE + list(EXTRA):
         fn = registry[name]

@@ -1,0 +1,96 @@
+"""Graph-builder unit tests on tiny hand-checked geometry — mirrors
+graph/GraphBuilderTest.java + GraphBuilderPruningTest.java."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vectorsearch_spark.operators.graph import (
+    build_graph,
+    knn_graph,
+    medoid,
+    robust_prune,
+    vamana_graph,
+)
+
+
+def test_knn_graph_collinear():
+    # points on a line at 0, 1, 2, 10 → nearest neighbors are obvious
+    x = np.array([[0.0], [1.0], [2.0], [10.0]])
+    adj = knn_graph(x, degree=2)
+    assert adj[0].tolist() == [1, 2]
+    assert adj[1].tolist() == [0, 2]
+    assert adj[2].tolist() == [1, 0]
+    assert adj[3].tolist() == [2, 1]
+
+
+def test_knn_graph_edge_cases():
+    assert knn_graph(np.zeros((0, 2)), 4) == []
+    assert knn_graph(np.array([[1.0, 1.0]]), 4)[0].tolist() == []
+    two = knn_graph(np.array([[0.0], [1.0]]), 4)
+    assert two[0].tolist() == [1] and two[1].tolist() == [0]
+
+
+def test_medoid_center_point():
+    x = np.array([[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [0.0, 5.0]])
+    # mean is (0, 1.25); nearest point is the origin
+    assert medoid(x) == 0
+
+
+def test_robust_prune_drops_dominated():
+    # node at origin; candidate 2 sits right next to kept candidate 1,
+    # so d²(2,1)=0.01 ≤ α·d²(2,node)=1.2·1.21 → pruned (reference
+    # semantics: prune u if d²(u,p) ≤ α·d²(u,node))
+    x = np.array([[0.0], [1.0], [1.1], [5.0]])
+    cand = np.array([1, 2, 3])
+    cand_sq = np.array([1.0, 1.1**2, 25.0])
+    kept = robust_prune(cand, cand_sq, degree=3, alpha=1.2, x=x)
+    assert 1 in kept and 2 not in kept
+
+
+def test_robust_prune_larger_alpha_prunes_more():
+    # node 0; kept 1 at (1,0); candidate at (-3,0): d²(u,node)=9,
+    # d²(u,kept)=16 → pruned iff 16 ≤ α·9, i.e. α ≥ 1.78
+    x = np.array([[0.0, 0.0], [1.0, 0.0], [-3.0, 0.0]])
+    cand = np.array([1, 2])
+    cand_sq = np.array([1.0, 9.0])
+    keep12 = robust_prune(cand, cand_sq, 3, alpha=1.2, x=x)
+    keep1 = robust_prune(cand, cand_sq, 3, alpha=2.0, x=x)
+    assert keep12.tolist() == [1, 2]
+    assert keep1.tolist() == [1]
+
+
+def _reachable(adj, start):
+    seen, stack = {start}, [start]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if int(v) not in seen:
+                seen.add(int(v))
+                stack.append(int(v))
+    return seen
+
+
+def test_vamana_degree_bound_and_connectivity():
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(120, 8))
+    adj = vamana_graph(x, degree=8, l_build=24, alpha=1.2, seed=42)
+    assert all(len(a) <= 8 for a in adj)
+    reached = _reachable(adj, medoid(x))
+    assert len(reached) >= int(0.95 * len(x))  # search can reach ~everything
+
+
+def test_vamana_deterministic():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(60, 4))
+    a = vamana_graph(x, 6, 16, 1.2, seed=42)
+    b = vamana_graph(x, 6, 16, 1.2, seed=42)
+    assert all(np.array_equal(p, q) for p, q in zip(a, b))
+
+
+def test_build_graph_dispatch():
+    x = np.random.default_rng(6).normal(size=(30, 4))
+    brute = build_graph(x, degree=4, l_build=8, alpha=1.0, seed=42)
+    assert [a.tolist() for a in brute] == [a.tolist() for a in knn_graph(x, 4)]
+    vam = build_graph(x, degree=4, l_build=8, alpha=1.3, seed=42)
+    assert all(len(a) <= 4 for a in vam)

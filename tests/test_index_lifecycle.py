@@ -1,0 +1,276 @@
+"""End-to-end index lifecycle tests — the Spark mirror of the
+reference's integration suite (api/VectorIndexTest.java,
+GidCompactionStabilityTest.java, SearchIgnoresWritingSegmentTest.java):
+rotation at cap, order preservation, recall ≥ 0.9, delete/vacuum,
+compaction gid-stability, WRITING invisibility."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.config import (
+    ACTIVE,
+    COMPACTING,
+    PENDING,
+    SEALED,
+    WRITING,
+    IndexConfig,
+    Metric,
+)
+from vectorsearch_spark.index import SearchParams, VectorIndex
+
+N, DIM, CAP = 200, 8, 50  # mirrors api/VectorIndexTest.java:211-258 fixture
+
+
+def _gaussian_df(spark, n, dim, seed):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    return (
+        spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(data)], "row_id long, embedding array<float>"
+        ),
+        data,
+    )
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vsidx"))
+    cfg = IndexConfig(
+        name="t",
+        dimension=DIM,
+        metric=Metric.L2,
+        max_segment_size=CAP,
+        pq_m=4,
+        pq_k=16,
+        graph_degree=16,
+        graph_build_breadth=32,
+        graph_alpha=1.2,
+        oversample=4,
+        seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, N, DIM, seed=42)
+    first = idx.add(df.repartition(4), order_col="row_id")
+    assert first == 0
+    sealed = idx.build()
+    return idx, data, sealed
+
+
+def test_rotation_at_cap(built_index):
+    idx, _, _ = built_index
+    segs = {r["seg_id"]: r for r in idx.segments().collect()}
+    assert sorted(segs) == [0, 1, 2, 3]  # 200 rows / cap 50
+    assert all(r["count"] == CAP for r in segs.values())
+
+
+def test_build_sealed_all(built_index):
+    idx, _, sealed = built_index
+    assert sealed == [0, 1, 2, 3]
+    assert all(r["state"] == SEALED for r in idx.segments().collect())
+    cbs = idx.codebooks().collect()
+    assert len(cbs) == 4
+    assert all(len(r["centroids"]) == 4 * 16 * 2 for r in cbs)
+    assert idx.codes([0, 1, 2, 3]).count() == N
+    adj = idx.adjacency([0, 1, 2, 3])
+    assert adj.count() == N
+    assert adj.filter(F.size("neighbor_ids") > 16).count() == 0
+
+
+def test_gid_embedding_order_preserved(built_index):
+    # addAll order preservation across rotations
+    # (fdb/FdbVectorStoreIntegrationTest.java:58-104)
+    idx, data, _ = built_index
+    rows = idx.vectors().select("gid", "embedding").collect()
+    assert len(rows) == N
+    for r in rows:
+        assert np.allclose(np.array(r["embedding"]), data[r["gid"]], atol=1e-6)
+
+
+def test_seg_vec_assignment(built_index):
+    idx, _, _ = built_index
+    rows = idx.vectors().select("gid", "seg_id", "vec_id").collect()
+    for r in rows:
+        assert r["seg_id"] == r["gid"] // CAP
+        assert r["vec_id"] == r["gid"] % CAP
+
+
+def _queries_df(spark, data, ids):
+    return spark.createDataFrame(
+        [(int(i), data[i].tolist()) for i in ids], "query_id long, embedding array<float>"
+    )
+
+
+def test_sealed_recall_at_10(spark, built_index):
+    # recall@10 ≥ 0.9 over 30 self-queries (api/VectorIndexTest.java:211-258)
+    idx, data, _ = built_index
+    qids = list(range(0, N, N // 30))[:30]
+    qdf = _queries_df(spark, data, qids)
+    approx = idx.search(qdf, k=10)
+    exact = idx.search(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    approx_ids = {}
+    for r in approx.collect():
+        approx_ids.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in approx_ids[r["query_id"]]
+    assert total == 30 * 10
+    assert hits / total >= 0.9
+
+
+def test_search_exact_top1_is_self(spark, built_index):
+    idx, data, _ = built_index
+    qdf = _queries_df(spark, data, [7, 63, 150])
+    res = idx.search(qdf, k=1).collect()
+    assert {r["query_id"]: r["gid"] for r in res} == {7: 7, 63: 63, 150: 150}
+    for r in res:
+        assert abs(r["distance"]) < 1e-5
+        assert r["score"] == -r["distance"]  # L2 score convention (C6)
+
+
+def test_search_empty_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vsempty"))
+    cfg = IndexConfig(name="e", dimension=4, max_segment_size=10, pq_m=2, pq_k=4)
+    idx = VectorIndex.create(spark, path, cfg)
+    qdf = spark.createDataFrame([(0, [0.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>")
+    assert idx.search(qdf, k=5).count() == 0
+
+
+def test_dimension_validation(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vsdim"))
+    idx = VectorIndex.create(
+        spark, path, IndexConfig(name="d", dimension=4, max_segment_size=10, pq_m=2, pq_k=4)
+    )
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], "row_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dimension"):
+        idx.add(bad)
+
+
+def test_open_validates_config(spark, built_index):
+    idx, _, _ = built_index
+    reopened = VectorIndex.open(idx.spark, idx.path)
+    assert reopened.config == idx.config
+    with pytest.raises(ValueError, match="mismatch"):
+        VectorIndex.open(
+            idx.spark,
+            idx.path,
+            IndexConfig(name="t", dimension=16, max_segment_size=50, pq_m=4, pq_k=16),
+        )
+
+
+class TestMutationFlow:
+    """Delete → vacuum → compact on a dedicated index (ordered within
+    the class; each step builds on the previous)."""
+
+    @pytest.fixture(scope="class")
+    def mut(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("vsmut"))
+        cfg = IndexConfig(
+            name="m", dimension=DIM, max_segment_size=CAP, pq_m=4, pq_k=16,
+            graph_degree=8, graph_build_breadth=16, graph_alpha=1.2, seed=42,
+        )
+        idx = VectorIndex.create(spark, path, cfg)
+        df, data = _gaussian_df(spark, 120, DIM, seed=1234)
+        idx.add(df)  # segs 0,1 full; seg 2 has 20 rows (ACTIVE)
+        idx.build()
+        return idx, data
+
+    def test_states_after_partial_fill(self, mut):
+        idx, _ = mut
+        st = {r["seg_id"]: r["state"] for r in idx.segments().collect()}
+        assert st == {0: SEALED, 1: SEALED, 2: ACTIVE}
+
+    def test_delete_tombstones_and_counters(self, spark, mut):
+        idx, data = mut
+        assert idx.delete([5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17]) == 13
+        seg0 = [r for r in idx.segments().collect() if r["seg_id"] == 0][0]
+        assert seg0["count"] == CAP - 13 and seg0["deleted_count"] == 13
+        # deleted gids never surface in search (F1 tombstone filter)
+        qdf = _queries_df(spark, data, [5])
+        res = idx.search(qdf, k=5).collect()
+        assert all(r["gid"] not in range(5, 18) for r in res)
+        # idempotent: re-delete returns 0
+        assert idx.delete([5]) == 0
+
+    def test_deleted_ratio_and_vacuum_gate(self, mut):
+        idx, _ = mut
+        ratios = {r["seg_id"]: r["deleted_ratio"] for r in idx.deleted_ratio().collect()}
+        assert abs(ratios[0] - 13 / 50) < 1e-9
+        from vectorsearch_spark.index.maintenance import vacuum_due
+
+        assert vacuum_due(idx, min_deleted_ratio=0.25) == [0]
+        assert vacuum_due(idx, min_deleted_ratio=0.5) == []
+
+    def test_vacuum_physically_removes(self, mut):
+        idx, _ = mut
+        assert idx.vacuum(99) is False  # unknown segment
+        assert idx.vacuum(1) is False   # ratio below threshold
+        assert idx.vacuum(0) is True
+        seg0_rows = idx.vectors().filter(F.col("seg_id") == 0)
+        assert seg0_rows.count() == CAP - 13
+        assert seg0_rows.filter(F.col("deleted")).count() == 0
+        # artifacts pruned with the rows
+        assert idx.codes([0]).count() == CAP - 13
+        assert idx.adjacency([0]).count() == CAP - 13
+        seg0 = [r for r in idx.segments().collect() if r["seg_id"] == 0][0]
+        assert seg0["deleted_count"] == 0
+        assert seg0["last_vacuum_at_ms"] is not None
+        from vectorsearch_spark.index.maintenance import vacuum_due
+
+        # cooldown gate (fdb/FdbVectorIndex.java:552-608)
+        idx.delete(list(range(20, 40)))
+        assert vacuum_due(idx, 0.25, cooldown_ms=10**9) == []
+        assert vacuum_due(idx, 0.25, cooldown_ms=0) == [0]
+
+    def test_compaction_planner_picks_small_sealed(self, mut):
+        idx, _ = mut
+        # seg1 is still full (50 live) → not a candidate, and seg0 alone
+        # is not enough (need ≥2), so the planner declines
+        assert idx.plan_compaction() == []
+        # fragment seg1: 30 deletes leave 20 live; now 17+20 ≤ 80% budget
+        assert idx.delete(list(range(50, 80))) == 30
+        assert idx.plan_compaction() == [0, 1]
+
+    def test_compact_gid_stability(self, spark, mut):
+        # api/GidCompactionStabilityTest.java:52-118: results identical
+        # before/after compaction, gids unchanged, new segment SEALED
+        idx, data = mut
+        qdf = _queries_df(spark, data, [60, 80, 100])
+        before = {(r["query_id"], r["rank"]): r["gid"] for r in idx.search(qdf, k=5, params=SearchParams(mode="BRUTE")).collect()}
+        dest = idx.compact([0, 1])
+        assert dest == 3
+        st = {r["seg_id"]: r["state"] for r in idx.segments().collect()}
+        assert st == {2: ACTIVE, 3: SEALED}
+        after = {(r["query_id"], r["rank"]): r["gid"] for r in idx.search(qdf, k=5, params=SearchParams(mode="BRUTE")).collect()}
+        assert before == after
+        # old live gids resolve into the new segment; tombstoned gids
+        # (60 was deleted above) are gone entirely
+        res = {r["gid"]: r["seg_id"] for r in idx.resolve_ids([80, 81, 60]).collect()}
+        assert res == {80: 3, 81: 3}
+        # deleted rows were dropped by the merge: seg0 had 17 live
+        # (50 - 13 vacuumed - 20 tombstoned), seg1 had 20 live
+        assert idx.vectors().filter(F.col("seg_id") == 3).count() == 37
+
+    def test_gc_removes_stale_partitions(self, mut):
+        idx, _ = mut
+        stale = idx.gc()
+        assert set(stale) == {0, 1}
+        import os
+
+        assert not os.path.exists(f"{idx.path}/vectors/seg_id=0")
+        assert os.path.exists(f"{idx.path}/vectors/seg_id=3")
+        # index still searchable after gc: 37 compacted + 20 in ACTIVE seg2
+        assert idx.vectors().count() == 57
+
+    def test_writing_segment_invisible(self, spark, mut):
+        # SearchIgnoresWritingSegmentTest.java:61-91
+        idx, data = mut
+        idx.update_segment_states({3: {"state": WRITING}})
+        qdf = _queries_df(spark, data, [60])
+        res = idx.search(qdf, k=50).collect()
+        seg3_gids = {r["gid"] for r in idx.vectors(states=(WRITING,)).filter(F.col("seg_id") == 3).collect()}
+        assert all(r["gid"] not in seg3_gids for r in res)
+        idx.update_segment_states({3: {"state": SEALED}})

@@ -19,7 +19,9 @@ def con(sf_dir):
 @pytest.mark.parametrize("name", sorted(workload.queries().keys()))
 def test_query_matches_oracle(spark, sf_dir, con, name):
     oracles = workload.oracle_sql()
-    if name not in oracles:
-        pytest.skip("rows-only query (no SQL oracle)")
     df = workload.queries()[name](spark, sf_dir)
+    if name not in oracles:
+        # rows-only contract (approximate operators): non-empty + stable schema
+        assert df.count() > 0, f"{name}: rows-only query returned no rows"
+        return
     assert_matches(df, con, oracles[name], name)

@@ -1,0 +1,129 @@
+"""Batch ingest: dense gid allocation + strict-cap segment rotation
+(S6 in SURVEY §2.1).
+
+Reference semantics: ``fdb/FdbVectorStore.java:185-245, 425-721`` —
+gids allocated monotonically from a ``nextGid`` counter, rows appended
+to the ACTIVE segment until ``count >= maxSegmentSize``, then the
+segment rotates to PENDING and a new ACTIVE one is created; addAll
+preserves input order across rotations. Dimension validation rejects
+wrong-length embeddings (``fdb/FdbVectorStore.java:752-766``).
+
+Spark re-expression: "rotation" is deterministic arithmetic —
+``seg_id = floor(gid / max_segment_size)``, ``vec_id = gid %
+max_segment_size`` — so one append job writes all segments of a batch
+at once, partitioned by seg_id. Dense gid assignment avoids a global
+sort: stage 1 counts rows per input partition (O(partitions) driver
+rows), stage 2 assigns ``gid = next_gid + partition_offset +
+local_row_number`` with a per-partition window. That is the scalable
+two-phase id-assignment pattern; nothing ever funnels through one
+task.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.config import ACTIVE, PENDING
+from vectorsearch_spark.index.catalog import VectorIndex
+
+
+def with_dense_ids(df: DataFrame, start: int, order_col: str | None = None) -> DataFrame:
+    """Assign a dense ``gid`` column start..start+n-1 without a global
+    single-task sort.
+
+    With ``order_col``, gids follow that column's global order (the
+    ``addAll`` insertion-order contract): rows are range-partitioned and
+    sorted within partitions, so ordering is global yet every stage stays
+    partition-parallel. Without it, gids follow the incoming
+    partition/row order (fastest; order unspecified after shuffles).
+    """
+    if order_col is not None:
+        df = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
+    tagged = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    tagged = tagged.persist()  # both passes must see identical partitioning
+    counts = {r["_pid"]: r["cnt"] for r in tagged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, int(start)
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    offset_df = F.broadcast(
+        spark.createDataFrame([(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    out = (
+        tagged.join(offset_df, "_pid")
+        .withColumn("gid", F.col("_offset") + F.row_number().over(w) - 1)
+        .drop("_pid", "_mid", "_offset")
+    )
+    return out
+
+
+def add_vectors(
+    index: VectorIndex,
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    payload_col: str | None = None,
+    order_col: str | None = None,
+) -> int:
+    """Append a batch; returns the first assigned gid (batch gids are
+    contiguous from it, in input order — addAll order preservation,
+    fdb/FdbVectorStoreIntegrationTest.java:58-104)."""
+    cfg = index.config
+    spark = index.spark
+    src = df.withColumn(embedding_col, F.col(embedding_col).cast("array<float>"))
+    # F3 dimension validation — fail the job if any row mismatches
+    bad = src.filter(
+        F.col(embedding_col).isNull() | (F.size(embedding_col) != cfg.dimension)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} embeddings do not have dimension {cfg.dimension} "
+            "(fdb/FdbVectorStore.java:752-766 semantics)"
+        )
+
+    start = index.next_gid
+    cap = cfg.max_segment_size
+    payload = F.col(payload_col) if payload_col else F.lit(None).cast("binary")
+    out = (
+        with_dense_ids(src, start, order_col)
+        .select(
+            F.col("gid"),
+            (F.col("gid") / cap).cast("int").alias("seg_id"),
+            (F.col("gid") % cap).cast("int").alias("vec_id"),
+            F.col(embedding_col).alias("embedding"),
+            F.lit(False).alias("deleted"),
+            payload.alias("payload"),
+        )
+    )
+    n = out.count()
+    if n == 0:
+        return start
+    out.write.mode("append").partitionBy("seg_id").parquet(index.vectors_path)
+
+    # registry update: full segments → PENDING (rotated), tail → ACTIVE
+    end = start + n  # exclusive
+    first_seg, last_seg = start // cap, (end - 1) // cap
+    now = int(time.time() * 1000)
+    updates: dict[int, dict] = {}
+    existing = {r["seg_id"]: r for r in index.segments().collect()}
+    for sid in range(first_seg, last_seg + 1):
+        seg_count = min(end, (sid + 1) * cap) - max(start, sid * cap)
+        prev = existing.get(sid)
+        total = (prev["count"] if prev else 0) + seg_count
+        state = ACTIVE if (sid == last_seg and end % cap != 0) else PENDING
+        updates[sid] = {
+            "state": state,
+            "count": total,
+            "deleted_count": prev["deleted_count"] if prev else 0,
+            "created_at_ms": prev["created_at_ms"] if prev else now,
+            "last_vacuum_at_ms": prev["last_vacuum_at_ms"] if prev else None,
+        }
+    index.update_segment_states(updates)
+    index._write_meta(next_gid=end, max_seg_id=max(index.max_seg_id, last_seg))
+    return start

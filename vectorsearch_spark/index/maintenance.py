@@ -1,0 +1,355 @@
+"""Maintenance operators: tombstone delete, vacuum, compaction planner,
+compaction rewrite, and physical GC (M1-M6 / A4-A6 / F4 in SURVEY §2).
+
+Reference semantics:
+- delete: set ``deleted=true``, ``count--``, ``deleted_count++``
+  (fdb/FdbVectorStore.java:254-423);
+- vacuum: physically remove deleted rows + their codes/adjacency,
+  reset deleted_count, stamp last_vacuum_at; gated on
+  ``deleted/(count+deleted) >= minRatio`` and a cooldown
+  (tasks/MaintenanceService.java:88-217, fdb/FdbVectorIndex.java:552-608);
+- compaction planner: composite (age, size, fragmentation) score over
+  SEALED segments, min-max normalized, greedy pick under an 80%-of-cap
+  budget (tasks/MaintenanceService.java:430-529);
+- compaction: copy live rows of the sources into a fresh WRITING
+  segment (invisible to search), rebuild artifacts, then atomically
+  swap the registry — gids are stable across the move
+  (tasks/MaintenanceService.java:248-417, api/GidCompactionStabilityTest.java).
+
+Spark shape: every rewrite is a *partition* rewrite using dynamic
+partition overwrite (only touched seg_id partitions are replaced);
+"atomic registry swap" is one overwrite of the tiny segments table,
+which is the single source of truth for visibility. Planner arithmetic
+is a pure DataFrame aggregation. Nothing driver-side ever holds row
+data — only registry rows and seg_id lists.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.config import COMPACTING, SEALED, WRITING
+from vectorsearch_spark.index.catalog import VECTORS_SCHEMA, VectorIndex
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    """Delete a path through the Hadoop FileSystem API (works for any
+    supported FS, not just local disk)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _rewrite_partitions(index: VectorIndex, updated: DataFrame, table_path: str) -> None:
+    """Replace only the seg_id partitions present in ``updated``.
+
+    Parquet can't overwrite a path it is reading, so stage the updated
+    partitions first, then dynamic-partition-overwrite the table from
+    the staging copy. Two bounded writes of the touched partitions —
+    never a full-table rewrite.
+    """
+    spark = index.spark
+    staging = f"{index.path}/_staging_{int(time.time() * 1000)}"
+    updated.write.mode("overwrite").partitionBy("seg_id").parquet(staging)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy("seg_id").parquet(
+            table_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _hadoop_delete(spark, staging)
+
+
+# ---------------------------------------------------------------------------
+# M1: tombstone delete
+# ---------------------------------------------------------------------------
+
+def delete_gids(index: VectorIndex, gids: list[int]) -> int:
+    """Mark gids deleted; returns how many rows were newly tombstoned."""
+    if not gids:
+        return 0
+    spark = index.spark
+    gid_df = F.broadcast(
+        spark.createDataFrame([(int(g),) for g in gids], "gid long")
+    )
+    # which registered segments hold these gids (gid→seg lookup, J1)
+    hits = (
+        index.vectors()
+        .join(gid_df, "gid", "inner")
+        .filter(~F.col("deleted"))
+        .groupBy("seg_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not hits:
+        return 0
+    seg_ids = [r["seg_id"] for r in hits]
+    newly = {r["seg_id"]: r["n"] for r in hits}
+
+    part = index.spark.read.schema(VECTORS_SCHEMA).parquet(index.vectors_path).filter(
+        F.col("seg_id").isin(seg_ids)
+    )
+    updated = part.join(gid_df.withColumn("_hit", F.lit(True)), "gid", "left").withColumn(
+        "deleted", F.col("deleted") | F.coalesce(F.col("_hit"), F.lit(False))
+    ).drop("_hit")
+    _rewrite_partitions(index, updated, index.vectors_path)
+
+    rows = index._segment_rows()
+    updates = {}
+    for r in rows:
+        if r["seg_id"] in newly:
+            n = newly[r["seg_id"]]
+            updates[r["seg_id"]] = {
+                "count": r["count"] - n,
+                "deleted_count": r["deleted_count"] + n,
+            }
+    index.update_segment_states(updates)
+    return int(sum(newly.values()))
+
+
+# ---------------------------------------------------------------------------
+# F4/M3: vacuum gating
+# ---------------------------------------------------------------------------
+
+def vacuum_due(
+    index: VectorIndex,
+    min_deleted_ratio: float = 0.25,
+    cooldown_ms: int = 0,
+    now_ms: int | None = None,
+) -> list[int]:
+    """Segments whose deleted ratio crosses the threshold and whose
+    cooldown has elapsed (fdb/FdbVectorIndex.java:571-608)."""
+    now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    out = []
+    for r in index._segment_rows():
+        total = r["count"] + r["deleted_count"]
+        if total == 0 or r["deleted_count"] / total < min_deleted_ratio:
+            continue
+        last = r["last_vacuum_at_ms"]
+        if last is not None and now_ms - last < cooldown_ms:
+            continue
+        out.append(r["seg_id"])
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# M2: vacuum — physical removal (partition rewrite)
+# ---------------------------------------------------------------------------
+
+def vacuum_segment(
+    index: VectorIndex,
+    seg_id: int,
+    force: bool = False,
+    min_deleted_ratio: float = 0.25,
+) -> bool:
+    """Physically drop deleted rows (vectors + codes + adjacency) of one
+    segment; re-checks the ratio gate unless forced
+    (tasks/MaintenanceService.java:88-217)."""
+    rows = {r["seg_id"]: r for r in index._segment_rows()}
+    seg = rows.get(seg_id)
+    if seg is None:
+        return False
+    total = seg["count"] + seg["deleted_count"]
+    if not force and (total == 0 or seg["deleted_count"] / total < min_deleted_ratio):
+        return False
+    if seg["deleted_count"] > 0:
+        spark = index.spark
+        part = spark.read.schema(VECTORS_SCHEMA).parquet(index.vectors_path).filter(
+            F.col("seg_id") == seg_id
+        )
+        kept = part.filter(~F.col("deleted"))
+        _rewrite_partitions(index, kept, index.vectors_path)
+        # drop orphaned build artifacts for removed vec_ids
+        kept_ids = F.broadcast(
+            spark.read.schema(VECTORS_SCHEMA)
+            .parquet(index.vectors_path)
+            .filter(F.col("seg_id") == seg_id)
+            .select("seg_id", "vec_id")
+        )
+        for path in (index.codes_path, index.adjacency_path):
+            try:
+                art = spark.read.parquet(path).filter(F.col("seg_id") == seg_id)
+            except Exception:
+                continue  # artifacts not built yet for this segment
+            _rewrite_partitions(index, art.join(kept_ids, ["seg_id", "vec_id"], "left_semi"), path)
+    index.update_segment_states(
+        {seg_id: {"deleted_count": 0, "last_vacuum_at_ms": int(time.time() * 1000)}}
+    )
+    return True
+
+
+# ---------------------------------------------------------------------------
+# A4/M5: compaction planner
+# ---------------------------------------------------------------------------
+
+def score_segments(
+    segments: DataFrame,
+    age_weight: float = 0.2,
+    size_weight: float = 0.5,
+    frag_weight: float = 0.3,
+) -> DataFrame:
+    """Composite compaction score per segment row — min-max-normalized
+    age (older better), size (smaller better), fragmentation (more
+    deleted better), the shape of tasks/MaintenanceService.java:430-529.
+
+    Input needs (seg_id, count, deleted_count, created_at_ms); output
+    adds a ``score`` column. Pure DataFrame aggregation — one tiny
+    global agg + a projection, no per-row driver work.
+    """
+    stats = segments.agg(
+        F.min("created_at_ms").alias("min_age"),
+        F.max("created_at_ms").alias("max_age"),
+        F.min("count").alias("min_n"),
+        F.max("count").alias("max_n"),
+    ).collect()[0]
+    if stats["min_age"] is None:
+        return segments.withColumn("score", F.lit(0.0)).limit(0)
+    age_span = max(stats["max_age"] - stats["min_age"], 1)
+    n_span = max(stats["max_n"] - stats["min_n"], 1)
+    return segments.withColumn(
+        "score",
+        age_weight * (F.lit(stats["max_age"]) - F.col("created_at_ms")) / F.lit(age_span)
+        + size_weight * (F.lit(stats["max_n"]) - F.col("count")) / F.lit(n_span)
+        + frag_weight
+        * (
+            F.col("deleted_count")
+            / F.greatest(F.col("count") + F.col("deleted_count"), F.lit(1))
+        ),
+    )
+
+
+def find_compaction_candidates(
+    index: VectorIndex,
+    max_batch: int | None = None,
+    age_weight: float = 0.2,
+    size_weight: float = 0.5,
+    frag_weight: float = 0.3,
+    budget_fraction: float = 0.8,
+    max_concurrent: int = 2,
+) -> list[int]:
+    """Greedy pick of SEALED segments to merge: score with
+    ``score_segments``, take best-first while total live rows fit the
+    budget (budget_fraction of the segment cap), require ≥2, throttle by
+    in-flight compactions (tasks/MaintenanceService.java:430-557)."""
+    segs = index.segments()
+    in_flight = segs.filter(F.col("state") == COMPACTING).count()
+    if in_flight >= max_concurrent:
+        return []
+    sealed = segs.filter(
+        (F.col("state") == SEALED) & (F.col("count") < index.config.max_segment_size)
+    )
+    scored = score_segments(sealed, age_weight, size_weight, frag_weight)
+    w = Window.orderBy(F.col("score").desc(), F.col("seg_id").asc())
+    budget = int(index.config.max_segment_size * budget_fraction)
+    picked = (
+        scored.withColumn(
+            "cum",
+            F.sum("count").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("cum") <= budget)
+        .select("seg_id")
+        .collect()
+    )
+    out = sorted(r["seg_id"] for r in picked)
+    if max_batch:
+        out = out[:max_batch]
+    return out if len(out) >= 2 else []
+
+
+# ---------------------------------------------------------------------------
+# M4: compaction rewrite
+# ---------------------------------------------------------------------------
+
+def compact_segments(index: VectorIndex, seg_ids: list[int]) -> int:
+    """Merge the live rows of ``seg_ids`` into one fresh segment.
+
+    Steps (tasks/MaintenanceService.java:248-417): CAS sources SEALED →
+    COMPACTING (still searchable); reserve a fresh dest seg_id,
+    registered WRITING (invisible); copy live rows with new dense
+    (seg_id, vec_id) but STABLE gids; rebuild artifacts; swap: dest →
+    SEALED, sources dropped from the registry in the same overwrite.
+    Returns the new seg_id.
+    """
+    states = {r["seg_id"]: r["state"] for r in index._segment_rows()}
+    for s in seg_ids:
+        if states.get(s) != SEALED:
+            raise ValueError(f"segment {s} is not SEALED (state={states.get(s)})")
+    index.update_segment_states({s: {"state": COMPACTING} for s in seg_ids})
+
+    dest = index.max_seg_id + 1
+    now = int(time.time() * 1000)
+    index.update_segment_states(
+        {dest: {"state": WRITING, "count": 0, "deleted_count": 0, "created_at_ms": now}}
+    )
+    index._write_meta(next_gid=index.next_gid, max_seg_id=dest)
+
+    live = (
+        index.spark.read.schema(VECTORS_SCHEMA)
+        .parquet(index.vectors_path)
+        .filter(F.col("seg_id").isin(list(seg_ids)) & ~F.col("deleted"))
+    )
+    # dest is one bounded segment (planner budget ≤ 0.8·cap), so a
+    # single-partition dense renumber is safe here — it is NOT a global
+    # pattern, it is per-compaction and capped like the reference's
+    # one-segment copy loop.
+    w = Window.orderBy("gid")
+    moved = live.select(
+        "gid",
+        F.lit(dest).cast("int").alias("seg_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("vec_id"),
+        "embedding",
+        "deleted",
+        "payload",
+    )
+    moved.write.mode("append").partitionBy("seg_id").parquet(index.vectors_path)
+    n = moved.count()
+
+    index.build([dest])  # WRITING segments are buildable (SegmentBuildService.java:88-99)
+
+    swap: dict[int, dict | None] = {s: None for s in seg_ids}
+    swap[dest] = {"state": SEALED, "count": n, "deleted_count": 0}
+    index.update_segment_states(swap)
+    return dest
+
+
+# ---------------------------------------------------------------------------
+# GC: physical cleanup of unregistered partitions
+# ---------------------------------------------------------------------------
+
+def gc(index: VectorIndex) -> list[int]:
+    """Delete partition directories (vectors/codes/adjacency) and
+    codebook rows of seg_ids no longer in the registry — the physical
+    half of the reference's source-clear
+    (tasks/MaintenanceService.java:391-414), deferred so readers never
+    race a file delete (registry visibility already hides them)."""
+    spark = index.spark
+    registered = set(index.registered_seg_ids())
+    stale: set[int] = set()
+    for path in (index.vectors_path, index.codes_path, index.adjacency_path):
+        try:
+            on_disk = {
+                r["seg_id"] for r in spark.read.parquet(path).select("seg_id").distinct().collect()
+            }
+        except Exception:
+            continue
+        for sid in on_disk - registered:
+            stale.add(sid)
+            _hadoop_delete(spark, f"{path}/seg_id={sid}")
+    try:
+        cb = spark.read.parquet(index.codebooks_path)
+        keep = cb.filter(F.col("seg_id").isin(list(registered)))
+        staging = f"{index.path}/_cb_staging"
+        keep.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(index.codebooks_path)
+        _hadoop_delete(spark, staging)
+    except Exception:
+        pass
+    return sorted(stale)

@@ -1,0 +1,239 @@
+"""Batch KNN search with per-state dispatch: the Spark re-expression of
+``fdb/FdbVectorIndex.query`` (fdb/FdbVectorIndex.java:351-479).
+
+Plan per SURVEY §3.1, re-shaped for batch:
+
+1. registry scan → seg_ids by state (F2 dispatch, WRITING excluded,
+   fdb/FdbVectorIndex.java:631-655);
+2. ACTIVE/PENDING → exact brute-force scan (filter deleted → score →
+   top-k; fdb/FdbVectorIndex.java:660-725) via the GEMM KNN operator;
+3. SEALED/COMPACTING → two-phase approx→exact:
+   a. PQ-code scan computing asymmetric LUT distances (L2² LUT,
+      fdb/FdbVectorIndex.java:1057-1079) with per-partition partial
+      top-ef — the batch equivalent of the BEST_FIRST traversal's
+      candidate pool (the reference itself seeds traversal from the
+      top-beam PQ scan; at batch scale the scan IS the search),
+   b. ef auto-tuned by segment size (adaptation of the √(nCodes/1000)
+      scaling at fdb/FdbVectorIndex.java:772-784),
+   c. exact re-rank: join candidates back to raw vectors, true-metric
+      rescore, filter tombstones (fdb/FdbVectorIndex.java:970-1046),
+      optional normalize-on-read (823-826);
+4. per-segment cap max(k, k·oversample) (api/SearchParams.java:73-82)
+   then global merge → top-k by score with gid tie-break
+   (fdb/FdbVectorIndex.java:432-437).
+
+Scale: the codes scan reads only (seg_id, vec_id, codes) — column
+pruning leaves the embeddings un-read until re-rank, which touches
+only Q×S×ef rows. Both scans emit bounded candidate sets per
+partition, so no shuffle is ever O(N).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.config import (
+    SEARCHABLE_BRUTE,
+    SEARCHABLE_SEALED,
+    Metric,
+)
+from vectorsearch_spark.functions.distances import (
+    distance_for_metric,
+    normalize,
+    score_from_distance,
+)
+from vectorsearch_spark.index.catalog import SearchParams, VectorIndex
+from vectorsearch_spark.operators.knn import _partial_topk_mapper
+from vectorsearch_spark.operators.pq import approx_distances, build_lut
+
+_CAND_SCHEMA = "query_id long, seg_id int, vec_id int, approx double"
+
+
+def default_ef(k: int, oversample: int) -> int:
+    """SearchParams.defaults: ef = max(100, k*oversample*4)
+    (api/SearchParams.java:74-82)."""
+    return max(100, k * oversample * 4)
+
+
+def tuned_ef(ef_base: int, k: int, n_codes: int) -> int:
+    """Scale the candidate pool with segment size, clamped to [k, n] —
+    adaptation of the reference's auto-tuning by nCodes
+    (fdb/FdbVectorIndex.java:772-784)."""
+    scale = max(1.0, math.sqrt(n_codes / 100_000.0))
+    return max(k, min(n_codes, int(round(ef_base * scale))))
+
+
+def _pq_scan_fn(
+    codebooks: dict[int, np.ndarray], queries: list[tuple[int, list[float]]],
+    ef_by_seg: dict[int, int],
+):
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        luts: dict[tuple[int, int], np.ndarray] = {}
+        qvecs = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for seg_id, grp in pdf.groupby("seg_id"):
+                seg_id = int(seg_id)
+                cb = codebooks.get(seg_id)
+                if cb is None:
+                    continue
+                m = cb.shape[0]
+                codes = np.frombuffer(
+                    b"".join(grp["codes"].to_numpy()), dtype=np.uint8
+                ).reshape(len(grp), m)
+                vec_ids = grp["vec_id"].to_numpy(dtype=np.int64)
+                ef = ef_by_seg[seg_id]
+                kk = min(ef, len(vec_ids))
+                for qid, qv in qvecs.items():
+                    key = (qid, seg_id)
+                    if key not in luts:
+                        luts[key] = build_lut(cb, qv)
+                    d = approx_distances(codes, luts[key])
+                    head = (
+                        np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+                    )
+                    order = np.lexsort((vec_ids[head], d[head]))
+                    sel = head[order]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(kk, qid, dtype=np.int64),
+                                "seg_id": np.full(kk, seg_id, dtype=np.int32),
+                                "vec_id": vec_ids[sel].astype(np.int32),
+                                "approx": d[sel],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return scan
+
+
+def search(
+    index: VectorIndex, queries: DataFrame, k: int = 10, params: SearchParams | None = None
+) -> DataFrame:
+    """Batch KNN: (query_id, embedding) → (query_id, gid, distance,
+    score, payload, rank) with exactly ≤k rows per query."""
+    params = params or SearchParams()
+    cfg = index.config
+    spark = index.spark
+    metric = Metric(cfg.metric)
+    qrows = queries.select("query_id", "embedding").collect()
+    empty = spark.createDataFrame(
+        [], "query_id long, gid long, distance double, score double, payload binary, rank int"
+    )
+    if not qrows:
+        return empty
+    qlist = [(int(r[0]), list(r[1])) for r in qrows]
+    per_seg_limit = params.per_seg_limit or max(k, k * cfg.oversample)
+
+    seg_rows = index.segments().collect()
+    brute_segs = [r["seg_id"] for r in seg_rows if r["state"] in SEARCHABLE_BRUTE]
+    sealed_segs = [r["seg_id"] for r in seg_rows if r["state"] in SEARCHABLE_SEALED]
+    if params.mode == "BRUTE":
+        brute_segs = brute_segs + sealed_segs
+        sealed_segs = []
+    counts = {r["seg_id"]: r["count"] + r["deleted_count"] for r in seg_rows}
+
+    candidate_parts: list[DataFrame] = []
+
+    if brute_segs:
+        vec = index.vectors().filter(
+            F.col("seg_id").isin(brute_segs) & ~F.col("deleted")
+        )
+        emb = F.col("embedding")
+        if params.normalize_on_read:
+            emb = normalize(emb).cast("array<float>")
+        pruned = vec.select(F.col("gid").alias("id"), emb.alias("embedding"))
+        partial = pruned.mapInPandas(
+            _partial_topk_mapper(qlist, per_seg_limit, metric, "id", "embedding"),
+            schema="query_id long, id long, distance double",
+        )
+        candidate_parts.append(partial.select("query_id", F.col("id").alias("gid"), "distance"))
+
+    if sealed_segs:
+        cb_rows = index.codebooks(sealed_segs).collect()
+        cbs = {
+            int(r["seg_id"]): np.array(r["centroids"], dtype=np.float64).reshape(
+                r["m"], r["k"], r["sub_dim"]
+            )
+            for r in cb_rows
+        }
+        ef_base = params.ef or default_ef(k, cfg.oversample)
+        ef_by_seg = {s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs}
+        # phase a: approx scan over codes only (embeddings not read here)
+        cand = index.codes(sealed_segs).mapInPandas(
+            _pq_scan_fn(cbs, qlist, ef_by_seg), _CAND_SCHEMA
+        )
+        # merge per-partition partial top-ef into per-(query,segment) top-ef
+        w_seg = Window.partitionBy("query_id", "seg_id").orderBy(
+            F.col("approx").asc(), F.col("vec_id").asc()
+        )
+        ef_df = F.broadcast(
+            spark.createDataFrame(list(ef_by_seg.items()), "seg_id int, ef int")
+        )
+        cand = (
+            cand.withColumn("rn", F.row_number().over(w_seg))
+            .join(ef_df, "seg_id")
+            .filter(F.col("rn") <= F.col("ef"))
+            .drop("rn", "ef")
+        )
+        # phase c: exact re-rank — fetch raw vectors for candidates only
+        vec = index.vectors(states=SEARCHABLE_SEALED).select(
+            "seg_id", "vec_id", "gid", "embedding", "deleted"
+        )
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [(qid, v) for qid, v in qlist], "query_id long, qvec array<float>"
+            )
+        )
+        emb = F.col("embedding")
+        if params.normalize_on_read:
+            emb = normalize(emb).cast("array<float>")
+        reranked = (
+            cand.join(vec, ["seg_id", "vec_id"])
+            .filter(~F.col("deleted"))
+            .join(qdf, "query_id")
+            .withColumn("distance", distance_for_metric(emb, F.col("qvec"), metric))
+            .select("query_id", "seg_id", "gid", "distance")
+        )
+        w_cap = Window.partitionBy("query_id", "seg_id").orderBy(
+            F.col("distance").asc(), F.col("gid").asc()
+        )
+        capped = (
+            reranked.withColumn("rn", F.row_number().over(w_cap))
+            .filter(F.col("rn") <= per_seg_limit)
+            .select("query_id", "gid", "distance")
+        )
+        candidate_parts.append(capped)
+
+    if not candidate_parts:
+        return empty
+
+    merged = candidate_parts[0]
+    for part in candidate_parts[1:]:
+        merged = merged.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("gid").asc())
+    topk = (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", score_from_distance(F.col("distance"), metric))
+    )
+    # payload attach: exclude WRITING (a gid exists in both source and
+    # destination mid-compaction; the searchable copy is authoritative)
+    payloads = index.vectors(
+        states=tuple(SEARCHABLE_BRUTE) + tuple(SEARCHABLE_SEALED)
+    ).select("gid", "payload").dropDuplicates(["gid"])
+    return (
+        topk.join(payloads, "gid", "left")
+        .select("query_id", "gid", "distance", "score", "payload", "rank")
+    )

@@ -343,6 +343,125 @@ FROM seg
 
 
 # ---------------------------------------------------------------------------
+# Index-lifecycle queries: end-to-end ingest → build → search through the
+# segmented index (SURVEY §3), driven from the driver's (spark, sf_dir)
+# contract. The index is materialized once per (process, sf_dir) under /tmp.
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str):
+    import shutil
+
+    from vectorsearch_spark.config import IndexConfig
+    from vectorsearch_spark.index import VectorIndex
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/vsidx_{tag}"
+    if path in _INDEX_CACHE:
+        return _INDEX_CACHE[path]
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    cfg = IndexConfig(
+        name=f"wk_{tag}", dimension=dim, max_segment_size=200, pq_m=8, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, graph_alpha=1.2, oversample=4, seed=42,
+    )
+    idx = None
+    try:  # reuse a previously built index if it matches this dataset
+        idx = VectorIndex.open(spark, path, cfg)
+        if idx.next_gid != n:
+            idx = None
+    except Exception:
+        idx = None
+    if idx is None:
+        shutil.rmtree(path, ignore_errors=True)
+        idx = VectorIndex.create(spark, path, cfg)
+        idx.add(emb.select("vec_id", "embedding"), order_col="vec_id")
+        idx.build()
+    _INDEX_CACHE[path] = idx
+    return idx
+
+
+def index_search_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact search through the segmented index (ingest with gid=vec_id,
+    state dispatch, tombstone filter, global merge) — SQL-checkable
+    because mode=BRUTE is exact."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search(_emb_queries(spark, sf_dir), k=_KNN_K, params=SearchParams(mode="BRUTE"))
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+INDEX_SEARCH_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS gid, {_duck_l2("e.embedding", "q.qe")} AS d
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, gid, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, gid ASC) AS rank
+  FROM pairs)
+SELECT query_id, gid, round(d, 4) AS distance, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+def index_search_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase PQ approx → exact re-rank search (approximate: no SQL
+    oracle; recall ≥ 0.9 is asserted in tests/test_index_lifecycle.py)."""
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search(_emb_queries(spark, sf_dir), k=_KNN_K)
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def compaction_plan_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction-planner scoring (A4) as a pure relational op over a
+    derived segments table, so DuckDB can check the exact arithmetic."""
+    from vectorsearch_spark.index.maintenance import score_segments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    segs = emb.groupBy(F.col("label").cast("int").alias("seg_id")).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum(F.when(F.col("vec_id") % 5 == 0, 1).otherwise(0)).alias("deleted_count"),
+        F.min("vec_id").alias("created_at_ms"),
+    )
+    scored = score_segments(segs, age_weight=0.2, size_weight=0.5, frag_weight=0.3)
+    return scored.select(
+        F.col("seg_id").cast("long").alias("seg_id"),
+        F.col("count").cast("long").alias("n_live"),
+        F.col("deleted_count").cast("long").alias("n_deleted"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+COMPACTION_PLAN_SQL = """
+WITH segs AS (
+  SELECT CAST(label AS BIGINT) AS seg_id, count(*) AS n_live,
+         CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         min(vec_id) AS created_at
+  FROM embeddings GROUP BY 1),
+stats AS (
+  SELECT min(created_at) AS min_age, max(created_at) AS max_age,
+         min(n_live) AS min_n, max(n_live) AS max_n FROM segs)
+SELECT seg_id, n_live, n_deleted,
+       round(
+         0.2 * (stats.max_age - segs.created_at) / greatest(stats.max_age - stats.min_age, 1)
+       + 0.5 * (stats.max_n - segs.n_live) / greatest(stats.max_n - stats.min_n, 1)
+       + 0.3 * (n_deleted / greatest(n_live + n_deleted, 1)), 6) AS score
+FROM segs, stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -358,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_single": knn_topk_single,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
+        "index_search_brute": index_search_brute,
+        "index_search_sealed": index_search_sealed,
+        "compaction_plan_scores": compaction_plan_scores,
     }
 
 
@@ -373,4 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk_single": KNN_SINGLE_SQL,
         "vector_norms": VECTOR_NORMS_SQL,
         "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
+        "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
+        # index_search_sealed: approximate → rows-only check by design
+        "compaction_plan_scores": COMPACTION_PLAN_SQL,
     }
