@@ -1,0 +1,140 @@
+"""Unit tests for text/dedup primitives against pure-Python oracles:
+tokenization, shingling, simhash fingerprints, hamming distance, and the
+dedup operators on a tiny hand-built corpus."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.functions.text import TOKEN_RE, tokens, word_shingles
+from vectorsearch_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from vectorsearch_spark.operators.text import (
+    doc_stats,
+    hamming64,
+    language_id,
+    simhash_fingerprints,
+)
+
+CORPUS = [
+    (1, "The quick brown fox jumps over the lazy dog. The quick brown fox!"),
+    (2, "the quick   brown fox jumps over the lazy dog. The quick brown fox!"),
+    (3, "A completely different document about Spark SQL engines and scale."),
+    (4, "The quick brown fox jumps over the lazy dog. The quick brown cat!"),
+    (5, ""),
+    (6, "der die das und ist nicht ein eine mit von der die das"),
+]
+
+
+def py_tokens(text: str) -> list[str]:
+    return re.findall(TOKEN_RE, text.lower())
+
+
+def py_simhash(text: str, bits: int = 60) -> int | None:
+    toks = sorted(set(py_tokens(text)))
+    if not toks:
+        return None
+    hashes = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    fp = 0
+    for j in range(bits):
+        ones = sum(1 for h in hashes if h & (1 << j))
+        if 2 * ones >= len(hashes):
+            fp |= 1 << j
+    return fp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_tokens_match_python(spark, docs):
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select("doc_id", tokens("text").alias("toks")).collect()
+    }
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == py_tokens(text), doc_id
+
+
+def test_word_shingles_match_python(spark, docs):
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    for doc_id, text in CORPUS:
+        toks = py_tokens(text)
+        expect = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)
+            )
+        )
+        assert got[doc_id] == expect, doc_id
+
+
+def test_simhash_fingerprints_match_python(spark, docs):
+    got = {
+        r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()
+    }
+    for doc_id, text in CORPUS:
+        expect = py_simhash(text)
+        if expect is None:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == expect, doc_id
+
+
+def test_hamming64(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010), (7, 7), (0, (1 << 60) - 1)], "a long, b long")
+    got = [r[0] for r in df.select(hamming64(F.col("a"), F.col("b"))).collect()]
+    assert got == [2, 0, 60]
+
+
+def test_exact_duplicates_groups(spark, docs):
+    rows = exact_duplicates(docs).collect()
+    # docs 1 and 2 are identical after lowercase + whitespace normalization
+    assert len(rows) == 1
+    assert rows[0]["n_copies"] == 2 and rows[0]["keeper_id"] == 1
+
+
+def test_jaccard_pairs_finds_near_dups(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 4) in got and 0.5 <= got[(1, 4)] < 1.0
+    assert all(3 not in pair and 5 not in pair for pair in got)
+
+
+def test_minhash_lsh_finds_identical_pair(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got
+
+
+def test_simhash_pairs_verified_by_hamming(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert got.get((1, 2)) == 0
+    fp1, fp4 = py_simhash(CORPUS[0][1]), py_simhash(CORPUS[3][1])
+    expect_14 = bin(fp1 ^ fp4).count("1")
+    if expect_14 <= 8:
+        assert got.get((1, 4)) == expect_14
+
+
+def test_doc_stats_empty_text(spark, docs):
+    r = {x["doc_id"]: x for x in doc_stats(docs).collect()}
+    assert r[5]["n_chars"] == 0 and r[5]["n_tokens"] == 0
+    assert r[5]["quality_score"] is not None
+    assert r[1]["n_tokens"] == len(py_tokens(CORPUS[0][1]))
+
+
+def test_language_id_german_vs_english(spark, docs):
+    r = {x["doc_id"]: x["pred_lang"] for x in language_id(docs).collect()}
+    assert r[6] == "de"
+    assert r[3] == "en"
+    assert r[5] == "und"

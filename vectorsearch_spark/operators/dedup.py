@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, n-gram Jaccard, SimHash, and embedding-cosine near-dup
+(north-star extensions per BASELINE.json).
+
+Scale design, per operator:
+- exact: one hash-groupBy on a 32-byte key — the cheapest possible
+  shuffle, AQE-coalesced.
+- minhash_lsh: shingle → minhash signature (narrow map) → explode band
+  keys → self-join on band key. Only docs sharing a band bucket ever
+  meet, so the join is bucket-local; candidate pairs are then verified
+  with exact Jaccard. This is THE 100 TB near-dup path.
+- ngram_jaccard: exact pairwise Jaccard via shingle-explode self-join.
+  Correct but O(pairs-sharing-a-shingle); ``max_shingle_freq`` drops
+  stop-shingles (df cap) to kill the skew hot keys, the standard
+  mitigation. Use LSH above when the corpus is huge.
+- simhash: 60-bit fingerprint per doc (codegen expressions), banded by
+  16-bit chunks for candidate generation, Hamming-verified.
+- embedding cosine: exact pair scan for modest candidate sets;
+  at scale route through operators/similarity.py LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.functions.distances import cosine
+from vectorsearch_spark.functions.text import (
+    lsh_band_keys,
+    minhash_signature,
+    word_shingles,
+)
+from vectorsearch_spark.operators.text import hamming64, simhash_fingerprints
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) texts: fingerprint,
+    n_copies, keeper (min id); only groups with n_copies > 1."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ τ)."""
+    sh = _shingle_df(df, id_col, text_col, shingle_n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_freq)
+            .select("shingle")
+        )
+        exploded = exploded.join(hot, "shingle", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: banded signature bucketing generates
+    candidates, exact Jaccard verifies. Returns (doc_a, doc_b, jaccard)
+    for verified pairs ≥ τ."""
+    rows_per_band = num_hashes // bands
+    sh = _shingle_df(df, id_col, text_col, shingle_n)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        lsh_band_keys(
+            minhash_signature(F.col("shingles"), num_hashes), bands, rows_per_band
+        ).alias("band_keys"),
+    )
+    buckets = sig.select("doc_id", F.explode("band_keys").alias("band_key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 15,
+) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit fingerprints, candidates share at
+    least one of four 15-bit bands (any pair within Hamming ≤ 3 must;
+    larger radii are caught heuristically), verified by exact Hamming
+    distance ≤ ``max_hamming``."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    bands = 60 // band_bits
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select("doc_id", "simhash", F.explode(band_keys).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cosine ≥ τ).
+
+    Pairwise scan — use for bounded candidate sets (or post-LSH); the
+    unbounded-scale route is LSH bucketing in operators/similarity.py.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+document stats / quality scoring, token counting, language ID, and
+document fingerprinting (north-star extensions per BASELINE.json; no
+reference analog — the reference's only text-adjacent surface is the
+opaque payload column, vectorsearch.proto:123-125).
+
+All operators are single-pass narrow projections (no shuffle at all
+until an aggregation the caller adds), built from codegen'd
+expressions — this is the shape that survives 100 TB: a pure map over
+the documents table, pushdown-friendly, no Python in the row path
+except the explicitly-marked simhash variant's oracle tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.functions.text import STOPWORDS, tokens
+
+# tiny embedded lexicons for the n-gram/stopword language heuristic;
+# deterministic and mirrored literally into the SQL oracle
+LANG_LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "en": ["the", "and", "is", "of", "to", "a", "in", "that", "for", "with"],
+    "es": ["el", "la", "los", "las", "es", "y", "de", "que", "un", "una"],
+    "fr": ["le", "la", "les", "est", "et", "de", "que", "un", "une", "pour"],
+    "zh": ["de5", "shi4", "bu4", "le5", "wo3", "ni3", "ta1", "men5", "zai4", "you3"],
+}
+
+
+def doc_stats_cols(text_col: str) -> list[Column]:
+    """Stat/quality columns for a text column: lengths, token counts,
+    ratios, and a composite quality score in [0, 1]."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    punct_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    stopword_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    avg_token_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    distinct_ratio = n_distinct / F.greatest(n_tokens, F.lit(1))
+    # quality: long enough, lexically diverse, not punctuation soup, some
+    # stopwords (fluent prose has them)
+    quality = (
+        0.25 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.25 * distinct_ratio
+        + 0.25 * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
+        + 0.25 * F.least(stopword_ratio * 5, F.lit(1.0))
+    )
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(avg_token_len, 4).alias("avg_token_len"),
+        F.round(stopword_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    ]
+
+
+def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), *doc_stats_cols(text_col))
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Lexicon-hit language ID: score = count of tokens in each
+    language's lexicon; predict the argmax (ties → language code asc,
+    zero hits → 'und')."""
+    toks = tokens(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(lex))).alias(f"score_{lang}")
+        for lang, lex in sorted(LANG_LEXICONS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for la in langs:  # first (alphabetical) language hitting the max wins
+        pred = pred.when(F.col(f"score_{la}") == best, F.lit(la))
+    return scored.select(
+        id_col,
+        *[F.col(f"score_{la}").cast("long").alias(f"score_{la}") for la in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact content fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the key for exact dedup."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash fingerprints: per bit j, set iff at least half the distinct
+    token hashes have bit j set. Token hash = first 15 hex chars of md5
+    (60 bits, fits a signed long).
+
+    Shaped for scale: explode distinct tokens so each token is hashed
+    exactly ONCE, then one groupBy(doc_id) computes all ``bits`` majority
+    votes as map-side-combinable sums — a single shuffle keyed by doc,
+    no per-bit re-hashing. Docs with zero tokens produce no fingerprint
+    (they cannot be near-dups; exact dedup handles empty texts).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum((F.col("h").bitwiseAND(F.lit(1 << j)) != 0).cast("int")).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(
+            F.col(f"b{j}") * 2 >= F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return hashed.groupBy("doc_id").agg(*aggs).select("doc_id", fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance of two long fingerprints: popcount(a XOR b)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")

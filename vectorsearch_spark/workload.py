@@ -462,6 +462,219 @@ FROM segs, stats
 
 
 # ---------------------------------------------------------------------------
+# Text-analysis + dedup queries (north-star LLM-pipeline operators).
+# DuckDB mirrors are exact: same token regex, same md5-hex hashing, same
+# arithmetic; regexp_replace in DuckDB needs the 'g' flag to match
+# Spark's replace-all.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be']"
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.text import doc_stats
+
+    return doc_stats(_t(spark, sf_dir, "documents"))
+
+
+DOC_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_aggregate(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), 'sum') / len(toks) END AS avg_token_len,
+         CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+         CAST(punct_chars AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+  FROM base)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+       round(avg_token_len, 4) AS avg_token_len,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(0.25 * least(n_tokens / 100.0, 1.0)
+           + 0.25 * (CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1))
+           + 0.25 * (1 - least(punct_ratio * 4, 1.0))
+           + 0.25 * least(stopword_ratio * 5, 1.0), 4) AS quality_score
+FROM m
+"""
+
+
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    from vectorsearch_spark.operators.text import LANG_LEXICONS
+
+    langs = sorted(LANG_LEXICONS)
+    score_exprs = ",\n         ".join(
+        "CAST(len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in LANG_LEXICONS[la])
+        + f"], t))) AS BIGINT) AS score_{la}"
+        for la in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN score_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS toks FROM documents),
+scored AS (
+  SELECT doc_id,
+         {score_exprs}
+  FROM base)
+SELECT doc_id, {", ".join(f"score_{la}" for la in langs)}, {case} AS pred_lang
+FROM scored
+"""
+
+
+# dedup corpora: deterministic duplicates/near-duplicates injected
+# in-query so the operators have something to find (raw texts are all
+# distinct). Mirrored literally in SQL.
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" appended tail marker")).alias("text"),
+    )
+    return docs.unionByName(copies).unionByName(near)
+
+
+_DEDUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id + 2000000, text || ' appended tail marker' FROM documents WHERE doc_id % 20 = 5
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_dedup_corpus(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL})
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_copies, CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+_SHINGLE_SQL = f"""
+    list_distinct(list_transform(
+      range(0, greatest(len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) - 3, 0) + 1),
+      i -> array_to_string(list_slice(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'), i + 1, i + 3), ' ')))
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _dedup_corpus(spark, sf_dir), num_hashes=16, bands=8, threshold=0.5
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM corpus),
+sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 16),
+           i -> list_aggregate(list_transform(shingles, s -> md5(i || ':' || s)), 'min')) AS sig
+  FROM sh2),
+bands AS (
+  SELECT doc_id, shingles,
+         unnest(list_transform(range(0, 8),
+           b -> b || '|' || md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), ',')))) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jaccard
+  FROM cand JOIN sh2 sa ON sa.doc_id = doc_a JOIN sh2 sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_dedup_corpus(spark, sf_dir), threshold=0.7)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM corpus),
+sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))) AS jaccard
+  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM pairs WHERE jaccard >= 0.7
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: 60-bit hex-derived fingerprint
+    arithmetic has no tractable DuckDB mirror; NumPy oracle in tests)."""
+    from vectorsearch_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_dedup_corpus(spark, sf_dir), max_hamming=8)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup(emb.unionByName(dup), threshold=0.95)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt({_duck_dot("a.embedding", "a.embedding")}) = 0
+                OR sqrt({_duck_dot("b.embedding", "b.embedding")}) = 0 THEN 0.0
+              ELSE {_duck_dot("a.embedding", "b.embedding")}
+                   / (sqrt({_duck_dot("a.embedding", "a.embedding")}) * sqrt({_duck_dot("b.embedding", "b.embedding")}))
+         END AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -480,6 +693,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_brute": index_search_brute,
         "index_search_sealed": index_search_sealed,
         "compaction_plan_scores": compaction_plan_scores,
+        "doc_token_stats": doc_token_stats,
+        "lang_id_scores": lang_id_scores,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_jaccard_ngram": dedup_jaccard_ngram,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
     }
 
 
@@ -498,4 +718,11 @@ def oracle_sql() -> dict[str, str]:
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
         # index_search_sealed: approximate → rows-only check by design
         "compaction_plan_scores": COMPACTION_PLAN_SQL,
+        "doc_token_stats": DOC_STATS_SQL,
+        "lang_id_scores": _lang_sql(),
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+        "dedup_jaccard_ngram": DEDUP_JACCARD_SQL,
+        # dedup_simhash: 60-bit hex→int fingerprint has no DuckDB mirror → rows-only
+        "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     }
