@@ -1,0 +1,323 @@
+"""Approximate nearest-neighbor similarity joins — the 100 TB scale
+path beyond brute force (north-star extensions per BASELINE.json; the
+reference's scale mechanism is per-segment PQ+graph, reimplemented in
+``index/``; these operators generalize it to table-vs-table joins).
+
+Two bucketing families:
+
+- **IVF** (inverted-file): train ``n_centroids`` coarse centroids on a
+  sample, assign every vector to its nearest centroid (= bucket), and
+  probe only the ``nprobe`` buckets nearest each query. The candidate
+  scan shrinks by ~nprobe/n_centroids. With nprobe == n_centroids the
+  search is EXHAUSTIVE — byte-identical to brute force — which is how
+  the plumbing is oracle-checked, while approximate configs are gated
+  by recall tests (mirroring the reference's recall@10 ≥ 0.9 gate,
+  api/VectorIndexTest.java:211-258).
+- **LSH** (random-hyperplane, cosine): ``n_tables`` independent
+  ``n_bits``-bit sign signatures; vectors and queries sharing a bucket
+  in ANY table become candidates, verified with the exact metric.
+
+Scale design shared by both: the vector table is scanned once, narrow
+(id + embedding + bucket); queries are a small broadcast side; the
+bucket join is the only shuffle and it is keyed by bucket (bounded fan
+-out), never a cross join. Candidate scoring stays JVM-side via the
+codegen distance expressions; final per-query top-k is a window over
+candidates already pruned by bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from vectorsearch_spark.config import Metric
+from vectorsearch_spark.functions.distances import (
+    distance_for_metric,
+    score_from_distance,
+)
+
+
+def kmeans_fit(
+    points: np.ndarray, k: int, iters: int = 20, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means (same loop shape the PQ trainer
+    uses, pq/PqTrainer.java:28-91): seeded init by sampling distinct
+    rows, argmin-L2² assign, mean update, empty clusters reseeded to the
+    farthest point. Returns (k, D) float64 centroids."""
+    rng = np.random.RandomState(seed)
+    n = len(points)
+    k = min(k, n)
+    centroids = points[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        # (n, k) squared distances via GEMM expansion
+        d2 = (
+            np.einsum("ij,ij->i", points, points)[:, None]
+            - 2.0 * points @ centroids.T
+            + np.einsum("ij,ij->i", centroids, centroids)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        new = np.empty_like(centroids)
+        for c in range(k):
+            members = points[assign == c]
+            if len(members) == 0:
+                new[c] = points[np.argmax(np.min(d2, axis=1))]
+            else:
+                new[c] = members.mean(axis=0)
+        if np.allclose(new, centroids):
+            centroids = new
+            break
+        centroids = new
+    return centroids
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    sample_rows: int = 20000,
+    iters: int = 20,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse-quantizer training on a bounded driver-side sample.
+
+    The sample is capped at ``sample_rows`` regardless of table size
+    (standard IVF practice: centroids need ~100×k training points, not
+    the full corpus), so driver memory stays O(sample), not O(N).
+    """
+    n = vectors.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = (
+        vectors.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).collect()
+    )
+    pts = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    return kmeans_fit(pts, n_centroids, iters=iters, seed=seed)
+
+
+def _centroids_df(spark, centroids: np.ndarray) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType(), False),
+            StructField("centroid", ArrayType(FloatType(), False), False),
+        ]
+    )
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, schema)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag every vector with its nearest-centroid bucket.
+
+    Broadcast-join against the (tiny) centroid table + one window argmin
+    — all JVM-side; the big table is scanned once, narrow. At 100 TB
+    this is the one full pass, and it is embarrassingly parallel.
+    """
+    cents = _centroids_df(vectors.sparkSession, centroids)
+    scored = (
+        vectors.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("bucket").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "bucket")
+    )
+
+
+def _route_queries(
+    queries: list[tuple[int, list[float]]], centroids: np.ndarray, nprobe: int
+) -> list[tuple[int, int]]:
+    """(query_id, bucket) pairs for the nprobe nearest buckets — tiny,
+    computed on the driver (Q × K distance matrix)."""
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    d2 = (
+        np.einsum("ij,ij->i", qmat, qmat)[:, None]
+        - 2.0 * qmat @ centroids.T
+        + np.einsum("ij,ij->i", centroids, centroids)[None, :]
+    )
+    nprobe = min(nprobe, centroids.shape[0])
+    out = []
+    for j, (qid, _) in enumerate(queries):
+        order = np.lexsort((np.arange(centroids.shape[0]), d2[j]))
+        out.extend((qid, int(b)) for b in order[:nprobe])
+    return out
+
+
+def ann_ivf_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    metric: Metric | str = Metric.L2,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN join: per query, top-k among vectors in its ``nprobe``
+    nearest coarse buckets. Returns (query_id, id, distance, score,
+    rank). nprobe == n_centroids ⇒ exact (= brute force).
+
+    Query routing is driver-side (Q×K floats); the cluster-side work is
+    one narrow assignment pass over the vector table plus a bucket-keyed
+    join against a broadcast query-routing table — at 100 TB, only the
+    probed fraction of candidates is ever scored.
+    """
+    metric = Metric(metric)
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_centroids, vec_col=vec_col, seed=seed
+        )
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, id long, distance double, score double, rank int"
+        )
+    qlist = [(r[0], list(r[1])) for r in qrows]
+
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    routing = spark.createDataFrame(
+        _route_queries(qlist, centroids, nprobe), "query_id long, bucket int"
+    )
+    qvecs = spark.createDataFrame(
+        [(qid, [float(x) for x in vec]) for qid, vec in qlist],
+        StructType(
+            [
+                StructField("query_id", LongType(), False),
+                StructField("_qvec", ArrayType(FloatType(), False), False),
+            ]
+        ),
+    )
+    cand = (
+        assigned.join(F.broadcast(routing), "bucket")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), metric))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", score_from_distance(F.col("distance"), metric))
+        .select("query_id", F.col(id_col).alias("id"), "distance", "score", "rank")
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane signature buckets: one output row per (row,
+    table) with key "t|signbits". Hyperplanes are derived from ``seed``
+    so the vector and query sides agree. Sign bits are computed with
+    codegen dot-product expressions (no Python in the scan)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    keys = []
+    for t in range(n_tables):
+        bits = F.lit(0).cast("long")
+        for b in range(n_bits):
+            plane = planes[t, b]
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits = bits + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        keys.append(F.concat(F.lit(f"{t}|"), bits.cast("string")))
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
+
+
+def ann_lsh_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    metric: Metric | str = Metric.COSINE,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH ANN join for cosine-like metrics: candidates share a bucket
+    in ≥1 of ``n_tables`` sign-signature tables; exact verify + top-k.
+
+    Unlike ``knn_join`` this never collects the query side — both sides
+    are DataFrames bucketed by band_key, so it also serves query sets
+    too large to broadcast (the join is bucket-keyed, not cross).
+    """
+    metric = Metric(metric)
+    dim = len(vectors.select(vec_col).first()[0])
+    v_sig = lsh_signatures(
+        vectors, dim, n_tables, n_bits, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    q_sig = lsh_signatures(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qvec")
+        ),
+        dim,
+        n_tables,
+        n_bits,
+        id_col="query_id",
+        vec_col="_qvec",
+        seed=seed,
+    )
+    cand = (
+        v_sig.join(q_sig, "band_key")
+        .select("query_id", id_col, vec_col, "_qvec")
+        .dropDuplicates(["query_id", id_col])
+        .withColumn("distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), metric))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", score_from_distance(F.col("distance"), metric))
+        .select("query_id", F.col(id_col).alias("id"), "distance", "score", "rank")
+    )

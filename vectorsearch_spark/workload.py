@@ -462,6 +462,77 @@ FROM segs, stats
 
 
 # ---------------------------------------------------------------------------
+# ANN similarity-search queries (operators/similarity.py). The exhaustive
+# IVF config (nprobe == n_centroids) is mathematically identical to brute
+# force, so it shares the exact-KNN oracle; approximate configs are
+# recall-gated in tests and rows-only here.
+# ---------------------------------------------------------------------------
+
+def _ann_project(res: DataFrame, metric: Metric) -> DataFrame:
+    return res.select(
+        "query_id",
+        "id",
+        F.round("distance", 4).alias("distance"),
+        (-F.round("distance", 4)).alias("score")
+        if metric == Metric.L2
+        else (F.lit(1.0) - F.round("distance", 4)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF plumbing correctness: nprobe == n_centroids ⇒ exact KNN."""
+    from vectorsearch_spark.operators.similarity import ann_ivf_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ann_ivf_join(
+        emb,
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        n_centroids=8,
+        nprobe=8,
+        metric=Metric.L2,
+        id_col="vec_id",
+    )
+    return _ann_project(res, Metric.L2)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF (nprobe 4/16) — rows-only here; recall ≥ 0.9
+    gated in tests/test_similarity.py."""
+    from vectorsearch_spark.operators.similarity import ann_ivf_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ann_ivf_join(
+        emb,
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        n_centroids=16,
+        nprobe=4,
+        metric=Metric.L2,
+        id_col="vec_id",
+    )
+    return _ann_project(res, Metric.L2)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine ANN — rows-only; recall gated in tests."""
+    from vectorsearch_spark.operators.similarity import ann_lsh_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ann_lsh_join(
+        emb,
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        n_tables=8,
+        n_bits=4,
+        metric=Metric.COSINE,
+        id_col="vec_id",
+    )
+    return _ann_project(res, Metric.COSINE)
+
+
+# ---------------------------------------------------------------------------
 # Text-analysis + dedup queries (north-star LLM-pipeline operators).
 # DuckDB mirrors are exact: same token regex, same md5-hex hashing, same
 # arithmetic; regexp_replace in DuckDB needs the 'g' flag to match
@@ -693,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_brute": index_search_brute,
         "index_search_sealed": index_search_sealed,
         "compaction_plan_scores": compaction_plan_scores,
+        "ann_ivf_exhaustive": ann_ivf_exhaustive,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_lsh_topk": ann_lsh_topk,
         "doc_token_stats": doc_token_stats,
         "lang_id_scores": lang_id_scores,
         "dedup_exact": dedup_exact,
@@ -718,6 +792,9 @@ def oracle_sql() -> dict[str, str]:
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
         # index_search_sealed: approximate → rows-only check by design
         "compaction_plan_scores": COMPACTION_PLAN_SQL,
+        "ann_ivf_exhaustive": _knn_sql(Metric.L2),
+        # ann_ivf_topk / ann_lsh_topk: approximate → rows-only by design,
+        # recall ≥ 0.9 enforced in tests/test_similarity.py
         "doc_token_stats": DOC_STATS_SQL,
         "lang_id_scores": _lang_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
