@@ -1,0 +1,173 @@
+"""Multimodal-column operators for training-data pipelines: treat
+image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, and run decode / feature-extraction / resize / frame-sample
+as Arrow-batched ``mapInPandas`` stages (north-star extensions per
+BASELINE.json; the reference's only binary surface is the opaque
+``payload`` column, vectorsearch.proto:123-125).
+
+The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
+shapes — is real and tested. The actual codec step is STUBBED because
+image/audio libraries are not available in this environment:
+
+- ``decoder=None`` (default) raises ``NotImplementedError`` with
+  installation guidance, exactly at the point a Pillow/ffmpeg-backed
+  callable would plug in;
+- tests inject a deterministic fake decoder to exercise the full path.
+
+Scale design: every operator is a narrow ``mapInPandas`` pass — binary
+blobs never shuffle; only the (small) extracted features do. Arrow
+moves each batch across the Python boundary once; ``batch_rows`` bounds
+executor memory for large blobs via
+``spark.sql.execution.arrow.maxRecordsPerBatch``-style chunking done
+inside the mapper.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (id, payload, media metadata) — the canonical multimodal row shape.
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, media_type string, width int, height int, "
+    "n_frames int, sample_rate int"
+)
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, feature array<float>"
+RESIZE_SCHEMA = "media_id long, out_width int, out_height int, payload binary"
+FRAME_SCHEMA = "media_id long, frame_idx int, payload binary"
+
+Decoder = Callable[[bytes], np.ndarray]
+
+
+def _require_decoder(decoder: Decoder | None, op: str) -> Decoder:
+    if decoder is None:
+        raise NotImplementedError(
+            f"{op}: no media codec available in this environment. Pass "
+            "decoder=<callable bytes -> np.ndarray>, e.g. a Pillow/"
+            "torchvision/ffmpeg-backed function, to run the real path; "
+            "tests use a deterministic fake."
+        )
+    return decoder
+
+
+def attach_media_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type: str = "image",
+) -> DataFrame:
+    """Normalize an (id, binary) table to the canonical MEDIA_SCHEMA,
+    deriving deterministic placeholder metadata from payload length
+    (real readers would parse container headers here)."""
+    n = F.length(F.col(payload_col)).cast("long")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        (F.lit(64) + n % 64).cast("int").alias("width"),
+        (F.lit(64) + (n / 64).cast("long") % 64).cast("int").alias("height"),
+        (F.lit(1) + n % 30).cast("int").alias("n_frames"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Decoder | None = None,
+    feature_dim: int = 8,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Decode each payload and emit a fixed-dim float feature vector
+    (mean-pooled over the decoded array, chunked to ``feature_dim``).
+
+    One narrow Arrow pass; output is (media_id, n_bytes, feature) — the
+    blobs are dropped before anything shuffles.
+    """
+    dec = _require_decoder(decoder, "extract_features")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats, ids, sizes = [], [], []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    arr = np.asarray(dec(bytes(payload)), dtype=np.float64).ravel()
+                    pad = (-len(arr)) % feature_dim
+                    if pad:
+                        arr = np.pad(arr, (0, pad))
+                    feats.append(arr.reshape(feature_dim, -1).mean(axis=1).astype(np.float32))
+                    ids.append(mid)
+                    sizes.append(len(payload))
+                yield pd.DataFrame(
+                    {"media_id": ids, "n_bytes": sizes, "feature": feats}
+                )
+
+    return media.select("media_id", "payload").mapInPandas(mapper, FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    out_width: int,
+    out_height: int,
+    decoder: Decoder | None = None,
+    encoder: Callable[[np.ndarray], bytes] | None = None,
+) -> DataFrame:
+    """Decode → nearest-neighbor resample to (out_width, out_height) →
+    re-encode. Decoder/encoder are pluggable codec callables; the
+    resample itself is real NumPy."""
+    dec = _require_decoder(decoder, "resize_images")
+    enc = encoder if encoder is not None else (lambda a: a.astype(np.uint8).tobytes())
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = np.atleast_2d(np.asarray(dec(bytes(payload))))
+                ys = (np.arange(out_height) * img.shape[0] // out_height).clip(0, img.shape[0] - 1)
+                xs = (np.arange(out_width) * img.shape[1] // out_width).clip(0, img.shape[1] - 1)
+                out.append((mid, out_width, out_height, enc(img[np.ix_(ys, xs)])))
+            yield pd.DataFrame(out, columns=["media_id", "out_width", "out_height", "payload"])
+
+    return media.select("media_id", "payload").mapInPandas(mapper, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_nth: int = 10,
+    max_frames: int = 8,
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """Video frame sampling: decode a (frames, ...) array, keep every
+    ``every_nth`` frame up to ``max_frames``, one output row per frame.
+    The fan-out is bounded (≤ max_frames per row) so the stage stays
+    predictable at scale."""
+    dec = _require_decoder(decoder, "sample_frames")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = np.asarray(dec(bytes(payload)))
+                if frames.ndim < 2:
+                    frames = frames[None, :]
+                keep = list(range(0, frames.shape[0], every_nth))[:max_frames]
+                for idx in keep:
+                    rows.append((mid, idx, frames[idx].astype(np.uint8).tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "payload"])
+
+    return media.select("media_id", "payload").mapInPandas(mapper, FRAME_SCHEMA)
+
+
+def fake_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in codec for tests and the driver workload:
+    interprets the byte string as a uint8 array reshaped to 2D."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if len(arr) == 0:
+        return np.zeros((1, 1))
+    w = int(np.sqrt(len(arr))) or 1
+    return arr[: (len(arr) // w) * w].reshape(-1, w)

@@ -746,6 +746,120 @@ SELECT id_a, id_b, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.95
 
 
 # ---------------------------------------------------------------------------
+# Multimodal queries (operators/multimodal.py): documents' ASCII text
+# doubles as a deterministic binary payload, so the full binary→decode→
+# feature mapInPandas plumbing is oracle-checked byte-exactly (the fake
+# decoder's uint8 view of UTF-8 text == DuckDB ascii() per char; all
+# arithmetic is over integer-valued doubles, hence order-exact).
+# ---------------------------------------------------------------------------
+
+def _mm_media(spark: SparkSession, sf_dir: str):
+    from vectorsearch_spark.operators.multimodal import attach_media_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return attach_media_metadata(docs, id_col="doc_id", payload_col="payload")
+
+
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm_media(spark, sf_dir).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+    )
+
+
+MM_METADATA_SQL = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       64 + length(text) % 64                 AS width,
+       64 + (length(text) // 64) % 64         AS height,
+       1 + length(text) % 30                  AS n_frames,
+       CAST(16000 AS BIGINT)                  AS sample_rate
+FROM documents
+"""
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.multimodal import extract_features, fake_decoder
+
+    feats = extract_features(_mm_media(spark, sf_dir), decoder=fake_decoder, feature_dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("feature").alias("pos", "val")
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("val").cast("double"), 4).alias("val"),
+    )
+
+
+# mirrors fake_decoder + extract_features exactly: truncate to
+# (n // floor(sqrt(n))) * floor(sqrt(n)) bytes, zero-pad to a multiple
+# of 8, chunk-mean, cast to FLOAT (same IEEE rounding as numpy f32).
+MM_FEATURES_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ascii(text[i]) AS DOUBLE)) AS bytes
+  FROM documents),
+trunc AS (
+  SELECT media_id, n,
+         CASE WHEN n = 0 THEN [0.0]
+              ELSE bytes[1 : (n // greatest(CAST(floor(sqrt(n)) AS BIGINT), 1))
+                             * greatest(CAST(floor(sqrt(n)) AS BIGINT), 1)]
+         END AS arr
+  FROM base),
+padded AS (
+  SELECT media_id, n,
+         list_concat(arr, list_transform(range(1, ((len(arr) + 7) // 8) * 8 - len(arr) + 1), x -> 0.0)) AS arr,
+         ((len(arr) + 7) // 8) AS m
+  FROM trunc),
+feat AS (
+  SELECT media_id, n, m,
+         unnest(range(0, 8)) AS pos,
+         unnest(list_transform(range(0, 8),
+           i -> CAST(CAST(list_aggregate(arr[i * m + 1 : (i + 1) * m], 'sum') AS DOUBLE) / m AS FLOAT))) AS val
+  FROM padded)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes, CAST(pos AS BIGINT) AS pos,
+       round(CAST(val AS DOUBLE), 4) AS val
+FROM feat
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_spark.operators.multimodal import fake_decoder, sample_frames
+
+    frames = sample_frames(
+        _mm_media(spark, sf_dir), every_nth=10, max_frames=8, decoder=fake_decoder
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("payload").cast("long").alias("frame_bytes"),
+    )
+
+
+MM_FRAMES_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, length(text) AS n,
+         greatest(CAST(floor(sqrt(length(text))) AS BIGINT), 1) AS w
+  FROM documents),
+shaped AS (
+  SELECT media_id,
+         CASE WHEN n = 0 THEN 1 ELSE n // w END AS n_rows,
+         CASE WHEN n = 0 THEN 1 ELSE w END AS w
+  FROM base)
+SELECT media_id, CAST(unnest(list_slice(range(0, n_rows, 10), 1, 8)) AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS frame_bytes
+FROM shaped
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -774,6 +888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_ngram": dedup_jaccard_ngram,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "mm_media_metadata": mm_media_metadata,
+        "mm_feature_extract": mm_feature_extract,
+        "mm_frame_sample": mm_frame_sample,
     }
 
 
@@ -802,4 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_ngram": DEDUP_JACCARD_SQL,
         # dedup_simhash: 60-bit hex→int fingerprint has no DuckDB mirror → rows-only
         "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+        "mm_media_metadata": MM_METADATA_SQL,
+        "mm_feature_extract": MM_FEATURES_SQL,
+        "mm_frame_sample": MM_FRAMES_SQL,
     }
