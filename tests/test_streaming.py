@@ -1,0 +1,125 @@
+"""Structured Streaming tests: file-source micro-batch ingest into the
+index (with rotation + build-on-rotate), watermarked windowed rollup
+equivalence to the batch query, and applyInPandasWithState
+sessionization vs the batch window oracle."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.config import ACTIVE, SEALED, IndexConfig
+from vectorsearch_spark.index import VectorIndex
+from vectorsearch_spark.streaming import sessionize, stream_add, stream_events_rollup
+from vectorsearch_spark.streaming.rollup import sessionize_batch
+
+EMB_SCHEMA = "row_id long, embedding array<float>"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_add_rotates_and_builds(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    idx_path = str(tmp_path_factory.mktemp("stream_idx"))
+    # two micro-files, 25 rows total, cap 10 → segments 0,1 sealed, 2 ACTIVE
+    _write_batch(spark, src, [(i, [float(i), 0.0]) for i in range(15)])
+    _write_batch(spark, src, [(i, [float(i), 1.0]) for i in range(15, 25)])
+    idx = VectorIndex.create(
+        spark,
+        idx_path,
+        IndexConfig(name="s", dimension=2, max_segment_size=10, pq_m=2, pq_k=4),
+    )
+    stream = spark.readStream.schema(EMB_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_add(idx, stream, order_col="row_id", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive or q.stop() is None
+    states = {r["seg_id"]: r["state"] for r in idx.segments().collect()}
+    assert states[0] == SEALED and states[1] == SEALED
+    assert states[2] == ACTIVE
+    assert idx.next_gid == 25
+    # every row searchable across sealed + active segments
+    qdf = spark.createDataFrame([(0, [3.0, 0.0])], "query_id long, embedding array<float>")
+    top = idx.search(qdf, k=1).collect()
+    assert len(top) == 1
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path_factory):
+    from vectorsearch_spark.workload import _events
+
+    ckpt = str(tmp_path_factory.mktemp("roll_ckpt"))
+    ev = _events(spark, sf_dir).select("ts", "event_type", "value")
+    src = str(tmp_path_factory.mktemp("roll_src"))
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_events_rollup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("roll_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM roll_out").collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_events_rollup(ev).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_sessionize_stream_vs_batch_oracle(spark, tmp_path_factory):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: two sessions (gap 100s > 60s threshold); user 2: one session
+    for off in (0, 10, 20, 120, 130):
+        rows.append((1, base + dt.timedelta(seconds=off), 1.0))
+    for off in (5, 15):
+        rows.append((2, base + dt.timedelta(seconds=off), 2.0))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=60.0)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # batch oracle: the complete session set including open tails
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(ev, gap_seconds=60.0).collect()
+    }
+    assert batch == {
+        (1, base, base + dt.timedelta(seconds=20)): (3, 3.0),
+        (1, base + dt.timedelta(seconds=120), base + dt.timedelta(seconds=130)): (2, 2.0),
+        (2, base + dt.timedelta(seconds=5), base + dt.timedelta(seconds=15)): (2, 4.0),
+    }
+    # the stream's closed sessions: the 120s event definitely closed user
+    # 1's first session; open tails MAY also flush via processing-time
+    # timeout before the availableNow query stops (timing-dependent), but
+    # everything emitted must agree with the oracle exactly
+    assert (1, base, base + dt.timedelta(seconds=20)) in got
+    for k, v in got.items():
+        assert batch[k] == v, k

@@ -1,0 +1,157 @@
+"""Streaming event-time aggregation and custom stateful operators.
+
+No reference analog (the reference has no streaming engine, SURVEY
+§2.10); these are the north-star pipeline operators expressed the
+Spark-native way:
+
+- ``stream_events_rollup``: watermarked event-time tumbling windows —
+  the streaming twin of the batch ``events_hourly_rollup`` workload
+  query. Late data beyond the watermark is dropped by the engine;
+  state is bounded by (watermark horizon / window) × #event_types.
+- ``sessionize``: custom per-key session tracking via
+  ``applyInPandasWithState`` (the Spark-native form of a bespoke
+  stateful operator): sessions close after ``gap_seconds`` of
+  inactivity or on timeout, emitting (user_id, session_start,
+  session_end, n_events, sum_value) rows.
+
+Both run identically over a batch DataFrame (minus state/timeout
+semantics) which is how the tests oracle them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def stream_events_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of the events stream:
+    (window_start, event_type, n_events, sum_value). Works on batch
+    DataFrames too (watermark is a no-op there) — that equivalence is
+    the correctness oracle."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _session_fn(gap_seconds: float):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                closed.append((user_id, start, last, n, total))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+            ts = rows["ts"].astype("int64") // 1_000_000  # ms epoch
+            vals = rows["value"].to_numpy()
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start, last, n, total = int(ts.iloc[0]), int(ts.iloc[0]) - 1, 0, 0.0
+            gap_ms = int(gap_seconds * 1000)
+            for t, v in zip(ts, vals):
+                t = int(t)
+                if n > 0 and t - last > gap_ms:
+                    closed.append((user_id, start, last, n, total))
+                    start, n, total = t, 0, 0.0
+                if n == 0:
+                    start = t
+                last = t
+                n += 1
+                total += float(v)
+            state.update((start, last, n, total))
+            state.setTimeoutDuration(gap_ms)
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="ms")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="ms")
+            yield out
+
+    return fn
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful sessionization over a *stream*:
+    ``applyInPandasWithState`` keyed by user_id, processing-time timeout
+    = the session gap. Emits one row per CLOSED session."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_seconds: float = 1800.0, ts_col: str = "ts"
+) -> DataFrame:
+    """Batch oracle for ``sessionize``: gap-based sessions via windows —
+    session boundary where the gap to the previous event exceeds the
+    threshold; includes the final (unclosed) session of every user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(ts_col)
+    marked = events.withColumn(
+        "_new",
+        (
+            F.col(ts_col).cast("double")
+            - F.lag(F.col(ts_col).cast("double")).over(w)
+            > gap_seconds
+        ).cast("int"),
+    ).withColumn("_sess", F.sum(F.coalesce("_new", F.lit(0))).over(w))
+    return (
+        marked.groupBy("user_id", "_sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("_sess")
+    )

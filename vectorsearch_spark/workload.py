@@ -746,6 +746,70 @@ SELECT id_a, id_b, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.95
 
 
 # ---------------------------------------------------------------------------
+# Streaming-operator queries, run in batch mode (the operators are
+# batch/stream agnostic; streaming-specific semantics — watermarks,
+# state timeouts, micro-batch ingest — are covered in tests/
+# test_streaming.py, which this registry can't express).
+# ---------------------------------------------------------------------------
+
+def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup (streaming twin of
+    events_hourly_rollup) — 1h windows align to epoch hours, so the
+    oracle is date_trunc."""
+    from vectorsearch_spark.streaming.rollup import stream_events_rollup
+
+    ev = _events(spark, sf_dir)
+    return stream_events_rollup(ev).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+STREAM_ROLLUP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form of the stateful streaming
+    operator): 30-minute inactivity gap per user."""
+    from vectorsearch_spark.streaming.rollup import sessionize_batch
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return sessionize_batch(ev, gap_seconds=1800.0).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SESSION_WINDOWS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, sess
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal queries (operators/multimodal.py): documents' ASCII text
 # doubles as a deterministic binary payload, so the full binary→decode→
 # feature mapInPandas plumbing is oracle-checked byte-exactly (the fake
@@ -891,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_metadata": mm_media_metadata,
         "mm_feature_extract": mm_feature_extract,
         "mm_frame_sample": mm_frame_sample,
+        "stream_window_rollup": stream_window_rollup,
+        "events_session_windows": events_session_windows,
     }
 
 
@@ -922,4 +988,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_metadata": MM_METADATA_SQL,
         "mm_feature_extract": MM_FEATURES_SQL,
         "mm_frame_sample": MM_FRAMES_SQL,
+        "stream_window_rollup": STREAM_ROLLUP_SQL,
+        "events_session_windows": SESSION_WINDOWS_SQL,
     }
