@@ -47,22 +47,10 @@ def _dynamic_overwrite(index: VectorIndex, df, path: str) -> None:
 
 
 def _write_codebooks(index: VectorIndex, cb_df, seg_ids: list[int]) -> None:
-    """Codebooks table = (existing minus seg_ids) ∪ new — one tiny table,
-    staged rewrite."""
-    from vectorsearch_spark.index.maintenance import _hadoop_delete
-
-    spark = index.spark
-    try:
-        existing = spark.read.parquet(index.codebooks_path).filter(
-            ~F.col("seg_id").isin(seg_ids)
-        )
-        merged = existing.unionByName(cb_df)
-    except Exception:  # first build: no codebooks table yet
-        merged = cb_df
-    staging = f"{index.path}/_cb_staging_build"
-    merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(index.codebooks_path)
-    _hadoop_delete(spark, staging)
+    """Codebooks are partitioned by seg_id like the other artifact
+    tables, so an idempotent rebuild is one dynamic partition overwrite
+    (no staged read-modify-write of the whole table)."""
+    _dynamic_overwrite(index, cb_df, index.codebooks_path)
 
 
 def _train_fn(m: int, k: int, iters: int, seed: int):

@@ -3,14 +3,23 @@ public API facade (the Spark re-expression of ``api/VectorIndex.java``).
 
 Layout under one root path (SURVEY §1.4 mapping of FdbDirectories):
 
-    <root>/meta/        single-row parquet: config JSON + next_gid
-    <root>/segments/    parquet registry: (seg_id, state, count,
-                        deleted_count, created_at_ms, last_vacuum_at_ms)
-    <root>/vectors/     parquet partitioned by seg_id:
-                        (gid, vec_id, embedding, deleted, payload)
-    <root>/codebooks/   parquet: (seg_id, m, k, sub_dim, centroids flat)
-    <root>/codes/       parquet partitioned by seg_id: (vec_id, codes)
-    <root>/adjacency/   parquet partitioned by seg_id: (vec_id, neighbor_ids)
+    <root>/meta.json      config JSON + next_gid/max_seg_id counters
+    <root>/segments.json  registry: (seg_id, state, count,
+                          deleted_count, created_at_ms, last_vacuum_at_ms)
+    <root>/vectors/       parquet partitioned by seg_id:
+                          (gid, vec_id, embedding, deleted, payload)
+    <root>/codebooks/     parquet: (seg_id, m, k, sub_dim, centroids flat)
+    <root>/codes/         parquet partitioned by seg_id: (vec_id, codes)
+    <root>/adjacency/     parquet partitioned by seg_id: (vec_id, neighbor_ids)
+
+Metadata is a driver-side JSON log, NOT a Spark table: the registry is
+O(#segments) — thousands of rows at 100 TB — so running distributed
+jobs to touch it is pure overhead (it cost ~2/3 of index-build wall
+time as tiny parquet jobs). Writes go through atomic temp+rename, the
+same single-writer transaction-log shape Delta Lake uses for its
+`_delta_log` JSON; on object storage this slot would be a metastore or
+a conditional-put log. Row data (vectors/codes/adjacency) stays in
+distributed parquet.
 
 The `segments` registry is the source of truth for visibility: readers
 always semi-join against registered seg_ids, so a WRITING destination's
@@ -28,6 +37,9 @@ one segment per build worker).
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 import time
 from dataclasses import dataclass
 
@@ -85,15 +97,17 @@ class VectorIndex:
         self.spark = spark
         self.path = path.rstrip("/")
         self.config = config
+        self._meta_cache: dict | None = None
+        self._segments_cache: list[dict] | None = None
 
     # -- paths ---------------------------------------------------------
     @property
     def meta_path(self) -> str:
-        return f"{self.path}/meta"
+        return f"{self.path}/meta.json"
 
     @property
     def segments_path(self) -> str:
-        return f"{self.path}/segments"
+        return f"{self.path}/segments.json"
 
     @property
     def vectors_path(self) -> str:
@@ -116,9 +130,7 @@ class VectorIndex:
     def create(cls, spark: SparkSession, path: str, config: IndexConfig) -> "VectorIndex":
         idx = cls(spark, path, config)
         idx._write_meta(next_gid=0, max_seg_id=-1)
-        spark.createDataFrame([], SEGMENTS_SCHEMA).write.mode("overwrite").parquet(
-            idx.segments_path
-        )
+        idx._overwrite_segments([])
         return idx
 
     @classmethod
@@ -127,24 +139,45 @@ class VectorIndex:
     ) -> "VectorIndex":
         """Open an existing index; like fdb/FdbVectorStore.java:124-166 a
         mismatched requested config raises."""
-        row = spark.read.parquet(f"{path.rstrip('/')}/meta").collect()[0]
-        stored = IndexConfig.from_json(row["config_json"])
+        with open(f"{path.rstrip('/')}/meta.json") as f:
+            meta = json.load(f)
+        stored = IndexConfig.from_json(meta["config_json"])
         if config is not None:
             stored.validate_same(config)
-        return cls(spark, path, stored)
+        idx = cls(spark, path, stored)
+        idx._meta_cache = meta
+        return idx
+
+    @staticmethod
+    def _atomic_write_json(path: str, obj) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix="._meta_tmp_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(obj, f)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     def _write_meta(self, next_gid: int, max_seg_id: int) -> None:
         """next_gid / max_seg_id are the monotonic counters of the
         reference (FdbDirectories.java:87-88): gids are never reused and
         neither are seg_ids (compaction destinations get fresh ids)."""
-        df = self.spark.createDataFrame(
-            [(self.config.to_json(), int(next_gid), int(max_seg_id))],
-            "config_json string, next_gid long, max_seg_id int",
-        )
-        df.coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        meta = {
+            "config_json": self.config.to_json(),
+            "next_gid": int(next_gid),
+            "max_seg_id": int(max_seg_id),
+        }
+        self._atomic_write_json(self.meta_path, meta)
+        self._meta_cache = meta
 
-    def _meta(self):
-        return self.spark.read.parquet(self.meta_path).collect()[0]
+    def _meta(self) -> dict:
+        if self._meta_cache is None:
+            with open(self.meta_path) as f:
+                self._meta_cache = json.load(f)
+        return self._meta_cache
 
     @property
     def next_gid(self) -> int:
@@ -156,50 +189,56 @@ class VectorIndex:
 
     # -- registry ------------------------------------------------------
     def segments(self) -> DataFrame:
-        return self.spark.read.schema(SEGMENTS_SCHEMA).parquet(self.segments_path)
+        rows = [
+            tuple(r[f.name] for f in SEGMENTS_SCHEMA.fields) for r in self._segment_rows()
+        ]
+        return self.spark.createDataFrame(rows, SEGMENTS_SCHEMA)
 
-    def _overwrite_segments(self, rows: list) -> None:
-        df = self.spark.createDataFrame(rows, SEGMENTS_SCHEMA)
-        # write-then-swap through a staging subdir is unnecessary locally;
-        # registry is tiny and rewritten atomically enough by overwrite
-        df.coalesce(1).write.mode("overwrite").parquet(self.segments_path)
+    def _overwrite_segments(self, rows: list[dict]) -> None:
+        self._atomic_write_json(self.segments_path, rows)
+        self._segments_cache = [dict(r) for r in rows]
 
-    def _segment_rows(self) -> list:
-        return [r.asDict() for r in self.segments().collect()]
+    def _segment_rows(self) -> list[dict]:
+        if self._segments_cache is None:
+            with open(self.segments_path) as f:
+                self._segments_cache = json.load(f)
+        return [dict(r) for r in self._segments_cache]
 
     def update_segment_states(self, updates: dict[int, dict]) -> None:
         """Apply per-seg_id field updates to the registry; a seg mapped to
         None is dropped (compaction source clear)."""
+        existing = self._segment_rows()
         rows = []
-        for r in self._segment_rows():
+        for r in existing:
             if r["seg_id"] in updates:
                 u = updates[r["seg_id"]]
                 if u is None:
                     continue
                 r.update(u)
-            rows.append(tuple(r[f.name] for f in SEGMENTS_SCHEMA.fields))
-        new_ids = set(updates) - {r["seg_id"] for r in self._segment_rows()}
+            rows.append(r)
+        new_ids = set(updates) - {r["seg_id"] for r in existing}
         for sid in sorted(new_ids):
             u = updates[sid]
             if u is None:
                 continue
             rows.append(
-                (
-                    sid,
-                    u.get("state", WRITING),
-                    u.get("count", 0),
-                    u.get("deleted_count", 0),
-                    u.get("created_at_ms", int(time.time() * 1000)),
-                    u.get("last_vacuum_at_ms"),
-                )
+                {
+                    "seg_id": sid,
+                    "state": u.get("state", WRITING),
+                    "count": u.get("count", 0),
+                    "deleted_count": u.get("deleted_count", 0),
+                    "created_at_ms": u.get("created_at_ms", int(time.time() * 1000)),
+                    "last_vacuum_at_ms": u.get("last_vacuum_at_ms"),
+                }
             )
-        self._overwrite_segments(rows)
+        self._overwrite_segments(sorted(rows, key=lambda r: r["seg_id"]))
 
     def registered_seg_ids(self, states: tuple[str, ...] | None = None) -> list[int]:
-        df = self.segments()
-        if states:
-            df = df.filter(F.col("state").isin(list(states)))
-        return [r["seg_id"] for r in df.select("seg_id").collect()]
+        return [
+            r["seg_id"]
+            for r in self._segment_rows()
+            if states is None or r["state"] in states
+        ]
 
     # -- tables (visibility-filtered) ----------------------------------
     def vectors(self, states: tuple[str, ...] | None = None) -> DataFrame:

@@ -23,22 +23,34 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectorsearch_spark.config import ACTIVE, PENDING
 from vectorsearch_spark.index.catalog import VectorIndex
 
 
-def with_dense_ids(df: DataFrame, start: int, order_col: str | None = None) -> DataFrame:
+def with_dense_ids(
+    df: DataFrame,
+    start: int,
+    order_col: str | None = None,
+    invalid: "F.Column | None" = None,
+    invalid_msg: str = "rows failed validation",
+) -> tuple[DataFrame, int, DataFrame]:
     """Assign a dense ``gid`` column start..start+n-1 without a global
-    single-task sort.
+    single-task sort; returns (df_with_gid, row_count, persisted_handle)
+    — callers unpersist the handle after materializing the result.
 
     With ``order_col``, gids follow that column's global order (the
     ``addAll`` insertion-order contract): rows are range-partitioned and
     sorted within partitions, so ordering is global yet every stage stays
     partition-parallel. Without it, gids follow the incoming
     partition/row order (fastest; order unspecified after shuffles).
+
+    The per-partition counting pass doubles as the validation pass:
+    ``invalid`` rows are counted in the same single aggregation (one job
+    total) and raise ValueError — F3 dimension validation,
+    fdb/FdbVectorStore.java:752-766.
     """
     if order_col is not None:
         df = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
@@ -46,7 +58,18 @@ def with_dense_ids(df: DataFrame, start: int, order_col: str | None = None) -> D
         "_mid", F.monotonically_increasing_id()
     )
     tagged = tagged.persist()  # both passes must see identical partitioning
-    counts = {r["_pid"]: r["cnt"] for r in tagged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if invalid is not None:
+        aggs.append(F.sum(invalid.cast("int")).alias("bad"))
+    stats = tagged.groupBy("_pid").agg(*aggs).collect()
+    if invalid is not None:
+        bad = sum(r["bad"] or 0 for r in stats)
+        if bad:
+            tagged.unpersist()
+            raise ValueError(
+                f"{bad} {invalid_msg} (fdb/FdbVectorStore.java:752-766 semantics)"
+            )
+    counts = {r["_pid"]: r["cnt"] for r in stats}
     offsets, acc = {}, int(start)
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -55,13 +78,18 @@ def with_dense_ids(df: DataFrame, start: int, order_col: str | None = None) -> D
     offset_df = F.broadcast(
         spark.createDataFrame([(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long")
     )
-    w = Window.partitionBy("_pid").orderBy("_mid")
+    # monotonically_increasing_id is documented as (partition_id << 33) +
+    # dense row position within the partition, so the local row number is
+    # its low 33 bits — gid assignment needs NO window and NO extra
+    # shuffle, just the broadcast offset join + arithmetic.
     out = (
         tagged.join(offset_df, "_pid")
-        .withColumn("gid", F.col("_offset") + F.row_number().over(w) - 1)
+        .withColumn(
+            "gid", F.col("_offset") + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        )
         .drop("_pid", "_mid", "_offset")
     )
-    return out
+    return out, acc - int(start), tagged
 
 
 def add_vectors(
@@ -75,36 +103,37 @@ def add_vectors(
     contiguous from it, in input order — addAll order preservation,
     fdb/FdbVectorStoreIntegrationTest.java:58-104)."""
     cfg = index.config
-    spark = index.spark
     src = df.withColumn(embedding_col, F.col(embedding_col).cast("array<float>"))
-    # F3 dimension validation — fail the job if any row mismatches
-    bad = src.filter(
-        F.col(embedding_col).isNull() | (F.size(embedding_col) != cfg.dimension)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"{bad} embeddings do not have dimension {cfg.dimension} "
-            "(fdb/FdbVectorStore.java:752-766 semantics)"
-        )
+    invalid = F.col(embedding_col).isNull() | (F.size(embedding_col) != cfg.dimension)
 
     start = index.next_gid
     cap = cfg.max_segment_size
     payload = F.col(payload_col) if payload_col else F.lit(None).cast("binary")
-    out = (
-        with_dense_ids(src, start, order_col)
-        .select(
-            F.col("gid"),
-            (F.col("gid") / cap).cast("int").alias("seg_id"),
-            (F.col("gid") % cap).cast("int").alias("vec_id"),
-            F.col(embedding_col).alias("embedding"),
-            F.lit(False).alias("deleted"),
-            payload.alias("payload"),
-        )
+    with_ids, n, persisted = with_dense_ids(
+        src,
+        start,
+        order_col,
+        invalid=invalid,
+        invalid_msg=f"embeddings do not have dimension {cfg.dimension}",
     )
-    n = out.count()
     if n == 0:
+        persisted.unpersist()
         return start
-    out.write.mode("append").partitionBy("seg_id").parquet(index.vectors_path)
+    out = with_ids.select(
+        F.col("gid"),
+        (F.col("gid") / cap).cast("int").alias("seg_id"),
+        (F.col("gid") % cap).cast("int").alias("vec_id"),
+        F.col(embedding_col).alias("embedding"),
+        F.lit(False).alias("deleted"),
+        payload.alias("payload"),
+    )
+    # cluster rows by segment before the partitioned write: one file per
+    # seg_id partition instead of (#tasks × #segments) small files —
+    # segments are capped by max_segment_size, so files stay bounded
+    out.repartition("seg_id").write.mode("append").partitionBy("seg_id").parquet(
+        index.vectors_path
+    )
+    persisted.unpersist()
 
     # registry update: full segments → PENDING (rotated), tail → ACTIVE
     end = start + n  # exclusive

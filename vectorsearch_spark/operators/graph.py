@@ -68,18 +68,20 @@ def robust_prune(
     (GraphBuilder.java:66-69), so larger alpha prunes more aggressively.
     """
     kept: list[int] = []
-    for idx, u in enumerate(cand):
+    d = x.shape[1]
+    kept_mat = np.empty((degree, d), dtype=np.float64)
+    for idx in range(len(cand)):
         if len(kept) >= degree:
             break
+        u = int(cand[idx])
         du = cand_sq[idx]
-        ok = True
-        for p in kept:
-            dup = float(np.sum((x[u] - x[p]) ** 2))
-            if dup <= alpha * du:
-                ok = False
-                break
-        if ok:
-            kept.append(int(u))
+        if kept:
+            diff = kept_mat[: len(kept)] - x[u]
+            dup = np.einsum("ij,ij->i", diff, diff)
+            if np.any(dup <= alpha * du):
+                continue
+        kept_mat[len(kept)] = x[u]
+        kept.append(u)
     return np.array(kept, dtype=np.int32)
 
 
@@ -94,23 +96,37 @@ def _greedy_search(
     visited candidate pool sorted by distance (GraphBuilder.java:235-287:
     bounded best-list of l_build, visited-set dedup)."""
     d_entry = float(np.sum((x[entry] - q) ** 2))
-    pool: dict[int, float] = {entry: d_entry}
-    visited: set[int] = set()
+    ids = np.array([entry], dtype=np.int64)
+    dists = np.array([d_entry], dtype=np.float64)
+    visited = np.zeros(1, dtype=bool)
+    in_pool = {entry}
     while True:
-        frontier = [u for u in sorted(pool, key=lambda t: (pool[t], t)) if u not in visited]
-        if not frontier:
+        # expand the best unvisited candidate among the current top-L
+        # best list only (the bounded best-list contract of
+        # GraphBuilder.java:282-287: nodes outside it are never expanded)
+        top = np.lexsort((ids, dists))[:l_build]
+        unv = top[~visited[top]]
+        if unv.size == 0:
             break
-        u = frontier[0]
-        visited.add(u)
-        for v in adj[u]:
-            v = int(v)
-            if v not in pool:
-                pool[v] = float(np.sum((x[v] - q) ** 2))
-        if len(pool) > 4 * l_build:  # trim to bound memory like insertSorted
-            keep = sorted(pool, key=lambda t: (pool[t], t))[: 2 * l_build]
-            pool = {t: pool[t] for t in set(keep) | visited}
-    order = sorted(pool, key=lambda t: (pool[t], t))[:l_build]
-    return np.array(order, dtype=np.int64), np.array([pool[t] for t in order])
+        j = unv[0]
+        visited[j] = True
+        new = [int(v) for v in adj[ids[j]] if int(v) not in in_pool]
+        if new:
+            nb = np.array(new, dtype=np.int64)
+            diff = x[nb] - q
+            nd = np.einsum("ij,ij->i", diff, diff)
+            in_pool.update(new)
+            ids = np.concatenate([ids, nb])
+            dists = np.concatenate([dists, nd])
+            visited = np.concatenate([visited, np.zeros(len(nb), dtype=bool)])
+        if len(ids) > 4 * l_build:  # trim to bound memory like insertSorted
+            keep = np.zeros(len(ids), dtype=bool)
+            keep[np.lexsort((ids, dists))[: 2 * l_build]] = True
+            keep |= visited
+            ids, dists, visited = ids[keep], dists[keep], visited[keep]
+            in_pool = set(ids.tolist())
+    order = np.lexsort((ids, dists))[:l_build]
+    return ids[order], dists[order]
 
 
 def medoid(vectors: np.ndarray) -> int:
