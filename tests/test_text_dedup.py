@@ -126,6 +126,32 @@ def test_simhash_pairs_verified_by_hamming(spark, docs):
         assert got.get((1, 4)) == expect_14
 
 
+def py_winnow(text: str, k: int = 5, window: int = 4, bits: int = 20, base: int = 31):
+    toks = py_tokens(text)
+    if len(toks) < k:
+        return set()
+    th = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % (1 << bits) for t in toks]
+    kh = []
+    for i in range(len(th) - k + 1):
+        acc = 0
+        for j in range(k):
+            acc = acc * base + th[i + j]
+        kh.append(acc)
+    n_w = max(len(kh) - window + 1, 1)
+    return {min(kh[s : s + window]) for s in range(n_w)}
+
+
+def test_winnow_fingerprints_match_python(spark, docs):
+    from vectorsearch_spark.operators.text import winnow_fingerprints
+
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, text in CORPUS:
+        expect = py_winnow(text)
+        assert got.get(doc_id, set()) == expect, doc_id
+
+
 def test_doc_stats_empty_text(spark, docs):
     r = {x["doc_id"]: x for x in doc_stats(docs).collect()}
     assert r[5]["n_chars"] == 0 and r[5]["n_tokens"] == 0

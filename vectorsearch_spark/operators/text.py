@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vectorsearch_spark.functions.text import STOPWORDS, tokens
+from vectorsearch_spark.functions.text import STOPWORDS, TOKEN_RE, tokens
 
 # tiny embedded lexicons for the n-gram/stopword language heuristic;
 # deterministic and mirrored literally into the SQL oracle
@@ -97,6 +97,83 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     lowercased text — the key for exact dedup."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    hash_bits: int = 20,
+    base: int = 31,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): token hashes → rolling k-gram Horner hashes → per-window
+    minima → distinct fingerprint set, one output row per (doc,
+    fingerprint).
+
+    Implemented as an Arrow-batched ``mapInPandas`` pass — deliberately
+    NOT pure column expressions: a sliding window over an array inside a
+    higher-order-function lambda re-evaluates the (md5-hashed) token
+    array per window position because Catalyst does not hoist
+    loop-invariant subexpressions out of lambdas, turning a linear
+    algorithm quadratic. The NumPy form hashes each token once and takes
+    vectorized rolling minima. Still a narrow single pass, no shuffle.
+
+    Hash values are bounded (token hash < 2^hash_bits, small Horner
+    base) so the int64 arithmetic is overflow-free and byte-identical
+    in the DuckDB oracle. Docs with fewer than ``k`` tokens emit no
+    fingerprints.
+    """
+    import hashlib
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    import numpy as np
+
+    mask_mod = 1 << hash_bits
+    token_re = _re.compile(TOKEN_RE)
+
+    def mapper(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = token_re.findall((text or "").lower())
+                if len(toks) < k:
+                    continue
+                th = np.array(
+                    [
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % mask_mod
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                n_k = len(th) - k + 1
+                kh = np.zeros(n_k, dtype=np.int64)
+                for j in range(k):
+                    kh = kh * base + th[j : j + n_k]
+                if n_k >= window:
+                    mins = sliding_window_view(kh, window).min(axis=1)
+                else:
+                    mins = kh.min(keepdims=True)
+                fp = np.unique(mins)
+                ids_out.append(np.full(len(fp), did, dtype=np.int64))
+                fps_out.append(fp)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "fingerprint": np.concatenate(fps_out),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        mapper, f"{id_col} long, fingerprint long"
+    )
 
 
 def simhash_fingerprints(

@@ -712,11 +712,73 @@ FROM pairs WHERE jaccard >= 0.7
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: 60-bit hex-derived fingerprint
-    arithmetic has no tractable DuckDB mirror; NumPy oracle in tests)."""
+    """SimHash near-dup pairs; the DuckDB oracle mirrors the banded
+    algorithm bit-exactly (hex→BIGINT md5 token hashes, 60 per-bit
+    majority votes, 15-bit band join, bit_count Hamming verify)."""
     from vectorsearch_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_dedup_corpus(spark, sf_dir), max_hamming=8)
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) != 0)) >= n "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(60)
+    )
+    return f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS t
+  FROM corpus),
+hashed AS (
+  SELECT doc_id,
+         list_transform(t, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)) AS hs,
+         len(t) AS n
+  FROM toks WHERE len(t) > 0),
+fp AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed),
+keys AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bk
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.simhash AS sa, c.simhash AS sb
+  FROM keys a JOIN keys c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints over documents."""
+    from vectorsearch_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+DOC_FINGERPRINTS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS toks
+  FROM documents),
+hashed AS (
+  SELECT doc_id, len(toks) AS nt,
+         list_transform(toks,
+           t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 1048576) AS th
+  FROM base WHERE len(toks) >= 5),
+kg AS (
+  SELECT doc_id, len(th) - 4 AS nk,
+         list_transform(range(1, len(th) - 4 + 1),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, 5), j -> th[i + j])),
+                (acc, v) -> acc * 31 + v)) AS kh
+  FROM hashed),
+wins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(nk - 3, 1) + 1),
+           s -> list_aggregate(kh[s : s + 3], 'min'))) AS fps
+  FROM kg)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM wins
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_ngram": dedup_jaccard_ngram,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "doc_fingerprints": doc_fingerprints,
         "mm_media_metadata": mm_media_metadata,
         "mm_feature_extract": mm_feature_extract,
         "mm_frame_sample": mm_frame_sample,
@@ -983,8 +1046,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_jaccard_ngram": DEDUP_JACCARD_SQL,
-        # dedup_simhash: 60-bit hex→int fingerprint has no DuckDB mirror → rows-only
+        "dedup_simhash": _simhash_sql(),
         "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+        "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "mm_media_metadata": MM_METADATA_SQL,
         "mm_feature_extract": MM_FEATURES_SQL,
         "mm_frame_sample": MM_FRAMES_SQL,
