@@ -45,19 +45,15 @@ def _duck_cosine_dist(a: str, b: str) -> str:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # UTC so timestamp formatting matches DuckDB's naive timestamps
-    # regardless of the host session's timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Schema-validated table load (sources/tables.py); UTC session time
+    so timestamp formatting matches DuckDB's naive timestamps."""
+    from vectorsearch_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively — read as long nanos and convert to a microsecond timestamp
-    (truncation, matching DuckDB's ns→µs conversion)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return _t(spark, sf_dir, "events")
 
 
 # ---------------------------------------------------------------------------
