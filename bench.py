@@ -25,6 +25,15 @@ HEADLINE = [
     "top_customers_per_nation",
     "knn_l2_batch",
     "knn_cosine_batch",
+    "ann_ivf_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_token_stats",
+    "doc_fingerprints",
+    "stream_window_rollup",
+    "events_session_windows",
+    "mm_feature_extract",
 ]
 
 def _index_build(spark, sf_dir):

@@ -274,3 +274,33 @@ class TestMutationFlow:
         seg3_gids = {r["gid"] for r in idx.vectors(states=(WRITING,)).filter(F.col("seg_id") == 3).collect()}
         assert all(r["gid"] not in seg3_gids for r in res)
         idx.update_segment_states({3: {"state": SEALED}})
+
+
+def test_payload_roundtrip(spark, tmp_path_factory):
+    """Payloads attach to search results when ingested (and has_payload
+    gates the attach join: a fresh payload-free index reports False)."""
+    path = str(tmp_path_factory.mktemp("vspay"))
+    idx = VectorIndex.create(
+        spark, path, IndexConfig(name="p", dimension=2, max_segment_size=10, pq_m=2, pq_k=4)
+    )
+    assert idx.has_payload is False
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0], f"pl-{i}".encode()) for i in range(5)],
+        "row_id long, embedding array<float>, payload binary",
+    )
+    idx.add(df, order_col="row_id", payload_col="payload")
+    assert idx.has_payload is True
+    reopened = VectorIndex.open(spark, path)
+    assert reopened.has_payload is True
+    qdf = spark.createDataFrame([(0, [2.0, 0.0])], "query_id long, embedding array<float>")
+    top = idx.search(qdf, k=1).collect()
+    assert len(top) == 1 and bytes(top[0]["payload"]) == b"pl-2"
+
+
+def test_no_payload_results_are_null(spark, built_index):
+    idx, data, _ = built_index
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in data[0]])], "query_id long, embedding array<float>"
+    )
+    rows = idx.search(qdf, k=3).collect()
+    assert rows and all(r["payload"] is None for r in rows)

@@ -161,14 +161,22 @@ class VectorIndex:
                 os.unlink(tmp)
             raise
 
-    def _write_meta(self, next_gid: int, max_seg_id: int) -> None:
+    def _write_meta(
+        self, next_gid: int, max_seg_id: int, has_payload: bool | None = None
+    ) -> None:
         """next_gid / max_seg_id are the monotonic counters of the
         reference (FdbDirectories.java:87-88): gids are never reused and
-        neither are seg_ids (compaction destinations get fresh ids)."""
+        neither are seg_ids (compaction destinations get fresh ids).
+        ``has_payload`` is sticky-true once any batch ingested payloads —
+        it lets search skip the payload-attach join entirely for
+        payload-free indexes."""
+        if has_payload is None:
+            has_payload = self.has_payload if self._meta_cache is not None else False
         meta = {
             "config_json": self.config.to_json(),
             "next_gid": int(next_gid),
             "max_seg_id": int(max_seg_id),
+            "has_payload": bool(has_payload),
         }
         self._atomic_write_json(self.meta_path, meta)
         self._meta_cache = meta
@@ -186,6 +194,11 @@ class VectorIndex:
     @property
     def max_seg_id(self) -> int:
         return self._meta()["max_seg_id"]
+
+    @property
+    def has_payload(self) -> bool:
+        # default True for metas predating the flag: always-attach is safe
+        return bool(self._meta().get("has_payload", True))
 
     # -- registry ------------------------------------------------------
     def segments(self) -> DataFrame:

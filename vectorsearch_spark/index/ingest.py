@@ -154,5 +154,9 @@ def add_vectors(
             "last_vacuum_at_ms": prev["last_vacuum_at_ms"] if prev else None,
         }
     index.update_segment_states(updates)
-    index._write_meta(next_gid=end, max_seg_id=max(index.max_seg_id, last_seg))
+    index._write_meta(
+        next_gid=end,
+        max_seg_id=max(index.max_seg_id, last_seg),
+        has_payload=index.has_payload or payload_col is not None,
+    )
     return start

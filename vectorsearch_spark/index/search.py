@@ -228,6 +228,18 @@ def search(
         .filter(F.col("rank") <= k)
         .withColumn("score", score_from_distance(F.col("distance"), metric))
     )
+    if not index.has_payload:
+        # payload-free index (the common analytical case): skip the
+        # attach join — at scale it would shuffle the whole vectors
+        # table to decorate ≤ Q×k rows with NULLs
+        return topk.select(
+            "query_id",
+            "gid",
+            "distance",
+            "score",
+            F.lit(None).cast("binary").alias("payload"),
+            "rank",
+        )
     # payload attach: exclude WRITING (a gid exists in both source and
     # destination mid-compaction; the searchable copy is authoritative)
     payloads = index.vectors(
