@@ -75,6 +75,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 
     The classic shingle→minhash construction with a portable salted-md5
     hash family; lexicographic min of fixed-width hex ≡ numeric min.
+
+    CAVEAT (hot paths): any column that *re-references* this expression
+    (e.g. per-band slices) re-evaluates all num_hashes × |shingles| md5
+    calls each time — Catalyst does not hoist loop-invariant lambda
+    subexpressions. For bulk dedup use the explode→groupBy formulation
+    in ``operators.dedup.minhash_lsh_pairs``, which hashes each shingle
+    exactly once.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),

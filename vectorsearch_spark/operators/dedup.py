@@ -25,11 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectorsearch_spark.functions.distances import cosine
-from vectorsearch_spark.functions.text import (
-    lsh_band_keys,
-    minhash_signature,
-    word_shingles,
-)
+from vectorsearch_spark.functions.text import word_shingles
 from vectorsearch_spark.operators.text import hamming64, simhash_fingerprints
 
 
@@ -51,8 +47,31 @@ def exact_duplicates(
 
 
 def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    """Tokenize → exchange → shingle, in that order, deliberately:
+
+    - tokenization runs BELOW the repartition, so the regex evaluates
+      once per document and its result crosses the shuffle as data;
+    - the repartition both fans the CPU-heavy stage out to cluster
+      parallelism (document files are often few large partitions) and
+      acts as a projection barrier — without it Catalyst collapses the
+      projections and the per-shingle ``slice`` lambda re-evaluates the
+      tokenizer regex for EVERY shingle position (quadratic);
+    - shingling above the exchange reads the materialized token array.
+    """
+    from vectorsearch_spark.functions.text import tokens
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).repartition(parallelism, F.col("doc_id"))
+    return tok.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+            )
+        ).alias("shingles"),
     ).filter(F.size("shingles") > 0)
 
 
@@ -106,17 +125,45 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: banded signature bucketing generates
     candidates, exact Jaccard verifies. Returns (doc_a, doc_b, jaccard)
-    for verified pairs ≥ τ."""
+    for verified pairs ≥ τ.
+
+    Signature computation is explode → groupBy, NOT nested array
+    lambdas: each (hash_i, shingle) md5 is computed exactly once and the
+    per-band keys read materialized agg columns. (The pure-expression
+    form re-evaluates the whole signature per band because Catalyst
+    doesn't hoist loop-invariant lambda subexpressions — quadratic
+    blowup on long documents.) One explode + one doc-keyed shuffle;
+    map-side combine applies to the min() aggregates.
+    """
     rows_per_band = num_hashes // bands
     sh = _shingle_df(df, id_col, text_col, shingle_n)
-    sig = sh.select(
+    exploded = sh.select("doc_id", F.explode("shingles").alias("_s"))
+    hashed = exploded.select(
         "doc_id",
-        "shingles",
-        lsh_band_keys(
-            minhash_signature(F.col("shingles"), num_hashes), bands, rows_per_band
-        ).alias("band_keys"),
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    buckets = sig.select("doc_id", F.explode("band_keys").alias("band_key"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{i}").alias(f"_s{i}") for i in range(num_hashes)]
+    )
+    band_keys = [
+        F.concat(
+            F.lit(f"{b}|"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_s{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -713,7 +713,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority votes, 15-bit band join, bit_count Hamming verify)."""
     from vectorsearch_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_dedup_corpus(spark, sf_dir), max_hamming=8)
+    # max_hamming=3 is the 4×15-bit banding guarantee radius; looser
+    # radii explode on template-generated corpora (shared vocabulary)
+    return simhash_pairs(_dedup_corpus(spark, sf_dir), max_hamming=3)
 
 
 def _simhash_sql() -> str:
@@ -741,7 +743,7 @@ cand AS (
          a.simhash AS sa, c.simhash AS sb
   FROM keys a JOIN keys c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
