@@ -304,3 +304,25 @@ def test_no_payload_results_are_null(spark, built_index):
     )
     rows = idx.search(qdf, k=3).collect()
     assert rows and all(r["payload"] is None for r in rows)
+
+
+def test_graph_traversal_mode_recall(spark, built_index):
+    """mode=GRAPH (G5 frontier traversal over the Vamana graph) reaches
+    the same ≥0.9 recall gate as the default PQ-scan path."""
+    idx, data, _ = built_index
+    qids = list(range(0, N, N // 15))[:15]
+    qdf = _queries_df(spark, data, qids)
+    graph = idx.search(qdf, k=10, params=SearchParams(mode="GRAPH"))
+    exact = idx.search(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    got = {}
+    for r in graph.collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in got.get(r["query_id"], set())
+    assert total == 15 * 10
+    assert hits / total >= 0.9
+    # self-query top-1 through the traversal path
+    top1 = idx.search(_queries_df(spark, data, [42]), k=1, params=SearchParams(mode="GRAPH")).collect()
+    assert top1[0]["gid"] == 42

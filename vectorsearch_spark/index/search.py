@@ -118,6 +118,101 @@ def _pq_scan_fn(
     return scan
 
 
+def _graph_traverse_candidates(
+    index: VectorIndex,
+    sealed_segs: list[int],
+    qlist: list[tuple[int, list[float]]],
+    seeds: DataFrame,
+    ef_by_seg: dict[int, int],
+    metric: Metric,
+    max_iters: int = 6,
+) -> DataFrame:
+    """G5/J3: iterative frontier–adjacency expansion over the sealed
+    segments' neighbor graphs (the batch re-expression of BEST_FIRST,
+    fdb/FdbVectorIndex.java:911-968; frontier expansion 856-899).
+
+    Each iteration: join the frontier with adjacency on (seg_id,
+    vec_id), explode neighbor lists, anti-join the visited set, score
+    new nodes with the exact metric, keep the best ``ef`` per
+    (query, segment). Converges when an iteration adds no rows (or at
+    ``max_iters``, the reference's maxIters bound). Every iteration is
+    a bounded join — frontier ≤ Q × ef rows — so the traversal never
+    scans whole segments; it trades more rounds for less IO, exactly
+    the niche it has in the reference.
+    """
+    spark = index.spark
+    adj = index.adjacency(sealed_segs).select("seg_id", "vec_id", "neighbor_ids")
+    vec = index.vectors(states=SEARCHABLE_SEALED).select(
+        "seg_id", "vec_id", "embedding"
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, v) for qid, v in qlist], "query_id long, qvec array<float>"
+        )
+    )
+    ef_df = F.broadcast(
+        spark.createDataFrame(list(ef_by_seg.items()), "seg_id int, ef int")
+    )
+    # Every iteration would otherwise auto-broadcast the adjacency and
+    # vector join sides afresh; broadcasts pile up on the driver heap
+    # across iterations. Disable auto-broadcast for the traversal —
+    # every action here runs inside this function (each round is
+    # materialized), explicit broadcast() hints above still apply, and
+    # shuffle joins on (seg_id, vec_id) are the scale-correct plan.
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters):
+    # visited/best state: (query_id, seg_id, vec_id, dist). Each round's
+    # plan embeds the previous state MULTIPLE times (union + anti-join),
+    # so without lineage truncation the logical plan grows exponentially
+    # and Catalyst analysis itself OOMs — localCheckpoint (eager) caps
+    # every round's plan at a leaf, the canonical iterative-join pattern.
+    state = seeds.localCheckpoint()
+    frontier = state
+    for _ in range(max_iters):
+        expanded = (
+            frontier.join(adj, ["seg_id", "vec_id"])
+            .select(
+                "query_id", "seg_id", F.explode("neighbor_ids").alias("vec_id")
+            )
+            .dropDuplicates(["query_id", "seg_id", "vec_id"])
+            .join(state.select("query_id", "seg_id", "vec_id"),
+                  ["query_id", "seg_id", "vec_id"], "left_anti")
+        )
+        scored = (
+            expanded.join(vec, ["seg_id", "vec_id"])
+            .join(qdf, "query_id")
+            .select(
+                "query_id",
+                "seg_id",
+                "vec_id",
+                distance_for_metric(F.col("embedding"), F.col("qvec"), metric).alias("dist"),
+            )
+        ).localCheckpoint()
+        if scored.isEmpty():
+            break
+        # bound state to top-ef per (query, segment): the best-list cap
+        w = Window.partitionBy("query_id", "seg_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id").asc()
+        )
+        state = (
+            state.unionByName(scored)
+            .withColumn("_rn", F.row_number().over(w))
+            .join(ef_df, "seg_id")
+            .filter(F.col("_rn") <= F.col("ef"))
+            .drop("_rn", "ef")
+            .localCheckpoint()
+        )
+        frontier = scored  # only newly discovered nodes expand next round
+    return state
+
+
 def search(
     index: VectorIndex, queries: DataFrame, k: int = 10, params: SearchParams | None = None
 ) -> DataFrame:
@@ -196,6 +291,40 @@ def search(
                 [(qid, v) for qid, v in qlist], "query_id long, qvec array<float>"
             )
         )
+        if params.mode == "GRAPH":
+            # G5 traversal: PQ top-beam seeds → iterative frontier
+            # expansion over the neighbor graph; the traversal's best
+            # list replaces the PQ candidate pool before re-rank
+            beam_df = F.broadcast(
+                spark.createDataFrame(
+                    [(s, max(k, ef_by_seg[s] // 4)) for s in sealed_segs],
+                    "seg_id int, beam int",
+                )
+            )
+            w_seed = Window.partitionBy("query_id", "seg_id").orderBy(
+                F.col("approx").asc(), F.col("vec_id").asc()
+            )
+            seed_ids = (
+                cand.withColumn("_rn", F.row_number().over(w_seed))
+                .join(beam_df, "seg_id")
+                .filter(F.col("_rn") <= F.col("beam"))
+                .select("query_id", "seg_id", "vec_id")
+            )
+            seeds = (
+                seed_ids.join(vec, ["seg_id", "vec_id"])
+                .join(qdf, "query_id")
+                .select(
+                    "query_id",
+                    "seg_id",
+                    "vec_id",
+                    distance_for_metric(F.col("embedding"), F.col("qvec"), metric).alias(
+                        "dist"
+                    ),
+                )
+            )
+            cand = _graph_traverse_candidates(
+                index, sealed_segs, qlist, seeds, ef_by_seg, metric
+            ).select("query_id", "seg_id", "vec_id")
         emb = F.col("embedding")
         if params.normalize_on_read:
             emb = normalize(emb).cast("array<float>")

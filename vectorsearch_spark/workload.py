@@ -419,6 +419,22 @@ def index_search_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def index_search_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 graph-traversal search (iterative frontier–adjacency joins
+    over the Vamana graph; approximate → rows-only, recall gated in
+    tests/test_index_lifecycle.py::test_graph_traversal_mode_recall)."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search(
+        _emb_queries(spark, sf_dir), k=_KNN_K, params=SearchParams(mode="GRAPH")
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def compaction_plan_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction-planner scoring (A4) as a pure relational op over a
     derived segments table, so DuckDB can check the exact arithmetic."""
@@ -1001,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_assignment": segment_assignment,
         "index_search_brute": index_search_brute,
         "index_search_sealed": index_search_sealed,
+        "index_search_graph": index_search_graph,
         "compaction_plan_scores": compaction_plan_scores,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "ann_ivf_topk": ann_ivf_topk,
