@@ -326,3 +326,30 @@ def test_graph_traversal_mode_recall(spark, built_index):
     # self-query top-1 through the traversal path
     top1 = idx.search(_queries_df(spark, data, [42]), k=1, params=SearchParams(mode="GRAPH")).collect()
     assert top1[0]["gid"] == 42
+
+
+def test_heavy_recall_n1000(spark, tmp_path_factory):
+    """Heavy-mode recall gate (api/VectorIndexTest.java:505-563): n=1000,
+    seed=1234, maxSegmentSize=200, 100 self-queries, recall@10 ≥ 0.9."""
+    path = str(tmp_path_factory.mktemp("vsheavy"))
+    cfg = IndexConfig(
+        name="h", dimension=DIM, max_segment_size=200, pq_m=4, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, graph_alpha=1.2, oversample=4, seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, 1000, DIM, seed=1234)
+    idx.add(df, order_col="row_id")
+    assert idx.build() == [0, 1, 2, 3, 4]
+    qids = list(range(0, 1000, 10))[:100]
+    qdf = _queries_df(spark, data, qids)
+    approx = idx.search(qdf, k=10)
+    exact = idx.search(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in got[r["query_id"]]
+    assert total == 100 * 10
+    assert hits / total >= 0.9
