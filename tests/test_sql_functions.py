@@ -1,0 +1,56 @@
+"""SQL-UDF surface tests: vs_* functions agree with the Column-expression
+implementations to float64 precision, including edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.functions.distances import cosine, dot, l2, norm
+from vectorsearch_spark.functions.sql import register_sql_functions
+
+VECS = [
+    ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+    ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero-norm guard
+    ([-1.5, 2.5, 0.5], [0.25, -0.75, 4.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vdf(spark):
+    register_sql_functions(spark)
+    df = spark.createDataFrame(VECS, "a array<float>, b array<float>")
+    df.createOrReplaceTempView("vs_test_vectors")
+    return df
+
+
+def test_sql_matches_column_exprs(spark, vdf):
+    via_sql = spark.sql(
+        "SELECT vs_l2(a,b) AS l2, vs_dot(a,b) AS dot, vs_norm(a) AS n, "
+        "vs_cosine(a,b) AS cos, vs_cosine_distance(a,b) AS cosd "
+        "FROM vs_test_vectors"
+    ).collect()
+    via_col = vdf.select(
+        l2("a", "b").alias("l2"),
+        dot("a", "b").alias("dot"),
+        norm("a").alias("n"),
+        cosine("a", "b").alias("cos"),
+        (F.lit(1.0) - cosine("a", "b")).alias("cosd"),
+    ).collect()
+    for s, c in zip(via_sql, via_col):
+        for field in ("l2", "dot", "n", "cos", "cosd"):
+            assert math.isclose(s[field], c[field], rel_tol=1e-12), field
+
+
+def test_zero_norm_cosine_is_zero(spark, vdf):
+    rows = spark.sql(
+        "SELECT vs_cosine(a,b) AS c FROM vs_test_vectors WHERE vs_norm(a) = 0"
+    ).collect()
+    assert rows and rows[0]["c"] == 0.0
+
+
+def test_registration_idempotent(spark, vdf):
+    names = register_sql_functions(spark)
+    assert "vs_l2" in names and len(names) == 6

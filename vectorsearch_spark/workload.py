@@ -154,6 +154,110 @@ GROUP BY r_name, n_name
 """
 
 
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure filter + global agg — the fully-pushed-down
+    scan shape (no join, no grouping)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(r_name, n_name) revenue with grouping level — exercises
+    Spark's native multi-level aggregate (Expand) operator."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.grouping_id().cast("long").alias("grp"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "revenue",
+            "n_orders",
+            "grp",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(r_name, '(all)') AS r_name,
+       coalesce(n_name, '(all)') AS n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS grp
+FROM orders, customer, nation, region
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def sql_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface end-to-end: vs_* SQL UDFs (functions/sql.py,
+    Spark SQL scalar functions that inline into codegen) driving a
+    pure-``spark.sql`` KNN over a registered view."""
+    from vectorsearch_spark.functions.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("vs_embeddings")
+    return spark.sql(
+        """
+        WITH q AS (SELECT embedding AS qe FROM vs_embeddings WHERE vec_id = 1),
+        scored AS (
+          SELECT e.vec_id AS id,
+                 vs_l2(e.embedding, q.qe) AS d,
+                 vs_cosine(e.embedding, q.qe) AS c
+          FROM vs_embeddings e CROSS JOIN q)
+        SELECT id, round(d, 4) AS l2_distance, round(c, 4) AS cosine_sim
+        FROM scored
+        ORDER BY d ASC, id ASC
+        LIMIT 10
+        """
+    )
+
+
+SQL_KNN_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id AS id,
+       round({_duck_l2("e.embedding", "q.qe")}, 4) AS l2_distance,
+       round(CASE WHEN sqrt({_duck_dot("e.embedding", "e.embedding")}) = 0
+                    OR sqrt({_duck_dot("q.qe", "q.qe")}) = 0 THEN 0.0
+                  ELSE {_duck_dot("e.embedding", "q.qe")}
+                       / (sqrt({_duck_dot("e.embedding", "e.embedding")}) * sqrt({_duck_dot("q.qe", "q.qe")}))
+             END, 4) AS cosine_sim
+FROM embeddings e CROSS JOIN q
+ORDER BY {_duck_l2("e.embedding", "q.qe")} ASC, e.vec_id ASC
+LIMIT 10
+"""
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time bucketed aggregation (batch analog of the streaming path)."""
     ev = _events(spark, sf_dir)
@@ -1008,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
+        "q6_revenue_change": q6_revenue_change,
+        "revenue_rollup": revenue_rollup,
+        "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
         "top_customers_per_nation": top_customers_per_nation,
         "knn_l2_batch": knn_l2_batch,
@@ -1043,6 +1150,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,
+        "q6_revenue_change": Q6_SQL,
+        "revenue_rollup": REVENUE_ROLLUP_SQL,
+        "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
         "knn_l2_batch": _knn_sql(Metric.L2),
