@@ -21,6 +21,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_revenue_change",
+    "revenue_rollup",
+    "sql_knn_topk",
     "events_hourly_rollup",
     "top_customers_per_nation",
     "knn_l2_batch",
