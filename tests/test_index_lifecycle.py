@@ -276,6 +276,113 @@ class TestMutationFlow:
         idx.update_segment_states({3: {"state": SEALED}})
 
 
+def test_vacuum_fully_deleted_segment_reclaims_disk(spark, tmp_path_factory):
+    """Vacuum of a segment whose rows are ALL deleted must physically
+    remove the partition directories (dynamic overwrite writes nothing
+    for an empty DataFrame, so the files would otherwise leak forever
+    while the ratio gate resets and never re-fires)."""
+    import os
+
+    cap = 50
+    path = str(tmp_path_factory.mktemp("vsfulldel"))
+    cfg = IndexConfig(
+        name="fd", dimension=DIM, max_segment_size=cap, pq_m=4, pq_k=16,
+        graph_degree=8, graph_build_breadth=16, graph_alpha=1.2, seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, 80, DIM, seed=5)
+    idx.add(df, order_col="row_id")  # seg0 full, seg1 ACTIVE @ 30
+    idx.build()
+    assert idx.delete(list(range(cap))) == cap  # every row of seg 0
+    assert idx.vacuum(0) is True
+    for sub in ("vectors", "codes", "adjacency"):
+        assert not os.path.exists(f"{path}/{sub}/seg_id=0"), sub
+    seg0 = [r for r in idx.segments().collect() if r["seg_id"] == 0][0]
+    assert seg0["count"] == 0 and seg0["deleted_count"] == 0
+    # index still searchable; only seg1 rows surface
+    qdf = _queries_df(spark, data, [10])
+    res = idx.search(qdf, k=5, params=SearchParams(mode="BRUTE")).collect()
+    assert res and all(r["gid"] >= cap for r in res)
+
+
+def test_ingest_after_compaction_never_collides(spark, tmp_path_factory):
+    """Ingest and compaction allocate segment ids from the same
+    max_seg_id counter, so post-compaction ingest can NEVER append into
+    a compacted destination (the reference's single maxSegmentId
+    invariant, tasks/MaintenanceService.java:248-417). Repro of the
+    gid//cap collision: 300 rows → segs 0-2, compact([0,1]) → dest 3,
+    add 100 more — under gid-derived assignment those rows would land
+    in seg 3 with colliding vec_ids."""
+    cap = 100
+    path = str(tmp_path_factory.mktemp("vscollide"))
+    cfg = IndexConfig(
+        name="c", dimension=DIM, max_segment_size=cap, pq_m=4, pq_k=16,
+        graph_degree=8, graph_build_breadth=16, graph_alpha=1.2, seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, 300, DIM, seed=7)
+    idx.add(df, order_col="row_id")
+    idx.build()
+    # fragment segs 0/1 so the compaction budget (0.8*cap) fits them
+    idx.delete(list(range(0, 70)) + list(range(100, 170)))
+    dest = idx.compact([0, 1])
+    assert dest == 3
+    first = idx.add(df.select("row_id", "embedding"), order_col="row_id")
+    assert first == 300
+    # new rows went to a FRESH segment (4), not the compacted dest (3)
+    segs = {r["seg_id"]: r for r in idx.segments().collect()}
+    assert sorted(segs) == [2, 3, 4, 5, 6]
+    assert segs[3]["count"] == 60  # compacted live rows, untouched
+    assert segs[4]["count"] == cap and segs[5]["count"] == cap and segs[6]["count"] == cap
+    # no duplicate (seg_id, vec_id) anywhere — the corrupted-join repro
+    dup = (
+        idx.vectors(states=(ACTIVE, PENDING, SEALED, COMPACTING, WRITING))
+        .groupBy("seg_id", "vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # and gids are globally unique too
+    assert idx.vectors().select("gid").distinct().count() == idx.vectors().count()
+    # search across old + new rows still exact
+    qdf = _queries_df(spark, data, [200])
+    res = idx.search(qdf, k=2, params=SearchParams(mode="BRUTE")).collect()
+    assert {r["gid"] for r in res} == {200, 500}  # row 200 ingested twice
+    assert all(abs(r["distance"]) < 1e-5 for r in res)
+
+
+def test_ingest_resumes_active_segment_after_compaction(spark, tmp_path_factory):
+    """A partially-filled ACTIVE segment keeps filling at its high-water
+    mark across an unrelated compaction; overflow rotates it to PENDING
+    and continues in a fresh segment from the shared counter."""
+    cap = 50
+    path = str(tmp_path_factory.mktemp("vsresume"))
+    cfg = IndexConfig(
+        name="r", dimension=DIM, max_segment_size=cap, pq_m=4, pq_k=16,
+        graph_degree=8, graph_build_breadth=16, graph_alpha=1.2, seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, _ = _gaussian_df(spark, 120, DIM, seed=11)
+    idx.add(df, order_col="row_id")  # segs 0,1 full; seg 2 ACTIVE @ 20
+    idx.build()
+    idx.delete(list(range(0, 40)) + list(range(50, 80)))
+    dest = idx.compact([0, 1])
+    assert dest == 3
+    df2, _ = _gaussian_df(spark, 50, DIM, seed=12)
+    idx.add(df2, order_col="row_id")
+    segs = {r["seg_id"]: r for r in idx.segments().collect()}
+    # 30 rows topped up seg 2 (20→50, rotated PENDING); 20 went to seg 4
+    assert segs[2]["count"] == cap and segs[2]["state"] == PENDING
+    assert segs[4]["count"] == 20 and segs[4]["state"] == ACTIVE
+    # vec_ids in seg 2 are dense 0..49 (high-water append, no collision)
+    vids = sorted(
+        r["vec_id"]
+        for r in idx.vectors().filter(F.col("seg_id") == 2).select("vec_id").collect()
+    )
+    assert vids == list(range(cap))
+
+
 def test_payload_roundtrip(spark, tmp_path_factory):
     """Payloads attach to search results when ingested (and has_payload
     gates the attach join: a fresh payload-free index reports False)."""

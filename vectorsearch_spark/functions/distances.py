@@ -65,10 +65,18 @@ def normalize(a: Column | str) -> Column:
 
     Used by the optional normalize-on-read re-rank
     (fdb/FdbVectorIndex.java:823-826, 1006-1013).
+
+    Catalyst re-evaluates expressions referenced inside HOF lambdas per
+    array element, so a naive ``transform(a, x -> x / norm(a))`` is
+    O(d²) per row. ``array_repeat`` materializes the reciprocal norm
+    ONCE per row into a d-length array; the ``zip_with`` lambda then
+    only reads elements — O(d) total.
     """
     n = norm(a)
-    doubled = F.transform(_c(a), lambda x: x.cast("double"))
-    return F.when(n == 0.0, doubled).otherwise(F.transform(doubled, lambda x: x / n))
+    inv = F.when(n == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) / n)
+    return F.zip_with(
+        _c(a), F.array_repeat(inv, F.size(_c(a))), lambda x, r: x.cast("double") * r
+    )
 
 
 def distance_for_metric(a: Column | str, b: Column | str, metric: Metric | str) -> Column:

@@ -80,14 +80,33 @@ VECTORS_SCHEMA = T.StructType(
 )
 
 
+PQ_SEED_ONLY = "PQ_SEED_ONLY"
+RANDOM_PIVOTS = "RANDOM_PIVOTS"
+
+
 @dataclass(frozen=True)
 class SearchParams:
-    """Per-query knobs (api/SearchParams.java:15-43)."""
+    """Per-query knobs (api/SearchParams.java:15-43).
+
+    Full surface parity with the reference's SearchParams: ef
+    (candidate pool), beam (beamWidth), max_iters (maxIters), min_hops
+    (minHops), max_explore (maxExplore), pivots + seed_strategy
+    (SearchParams.java:39-42, seeding at fdb/FdbVectorIndex.java:801-812),
+    per_seg_limit (perSegmentLimitMultiplier resolved to an absolute
+    cap), normalize_on_read. Batch adaptations are documented at the
+    point of use in index/search.py.
+    """
 
     ef: int | None = None          # candidate pool for sealed path; None → auto
     per_seg_limit: int | None = None  # None → max(k, k*oversample) (SearchParams.java:73-82)
-    mode: str = "AUTO"             # AUTO | BRUTE (force exact scan everywhere)
+    mode: str = "AUTO"             # AUTO | BRUTE (exact everywhere) | GRAPH (traversal)
     normalize_on_read: bool = False
+    beam: int | None = None        # GRAPH seed beam width; None → max(k, ef // 4)
+    max_iters: int = 6             # GRAPH frontier-expansion rounds (maxIters)
+    min_hops: int = 0              # minimum hops before convergence-exit (minHops)
+    max_explore: int | None = None  # cap on scored nodes per (query, segment) (maxExplore)
+    pivots: int = 8                # entry points per segment for RANDOM_PIVOTS
+    seed_strategy: str = PQ_SEED_ONLY  # PQ_SEED_ONLY | RANDOM_PIVOTS
 
 
 class VectorIndex:
@@ -129,7 +148,7 @@ class VectorIndex:
     @classmethod
     def create(cls, spark: SparkSession, path: str, config: IndexConfig) -> "VectorIndex":
         idx = cls(spark, path, config)
-        idx._write_meta(next_gid=0, max_seg_id=-1)
+        idx._write_meta(next_gid=0, max_seg_id=-1, active_seg_id=None, active_fill=0)
         idx._overwrite_segments([])
         return idx
 
@@ -161,23 +180,47 @@ class VectorIndex:
                 os.unlink(tmp)
             raise
 
+    _KEEP = object()  # sentinel: "preserve the stored value"
+
     def _write_meta(
-        self, next_gid: int, max_seg_id: int, has_payload: bool | None = None
+        self,
+        next_gid: int,
+        max_seg_id: int,
+        has_payload: bool | None = None,
+        active_seg_id: "int | None" = _KEEP,
+        active_fill: int = _KEEP,
+        **extra,
     ) -> None:
         """next_gid / max_seg_id are the monotonic counters of the
         reference (FdbDirectories.java:87-88): gids are never reused and
-        neither are seg_ids (compaction destinations get fresh ids).
+        neither are seg_ids — BOTH ingest rotation and compaction
+        destinations allocate from the same max_seg_id counter, so the
+        two can never collide (the reference's single maxSegmentId).
+        ``active_seg_id``/``active_fill`` track the segment currently
+        accepting writes and its fill high-water mark (never decremented
+        by delete/vacuum, so appended vec_ids never collide with holes).
         ``has_payload`` is sticky-true once any batch ingested payloads —
         it lets search skip the payload-attach join entirely for
-        payload-free indexes."""
+        payload-free indexes. Unknown keys already in the meta (and any
+        ``extra`` kwargs, e.g. streaming epoch bookkeeping) are carried
+        through."""
+        prev = self._meta_cache or {}
         if has_payload is None:
-            has_payload = self.has_payload if self._meta_cache is not None else False
-        meta = {
-            "config_json": self.config.to_json(),
-            "next_gid": int(next_gid),
-            "max_seg_id": int(max_seg_id),
-            "has_payload": bool(has_payload),
-        }
+            has_payload = bool(prev.get("has_payload", False))
+        meta = dict(prev)
+        meta.update(
+            {
+                "config_json": self.config.to_json(),
+                "next_gid": int(next_gid),
+                "max_seg_id": int(max_seg_id),
+                "has_payload": bool(has_payload),
+            }
+        )
+        if active_seg_id is not self._KEEP:
+            meta["active_seg_id"] = None if active_seg_id is None else int(active_seg_id)
+        if active_fill is not self._KEEP:
+            meta["active_fill"] = int(active_fill)
+        meta.update(extra)
         self._atomic_write_json(self.meta_path, meta)
         self._meta_cache = meta
 
@@ -199,6 +242,20 @@ class VectorIndex:
     def has_payload(self) -> bool:
         # default True for metas predating the flag: always-attach is safe
         return bool(self._meta().get("has_payload", True))
+
+    @property
+    def active_seg_id(self) -> int | None:
+        """Segment currently accepting writes; None → the next ingest
+        allocates a fresh segment from max_seg_id (metas predating the
+        field also resolve to None — safe, never collides)."""
+        return self._meta().get("active_seg_id")
+
+    @property
+    def active_fill(self) -> int:
+        """Rows ever written to the active segment (fill high-water mark;
+        monotone — delete/vacuum never lower it, so appended vec_ids are
+        always fresh)."""
+        return int(self._meta().get("active_fill", 0) or 0)
 
     # -- registry ------------------------------------------------------
     def segments(self) -> DataFrame:

@@ -8,9 +8,14 @@ segment rotates to PENDING and a new ACTIVE one is created; addAll
 preserves input order across rotations. Dimension validation rejects
 wrong-length embeddings (``fdb/FdbVectorStore.java:752-766``).
 
-Spark re-expression: "rotation" is deterministic arithmetic —
-``seg_id = floor(gid / max_segment_size)``, ``vec_id = gid %
-max_segment_size`` — so one append job writes all segments of a batch
+Spark re-expression: "rotation" is deterministic arithmetic over the
+batch-relative row position ``p = gid - start``: the first
+``cap - active_fill`` rows top up the ACTIVE segment, the rest fill
+fresh segments allocated contiguously from ``max_seg_id + 1`` — the
+SAME counter compaction destinations draw from, so ingest can never
+append into a compacted segment's id (the reference allocates both
+from one maxSegmentId; decoupling seg_id from ``gid // cap`` is what
+makes that hold here). One append job writes all segments of a batch
 at once, partitioned by seg_id. Dense gid assignment avoids a global
 sort: stage 1 counts rows per input partition (O(partitions) driver
 rows), stage 2 assigns ``gid = next_gid + partition_offset +
@@ -119,10 +124,34 @@ def add_vectors(
     if n == 0:
         persisted.unpersist()
         return start
+
+    # -- segment placement (decoupled from gid arithmetic) -------------
+    # p = batch-relative row position; the first `boundary` rows top up
+    # the ACTIVE segment at its fill high-water mark, the rest go to
+    # fresh segments first_new, first_new+1, ... from the max_seg_id
+    # counter (shared with compaction destinations — ids never collide).
+    active = index.active_seg_id
+    fill = index.active_fill if active is not None else 0
+    boundary = (cap - fill) if active is not None else 0
+    into_active = min(n, boundary)
+    rem = n - into_active
+    n_new = (rem + cap - 1) // cap
+    first_new = index.max_seg_id + 1
+
+    p = F.col("gid") - F.lit(int(start))
+    q = p - F.lit(int(boundary))
+    seg_expr = (
+        F.when(p < boundary, F.lit(active if active is not None else -1))
+        .otherwise(F.lit(first_new) + (q / cap).cast("long"))
+        .cast("int")
+    )
+    vec_expr = (
+        F.when(p < boundary, F.lit(int(fill)) + p).otherwise(q % cap).cast("int")
+    )
     out = with_ids.select(
         F.col("gid"),
-        (F.col("gid") / cap).cast("int").alias("seg_id"),
-        (F.col("gid") % cap).cast("int").alias("vec_id"),
+        seg_expr.alias("seg_id"),
+        vec_expr.alias("vec_id"),
         F.col(embedding_col).alias("embedding"),
         F.lit(False).alias("deleted"),
         payload.alias("payload"),
@@ -137,15 +166,25 @@ def add_vectors(
 
     # registry update: full segments → PENDING (rotated), tail → ACTIVE
     end = start + n  # exclusive
-    first_seg, last_seg = start // cap, (end - 1) // cap
     now = int(time.time() * 1000)
+    touched: list[tuple[int, int, int]] = []  # (seg_id, rows_added, end_fill)
+    if into_active:
+        touched.append((active, into_active, fill + into_active))
+    for i in range(n_new):
+        rows_i = min(cap, rem - i * cap)
+        touched.append((first_new + i, rows_i, rows_i))
     updates: dict[int, dict] = {}
-    existing = {r["seg_id"]: r for r in index.segments().collect()}
-    for sid in range(first_seg, last_seg + 1):
-        seg_count = min(end, (sid + 1) * cap) - max(start, sid * cap)
+    existing = {r["seg_id"]: r for r in index._segment_rows()}
+    new_active: int | None = None
+    new_fill = 0
+    for sid, added, end_fill in touched:
         prev = existing.get(sid)
-        total = (prev["count"] if prev else 0) + seg_count
-        state = ACTIVE if (sid == last_seg and end % cap != 0) else PENDING
+        total = (prev["count"] if prev else 0) + added
+        if end_fill < cap:  # only ever the last touched segment
+            state = ACTIVE
+            new_active, new_fill = sid, end_fill
+        else:
+            state = PENDING
         updates[sid] = {
             "state": state,
             "count": total,
@@ -156,7 +195,9 @@ def add_vectors(
     index.update_segment_states(updates)
     index._write_meta(
         next_gid=end,
-        max_seg_id=max(index.max_seg_id, last_seg),
+        max_seg_id=max(index.max_seg_id, first_new + n_new - 1) if n_new else index.max_seg_id,
         has_payload=index.has_payload or payload_col is not None,
+        active_seg_id=new_active,
+        active_fill=new_fill,
     )
     return start

@@ -166,6 +166,17 @@ def vacuum_segment(
             F.col("seg_id") == seg_id
         )
         kept = part.filter(~F.col("deleted"))
+        if seg["count"] == 0 or kept.isEmpty():
+            # fully-deleted segment: dynamic partition overwrite writes
+            # NOTHING for an empty DataFrame (no partitions present in
+            # the written data), leaving the tombstoned files on disk
+            # forever — drop the partition directories directly instead
+            for path in (index.vectors_path, index.codes_path, index.adjacency_path):
+                _hadoop_delete(spark, f"{path}/seg_id={seg_id}")
+            index.update_segment_states(
+                {seg_id: {"deleted_count": 0, "last_vacuum_at_ms": int(time.time() * 1000)}}
+            )
+            return True
         _rewrite_partitions(index, kept, index.vectors_path)
         # drop orphaned build artifacts for removed vec_ids
         kept_ids = F.broadcast(

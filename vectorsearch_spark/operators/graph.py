@@ -4,7 +4,7 @@ Reference semantics: ``graph/GraphBuilder.java`` —
 - brute-force kNN graph when alpha <= 1.0 (GraphBuilder.java:41-56,
   selected at tasks/SegmentBuildService.java:207-209),
 - alpha-pruned ("robust prune") neighbor selection: keep candidate u
-  unless an already-kept p satisfies d²(u,p)·α ≤ d²(u,node)
+  unless an already-kept p satisfies d²(u,p) ≤ α·d²(u,node)
   (GraphBuilder.java:70-108, 306-327),
 - Vamana incremental build: medoid entry → greedy search on the partial
   graph → robust prune → reverse-edge insert with re-prune

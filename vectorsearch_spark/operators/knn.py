@@ -75,9 +75,13 @@ def _partial_topk_mapper(queries, k: int, metric: Metric, id_col: str, vec_col: 
             n = len(ids)
             kk = min(k, n)
             # per-query partial top-k: argpartition, then re-score the ≤k
-            # survivors with the direct Σ(x-y)² sum — the GEMM expansion
-            # carries ~1e-8 cancellation error (exact matches would come
-            # out nonzero), the direct sum is exact and cheap on k rows.
+            # survivors with the direct formula in the oracle's operation
+            # order — the GEMM expansion carries ~1e-8 cancellation error
+            # (L2: exact matches would come out nonzero) and the batched
+            # cosine divides by the two norms SEQUENTIALLY, which differs
+            # from dot/(‖v‖·‖q‖) in the last ulp and can flip round(·,4)
+            # on a boundary value. Direct re-score is exact and cheap on
+            # k rows.
             out_q, out_i, out_d = [], [], []
             for j in range(len(qids)):
                 dj = dist[:, j]
@@ -86,7 +90,12 @@ def _partial_topk_mapper(queries, k: int, metric: Metric, id_col: str, vec_col: 
                     diff = vmat[head] - qmat[j]
                     dhead = np.sqrt(np.einsum("ij,ij->i", diff, diff))
                 else:
-                    dhead = dj[head]
+                    vh = vmat[head]
+                    vn = np.linalg.norm(vh, axis=1)
+                    qn = np.linalg.norm(qmat[j])
+                    denom = vn * qn
+                    sim = np.where(denom == 0.0, 0.0, (vh @ qmat[j]) / np.where(denom == 0.0, 1.0, denom))
+                    dhead = 1.0 - sim
                 order = np.lexsort((ids[head], dhead))
                 out_q.append(np.full(kk, qids[j]))
                 out_i.append(ids[head[order]])
