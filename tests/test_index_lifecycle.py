@@ -435,6 +435,75 @@ def test_graph_traversal_mode_recall(spark, built_index):
     assert top1[0]["gid"] == 42
 
 
+def test_graph_random_pivots_recall(spark, built_index):
+    """seed_strategy=RANDOM_PIVOTS (fdb/FdbVectorIndex.java:801-812):
+    traversal seeded from deterministic pseudo-random entry points —
+    no PQ information — still reaches the recall gate, proving the
+    graph itself (not the seeds) carries the search."""
+    idx, data, _ = built_index
+    qids = list(range(0, N, N // 15))[:15]
+    qdf = _queries_df(spark, data, qids)
+    graph = idx.search(
+        qdf,
+        k=10,
+        params=SearchParams(mode="GRAPH", seed_strategy="RANDOM_PIVOTS", pivots=8),
+    )
+    exact = idx.search(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    got = {}
+    for r in graph.collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in got.get(r["query_id"], set())
+    assert total == 15 * 10
+    assert hits / total >= 0.9
+    # determinism: same params → identical result set
+    again = idx.search(
+        qdf,
+        k=10,
+        params=SearchParams(mode="GRAPH", seed_strategy="RANDOM_PIVOTS", pivots=8),
+    )
+    got2 = {}
+    for r in again.collect():
+        got2.setdefault(r["query_id"], set()).add(r["gid"])
+    assert got == got2
+
+
+def test_graph_params_honored(spark, built_index):
+    """beam / max_iters / max_explore are honored: a zero-iteration
+    traversal returns only re-ranked seeds (beam-bounded), and a tiny
+    max_explore caps expansion without breaking the k contract."""
+    idx, data, _ = built_index
+    qdf = _queries_df(spark, data, [0, 77])
+    # max_iters=0 → candidates == seeds == beam per (query, segment)
+    res0 = idx.search(
+        qdf, k=10, params=SearchParams(mode="GRAPH", beam=3, max_iters=0)
+    )
+    per_q = {}
+    for r in res0.collect():
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    # 4 segments × beam 3 = 12 candidates → k=10 rows survive the merge
+    assert all(n == 10 for n in per_q.values())
+    # max_explore=1 stops after the first expansion round
+    res1 = idx.search(
+        qdf,
+        k=10,
+        params=SearchParams(mode="GRAPH", max_explore=1, max_iters=6),
+    )
+    assert all(
+        n == 10
+        for n in _count_by(res1.collect(), "query_id").values()
+    )
+
+
+def _count_by(rows, key):
+    out = {}
+    for r in rows:
+        out[r[key]] = out.get(r[key], 0) + 1
+    return out
+
+
 def test_heavy_recall_n1000(spark, tmp_path_factory):
     """Heavy-mode recall gate (api/VectorIndexTest.java:505-563): n=1000,
     seed=1234, maxSegmentSize=200, 100 self-queries, recall@10 ≥ 0.9."""

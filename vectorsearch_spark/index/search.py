@@ -126,6 +126,8 @@ def _graph_traverse_candidates(
     ef_by_seg: dict[int, int],
     metric: Metric,
     max_iters: int = 6,
+    min_hops: int = 0,
+    max_explore: int | None = None,
 ) -> DataFrame:
     """G5/J3: iterative frontier–adjacency expansion over the sealed
     segments' neighbor graphs (the batch re-expression of BEST_FIRST,
@@ -139,6 +141,14 @@ def _graph_traverse_candidates(
     a bounded join — frontier ≤ Q × ef rows — so the traversal never
     scans whole segments; it trades more rounds for less IO, exactly
     the niche it has in the reference.
+
+    Batch adaptations of the per-query knobs (api/SearchParams.java:20-43):
+    ``min_hops`` is subsumed — the loop only exits early when an
+    iteration discovers NO new node, a strictly stronger condition than
+    the reference's "best list stopped improving after minHops";
+    ``max_explore`` caps cumulative scored nodes at max_explore per
+    (query, segment) on average (the batch analog of the per-traversal
+    visited cap).
     """
     spark = index.spark
     adj = index.adjacency(sealed_segs).select("seg_id", "vec_id", "neighbor_ids")
@@ -162,12 +172,17 @@ def _graph_traverse_candidates(
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        return _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters)
+        explore_budget = (
+            max_explore * len(qlist) * len(sealed_segs) if max_explore else None
+        )
+        return _traverse_loop(
+            adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explore_budget
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
 
-def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters):
+def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explore_budget=None):
     # visited/best state: (query_id, seg_id, vec_id, dist). Each round's
     # plan embeds the previous state MULTIPLE times (union + anti-join),
     # so without lineage truncation the logical plan grows exponentially
@@ -175,6 +190,7 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters):
     # every round's plan at a leaf, the canonical iterative-join pattern.
     state = seeds.localCheckpoint()
     frontier = state
+    explored = 0
     for _ in range(max_iters):
         expanded = (
             frontier.join(adj, ["seg_id", "vec_id"])
@@ -195,8 +211,13 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters):
                 distance_for_metric(F.col("embedding"), F.col("qvec"), metric).alias("dist"),
             )
         ).localCheckpoint()
-        if scored.isEmpty():
+        n_new = scored.count()
+        if n_new == 0:
             break
+        explored += n_new
+        # maxExplore cap: fold the final round's discoveries into the
+        # best list, then stop expanding
+        over_budget = explore_budget is not None and explored >= explore_budget
         # bound state to top-ef per (query, segment): the best-list cap
         w = Window.partitionBy("query_id", "seg_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
@@ -209,6 +230,8 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters):
             .drop("_rn", "ef")
             .localCheckpoint()
         )
+        if over_budget:
+            break
         frontier = scored  # only newly discovered nodes expand next round
     return state
 
@@ -292,24 +315,52 @@ def search(
             )
         )
         if params.mode == "GRAPH":
-            # G5 traversal: PQ top-beam seeds → iterative frontier
-            # expansion over the neighbor graph; the traversal's best
-            # list replaces the PQ candidate pool before re-rank
-            beam_df = F.broadcast(
-                spark.createDataFrame(
-                    [(s, max(k, ef_by_seg[s] // 4)) for s in sealed_segs],
-                    "seg_id int, beam int",
+            # G5 traversal: seeds → iterative frontier expansion over the
+            # neighbor graph; the traversal's best list replaces the PQ
+            # candidate pool before re-rank. Seed selection per
+            # SearchParams.seed_strategy (api/SearchParams.java:39-42):
+            # - PQ_SEED_ONLY: top-beam of the PQ approx scan (the
+            #   reference's default seeding, fdb/FdbVectorIndex.java:794-799)
+            # - RANDOM_PIVOTS: `pivots` deterministic pseudo-random entry
+            #   points per segment (fdb/FdbVectorIndex.java:801-812) —
+            #   hash-ordered vec_ids, shared across the query batch (the
+            #   batch adaptation of per-query random pivots), scored
+            #   exactly; no PQ information used for seeding.
+            if params.seed_strategy == "RANDOM_PIVOTS":
+                w_piv = Window.partitionBy("seg_id").orderBy(
+                    F.hash(F.col("vec_id"), F.lit(cfg.seed)).asc(), F.col("vec_id").asc()
                 )
-            )
-            w_seed = Window.partitionBy("query_id", "seg_id").orderBy(
-                F.col("approx").asc(), F.col("vec_id").asc()
-            )
-            seed_ids = (
-                cand.withColumn("_rn", F.row_number().over(w_seed))
-                .join(beam_df, "seg_id")
-                .filter(F.col("_rn") <= F.col("beam"))
-                .select("query_id", "seg_id", "vec_id")
-            )
+                piv_ids = (
+                    vec.select("seg_id", "vec_id")
+                    .withColumn("_rn", F.row_number().over(w_piv))
+                    .filter(F.col("_rn") <= max(1, params.pivots))
+                    .drop("_rn")
+                )
+                qid_df = F.broadcast(
+                    spark.createDataFrame([(qid,) for qid, _ in qlist], "query_id long")
+                )
+                seed_ids = piv_ids.crossJoin(qid_df).select(
+                    "query_id", "seg_id", "vec_id"
+                )
+            else:
+                beam_df = F.broadcast(
+                    spark.createDataFrame(
+                        [
+                            (s, params.beam or max(k, ef_by_seg[s] // 4))
+                            for s in sealed_segs
+                        ],
+                        "seg_id int, beam int",
+                    )
+                )
+                w_seed = Window.partitionBy("query_id", "seg_id").orderBy(
+                    F.col("approx").asc(), F.col("vec_id").asc()
+                )
+                seed_ids = (
+                    cand.withColumn("_rn", F.row_number().over(w_seed))
+                    .join(beam_df, "seg_id")
+                    .filter(F.col("_rn") <= F.col("beam"))
+                    .select("query_id", "seg_id", "vec_id")
+                )
             seeds = (
                 seed_ids.join(vec, ["seg_id", "vec_id"])
                 .join(qdf, "query_id")
@@ -323,7 +374,15 @@ def search(
                 )
             )
             cand = _graph_traverse_candidates(
-                index, sealed_segs, qlist, seeds, ef_by_seg, metric
+                index,
+                sealed_segs,
+                qlist,
+                seeds,
+                ef_by_seg,
+                metric,
+                max_iters=params.max_iters,
+                min_hops=params.min_hops,
+                max_explore=params.max_explore,
             ).select("query_id", "seg_id", "vec_id")
         emb = F.col("embedding")
         if params.normalize_on_read:

@@ -539,6 +539,46 @@ def index_search_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def index_search_sealed_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-exact twin of ``index_search_sealed``: with ef ≥
+    segment size the PQ candidate pool is the whole segment, so the
+    exact re-rank sees every row and the result equals brute force —
+    every operator on the sealed path (codes scan, LUT distances,
+    re-rank join, per-seg cap, global merge) is hash-checked."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    cap = idx.config.max_segment_size
+    res = idx.search(
+        _emb_queries(spark, sf_dir), k=_KNN_K, params=SearchParams(ef=cap)
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def index_search_graph_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-exact twin of ``index_search_graph``: beam = ef =
+    segment size seeds the traversal with EVERY node, so the best list
+    is exact regardless of graph quality — the traversal joins
+    (adjacency expansion, visited anti-join, best-list cap) are all
+    exercised and the output is hash-checkable against brute force."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    cap = idx.config.max_segment_size
+    res = idx.search(
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        params=SearchParams(mode="GRAPH", ef=cap, beam=cap, max_iters=1),
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def compaction_plan_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction-planner scoring (A4) as a pure relational op over a
     derived segments table, so DuckDB can check the exact arithmetic."""
@@ -642,6 +682,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KNN_K,
         n_tables=8,
         n_bits=4,
+        metric=Metric.COSINE,
+        id_col="vec_id",
+    )
+    return _ann_project(res, Metric.COSINE)
+
+
+def ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-exact twin of ``ann_lsh_topk``: one table with zero
+    sign bits puts every row in a single bucket, so the band join, the
+    (query, id) dedup, and the verify/top-k operators all run and the
+    output equals exact cosine KNN — hash-checked against the same
+    oracle as ``knn_cosine_batch``."""
+    from vectorsearch_spark.operators.similarity import ann_lsh_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ann_lsh_join(
+        emb,
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        n_tables=1,
+        n_bits=0,
         metric=Metric.COSINE,
         id_col="vec_id",
     )
@@ -1124,11 +1185,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_assignment": segment_assignment,
         "index_search_brute": index_search_brute,
         "index_search_sealed": index_search_sealed,
+        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
         "index_search_graph": index_search_graph,
+        "index_search_graph_exhaustive": index_search_graph_exhaustive,
         "compaction_plan_scores": compaction_plan_scores,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_exhaustive": ann_lsh_exhaustive,
         "doc_token_stats": doc_token_stats,
         "lang_id_scores": lang_id_scores,
         "dedup_exact": dedup_exact,
@@ -1161,11 +1225,16 @@ def oracle_sql() -> dict[str, str]:
         "vector_norms": VECTOR_NORMS_SQL,
         "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
-        # index_search_sealed: approximate → rows-only check by design
+        # index_search_sealed / index_search_graph / ann_ivf_topk /
+        # ann_lsh_topk: approximate → rows-only by design, recall ≥ 0.9
+        # enforced in tests; each has a degenerate-exact *_exhaustive
+        # twin below whose config makes the SAME code path exact, so
+        # every operator is hash-checked.
+        "index_search_sealed_exhaustive": INDEX_SEARCH_BRUTE_SQL,
+        "index_search_graph_exhaustive": INDEX_SEARCH_BRUTE_SQL,
         "compaction_plan_scores": COMPACTION_PLAN_SQL,
         "ann_ivf_exhaustive": _knn_sql(Metric.L2),
-        # ann_ivf_topk / ann_lsh_topk: approximate → rows-only by design,
-        # recall ≥ 0.9 enforced in tests/test_similarity.py
+        "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_token_stats": DOC_STATS_SQL,
         "lang_id_scores": _lang_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
