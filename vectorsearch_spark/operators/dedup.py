@@ -10,13 +10,15 @@ Scale design, per operator:
   meet, so the join is bucket-local; candidate pairs are then verified
   with exact Jaccard. This is THE 100 TB near-dup path.
 - ngram_jaccard: exact pairwise Jaccard via shingle-explode self-join.
-  Correct but O(pairs-sharing-a-shingle); ``max_shingle_freq`` drops
-  stop-shingles (df cap) to kill the skew hot keys, the standard
-  mitigation. Use LSH above when the corpus is huge.
+  O(pairs-sharing-a-shingle), so ``max_shingle_freq`` (default 1000)
+  drops stop-shingles — one shingle shared by f docs contributes
+  O(f²) pairs, and the df cap bounds f; the standard mitigation.
+  Use LSH above when the corpus is huge.
 - simhash: 60-bit fingerprint per doc (codegen expressions), banded by
   16-bit chunks for candidate generation, Hamming-verified.
-- embedding cosine: exact pair scan for modest candidate sets;
-  at scale route through operators/similarity.py LSH buckets.
+- embedding cosine: random-hyperplane LSH band-join candidates +
+  exact cosine verify — bucketed, never cartesian; opt-in exact
+  pairwise fallback for bounded inputs.
 """
 
 from __future__ import annotations
@@ -81,9 +83,20 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.7,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ τ)."""
+    """n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ τ).
+
+    ``max_shingle_freq`` caps the document frequency of shingles
+    entering the pair join (default 1000): a single stop-shingle shared
+    by f documents alone generates f·(f-1)/2 candidate rows, so without
+    the cap one hot shingle in a 10k-doc corpus yields 10⁸ pairs — the
+    plan that dies at scale. Dropped shingles reduce the measured
+    intersection only (denominators keep the full shingle sets), so
+    capped Jaccard is a lower bound: near-dup pairs whose overlap lives
+    in ultra-common shingles are not near-dups worth keeping anyway.
+    Pass ``None`` to disable (exact, bounded corpora only).
+    """
     sh = _shingle_df(df, id_col, text_col, shingle_n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -235,17 +248,62 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    exact_pair_limit: int = 0,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (id_a < id_b, cosine ≥ τ).
+    """Cosine near-dup pairs (id_a < id_b, cosine ≥ τ), LSH-bucketed.
 
-    Pairwise scan — use for bounded candidate sets (or post-LSH); the
-    unbounded-scale route is LSH bucketing in operators/similarity.py.
+    Candidates come from a random-hyperplane band-key self-join
+    (``similarity.lsh_signatures``): only rows sharing a bucket in ≥1
+    of ``n_tables`` sign-signature tables ever meet, then the exact
+    cosine verifies — the same bucketed shape as minhash/simhash dedup,
+    never a cartesian product. At 100 TB the join is keyed by band_key
+    with bounded fan-out; the all-pairs scan never exists in the plan.
+
+    Candidate recall is probabilistic: a pair at angle θ collides in
+    one table with p = (1-θ/π)^n_bits, so the miss probability is
+    (1-p)^n_tables — for τ=0.95 (θ/π ≈ 0.10) the defaults give
+    p ≈ 0.43, miss ≈ 0.57^16 ≈ 1e-4; byte-identical duplicates are
+    ALWAYS caught (identical signatures in every table). Raise
+    ``n_tables`` (or lower ``n_bits``) for looser thresholds.
+
+    ``exact_pair_limit`` > 0 switches to the exact pairwise scan when
+    the input has at most that many rows — a guaranteed-recall escape
+    hatch for small candidate sets; it is the one path that cross
+    -joins, so it is opt-in and bounded.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if exact_pair_limit and df.count() <= exact_pair_limit:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+        )
+    from vectorsearch_spark.operators.similarity import lsh_signatures
+
+    dim = len(df.select(vec_col).first()[0])
+    sig = lsh_signatures(
+        df, dim, n_tables=n_tables, n_bits=n_bits, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band_key"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "band_key"
+    )
+    cand = (
+        a.join(b, ["band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )

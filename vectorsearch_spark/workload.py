@@ -867,22 +867,39 @@ FROM verified WHERE jaccard >= 0.5
 """
 
 
+_JACCARD_DF_CAP = 1000
+
+
 def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs under the default stop-shingle df cap
+    (the 100 TB-safe configuration); the oracle mirrors the cap."""
     from vectorsearch_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_dedup_corpus(spark, sf_dir), threshold=0.7)
+    return jaccard_pairs(
+        _dedup_corpus(spark, sf_dir), threshold=0.7, max_shingle_freq=_JACCARD_DF_CAP
+    )
 
 
+# mirrors jaccard_pairs exactly: shingles with document frequency >
+# _JACCARD_DF_CAP are dropped from the intersection join only (the
+# union denominator keeps full shingle-set sizes).
 DEDUP_JACCARD_SQL = f"""
 WITH corpus AS ({_DEDUP_CORPUS_SQL}),
 sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM corpus),
 sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh2),
+cold AS (
+  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= {_JACCARD_DF_CAP}),
+ex2 AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN cold USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
-           / (len(a.shingles) + len(b.shingles)
-              - len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))) AS jaccard
-  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id)
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
 SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
 FROM pairs WHERE jaccard >= 0.7
 """
