@@ -8,6 +8,7 @@ Usage: python scripts/check_exact.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import os
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,10 +39,16 @@ def main() -> int:
         else:
             for c in got.columns:
                 gv, ev = got[c].tolist(), exp[c].tolist()
+
+                def _ne(g, e):
+                    # Byte-level compare, mirroring the driver's hash:
+                    # −0.0 != +0.0 here even though they compare == .
+                    if isinstance(g, float) and isinstance(e, float):
+                        return struct.pack("<d", g) != struct.pack("<d", e)
+                    return g != e and not (g != g and e != e)
+
                 bad = [
-                    (i, g, e)
-                    for i, (g, e) in enumerate(zip(gv, ev))
-                    if (g != e and not (g != g and e != e))
+                    (i, g, e) for i, (g, e) in enumerate(zip(gv, ev)) if _ne(g, e)
                 ]
                 if bad:
                     i, g, e = bad[0]

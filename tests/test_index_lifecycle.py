@@ -529,3 +529,113 @@ def test_heavy_recall_n1000(spark, tmp_path_factory):
         hits += r["gid"] in got[r["query_id"]]
     assert total == 100 * 10
     assert hits / total >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Cosine-metric sealed index, end-to-end (api/VectorIndexTest.java:211-258
+# shape with metric=COSINE; normalize-on-build analog of
+# fdb/FdbVectorIndex.java:1006-1013 normalizeOnRead).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cosine_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vscos"))
+    cfg = IndexConfig(
+        name="c",
+        dimension=DIM,
+        metric=Metric.COSINE,
+        max_segment_size=CAP,
+        pq_m=4,
+        pq_k=16,
+        graph_degree=16,
+        graph_build_breadth=32,
+        graph_alpha=1.2,
+        oversample=4,
+        seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    # deliberately UNnormalized gaussian data: norms vary 3×, so the
+    # recall gate fails unless build normalizes before PQ train/encode
+    df, data = _gaussian_df(spark, N, DIM, seed=7)
+    idx.add(df.repartition(4), order_col="row_id")
+    sealed = idx.build()
+    return idx, data, sealed
+
+
+def _recall(approx_rows, exact_rows):
+    got = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact_rows:
+        total += 1
+        hits += r["gid"] in got.get(r["query_id"], set())
+    return hits, total
+
+
+def test_cosine_sealed_recall_at_10(spark, cosine_index):
+    idx, data, sealed = cosine_index
+    assert sealed == [0, 1, 2, 3]
+    qids = list(range(0, N, N // 30))[:30]
+    qdf = _queries_df(spark, data, qids)
+    approx = idx.search(qdf, k=10).collect()
+    exact = idx.search(qdf, k=10, params=SearchParams(mode="BRUTE")).collect()
+    hits, total = _recall(approx, exact)
+    assert total == 30 * 10
+    assert hits / total >= 0.9
+
+
+def test_cosine_search_top1_is_self_with_score_convention(spark, cosine_index):
+    idx, data, _ = cosine_index
+    res = idx.search(_queries_df(spark, data, [3, 88, 171]), k=1).collect()
+    assert {r["query_id"]: r["gid"] for r in res} == {3: 3, 88: 88, 171: 171}
+    for r in res:
+        # COSINE: distance = 1−sim ∈ [0, 2], score = sim, and the clamp
+        # guarantees distance is never −0.0 (C6 convention)
+        assert 0.0 <= r["distance"] < 1e-5
+        import math
+
+        assert math.copysign(1.0, r["distance"]) == 1.0
+        assert abs(r["score"] - (1.0 - r["distance"])) < 1e-12
+
+
+def test_cosine_scale_invariance(spark, cosine_index):
+    """Cosine ranks by angle only: querying with 10× the self-vector
+    must return the same neighbor set as the unit-scale query."""
+    idx, data, _ = cosine_index
+    q1 = _queries_df(spark, data, [17])
+    q10 = spark.createDataFrame(
+        [(17, (data[17] * 10.0).tolist())], "query_id long, embedding array<float>"
+    )
+    a = sorted(r["gid"] for r in idx.search(q1, k=10).collect())
+    b = sorted(r["gid"] for r in idx.search(q10, k=10).collect())
+    assert a == b
+
+
+def test_cosine_graph_mode_recall(spark, cosine_index):
+    idx, data, _ = cosine_index
+    qids = list(range(0, N, N // 15))[:15]
+    qdf = _queries_df(spark, data, qids)
+    graph = idx.search(qdf, k=10, params=SearchParams(mode="GRAPH")).collect()
+    exact = idx.search(qdf, k=10, params=SearchParams(mode="BRUTE")).collect()
+    hits, total = _recall(graph, exact)
+    assert total == 15 * 10
+    assert hits / total >= 0.9
+
+
+def test_graph_traversal_broadcasts_frontier(spark, built_index):
+    """Scale contract: every traversal round probes adjacency/vectors
+    with a BROADCAST of the bounded frontier — the big tables are never
+    sort-merge shuffled (VERDICT r2 'What's wrong' #2)."""
+    from vectorsearch_spark.index import search as search_mod
+
+    idx, data, _ = built_index
+    qdf = _queries_df(spark, data, [0, 99])
+    res = idx.search(qdf, k=10, params=SearchParams(mode="GRAPH"))
+    res.collect()
+    plans = list(search_mod._TRAVERSAL_PLANS)
+    assert plans, "traversal ran at least one round"
+    for p in plans:
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p

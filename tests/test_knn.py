@@ -76,6 +76,51 @@ def test_knn_self_query_rank1_is_self(spark, emb):
         assert abs(r["distance"]) < 1e-6
 
 
+# float32 values whose self-cosine computes to 1 + 1ulp in float64:
+# raw distance −2.2e-16, which sign-preserving round (DuckDB) emits as
+# −0.0 while Spark's BigDecimal round emits +0.0 — equal values,
+# different bytes under a hash compare.
+_NEG_ZERO_VEC = [
+    -1.0707526206970215, 1.0544517040252686, -0.4031769335269928,
+    1.222445011138916, 0.2082749754190445, 0.9766390323638916,
+    0.3563663959503174, 0.7065731883049011,
+]
+
+
+def test_cosine_self_pair_never_negative_zero(spark):
+    """Regression: cosine distance must clamp at +0.0 on every engine
+    path (distance ≥ 0 by Cauchy–Schwarz, so the clamp is lossless)."""
+    import math
+
+    import duckdb
+
+    from vectorsearch_spark.workload import _duck_cosine_dist
+
+    vd = np.array(_NEG_ZERO_VEC, dtype=np.float64)
+    n = math.sqrt(float(vd @ vd))
+    assert float(vd @ vd) / (n * n) > 1.0  # the vector really trips it
+
+    df = spark.createDataFrame(
+        [(0, _NEG_ZERO_VEC)], "vec_id long, embedding array<float>"
+    )
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    # GEMM mapper path: clamp makes the raw distance exactly +0.0
+    row = knn_join(df, q, k=1, metric=Metric.COSINE, id_col="vec_id").collect()[0]
+    assert row["distance"] == 0.0
+    assert math.copysign(1.0, row["distance"]) == 1.0
+    # Catalyst HOF path (distance_for_metric): clamped ≥ 0
+    row = knn_join_expr(df, q, k=1, metric=Metric.COSINE, id_col="vec_id").collect()[0]
+    assert row["distance"] >= 0.0
+    assert math.copysign(1.0, row["distance"]) == 1.0
+    # DuckDB oracle expression: greatest(d, 0) before round → +0.0
+    lit = "[" + ", ".join(repr(x) for x in _NEG_ZERO_VEC) + "]::DOUBLE[]"
+    con = duckdb.connect()
+    d = con.sql(
+        f"SELECT round({_duck_cosine_dist('v', 'v')}, 4) AS d FROM (SELECT {lit} AS v)"
+    ).fetchone()[0]
+    assert math.copysign(1.0, d) == 1.0
+
+
 def test_knn_empty_queries(spark, emb):
     empty = emb.filter(F.lit(False)).select(F.col("vec_id").alias("query_id"), "embedding")
     assert knn_join(emb, empty, k=3, id_col="vec_id").count() == 0

@@ -80,11 +80,19 @@ def normalize(a: Column | str) -> Column:
 
 
 def distance_for_metric(a: Column | str, b: Column | str, metric: Metric | str) -> Column:
-    """Distance under the index metric (C6 convention)."""
+    """Distance under the index metric (C6 convention).
+
+    Cosine distance is clamped at 0: fp error can make a self-pair's
+    similarity 1+1ulp, whose raw distance −2.2e-16 rounds to **−0.0** in
+    sign-preserving engines (DuckDB) but **+0.0** in Spark's
+    BigDecimal-based ``round`` — equal values, different bytes. Distance
+    is mathematically ≥ 0 (Cauchy–Schwarz), so the clamp is
+    semantics-preserving and makes the contract engine-proof.
+    """
     metric = Metric(metric)
     if metric == Metric.L2:
         return l2(a, b)
-    return F.lit(1.0) - cosine(a, b)
+    return F.greatest(F.lit(1.0) - cosine(a, b), F.lit(0.0))
 
 
 def score_for_metric(a: Column | str, b: Column | str, metric: Metric | str) -> Column:

@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from vectorsearch_spark.config import PENDING, SEALED, WRITING
+from vectorsearch_spark.config import PENDING, SEALED, WRITING, Metric
+from vectorsearch_spark.functions.distances import normalize
 from vectorsearch_spark.index.catalog import VectorIndex
 from vectorsearch_spark.operators.graph import build_graph
 from vectorsearch_spark.operators.pq import encode, train_codebook
@@ -125,10 +126,19 @@ def build_segments(index: VectorIndex, seg_ids: list[int] | None = None) -> list
     if not targets:
         return []
 
+    emb = F.col("embedding")
+    if cfg.metric == Metric.COSINE:
+        # Cosine metric: train/encode/graph on UNIT vectors, so the
+        # L2²-LUT candidate ranking is exactly monotone in cosine
+        # distance (‖v̂−q̂‖² = 2−2·cos) — the build-side analog of the
+        # reference's normalize-on-read (fdb/FdbVectorIndex.java:
+        # 1006-1013). Raw embeddings in the vectors table are untouched;
+        # the exact re-rank still scores the true metric on them.
+        emb = normalize(emb).cast("array<float>")
     vec = (
         index.vectors(states=(PENDING, WRITING))
         .filter(F.col("seg_id").isin(targets) & ~F.col("deleted"))
-        .select("seg_id", "vec_id", "embedding")
+        .select("seg_id", "vec_id", emb.alias("embedding"))
     )
     vec = vec.persist()
     present = [r["seg_id"] for r in vec.select("seg_id").distinct().collect()]

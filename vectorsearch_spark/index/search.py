@@ -71,11 +71,20 @@ def tuned_ef(ef_base: int, k: int, n_codes: int) -> int:
 
 def _pq_scan_fn(
     codebooks: dict[int, np.ndarray], queries: list[tuple[int, list[float]]],
-    ef_by_seg: dict[int, int],
+    ef_by_seg: dict[int, int], metric: Metric = Metric.L2,
 ):
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         luts: dict[tuple[int, int], np.ndarray] = {}
         qvecs = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
+        if metric == Metric.COSINE:
+            # codebooks were trained/encoded on unit vectors (build.py);
+            # normalizing the query makes the L2² LUT ranking exactly
+            # monotone in cosine distance (‖v̂−q̂‖² = 2−2·cos) —
+            # normalize-on-read analog, fdb/FdbVectorIndex.java:1006-1013
+            qvecs = {
+                qid: (v / n if (n := np.linalg.norm(v)) > 0.0 else v)
+                for qid, v in qvecs.items()
+            }
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -182,27 +191,47 @@ def _graph_traverse_candidates(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
 
+# Test/debug hook: physical plan of each traversal round's scoring join,
+# refreshed per _traverse_loop call. Lets tests assert the join strategy
+# (broadcast frontier probe, no full-table sort-merge) without exposing
+# internals in the public API.
+_TRAVERSAL_PLANS: list[str] = []
+
+
 def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explore_budget=None):
     # visited/best state: (query_id, seg_id, vec_id, dist). Each round's
     # plan embeds the previous state MULTIPLE times (union + anti-join),
     # so without lineage truncation the logical plan grows exponentially
     # and Catalyst analysis itself OOMs — localCheckpoint (eager) caps
     # every round's plan at a leaf, the canonical iterative-join pattern.
+    _TRAVERSAL_PLANS.clear()
     state = seeds.localCheckpoint()
     frontier = state
     explored = 0
     for _ in range(max_iters):
+        # The frontier (≤ Q×S×ef rows) and visited state are the bounded
+        # sides; adjacency and vectors are the 100 TB sides. Broadcast
+        # the bounded sides EXPLICITLY (auto-broadcast is off here) so
+        # every iteration is a broadcast-hash probe of the big tables —
+        # zero full-table shuffles per hop, vs max_iters sort-merge
+        # shuffles of adjacency+vectors without the hints.
         expanded = (
-            frontier.join(adj, ["seg_id", "vec_id"])
+            adj.join(
+                F.broadcast(frontier.select("query_id", "seg_id", "vec_id")),
+                ["seg_id", "vec_id"],
+            )
             .select(
                 "query_id", "seg_id", F.explode("neighbor_ids").alias("vec_id")
             )
             .dropDuplicates(["query_id", "seg_id", "vec_id"])
-            .join(state.select("query_id", "seg_id", "vec_id"),
-                  ["query_id", "seg_id", "vec_id"], "left_anti")
+            .join(
+                F.broadcast(state.select("query_id", "seg_id", "vec_id")),
+                ["query_id", "seg_id", "vec_id"],
+                "left_anti",
+            )
         )
         scored = (
-            expanded.join(vec, ["seg_id", "vec_id"])
+            vec.join(F.broadcast(expanded), ["seg_id", "vec_id"])
             .join(qdf, "query_id")
             .select(
                 "query_id",
@@ -210,7 +239,11 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explor
                 "vec_id",
                 distance_for_metric(F.col("embedding"), F.col("qvec"), metric).alias("dist"),
             )
-        ).localCheckpoint()
+        )
+        _TRAVERSAL_PLANS.append(
+            scored._jdf.queryExecution().executedPlan().toString()
+        )
+        scored = scored.localCheckpoint()
         n_new = scored.count()
         if n_new == 0:
             break
@@ -290,7 +323,7 @@ def search(
         ef_by_seg = {s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs}
         # phase a: approx scan over codes only (embeddings not read here)
         cand = index.codes(sealed_segs).mapInPandas(
-            _pq_scan_fn(cbs, qlist, ef_by_seg), _CAND_SCHEMA
+            _pq_scan_fn(cbs, qlist, ef_by_seg, metric), _CAND_SCHEMA
         )
         # merge per-partition partial top-ef into per-(query,segment) top-ef
         w_seg = Window.partitionBy("query_id", "seg_id").orderBy(
@@ -362,7 +395,7 @@ def search(
                     .select("query_id", "seg_id", "vec_id")
                 )
             seeds = (
-                seed_ids.join(vec, ["seg_id", "vec_id"])
+                vec.join(F.broadcast(seed_ids), ["seg_id", "vec_id"])
                 .join(qdf, "query_id")
                 .select(
                     "query_id",
@@ -387,8 +420,11 @@ def search(
         emb = F.col("embedding")
         if params.normalize_on_read:
             emb = normalize(emb).cast("array<float>")
+        # candidate set is bounded (≤ Q×S×ef (seg_id, vec_id) triples) —
+        # broadcast it so the re-rank is a probe of the vectors table,
+        # not a shuffle of it
         reranked = (
-            cand.join(vec, ["seg_id", "vec_id"])
+            vec.join(F.broadcast(cand), ["seg_id", "vec_id"])
             .filter(~F.col("deleted"))
             .join(qdf, "query_id")
             .withColumn("distance", distance_for_metric(emb, F.col("qvec"), metric))
@@ -432,8 +468,15 @@ def search(
     # destination mid-compaction; the searchable copy is authoritative)
     payloads = index.vectors(
         states=tuple(SEARCHABLE_BRUTE) + tuple(SEARCHABLE_SEALED)
-    ).select("gid", "payload").dropDuplicates(["gid"])
+    ).select("gid", "payload")
+    # right-outer with the ≤ Q×k topk broadcast: streams the payload
+    # table past a broadcast hash map instead of shuffling it (a left
+    # join from topk cannot broadcast its own preserved side). The
+    # mid-compaction double-gid dedup happens AFTER the join, on ≤ Q×k
+    # rows (both copies carry identical payload bytes), instead of a
+    # full-table dropDuplicates shuffle before it.
     return (
-        topk.join(payloads, "gid", "left")
+        payloads.join(F.broadcast(topk), "gid", "right")
+        .dropDuplicates(["query_id", "gid"])
         .select("query_id", "gid", "distance", "score", "payload", "rank")
     )

@@ -95,7 +95,11 @@ def _partial_topk_mapper(queries, k: int, metric: Metric, id_col: str, vec_col: 
                     qn = np.linalg.norm(qmat[j])
                     denom = vn * qn
                     sim = np.where(denom == 0.0, 0.0, (vh @ qmat[j]) / np.where(denom == 0.0, 1.0, denom))
-                    dhead = 1.0 - sim
+                    # clamp: sim can exceed 1 by 1ulp on self-pairs; the
+                    # raw −2e-16 distance would round to −0.0 in
+                    # sign-preserving engines and break byte-level
+                    # comparisons (distance is mathematically ≥ 0).
+                    dhead = np.maximum(1.0 - sim, 0.0)
                 order = np.lexsort((ids[head], dhead))
                 out_q.append(np.full(kk, qids[j]))
                 out_i.append(ids[head[order]])

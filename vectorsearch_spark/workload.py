@@ -37,10 +37,14 @@ def _duck_dot(a: str, b: str) -> str:
 
 
 def _duck_cosine_dist(a: str, b: str) -> str:
+    # greatest(d, 0): self-pairs can produce d = −1ulp from fp error;
+    # DuckDB's sign-preserving round would emit −0.0 where Spark emits
+    # +0.0 — clamping on BOTH sides makes the contract engine-proof
+    # (mirrors functions/distances.py distance_for_metric).
     na, nb = f"sqrt({_duck_dot(a, a)})", f"sqrt({_duck_dot(b, b)})"
     return (
-        f"(1.0 - CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
-        f"ELSE {_duck_dot(a, b)} / ({na} * {nb}) END)"
+        f"greatest(1.0 - CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {_duck_dot(a, b)} / ({na} * {nb}) END, 0.0)"
     )
 
 
