@@ -2,6 +2,11 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); "queries"
+reports per-query MEDIANS (machine-noise robust — single-shot timings
+let environment contention masquerade as plan regressions), and
+"queries_min" the per-query minima. "value" is the sum of medians.
 """
 
 from __future__ import annotations
@@ -9,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -68,15 +74,21 @@ def main() -> None:
     # warm up the JVM + parquet footers so per-query timings measure the work
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     registry = dict(workload.queries())
     registry.update({k: v for k, v in EXTRA.items() if v is not None})
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE + list(EXTRA):
         fn = registry[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.collect()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        minima[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -86,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "reps": reps,
                 "sf": sf,
             }
         )

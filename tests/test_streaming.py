@@ -123,3 +123,94 @@ def test_sessionize_stream_vs_batch_oracle(spark, tmp_path_factory):
     assert (1, base, base + dt.timedelta(seconds=20)) in got
     for k, v in got.items():
         assert batch[k] == v, k
+
+
+def test_stream_add_exactly_once_replay_after_commit(spark, tmp_path_factory):
+    """Failure injection AFTER the epoch's atomic commit (on_batch runs
+    post-add): Spark replays the epoch on restart because the checkpoint
+    never recorded it — the meta.json epoch guard must skip the re-add.
+    No duplicate gids, counts unchanged."""
+    src = str(tmp_path_factory.mktemp("eo_src"))
+    ckpt = str(tmp_path_factory.mktemp("eo_ckpt"))
+    idx_path = str(tmp_path_factory.mktemp("eo_idx"))
+    _write_batch(spark, src, [(i, [float(i), 0.0]) for i in range(12)])
+    _write_batch(spark, src, [(i, [float(i), 1.0]) for i in range(12, 20)])
+    idx = VectorIndex.create(
+        spark,
+        idx_path,
+        IndexConfig(name="eo", dimension=2, max_segment_size=10, pq_m=2, pq_k=4),
+    )
+    stream = spark.readStream.schema(EMB_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def boom(epoch_id, n_built):
+        raise RuntimeError("injected post-commit failure")
+
+    q = stream_add(idx, stream, order_col="row_id", checkpoint_dir=ckpt, on_batch=boom)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # epoch 0's rows committed even though the epoch "crashed" after
+    assert idx.next_gid == 12
+    # restart from the same checkpoint: epoch 0 replays (guard skips it),
+    # epoch 1 applies fresh
+    stream2 = spark.readStream.schema(EMB_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q2 = stream_add(idx, stream2, order_col="row_id", checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    rows = idx.vectors().select("gid").collect()
+    gids = sorted(r["gid"] for r in rows)
+    assert gids == list(range(20))  # every row exactly once
+    assert idx.next_gid == 20
+
+
+def test_stream_add_scrub_after_crash_before_commit(spark, tmp_path_factory):
+    """Failure injection BEFORE the atomic meta commit: parquet rows and
+    the registry landed but meta.json (gid counter + epoch mark) did not
+    — simulated by restoring the pre-attempt meta bytes. The replay must
+    detect the intent, restore the registry snapshot, scrub the orphan
+    gids, and re-apply the epoch exactly once."""
+    import json
+    import os
+
+    from vectorsearch_spark.streaming.ingest import (
+        _write_intent,
+        recover_interrupted_epoch,
+    )
+
+    idx_path = str(tmp_path_factory.mktemp("scrub_idx"))
+    idx = VectorIndex.create(
+        spark,
+        idx_path,
+        IndexConfig(name="sc", dimension=2, max_segment_size=10, pq_m=2, pq_k=4),
+    )
+    # epoch 0: committed normally (15 rows → seg0 full, seg1 at 5)
+    batch0 = spark.createDataFrame([(i, [float(i), 0.0]) for i in range(15)], EMB_SCHEMA)
+    idx.add(batch0, order_col="row_id", meta_extra={"applied_epochs": {"s": 0}})
+    with open(idx.meta_path) as f:
+        meta_before = f.read()
+    segs_before = idx._segment_rows()
+
+    # epoch 1 attempt: intent → full add → then crash JUST BEFORE the
+    # meta rename (simulated by restoring the old meta bytes)
+    _write_intent(idx, "s", 1)
+    batch1 = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(15, 28)], EMB_SCHEMA)
+    idx.add(batch1, order_col="row_id", meta_extra={"applied_epochs": {"s": 1}})
+    with open(idx.meta_path, "w") as f:
+        f.write(meta_before)
+
+    # fresh handle = restarted driver; orphan rows visible pre-recovery
+    idx2 = VectorIndex.open(spark, idx_path)
+    raw = spark.read.parquet(idx2.vectors_path)
+    assert raw.count() == 28  # 13 orphans present on disk
+    scrubbed = recover_interrupted_epoch(idx2, "s", 1)
+    assert scrubbed == 13
+    assert idx2._segment_rows() == segs_before
+    assert sorted(r["gid"] for r in idx2.vectors().collect()) == list(range(15))
+
+    # replayed epoch 1 now applies cleanly
+    idx2.add(batch1, order_col="row_id", meta_extra={"applied_epochs": {"s": 1}})
+    gids = sorted(r["gid"] for r in idx2.vectors().collect())
+    assert gids == list(range(28))  # exactly once, dense, no duplicates
+    assert json.loads(open(idx2.meta_path).read())["applied_epochs"] == {"s": 1}
+    assert idx2.build()  # sealed segments search fine after recovery
+    qdf = spark.createDataFrame([(0, [20.0, 1.0])], "query_id long, embedding array<float>")
+    assert len(idx2.search(qdf, k=3).collect()) == 3

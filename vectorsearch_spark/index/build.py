@@ -72,14 +72,17 @@ def _train_fn(m: int, k: int, iters: int, seed: int):
     return train
 
 
-def _encode_fn(codebooks: dict[int, np.ndarray]):
+def _encode_fn(codebooks):
+    """``codebooks``: {seg_id: ndarray} dict or a Spark Broadcast of one
+    (broadcast → one copy per executor, not per task)."""
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb_map = codebooks.value if hasattr(codebooks, "value") else codebooks
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out = []
             for seg_id, grp in pdf.groupby("seg_id"):
-                cb = codebooks[int(seg_id)]
+                cb = cb_map[int(seg_id)]
                 x = np.stack(grp["embedding"].to_numpy())
                 codes = encode(x, cb)
                 out.append(
@@ -162,8 +165,10 @@ def build_segments(index: VectorIndex, seg_ids: list[int] | None = None) -> list
         }
         _write_codebooks(index, cb_df, present)
 
-        # 2) encode all rows (Arrow batches; codebooks broadcast in closure)
-        codes = vec.mapInPandas(_encode_fn(cbs), CODES_SCHEMA)
+        # 2) encode all rows (Arrow batches; codebooks as a broadcast
+        #    variable — one copy per executor, O(#segments × m·k·sub_dim))
+        cbs_bc = index.spark.sparkContext.broadcast(cbs)
+        codes = vec.mapInPandas(_encode_fn(cbs_bc), CODES_SCHEMA)
         _dynamic_overwrite(index, codes, index.codes_path)
 
         # 3) neighbor graph (one task per segment)

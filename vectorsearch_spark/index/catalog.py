@@ -103,7 +103,10 @@ class SearchParams:
     normalize_on_read: bool = False
     beam: int | None = None        # GRAPH seed beam width; None → max(k, ef // 4)
     max_iters: int = 6             # GRAPH frontier-expansion rounds (maxIters)
-    min_hops: int = 0              # minimum hops before convergence-exit (minHops)
+    # minHops surface parity ONLY — no batch effect: the loop exits early
+    # only when a round finds NO new node, and an empty frontier makes
+    # further hops no-ops, so a minimum-hop floor cannot change results
+    min_hops: int = 0
     max_explore: int | None = None  # cap on scored nodes per (query, segment) (maxExplore)
     pivots: int = 8                # entry points per segment for RANDOM_PIVOTS
     seed_strategy: str = PQ_SEED_ONLY  # PQ_SEED_ONLY | RANDOM_PIVOTS
@@ -148,6 +151,9 @@ class VectorIndex:
     @classmethod
     def create(cls, spark: SparkSession, path: str, config: IndexConfig) -> "VectorIndex":
         idx = cls(spark, path, config)
+        # a create starts from NOTHING: never seed carried-through keys
+        # from a stale meta.json at the same path
+        idx._meta_cache = {}
         idx._write_meta(next_gid=0, max_seg_id=-1, active_seg_id=None, active_fill=0)
         idx._overwrite_segments([])
         return idx
@@ -203,8 +209,12 @@ class VectorIndex:
         it lets search skip the payload-attach join entirely for
         payload-free indexes. Unknown keys already in the meta (and any
         ``extra`` kwargs, e.g. streaming epoch bookkeeping) are carried
-        through."""
-        prev = self._meta_cache or {}
+        through — seeded from the meta FILE (not just the cache), so a
+        fresh handle that writes before reading never drops stored keys."""
+        try:
+            prev = self._meta()
+        except FileNotFoundError:  # create(): no meta yet
+            prev = {}
         if has_payload is None:
             has_payload = bool(prev.get("has_payload", False))
         meta = dict(prev)
@@ -349,10 +359,14 @@ class VectorIndex:
         embedding_col: str = "embedding",
         payload_col: str | None = None,
         order_col: str | None = None,
+        meta_extra: dict | None = None,
     ) -> int:
+        """``meta_extra`` keys ride the add's final meta write — one
+        atomic rename commits both (streaming uses this to mark an epoch
+        applied in the same transaction as its rows)."""
         from vectorsearch_spark.index.ingest import add_vectors
 
-        return add_vectors(self, df, embedding_col, payload_col, order_col)
+        return add_vectors(self, df, embedding_col, payload_col, order_col, meta_extra)
 
     def build(self, seg_ids: list[int] | None = None) -> list[int]:
         from vectorsearch_spark.index.build import build_segments

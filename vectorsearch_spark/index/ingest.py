@@ -103,6 +103,7 @@ def add_vectors(
     embedding_col: str = "embedding",
     payload_col: str | None = None,
     order_col: str | None = None,
+    meta_extra: dict | None = None,
 ) -> int:
     """Append a batch; returns the first assigned gid (batch gids are
     contiguous from it, in input order — addAll order preservation,
@@ -123,6 +124,10 @@ def add_vectors(
     )
     if n == 0:
         persisted.unpersist()
+        if meta_extra:  # an empty epoch still commits its bookkeeping
+            index._write_meta(
+                next_gid=start, max_seg_id=index.max_seg_id, **meta_extra
+            )
         return start
 
     # -- segment placement (decoupled from gid arithmetic) -------------
@@ -199,5 +204,6 @@ def add_vectors(
         has_payload=index.has_payload or payload_col is not None,
         active_seg_id=new_active,
         active_fill=new_fill,
+        **(meta_extra or {}),
     )
     return start

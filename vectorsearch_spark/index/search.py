@@ -70,10 +70,15 @@ def tuned_ef(ef_base: int, k: int, n_codes: int) -> int:
 
 
 def _pq_scan_fn(
-    codebooks: dict[int, np.ndarray], queries: list[tuple[int, list[float]]],
+    codebooks, queries: list[tuple[int, list[float]]],
     ef_by_seg: dict[int, int], metric: Metric = Metric.L2,
 ):
+    """``codebooks``: {seg_id: (m,k,sub) ndarray} dict, or a Spark
+    Broadcast of one — broadcast ships it once per executor instead of
+    once per task closure (memory bound O(#segments × m·k·sub_dim) on
+    the driver + one copy per executor)."""
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb_map = codebooks.value if hasattr(codebooks, "value") else codebooks
         luts: dict[tuple[int, int], np.ndarray] = {}
         qvecs = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
         if metric == Metric.COSINE:
@@ -91,7 +96,7 @@ def _pq_scan_fn(
             out = []
             for seg_id, grp in pdf.groupby("seg_id"):
                 seg_id = int(seg_id)
-                cb = codebooks.get(seg_id)
+                cb = cb_map.get(seg_id)
                 if cb is None:
                     continue
                 m = cb.shape[0]
@@ -319,11 +324,15 @@ def search(
             )
             for r in cb_rows
         }
+        # broadcast, not closure-capture: at 100k+ segments the codebook
+        # dict is O(#segments × m·k·sub_dim) — shipped once per executor
+        # as a broadcast instead of serialized into every task
+        cbs_bc = spark.sparkContext.broadcast(cbs)
         ef_base = params.ef or default_ef(k, cfg.oversample)
         ef_by_seg = {s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs}
         # phase a: approx scan over codes only (embeddings not read here)
         cand = index.codes(sealed_segs).mapInPandas(
-            _pq_scan_fn(cbs, qlist, ef_by_seg, metric), _CAND_SCHEMA
+            _pq_scan_fn(cbs_bc, qlist, ef_by_seg, metric), _CAND_SCHEMA
         )
         # merge per-partition partial top-ef into per-(query,segment) top-ef
         w_seg = Window.partitionBy("query_id", "seg_id").orderBy(

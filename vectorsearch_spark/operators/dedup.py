@@ -30,6 +30,11 @@ from vectorsearch_spark.functions.distances import cosine
 from vectorsearch_spark.functions.text import word_shingles
 from vectorsearch_spark.operators.text import hamming64, simhash_fingerprints
 
+# MinHash affine-family modulus: 2³¹−1 (prime). Family member i of a
+# shingle with md5 halves (h1, h2) is (h1 + i·h2) mod P — one digest
+# per shingle, the rest is codegen arithmetic.
+_MINHASH_P = 2147483647
+
 
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -141,25 +146,34 @@ def minhash_lsh_pairs(
     for verified pairs ≥ τ.
 
     Signature computation is explode → groupBy, NOT nested array
-    lambdas: each (hash_i, shingle) md5 is computed exactly once and the
-    per-band keys read materialized agg columns. (The pure-expression
-    form re-evaluates the whole signature per band because Catalyst
-    doesn't hoist loop-invariant lambda subexpressions — quadratic
-    blowup on long documents.) One explode + one doc-keyed shuffle;
-    map-side combine applies to the min() aggregates.
+    lambdas: each shingle is digested exactly once and the per-band keys
+    read materialized agg columns. (The pure-expression form re-evaluates
+    the whole signature per band because Catalyst doesn't hoist
+    loop-invariant lambda subexpressions — quadratic blowup on long
+    documents.) One explode + one doc-keyed shuffle; map-side combine
+    applies to the min() aggregates.
+
+    Hash family: ONE md5 per shingle; the ``num_hashes`` family members
+    are the Carter–Wegman affine combinations ``(h1 + i·h2) mod P`` of
+    two 60-bit digest halves reduced mod P = 2³¹−1 — pairwise-
+    independent, and 16× cheaper than one md5 per family member (the
+    digest dominates; the affine arithmetic is codegen adds/mults).
     """
     rows_per_band = num_hashes // bands
     sh = _shingle_df(df, id_col, text_col, shingle_n)
     exploded = sh.select("doc_id", F.explode("shingles").alias("_s"))
-    hashed = exploded.select(
+    digest = exploded.select("doc_id", F.md5("_s").alias("_d"))
+    P = _MINHASH_P
+    hashed = digest.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
+        (F.conv(F.substring("_d", 1, 15), 16, 10).cast("long") % P).alias("_h1"),
+        (F.conv(F.substring("_d", 17, 15), 16, 10).cast("long") % P).alias("_h2"),
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"_h{i}").alias(f"_s{i}") for i in range(num_hashes)]
+        *[
+            F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % P).alias(f"_s{i}")
+            for i in range(num_hashes)
+        ]
     )
     band_keys = [
         F.concat(

@@ -35,4 +35,9 @@ def get_spark(app_name: str = "vectorsearch_spark", cpus: int | None = None) -> 
         builder = builder.master(f"local[{cpus}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # attach the per-session observability registry (metrics.py) — the
+    # analog of the reference's Metrics singleton (util/Metrics.java)
+    from vectorsearch_spark.metrics import get_metrics
+
+    get_metrics(spark)
     return spark

@@ -848,9 +848,15 @@ sh AS (
   SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM corpus),
 sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
 sig AS (
+  -- one md5 per shingle; family member i = (h1 + i*h2) mod P with
+  -- P = 2^31-1 and h1/h2 the digest's two 60-bit halves reduced mod P
+  -- (mirrors operators/dedup.py minhash_lsh_pairs)
   SELECT doc_id, shingles,
          list_transform(range(0, 16),
-           i -> list_aggregate(list_transform(shingles, s -> md5(i || ':' || s)), 'min')) AS sig
+           i -> list_aggregate(list_transform(shingles,
+             s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483647
+                   + i * (CAST(concat('0x', substring(md5(s), 17, 15)) AS BIGINT) % 2147483647))
+                  % 2147483647), 'min')) AS sig
   FROM sh2),
 bands AS (
   SELECT doc_id, shingles,
@@ -982,13 +988,24 @@ SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM wins
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated against an EXACT all-pairs oracle, so this wrapper
+    pins ``exact_pair_limit`` above the bench corpus size: the
+    deterministic exact path runs here, keeping the gate immune to the
+    LSH path's ≈1e-4 per-pair candidate-miss probability (which would
+    make an exact-compare flaky by construction at larger SF). Unbounded
+    callers get the LSH default — the operator's scale path — and its
+    recall is separately gated in tests/test_text_dedup.py."""
     from vectorsearch_spark.operators.dedup import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    return embedding_near_dup(emb.unionByName(dup), threshold=0.95)
+    corpus = emb.unionByName(dup)
+    # row bound: covers the bench corpora (sf0.1 → 2080 rows); beyond it
+    # the wrapper would fall back to LSH and the oracle would need the
+    # rows-only gate instead
+    return embedding_near_dup(corpus, threshold=0.95, exact_pair_limit=10_000)
 
 
 DEDUP_EMBEDDING_SQL = f"""
