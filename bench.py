@@ -37,6 +37,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "doc_token_stats",
     "doc_fingerprints",

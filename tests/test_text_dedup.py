@@ -164,3 +164,36 @@ def test_language_id_german_vs_english(spark, docs):
     assert r[6] == "de"
     assert r[3] == "en"
     assert r[5] == "und"
+
+
+def test_duplicate_clusters_components(spark):
+    """Connected components: chain {0..5} (pointer-jump depth > 1),
+    pair {10,11}, and min-id keeper selection."""
+    from vectorsearch_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_clusters(pairs).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 10, 11}
+    for d in range(6):
+        assert rows[d]["cluster_id"] == 0
+        assert rows[d]["cluster_size"] == 6
+        assert rows[d]["is_keeper"] == (d == 0)
+    for d in (10, 11):
+        assert rows[d]["cluster_id"] == 10
+        assert rows[d]["cluster_size"] == 2
+        assert rows[d]["is_keeper"] == (d == 10)
+
+
+def test_duplicate_clusters_order_invariant(spark):
+    """Same components regardless of pair orientation/order."""
+    from vectorsearch_spark.operators.dedup import duplicate_clusters
+
+    a = spark.createDataFrame([(3, 7), (7, 9), (1, 2)], "doc_a long, doc_b long")
+    b = spark.createDataFrame([(9, 7), (2, 1), (7, 3)], "doc_a long, doc_b long")
+    ra = sorted(map(tuple, duplicate_clusters(a).collect()))
+    rb = sorted(map(tuple, duplicate_clusters(b).collect()))
+    assert ra == rb
+    assert {t[1] for t in ra} == {1, 3}  # two clusters rooted at min ids

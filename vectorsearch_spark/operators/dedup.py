@@ -54,22 +54,47 @@ def exact_duplicates(
 
 
 def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Tokenize → exchange → shingle, in that order, deliberately:
+    """Fan-out → tokenize → exchange → shingle, in that order,
+    deliberately:
 
-    - tokenization runs BELOW the repartition, so the regex evaluates
-      once per document and its result crosses the shuffle as data;
-    - the repartition both fans the CPU-heavy stage out to cluster
-      parallelism (document files are often few large partitions) and
-      acts as a projection barrier — without it Catalyst collapses the
-      projections and the per-shingle ``slice`` lambda re-evaluates the
-      tokenizer regex for EVERY shingle position (quadratic);
-    - shingling above the exchange reads the materialized token array.
+    - the conditional fan-out spreads raw text so the tokenizer regex —
+      the pipeline's dominant CPU cost — runs at cluster parallelism
+      even when the corpus is a handful of parquet files;
+    - tokenization runs BELOW the second repartition, so the regex
+      evaluates once per document and its result crosses the shuffle as
+      data;
+    - that repartition is ALSO the projection barrier — without it
+      Catalyst collapses the projections and the per-shingle ``slice``
+      lambda re-evaluates the tokenizer regex for EVERY shingle position
+      (quadratic);
+    - shingling above the exchange reads the materialized token array;
+    - the exchange subtree is identical for every downstream use
+      (signature build + both verify sides), so Spark's ReusedExchange
+      computes tokenization exactly once per query;
+    - there is deliberately NO ``size(shingles) > 0`` filter, and
+      ``InferFiltersFromGenerate`` is excluded on the session (it would
+      re-infer that filter from the downstream explode): predicate
+      pushdown sinks such a filter below the exchange and inlines the
+      ENTIRE tokenize+shingle expression into the narrow scan stage's
+      filter — re-computing it per row at file parallelism (measured
+      8 of 10 s of the pipeline at sf0.1). Empty shingle arrays are
+      harmless: they explode to zero rows, so such docs never form
+      signatures or pairs.
     """
     from vectorsearch_spark.functions.text import tokens
+    from vectorsearch_spark.operators.text import (
+        exclude_generate_filter_inference,
+        fan_out,
+    )
 
+    exclude_generate_filter_inference(df.sparkSession)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    src = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    )
+    tok = src.select(
+        "doc_id", tokens("_text").alias("_toks")
     ).repartition(parallelism, F.col("doc_id"))
     return tok.select(
         "doc_id",
@@ -79,7 +104,7 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
                 lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
             )
         ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
 
 
 def jaccard_pairs(
@@ -320,4 +345,88 @@ def embedding_near_dup(
         cand.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → per-doc cluster
+    assignment: (doc_id, cluster_id, cluster_size, is_keeper), where
+    cluster_id is the component's minimum doc_id (the conventional
+    "keep the first" survivor rule of dedup pipelines) and only docs
+    appearing in some pair are emitted (singletons are trivially their
+    own keeper).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round a node's label becomes min(own, labels of neighbors),
+    then labels are compressed one hop (l ← l∘l). Neighbor-min alone
+    converges in graph-diameter rounds; the pointer jump halves label
+    depth each round, giving O(log n) for chains — and near-dup
+    components are near-cliques, so 2-3 rounds is typical. Every round
+    is two bounded joins keyed by doc id (shuffle O(|E|+|V|), no
+    driver-side graph), with ``localCheckpoint`` truncating the
+    iterative plan (Catalyst analysis cost must not grow per round).
+    The fixpoint test (`changed == 0`) is exact, so results are
+    deterministic regardless of round count; ``max_iters`` only guards
+    against adversarial chains.
+    """
+    a = F.col(id_a).cast("long")
+    b = F.col(id_b).cast("long")
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label ← label(label)
+        l2 = stepped.select(
+            F.col("doc").alias("_ldoc"), F.col("label").alias("_llabel")
+        )
+        jumped = (
+            stepped.join(l2, stepped.label == l2._ldoc, "left")
+            .select(
+                "doc", F.coalesce("_llabel", F.col("label")).alias("label")
+            )
+        ).localCheckpoint()
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("doc").cast("long").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc") == F.col("label")).alias("is_keeper"),
+        )
     )

@@ -29,6 +29,40 @@ LANG_LEXICONS: dict[str, list[str]] = {
 }
 
 
+_INFER_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def exclude_generate_filter_inference(spark) -> None:
+    """Disable ``InferFiltersFromGenerate`` on this session (idempotent,
+    runtime-settable). The rule infers ``size(child) > 0`` from every
+    explode() and predicate-pushdown then sinks that filter below the
+    repartition — INLINING the generator's entire child expression
+    (tokenize + shingle here) into the narrow scan stage's filter, where
+    it re-runs per row at file parallelism. Measured: 8 of 10 seconds of
+    the minhash pipeline at sf0.1. The inferred filter buys nothing for
+    text pipelines (every non-null doc yields ≥1 shingle/token), so the
+    operators that explode expensive arrays turn the rule off."""
+    key = "spark.sql.optimizer.excludedRules"
+    try:
+        cur = spark.conf.get(key, None) or ""
+    except Exception:
+        cur = ""
+    if _INFER_GEN_RULE not in cur:
+        spark.conf.set(key, ",".join([c for c in (cur, _INFER_GEN_RULE) if c]))
+
+
+def fan_out(df: DataFrame, key_col: str) -> DataFrame:
+    """Spread a NARROW source (few parquet files) to cluster parallelism
+    before a CPU-bound stage; no-op when the input already has ≥
+    defaultParallelism partitions — at 100 TB (thousands of input
+    splits) this adds NO shuffle, while on small-file corpora it stops a
+    regex/hash stage from running 3-way parallel on a 32-core cluster."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, F.col(key_col))
+    return df
+
+
 def doc_stats_cols(text_col: str) -> list[Column]:
     """Stat/quality columns for a text column: lengths, token counts,
     ratios, and a composite quality score in [0, 1]."""
@@ -171,7 +205,7 @@ def winnow_fingerprints(
                     }
                 )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return fan_out(df.select(id_col, text_col), id_col).mapInPandas(
         mapper, f"{id_col} long, fingerprint long"
     )
 
@@ -189,9 +223,13 @@ def simhash_fingerprints(
     no per-bit re-hashing. Docs with zero tokens produce no fingerprint
     (they cannot be near-dups; exact dedup handles empty texts).
     """
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    exclude_generate_filter_inference(df.sparkSession)
+    hashed = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("_text"))).alias("tok"),
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),

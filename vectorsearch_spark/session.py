@@ -35,6 +35,13 @@ def get_spark(app_name: str = "vectorsearch_spark", cpus: int | None = None) -> 
         builder = builder.master(f"local[{cpus}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # InferFiltersFromGenerate duplicates expensive explode() children
+    # into pushed-down scan filters (see operators/text.py) — off by
+    # default for our sessions; operators also set it defensively for
+    # externally-built sessions
+    from vectorsearch_spark.operators.text import exclude_generate_filter_inference
+
+    exclude_generate_filter_inference(spark)
     # attach the per-session observability registry (metrics.py) — the
     # analog of the reference's Metrics singleton (util/Metrics.java)
     from vectorsearch_spark.metrics import get_metrics

@@ -877,6 +877,37 @@ FROM verified WHERE jaccard >= 0.5
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs:
+    per-doc cluster assignment + keeper selection (the step a real
+    dedup pipeline runs AFTER pair generation). Oracle: DuckDB
+    recursive-CTE transitive closure with min-label roots."""
+    from vectorsearch_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _dedup_corpus(spark, sf_dir), num_hashes=16, bands=8, threshold=0.5
+    )
+    return duplicate_clusters(pairs)
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+assign AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+SELECT CAST(doc AS BIGINT) AS doc_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size, doc = a.cluster_id AS is_keeper
+FROM assign a JOIN sizes s ON s.cluster_id = a.cluster_id
+"""
+
+
 _JACCARD_DF_CAP = 1000
 
 
@@ -1235,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_scores": lang_id_scores,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "dedup_jaccard_ngram": dedup_jaccard_ngram,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1277,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_scores": _lang_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+        "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "dedup_jaccard_ngram": DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
