@@ -370,7 +370,11 @@ def duplicate_clusters(
     is two bounded joins keyed by doc id (shuffle O(|E|+|V|), no
     driver-side graph), with ``localCheckpoint`` truncating the
     iterative plan (Catalyst analysis cost must not grow per round).
-    The fixpoint test (`changed == 0`) is exact, so results are
+
+    Convergence test: labels are per-node MONOTONE NON-INCREASING, so
+    Σlabel is strictly decreasing until the fixpoint — comparing the sum
+    across rounds is an exact changed-rows test that costs one
+    aggregation instead of a self-join per round. Results are
     deterministic regardless of round count; ``max_iters`` only guards
     against adversarial chains.
     """
@@ -386,6 +390,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("doc"))
     ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc)
@@ -411,15 +416,11 @@ def duplicate_clusters(
                 "doc", F.coalesce("_llabel", F.col("label")).alias("label")
             )
         ).localCheckpoint()
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
