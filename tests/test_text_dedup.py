@@ -197,3 +197,29 @@ def test_duplicate_clusters_order_invariant(spark):
     rb = sorted(map(tuple, duplicate_clusters(b).collect()))
     assert ra == rb
     assert {t[1] for t in ra} == {1, 3}  # two clusters rooted at min ids
+
+
+def test_token_counts_known_values(spark):
+    from vectorsearch_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's a test"),
+            (2, "hello worldly 12345!"),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_counts(df).collect()}
+    # "it's a test": ws [it's, a, test]; pieces [it, 's, a, test]
+    assert rows[1]["n_ws_tokens"] == 3
+    assert rows[1]["n_pieces"] == 4
+    assert rows[1]["n_subword_est"] == 4
+    # "hello worldly 12345!": pieces [hello, worldly, 123, 45, !];
+    # hello(5)->2, worldly(7)->2, digits/punct -> 1 each
+    assert rows[2]["n_ws_tokens"] == 3
+    assert rows[2]["n_pieces"] == 5
+    assert rows[2]["n_subword_est"] == 7
+    assert tuple(rows[3])[1:] == (0, 0, 0)
+    assert tuple(rows[4])[1:] == (0, 0, 0)

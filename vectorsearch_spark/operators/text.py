@@ -249,3 +249,50 @@ def simhash_fingerprints(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance of two long fingerprints: popcount(a XOR b)."""
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+# BPE-ish pre-tokenization pieces: contraction suffixes, letter runs,
+# ≤3-digit runs (BPE-style number chunking), single other glyphs —
+# alternatives are disambiguated by first character so Java regex
+# (Spark) and RE2 (DuckDB) pick identical matches.
+BPE_PIECE_RE = "'[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]"
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token-count estimators per document (the sizing pass every
+    LLM-training pipeline runs before sampling/packing):
+
+    - ``n_ws_tokens``      — whitespace-split word count;
+    - ``n_pieces``         — BPE-ish pre-tokenization pieces
+      (``BPE_PIECE_RE`` over lowercased text);
+    - ``n_subword_est``    — subword estimate: 1 per piece plus an extra
+      split per 4 characters beyond the first for alphabetic runs
+      (long/rare words fragment under BPE; digits/punct are already
+      chunked by the regex).
+
+    Pure codegen narrow projection — the 100 TB shape; the aggregate
+    lambda touches only its own element/accumulator variables, so the
+    Catalyst re-evaluation trap does not apply.
+    """
+    t = F.trim(F.col(text_col))
+    ws = F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(t, r"\s+")).cast("long")
+    )
+    pieces = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0))
+    sub_est = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + 1
+        + F.when(
+            p.rlike("^[a-z]"), F.floor((F.length(p) - 1) / 4).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        sub_est.alias("n_subword_est"),
+    )

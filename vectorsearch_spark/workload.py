@@ -814,6 +814,32 @@ _DEDUP_CORPUS_SQL = """
 """
 
 
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimators (whitespace / BPE-ish pieces / subword
+    estimate) — the sizing pass before sampling/packing."""
+    from vectorsearch_spark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+# mirrors operators/text.py token_counts: BPE piece regex + the
+# 1-per-piece + extra-split-per-4-chars alphabetic subword estimate
+DOC_TOKEN_COUNTS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, trim(text) AS t,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS pieces
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN length(t) = 0 THEN 0
+            ELSE len(regexp_split_to_array(t, '\s+')) END::BIGINT AS n_ws_tokens,
+       len(pieces)::BIGINT AS n_pieces,
+       list_aggregate(list_prepend(CAST(0 AS BIGINT), list_transform(pieces,
+         p -> 1 + CASE WHEN regexp_matches(p, '^[a-z]')
+                       THEN (length(p) - 1) // 4 ELSE 0 END)), 'sum')::BIGINT AS n_subword_est
+FROM base
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.operators.dedup import exact_duplicates
 
@@ -1263,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_exhaustive": ann_lsh_exhaustive,
         "doc_token_stats": doc_token_stats,
+        "doc_token_counts": doc_token_counts,
         "lang_id_scores": lang_id_scores,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1306,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_exhaustive": _knn_sql(Metric.L2),
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_token_stats": DOC_STATS_SQL,
+        "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
         "lang_id_scores": _lang_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
