@@ -48,9 +48,12 @@ _FUNCTIONS: dict[str, str] = {
                  / (sqrt({_DOT.format(a="a", b="a")}) * sqrt({_DOT.format(a="b", b="b")}))
         END
     """,
+    # clamped at 0 like distance_for_metric: fp error can put a
+    # self-pair's similarity at 1+1ulp, and a raw −2e-16 distance rounds
+    # to −0.0 in sign-preserving engines (functions/distances.py)
     "vs_cosine_distance": """
         CREATE OR REPLACE TEMPORARY FUNCTION vs_cosine_distance(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
-        RETURNS DOUBLE RETURN 1D - vs_cosine(a, b)
+        RETURNS DOUBLE RETURN greatest(1D - vs_cosine(a, b), 0D)
     """,
 }
 

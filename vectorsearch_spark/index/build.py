@@ -8,17 +8,19 @@ PQ (iters=5, seeded), encode every row, build the neighbor graph
 (PENDING/WRITING → SEALED) with a zero-codebook fallback for empty
 segments (``SegmentBuildService.java:346-392``).
 
-Spark shape: one ``applyInPandas`` group per segment for training and
-graph build (a segment is bounded by max_segment_size → one executor
-task, the same one-segment-per-worker contract as the reference), and
-one Arrow-batched ``mapInPandas`` pass for encoding with the trained
-codebooks broadcast. All segments build in parallel across the
-cluster in a single job.
+Spark shape: ONE ``applyInPandas`` task per segment computes all three
+artifacts (train → encode → graph) in a single pass — one shuffle of
+the segment vectors total, the same one-segment-per-worker contract as
+the reference (SegmentBuildService builds a whole segment in one
+worker). The mixed-kind result is persisted (it is codes+graph-sized,
+far smaller than the embeddings) and split into the three artifact
+tables with dynamic-partition-overwrite writes, so rebuilds stay
+idempotent. Rows are sorted by vec_id inside the task, making codebook
+training deterministic under shuffle nondeterminism. All segments
+build in parallel across the cluster in a single job.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -34,6 +36,12 @@ CODEBOOK_SCHEMA = "seg_id int, m int, k int, sub_dim int, centroids array<double
 CODES_SCHEMA = "seg_id int, vec_id int, codes binary"
 ADJ_SCHEMA = "seg_id int, vec_id int, neighbor_ids array<int>"
 
+# one-pass build output: tagged union of the three artifact kinds
+_STAGE_SCHEMA = (
+    "seg_id int, kind string, vec_id int, codes binary, "
+    "neighbor_ids array<int>, m int, k int, sub_dim int, centroids array<double>"
+)
+
 
 def _dynamic_overwrite(index: VectorIndex, df, path: str) -> None:
     """Replace only the seg_id partitions present in df (rebuilds are
@@ -47,76 +55,52 @@ def _dynamic_overwrite(index: VectorIndex, df, path: str) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def _write_codebooks(index: VectorIndex, cb_df, seg_ids: list[int]) -> None:
-    """Codebooks are partitioned by seg_id like the other artifact
-    tables, so an idempotent rebuild is one dynamic partition overwrite
-    (no staged read-modify-write of the whole table)."""
-    _dynamic_overwrite(index, cb_df, index.codebooks_path)
+def _build_segment_fn(cfg):
+    """Train + encode + graph for ONE segment, emitted as tagged rows."""
+    m, kk, iters, seed = cfg.pq_m, cfg.pq_k, cfg.pq_iters, cfg.seed
+    degree, l_build, alpha = cfg.graph_degree, cfg.graph_build_breadth, cfg.graph_alpha
 
-
-def _train_fn(m: int, k: int, iters: int, seed: int):
-    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(pdf["seg_id"].iloc[0])
-        x = np.stack(pdf["embedding"].to_numpy())
-        cb = train_codebook(x, m, k, iters, seed)
-        return pd.DataFrame(
-            {
-                "seg_id": [seg_id],
-                "m": [m],
-                "k": [k],
-                "sub_dim": [cb.shape[2]],
-                "centroids": [cb.ravel().tolist()],
-            }
-        )
-
-    return train
-
-
-def _encode_fn(codebooks):
-    """``codebooks``: {seg_id: ndarray} dict or a Spark Broadcast of one
-    (broadcast → one copy per executor, not per task)."""
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cb_map = codebooks.value if hasattr(codebooks, "value") else codebooks
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = []
-            for seg_id, grp in pdf.groupby("seg_id"):
-                cb = cb_map[int(seg_id)]
-                x = np.stack(grp["embedding"].to_numpy())
-                codes = encode(x, cb)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "seg_id": np.full(len(grp), seg_id, dtype=np.int32),
-                            "vec_id": grp["vec_id"].to_numpy(dtype=np.int32),
-                            "codes": [c.tobytes() for c in codes],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
-
-    return enc
-
-
-def _graph_fn(degree: int, l_build: int, alpha: float, seed: int):
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg_id = int(pdf["seg_id"].iloc[0])
+        # sort: graph neighbors are positional within the sorted group
+        # (dense 0..n-1 normally, but vacuum can leave holes), and a
+        # fixed row order makes PQ training deterministic
         pdf = pdf.sort_values("vec_id", ignore_index=True)
         x = np.stack(pdf["embedding"].to_numpy())
         vec_ids = pdf["vec_id"].to_numpy(dtype=np.int32)
-        # graph neighbors are positional within the sorted group; map back
-        # to vec_ids (dense 0..n-1 normally, but vacuum can leave holes)
+        n = len(pdf)
+
+        cb = train_codebook(x, m, kk, iters, seed)
+        codes = encode(x, cb)
         adj = build_graph(x, degree, l_build, alpha, seed)
-        return pd.DataFrame(
+
+        cb_row = pd.DataFrame(
             {
-                "seg_id": np.full(len(pdf), seg_id, dtype=np.int32),
-                "vec_id": vec_ids,
-                "neighbor_ids": [vec_ids[a].tolist() for a in adj],
+                "seg_id": [seg_id], "kind": ["cb"], "vec_id": [None],
+                "codes": [None], "neighbor_ids": [None],
+                "m": [m], "k": [kk], "sub_dim": [cb.shape[2]],
+                "centroids": [cb.ravel().tolist()],
             }
         )
+        code_rows = pd.DataFrame(
+            {
+                "seg_id": np.full(n, seg_id, dtype=np.int32), "kind": "code",
+                "vec_id": vec_ids, "codes": [c.tobytes() for c in codes],
+                "neighbor_ids": None, "m": None, "k": None, "sub_dim": None,
+                "centroids": None,
+            }
+        )
+        adj_rows = pd.DataFrame(
+            {
+                "seg_id": np.full(n, seg_id, dtype=np.int32), "kind": "adj",
+                "vec_id": vec_ids, "codes": None,
+                "neighbor_ids": [vec_ids[a].tolist() for a in adj],
+                "m": None, "k": None, "sub_dim": None, "centroids": None,
+            }
+        )
+        return pd.concat([cb_row, code_rows, adj_rows], ignore_index=True)
 
-    return build
+    return run
 
 
 def build_segments(index: VectorIndex, seg_ids: list[int] | None = None) -> list[int]:
@@ -143,43 +127,38 @@ def build_segments(index: VectorIndex, seg_ids: list[int] | None = None) -> list
         .filter(F.col("seg_id").isin(targets) & ~F.col("deleted"))
         .select("seg_id", "vec_id", emb.alias("embedding"))
     )
-    vec = vec.persist()
-    present = [r["seg_id"] for r in vec.select("seg_id").distinct().collect()]
+
+    # ONE pass: per-segment train+encode+graph (single shuffle of the
+    # vectors); artifacts are codes+graph-sized, so persisting them for
+    # the three split writes is cheap (vs persisting the embeddings)
+    staged = (
+        vec.groupBy("seg_id")
+        .applyInPandas(_build_segment_fn(cfg), _STAGE_SCHEMA)
+        .persist()
+    )
+    present = [
+        r["seg_id"] for r in staged.filter(F.col("kind") == "cb").select("seg_id").collect()
+    ]
 
     if present:
-        # 1) train codebooks (one task per segment); replace any prior
-        #    rows for these segs so rebuild is idempotent
-        #    (tasks/SegmentBuildServiceIdempotentTest.java behavior)
-        cb_df = (
-            vec.groupBy("seg_id")
-            .applyInPandas(
-                _train_fn(cfg.pq_m, cfg.pq_k, cfg.pq_iters, cfg.seed), CODEBOOK_SCHEMA
-            )
-            .persist()
+        # idempotent rebuild: replace exactly the seg_id partitions
+        # being rebuilt in each artifact table
+        # (tasks/SegmentBuildServiceIdempotentTest.java behavior)
+        cb_df = staged.filter(F.col("kind") == "cb").select(
+            "seg_id", "m", "k", "sub_dim", "centroids"
         )
-        cbs = {
-            int(r["seg_id"]): np.array(r["centroids"], dtype=np.float64).reshape(
-                r["m"], r["k"], r["sub_dim"]
-            )
-            for r in cb_df.collect()
-        }
-        _write_codebooks(index, cb_df, present)
-
-        # 2) encode all rows (Arrow batches; codebooks as a broadcast
-        #    variable — one copy per executor, O(#segments × m·k·sub_dim))
-        cbs_bc = index.spark.sparkContext.broadcast(cbs)
-        codes = vec.mapInPandas(_encode_fn(cbs_bc), CODES_SCHEMA)
+        _dynamic_overwrite(index, cb_df, index.codebooks_path)
+        codes = staged.filter(F.col("kind") == "code").select(
+            "seg_id", "vec_id", "codes"
+        )
         _dynamic_overwrite(index, codes, index.codes_path)
-
-        # 3) neighbor graph (one task per segment)
-        adj = vec.groupBy("seg_id").applyInPandas(
-            _graph_fn(cfg.graph_degree, cfg.graph_build_breadth, cfg.graph_alpha, cfg.seed),
-            ADJ_SCHEMA,
+        adj = staged.filter(F.col("kind") == "adj").select(
+            "seg_id", "vec_id", "neighbor_ids"
         )
         _dynamic_overwrite(index, adj, index.adjacency_path)
 
-    vec.unpersist()
-    # 4) seal — empty segments seal too (zero-codebook fallback,
-    #    SegmentBuildService.java:346-392: guarantees state transition)
+    staged.unpersist()
+    # seal — empty segments seal too (zero-codebook fallback,
+    # SegmentBuildService.java:346-392: guarantees state transition)
     index.update_segment_states({sid: {"state": SEALED} for sid in targets})
     return targets
