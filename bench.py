@@ -59,8 +59,42 @@ def _index_build(spark, sf_dir):
     return idx.segments()
 
 
+def _index_maintenance(spark, sf_dir):
+    """Delete → vacuum → 2-segment compaction on a fresh throwaway
+    index (the BASELINE.md maintenance benchmark): measures the
+    tombstone write, the partition rewrite, and the gid-stable
+    compaction rewrite end-to-end."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.config import IndexConfig
+    from vectorsearch_spark.index import VectorIndex
+
+    path = "/tmp/vsidx_bench_maint"
+    shutil.rmtree(path, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 1000
+    )
+    dim = len(emb.select("embedding").first()[0])
+    cfg = IndexConfig(
+        name="maint", dimension=dim, max_segment_size=250, pq_m=8, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, oversample=4, seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    idx.add(emb.select("vec_id", "embedding"), order_col="vec_id")
+    idx.build()
+    # tombstone 40% of segment 0 (forces the vacuum gate open), then
+    # vacuum it and compact the two smallest sealed segments
+    idx.delete(list(range(0, 100)))
+    idx.vacuum(0, force=True)
+    idx.compact(idx.plan_compaction(max_batch=2) or [1, 2])
+    return idx.segments()
+
+
 EXTRA: dict = {
     "index_build": _index_build,
+    "index_maintenance": _index_maintenance,
     "index_search_sealed": None,  # resolved from the workload registry
 }
 

@@ -639,3 +639,21 @@ def test_graph_traversal_broadcasts_frontier(spark, built_index):
     for p in plans:
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+def test_codebook_cache_serves_and_invalidates(spark, built_index):
+    """Driver codebook cache (SegmentCaches analog): warm after a
+    search, correct contents, and cleared by any registry mutation so
+    a rebuilt segment can never serve a stale codebook."""
+    idx, data, sealed = built_index
+    cbs = idx.codebooks_np(sealed)
+    assert sorted(cbs) == sealed
+    assert all(c.shape == (4, 16, 2) for c in cbs.values())
+    assert sorted(idx._codebook_np_cache) == sealed  # cached
+    # mutation → invalidated
+    idx.update_segment_states({})
+    assert idx._codebook_np_cache == {}
+    # re-fetch repopulates with equal values
+    again = idx.codebooks_np(sealed)
+    for s in sealed:
+        assert (again[s] == cbs[s]).all()

@@ -121,6 +121,13 @@ class VectorIndex:
         self.config = config
         self._meta_cache: dict | None = None
         self._segments_cache: list[dict] | None = None
+        # driver-side codebook cache (analog of the reference's
+        # SegmentCaches, cache/SegmentCaches.java:210-270): avoids a
+        # Spark job per search to re-collect unchanged codebooks.
+        # Invalidated wholesale on ANY registry mutation (build, seal,
+        # compact, vacuum, delete all route through
+        # update_segment_states). Bounded O(#segments × m·k·sub_dim).
+        self._codebook_np_cache: dict[int, "object"] = {}
 
     # -- paths ---------------------------------------------------------
     @property
@@ -312,6 +319,7 @@ class VectorIndex:
                 }
             )
         self._overwrite_segments(sorted(rows, key=lambda r: r["seg_id"]))
+        self._codebook_np_cache.clear()
 
     def registered_seg_ids(self, states: tuple[str, ...] | None = None) -> list[int]:
         return [
@@ -341,6 +349,24 @@ class VectorIndex:
         if seg_ids is not None:
             df = df.filter(F.col("seg_id").isin(seg_ids))
         return df
+
+    def codebooks_np(self, seg_ids: list[int]) -> dict[int, "object"]:
+        """{seg_id: (m, k, sub_dim) float64 ndarray} for the given
+        segments, served from the driver cache; only missing segments
+        cost a (filtered) collect."""
+        import numpy as np
+
+        missing = [s for s in seg_ids if s not in self._codebook_np_cache]
+        if missing:
+            for r in self.codebooks(missing).collect():
+                self._codebook_np_cache[int(r["seg_id"])] = np.array(
+                    r["centroids"], dtype=np.float64
+                ).reshape(r["m"], r["k"], r["sub_dim"])
+        return {
+            s: self._codebook_np_cache[s]
+            for s in seg_ids
+            if s in self._codebook_np_cache
+        }
 
     def resolve_ids(self, gids: list[int]) -> DataFrame:
         """gid → (seg_id, vec_id); missing gids absent from the result

@@ -260,13 +260,16 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explor
         w = Window.partitionBy("query_id", "seg_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
         )
+        # no checkpoint here: state(i+1) references state(i) exactly once
+        # (the union), so lineage depth grows LINEARLY in rounds — only
+        # `scored` (referenced by broadcast twice per round) needs eager
+        # materialization. Saves one Spark job per round.
         state = (
             state.unionByName(scored)
             .withColumn("_rn", F.row_number().over(w))
             .join(ef_df, "seg_id")
             .filter(F.col("_rn") <= F.col("ef"))
             .drop("_rn", "ef")
-            .localCheckpoint()
         )
         if over_budget:
             break
@@ -317,13 +320,9 @@ def search(
         candidate_parts.append(partial.select("query_id", F.col("id").alias("gid"), "distance"))
 
     if sealed_segs:
-        cb_rows = index.codebooks(sealed_segs).collect()
-        cbs = {
-            int(r["seg_id"]): np.array(r["centroids"], dtype=np.float64).reshape(
-                r["m"], r["k"], r["sub_dim"]
-            )
-            for r in cb_rows
-        }
+        # driver codebook cache (SegmentCaches analog): no Spark job
+        # when the sealed set is unchanged since the last search
+        cbs = index.codebooks_np(sealed_segs)
         # broadcast, not closure-capture: at 100k+ segments the codebook
         # dict is O(#segments × m·k·sub_dim) — shipped once per executor
         # as a broadcast instead of serialized into every task
