@@ -223,3 +223,26 @@ def test_token_counts_known_values(spark):
     assert rows[2]["n_subword_est"] == 7
     assert tuple(rows[3])[1:] == (0, 0, 0)
     assert tuple(rows[4])[1:] == (0, 0, 0)
+
+
+def test_minhash_band_freq_cap_drops_hot_buckets(spark):
+    """A duplicate group larger than max_band_freq lands every copy in
+    the same band buckets, which the cap drops (quadratic-pair guard);
+    exact_duplicates still resolves the group linearly, and small
+    near-dup groups survive the cap."""
+    from vectorsearch_spark.operators.dedup import exact_duplicates, minhash_lsh_pairs
+
+    big = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(20)]
+    small = [
+        (100, "completely different text about spark catalyst optimizers"),
+        (101, "completely different text about spark catalyst optimizers"),
+    ]
+    df = spark.createDataFrame(big + small, "doc_id long, text string")
+    capped = minhash_lsh_pairs(df, max_band_freq=10).collect()
+    ids = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+    assert ids == {100, 101}  # the 20-copy group was dropped by the cap
+    uncapped = minhash_lsh_pairs(df, max_band_freq=None).collect()
+    assert len(uncapped) == 20 * 19 // 2 + 1  # full quadratic without cap
+    # and the linear path still reports the big group
+    ex = exact_duplicates(df).collect()
+    assert {(r["n_copies"], r["keeper_id"]) for r in ex} == {(20, 0), (2, 100)}

@@ -23,7 +23,7 @@ Scale design, per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectorsearch_spark.functions.distances import cosine
@@ -34,6 +34,30 @@ from vectorsearch_spark.operators.text import hamming64, simhash_fingerprints
 # shingle with md5 halves (h1, h2) is (h1 + i·h2) mod P — one digest
 # per shingle, the rest is codegen arithmetic.
 _MINHASH_P = 2147483647
+
+# Hot-band-bucket cap (see _cap_band_freq): the LSH analog of
+# jaccard_pairs' max_shingle_freq.
+MAX_BAND_FREQ_DEFAULT = 5000
+
+
+def _cap_band_freq(buckets: DataFrame, max_band_freq: int | None) -> DataFrame:
+    """Drop band buckets larger than ``max_band_freq`` before the
+    self-join. A band shared by f docs contributes f·(f-1)/2 candidate
+    pairs, so ONE degenerate bucket (a boilerplate band, a giant
+    exact-duplicate group) turns the bucket-local join quadratic — the
+    plan that dies at 100 TB. Groups that large are byte-identical
+    duplicates in practice, which ``exact_duplicates`` already resolves
+    with a linear hash-groupBy; near-dup TEXT groups beyond the cap
+    are vanishingly rare. One window count per bucket (same shuffle key
+    as the join that follows)."""
+    if max_band_freq is None:
+        return buckets
+    w = Window.partitionBy("band_key")
+    return (
+        buckets.withColumn("_bf", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bf") <= max_band_freq)
+        .drop("_bf")
+    )
 
 
 def exact_duplicates(
@@ -165,6 +189,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_band_freq: int | None = MAX_BAND_FREQ_DEFAULT,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: banded signature bucketing generates
     candidates, exact Jaccard verifies. Returns (doc_a, doc_b, jaccard)
@@ -215,7 +240,10 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    buckets = _cap_band_freq(
+        sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key")),
+        max_band_freq,
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -244,11 +272,13 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     band_bits: int = 15,
+    max_band_freq: int | None = MAX_BAND_FREQ_DEFAULT,
 ) -> DataFrame:
     """SimHash near-dup pairs: 60-bit fingerprints, candidates share at
     least one of four 15-bit bands (any pair within Hamming ≤ 3 must;
     larger radii are caught heuristically), verified by exact Hamming
-    distance ≤ ``max_hamming``."""
+    distance ≤ ``max_hamming``. ``max_band_freq`` caps hot band buckets
+    (see ``_cap_band_freq``)."""
     fp = simhash_fingerprints(df, id_col, text_col)
     bands = 60 // band_bits
     band_keys = F.array(
@@ -262,7 +292,10 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = fp.select("doc_id", "simhash", F.explode(band_keys).alias("band_key"))
+    banded = _cap_band_freq(
+        fp.select("doc_id", "simhash", F.explode(band_keys).alias("band_key")),
+        max_band_freq,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -325,9 +358,12 @@ def embedding_near_dup(
     from vectorsearch_spark.operators.similarity import lsh_signatures
 
     dim = len(df.select(vec_col).first()[0])
-    sig = lsh_signatures(
-        df, dim, n_tables=n_tables, n_bits=n_bits, id_col=id_col, vec_col=vec_col,
-        seed=seed,
+    sig = _cap_band_freq(
+        lsh_signatures(
+            df, dim, n_tables=n_tables, n_bits=n_bits, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        ),
+        MAX_BAND_FREQ_DEFAULT,
     )
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band_key"

@@ -889,9 +889,12 @@ bands AS (
          unnest(list_transform(range(0, 8),
            b -> b || '|' || md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), ',')))) AS band_key
   FROM sig),
+-- hot-band-bucket cap, mirroring operators/dedup.py _cap_band_freq
+bands2 AS (
+  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_key) <= 5000),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+  FROM bands2 a JOIN bands2 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 verified AS (
   SELECT doc_a, doc_b,
          CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
@@ -1003,10 +1006,13 @@ fp AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed),
 keys AS (
   SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bk
   FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b)),
+-- hot-band-bucket cap, mirroring operators/dedup.py _cap_band_freq
+keys2 AS (
+  SELECT * FROM keys QUALIFY count(*) OVER (PARTITION BY b, bk) <= 5000),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
          a.simhash AS sa, c.simhash AS sb
-  FROM keys a JOIN keys c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+  FROM keys2 a JOIN keys2 c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
