@@ -119,3 +119,50 @@ def test_knn_expr_distance_nonnegative_and_symmetric_top1(spark, vecs):
     for r in rows:
         assert r["distance"] >= 0.0
         assert math.copysign(1.0, r["distance"]) == 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    m=st.sampled_from([2, 4]),
+    k=st.sampled_from([4, 16]),
+)
+def test_pq_lut_distance_equals_explicit(spark, data, m, k):
+    """For arbitrary float data: (a) the LUT asymmetric distance equals
+    the explicitly computed L2² between the query and each row's
+    RECONSTRUCTION, and (b) encode assigns every subvector to its
+    nearest centroid."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.pq import (
+        approx_distances,
+        build_lut,
+        encode,
+        train_codebook,
+    )
+
+    n = data.draw(st.integers(min_value=k, max_value=40))
+    dim = m * data.draw(st.sampled_from([2, 4]))
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    x = rng.randn(n, dim)
+    q = rng.randn(dim)
+
+    cb = train_codebook(x, m, k, iters=3, seed=7)
+    codes = encode(x, cb)
+    lut = build_lut(cb, q)
+    got = approx_distances(codes, lut)
+
+    sub = dim // m
+    recon = np.stack(
+        [
+            np.concatenate([cb[j, codes[i, j]] for j in range(m)])
+            for i in range(n)
+        ]
+    )
+    expect = ((recon - q) ** 2).sum(axis=1)
+    assert np.allclose(got, expect, atol=1e-9)
+    # encode optimality: each chosen centroid is the argmin for its subvector
+    for i in range(min(n, 5)):
+        for j in range(m):
+            d = ((cb[j] - x[i, j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+            assert d[codes[i, j]] <= d.min() + 1e-12

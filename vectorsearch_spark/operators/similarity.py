@@ -309,6 +309,7 @@ def ann_lsh_join(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_freq: int | None = None,
 ) -> DataFrame:
     """LSH ANN join for cosine-like metrics: candidates share a bucket
     in ≥1 of ``n_tables`` sign-signature tables; exact verify + top-k.
@@ -316,12 +317,26 @@ def ann_lsh_join(
     Unlike ``knn_join`` this never collects the query side — both sides
     are DataFrames bucketed by band_key, so it also serves query sets
     too large to broadcast (the join is bucket-keyed, not cross).
+
+    ``max_bucket_freq`` (opt-in) drops vector-side buckets larger than
+    the cap before the join — the skew guard for degenerate buckets
+    (e.g. a near-zero-entropy embedding cluster putting millions of
+    vectors in one band). It trades recall for a bound on join fan-out,
+    so it is OFF by default: exact configurations (n_bits=0 single
+    table, the oracle twin) put ALL vectors in one bucket by design.
     """
     metric = Metric(metric)
     dim = len(vectors.select(vec_col).first()[0])
     v_sig = lsh_signatures(
         vectors, dim, n_tables, n_bits, id_col=id_col, vec_col=vec_col, seed=seed
     )
+    if max_bucket_freq is not None:
+        w_bf = Window.partitionBy("band_key")
+        v_sig = (
+            v_sig.withColumn("_bf", F.count(F.lit(1)).over(w_bf))
+            .filter(F.col("_bf") <= max_bucket_freq)
+            .drop("_bf")
+        )
     q_sig = lsh_signatures(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qvec")
