@@ -1,0 +1,74 @@
+"""Curation operator tests: deterministic hash sampling and token-budget
+shard packing invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.operators.curate import curate_sample, pack_token_shards
+
+
+def test_pack_token_shards_invariants(spark):
+    rows = [(i, "word " * (10 * (i % 7 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 300
+    out = pack_token_shards(df, budget=budget).collect()
+    assert len(out) == 200
+    by_id = sorted(out, key=lambda r: r["doc_id"])
+    # shards are contiguous and non-decreasing in doc order
+    shards = [r["shard_id"] for r in by_id]
+    assert shards == sorted(shards)
+    assert shards[0] == 0
+    # start-offset definition: a shard's docs START inside its budget
+    # window, so total(shard) < budget + max_doc_tokens
+    totals: dict[int, int] = {}
+    for r in by_id:
+        totals[r["shard_id"]] = totals.get(r["shard_id"], 0) + r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in by_id)
+    for sid, tot in totals.items():
+        assert tot < budget + max_doc
+    # every shard except possibly the last crosses its budget boundary
+    for sid in sorted(totals)[:-1]:
+        assert totals[sid] + max_doc >= budget
+
+
+def test_pack_token_shards_partitioning_invariant(spark):
+    """Same shard assignment no matter how the input is partitioned —
+    the two-phase prefix sum is globally consistent."""
+    rows = [(i, "alpha beta gamma " * (i % 5 + 1)) for i in range(120)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+    ra = sorted(map(tuple, pack_token_shards(a, budget=100).collect()))
+    rb = sorted(map(tuple, pack_token_shards(b, budget=100).collect()))
+    assert ra == rb
+
+
+def test_pack_token_shards_oversized_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "w " * 50), (1, "x " * 500), (2, "y " * 50)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["shard_id"] for r in pack_token_shards(df, budget=100).collect()}
+    # doc 1 exceeds the budget alone; doc 2 starts past it in a new shard
+    assert out[0] == 0
+    assert out[1] >= out[0]
+    assert out[2] > out[1]
+
+
+def test_curate_sample_deterministic_and_gated(spark):
+    rows = [
+        (i, "the quick brown fox is happy with the state of things " * 3)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept1 = {r["doc_id"] for r in curate_sample(df, {"en": 0.5}).collect()}
+    kept2 = {r["doc_id"] for r in curate_sample(df, {"en": 0.5}).collect()}
+    assert kept1 == kept2  # rerun-stable (hash-based, not rand())
+    assert 0 < len(kept1) < 100  # the rate actually thins
+    none = curate_sample(df, {"en": 0.0}).collect()
+    assert none == []  # zero rate, default 0
+    all_en = {r["doc_id"] for r in curate_sample(df, {"en": 1.0}).collect()}
+    assert all_en == set(range(100))  # rate 1.0 keeps everything
+    # quality gate dominates: impossible threshold keeps nothing
+    assert curate_sample(df, {"en": 1.0}, min_quality=1.01).collect() == []

@@ -1,0 +1,138 @@
+"""Corpus curation operators: deterministic sampling and token-budget
+shard packing — the selection/packing passes a large-scale training-data
+pipeline runs after dedup + quality scoring (north-star extensions per
+BASELINE.json; no reference analog).
+
+Scale design:
+
+- ``curate_sample``: pure codegen narrow filter. Selection is
+  HASH-determined (md5 of the doc id against a per-language rate), not
+  ``rand()``-based — reruns, retries, and engines all agree on the kept
+  set, which is what makes the pass auditable and the oracle exact.
+- ``pack_token_shards``: assigns docs (ordered by id) to contiguous
+  shards of ≤ ``budget`` tokens using a GLOBAL prefix sum computed in
+  two partition-parallel passes (per-partition subtotals → broadcast
+  offsets → within-partition cumsum), the same shape as dense-gid
+  assignment (index/ingest.py with_dense_ids) — a naive
+  ``Window.orderBy(...)`` with no partition key would funnel the whole
+  table through ONE task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# selection granularity for hash-rate comparisons: md5-derived uniform
+# integer in [0, 1e6) — mirrored literally in the DuckDB oracle
+_RATE_MOD = 1_000_000
+
+
+def hash_rate_col(id_col: str) -> F.Column:
+    """Deterministic uniform [0, 1e6) selector: first 15 hex chars of
+    md5(doc_id) mod 1e6 (portable: Spark conv/md5 ≡ DuckDB)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _RATE_MOD
+    )
+
+
+def curate_sample(
+    df: DataFrame,
+    rates_by_lang: dict[str, float],
+    min_quality: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Quality-gated, per-language deterministic sampling: keep a doc
+    iff ``quality_score >= min_quality`` AND its hash selector falls
+    under its language's rate. Languages absent from ``rates_by_lang``
+    get ``default_rate``. Returns (doc_id, pred_lang, quality_score) of
+    the kept docs — one narrow pass, no shuffle, rerun-stable."""
+    from vectorsearch_spark.operators.text import doc_stats_cols, language_id
+
+    lang = language_id(df, id_col, text_col).select(id_col, "pred_lang")
+    qual = df.select(F.col(id_col), *doc_stats_cols(text_col)).select(
+        id_col, "quality_score"
+    )
+    rate = F.lit(float(default_rate) * _RATE_MOD)
+    for code, r in sorted(rates_by_lang.items()):
+        rate = F.when(F.col("pred_lang") == code, F.lit(float(r) * _RATE_MOD)).otherwise(rate)
+    return (
+        df.select(id_col)
+        .join(lang, id_col)
+        .join(qual, id_col)
+        .filter(F.col("quality_score") >= min_quality)
+        .filter(hash_rate_col(id_col) < rate)
+        .select(id_col, "pred_lang", "quality_score")
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Pack documents (in ``id_col`` order) into contiguous shards of at
+    most ``budget`` tokens: shard_id = floor(exclusive_prefix_sum /
+    budget). Deterministic; a doc larger than the budget still gets its
+    own shard slot (its start offset defines it).
+
+    Returns (doc_id, n_tokens, shard_id). ``count_col`` may name a
+    pre-computed token-count column; otherwise ``n_subword_est`` from
+    ``token_counts`` is used.
+
+    Two-phase global prefix sum (NO single-task global window): range-
+    partition by id, count subtotals per partition (tiny driver
+    collect, O(#partitions)), broadcast the running offsets back, then
+    a WITHIN-partition cumsum window finishes the job — every stage is
+    partition-parallel.
+    """
+    from vectorsearch_spark.operators.text import token_counts
+
+    if count_col is None:
+        t = token_counts(df, id_col, text_col).select(
+            id_col, F.col("n_subword_est").alias("n_tokens")
+        )
+    else:
+        t = df.select(F.col(id_col), F.col(count_col).cast("long").alias("n_tokens"))
+    t = (
+        t.repartitionByRange(id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()  # two passes must see identical partitioning
+    )
+    subtotals = {
+        r["_pid"]: r["s"]
+        for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    out = (
+        t.join(off_df, "_pid")
+        .withColumn("_cum_incl", F.sum("n_tokens").over(w) + F.col("_off"))
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("_cum_incl") - F.col("n_tokens")) / F.lit(int(budget))).cast(
+                "long"
+            ),
+        )
+        .select(id_col, "n_tokens", "shard_id")
+    )
+    # materialize before unpersisting the two-pass handle
+    out = out.localCheckpoint()
+    t.unpersist()
+    return out

@@ -791,6 +791,100 @@ FROM scored
 """
 
 
+_CURATE_RATES = {"en": 0.5, "fr": 0.3}
+_CURATE_DEFAULT = 0.1
+_CURATE_MIN_Q = 0.5
+_SHARD_BUDGET = 50_000
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated per-language deterministic sampling (hash-rate
+    selection — rerun-stable, engine-agnostic)."""
+    from vectorsearch_spark.operators.curate import curate_sample
+
+    return curate_sample(
+        _t(spark, sf_dir, "documents"),
+        rates_by_lang=_CURATE_RATES,
+        min_quality=_CURATE_MIN_Q,
+        default_rate=_CURATE_DEFAULT,
+    )
+
+
+def _curation_sql() -> str:
+    from vectorsearch_spark.operators.text import LANG_LEXICONS
+
+    langs = sorted(LANG_LEXICONS)
+    score_exprs = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in LANG_LEXICONS[la])
+        + f"], t))) AS score_{la}"
+        for la in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN score_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    rate = (
+        "CASE pred_lang "
+        + " ".join(
+            f"WHEN '{c}' THEN {int(r * 1_000_000)}"
+            for c, r in sorted(_CURATE_RATES.items())
+        )
+        + f" ELSE {int(_CURATE_DEFAULT * 1_000_000)} END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars
+  FROM documents),
+lang AS (
+  SELECT doc_id, {case} AS pred_lang FROM (SELECT doc_id, {score_exprs} FROM base)),
+qual AS (
+  SELECT doc_id,
+         round(0.25 * least(len(toks) / 100.0, 1.0)
+             + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+             + 0.25 * (1 - least((CAST(punct_chars AS DOUBLE) / greatest(n_chars, 1)) * 4, 1.0))
+             + 0.25 * least((CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / greatest(len(toks), 1)) * 5, 1.0), 4) AS quality_score
+  FROM base)
+SELECT lang.doc_id AS doc_id, pred_lang, quality_score
+FROM lang JOIN qual ON lang.doc_id = qual.doc_id
+WHERE quality_score >= {_CURATE_MIN_Q}
+  AND (CAST(concat('0x', substring(md5(CAST(lang.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+      < ({rate})
+"""
+
+
+def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the two-phase partition-parallel
+    prefix sum (no single-task global window)."""
+    from vectorsearch_spark.operators.curate import pack_token_shards
+
+    return pack_token_shards(_t(spark, sf_dir, "documents"), budget=_SHARD_BUDGET)
+
+
+DOC_SHARD_PACKING_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{{1,2}}|[a-z]+|[0-9]{{1,3}}|[^a-z0-9\s]') AS pieces
+  FROM documents),
+tc AS (
+  SELECT doc_id,
+         list_aggregate(list_prepend(CAST(0 AS BIGINT), list_transform(pieces,
+           p -> 1 + CASE WHEN regexp_matches(p, '^[a-z]')
+                         THEN (length(p) - 1) // 4 ELSE 0 END)), 'sum') AS n_tokens
+  FROM base),
+o AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tc)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM o
+"""
+
+
 # dedup corpora: deterministic duplicates/near-duplicates injected
 # in-query so the operators have something to find (raw texts are all
 # distinct). Mirrored literally in SQL.
@@ -1297,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_token_counts": doc_token_counts,
         "lang_id_scores": lang_id_scores,
+        "corpus_curation": corpus_curation,
+        "doc_shard_packing": doc_shard_packing,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -1341,6 +1437,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
         "lang_id_scores": _lang_sql(),
+        "corpus_curation": _curation_sql(),
+        "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
