@@ -51,22 +51,33 @@ def curate_sample(
     under its language's rate. Languages absent from ``rates_by_lang``
     get ``default_rate``. Returns (doc_id, pred_lang, quality_score) of
     the kept docs — one narrow pass, no shuffle, rerun-stable."""
-    from vectorsearch_spark.operators.text import doc_stats_cols, language_id
+    from vectorsearch_spark.functions.text import tokens
+    from vectorsearch_spark.operators.text import LANG_LEXICONS, doc_stats_cols
 
-    lang = language_id(df, id_col, text_col).select(id_col, "pred_lang")
-    qual = df.select(F.col(id_col), *doc_stats_cols(text_col)).select(
-        id_col, "quality_score"
-    )
+    # ONE projection computes quality stats + per-language lexicon
+    # scores (no joins — the operator is a shuffle-free narrow pass);
+    # the second projection derives the argmax language. Two selects on
+    # purpose: the pred CASE references every score several times, and
+    # CollapseProject keeps the expensive multi-referenced token exprs
+    # materialized instead of inlining the tokenizer per reference.
+    langs = sorted(LANG_LEXICONS)
+    toks = tokens(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(LANG_LEXICONS[la]))).alias(f"_s_{la}")
+        for la in langs
+    ]
+    base = df.select(F.col(id_col), *doc_stats_cols(text_col), *scores)
+    best = F.greatest(*[F.col(f"_s_{la}") for la in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for la in langs:
+        pred = pred.when(F.col(f"_s_{la}") == best, F.lit(la))
     rate = F.lit(float(default_rate) * _RATE_MOD)
     for code, r in sorted(rates_by_lang.items()):
         rate = F.when(F.col("pred_lang") == code, F.lit(float(r) * _RATE_MOD)).otherwise(rate)
     return (
-        df.select(id_col)
-        .join(lang, id_col)
-        .join(qual, id_col)
+        base.select(F.col(id_col), pred.alias("pred_lang"), "quality_score")
         .filter(F.col("quality_score") >= min_quality)
         .filter(hash_rate_col(id_col) < rate)
-        .select(id_col, "pred_lang", "quality_score")
     )
 
 
