@@ -88,7 +88,11 @@ def _index_maintenance(spark, sf_dir):
     # vacuum it and compact the two smallest sealed segments
     idx.delete(list(range(0, 100)))
     idx.vacuum(0, force=True)
-    idx.compact(idx.plan_compaction(max_batch=2) or [1, 2])
+    plan = idx.plan_compaction(max_batch=2)
+    if len(plan) < 2:  # planner found nothing scoreworthy: take two sealed
+        plan = sorted(idx.registered_seg_ids(("SEALED",)))[:2]
+    if len(plan) >= 2:
+        idx.compact(plan)
     return idx.segments()
 
 

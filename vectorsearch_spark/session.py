@@ -29,6 +29,7 @@ def get_spark(app_name: str = "vectorsearch_spark", cpus: int | None = None) -> 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if not os.environ.get("SPARK_MASTER"):  # local mode unless a cluster master is set
