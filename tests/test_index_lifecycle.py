@@ -632,9 +632,13 @@ def test_graph_traversal_broadcasts_frontier(spark, built_index):
 
     idx, data, _ = built_index
     qdf = _queries_df(spark, data, [0, 99])
-    res = idx.search(qdf, k=10, params=SearchParams(mode="GRAPH"))
-    res.collect()
-    plans = list(search_mod._TRAVERSAL_PLANS)
+    search_mod._CAPTURE_TRAVERSAL_PLANS = True
+    try:
+        res = idx.search(qdf, k=10, params=SearchParams(mode="GRAPH"))
+        res.collect()
+        plans = list(search_mod._TRAVERSAL_PLANS)
+    finally:
+        search_mod._CAPTURE_TRAVERSAL_PLANS = False
     assert plans, "traversal ran at least one round"
     for p in plans:
         assert "BroadcastHashJoin" in p

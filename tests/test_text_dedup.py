@@ -246,3 +246,10 @@ def test_minhash_band_freq_cap_drops_hot_buckets(spark):
     # and the linear path still reports the big group
     ex = exact_duplicates(df).collect()
     assert {(r["n_copies"], r["keeper_id"]) for r in ex} == {(20, 0), (2, 100)}
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from vectorsearch_spark.operators.dedup import duplicate_clusters
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_clusters(empty).collect() == []

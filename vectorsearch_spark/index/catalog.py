@@ -284,6 +284,10 @@ class VectorIndex:
     def _overwrite_segments(self, rows: list[dict]) -> None:
         self._atomic_write_json(self.segments_path, rows)
         self._segments_cache = [dict(r) for r in rows]
+        # the actual mutation choke point — EVERY registry write (incl.
+        # streaming crash recovery's snapshot restore) invalidates the
+        # codebook cache here, not just update_segment_states
+        self._codebook_np_cache.clear()
 
     def _segment_rows(self) -> list[dict]:
         if self._segments_cache is None:
@@ -319,7 +323,6 @@ class VectorIndex:
                 }
             )
         self._overwrite_segments(sorted(rows, key=lambda r: r["seg_id"]))
-        self._codebook_np_cache.clear()
 
     def registered_seg_ids(self, states: tuple[str, ...] | None = None) -> list[int]:
         return [

@@ -199,7 +199,10 @@ def _graph_traverse_candidates(
 # Test/debug hook: physical plan of each traversal round's scoring join,
 # refreshed per _traverse_loop call. Lets tests assert the join strategy
 # (broadcast frontier probe, no full-table sort-merge) without exposing
-# internals in the public API.
+# internals in the public API. Capture is OFF by default: production
+# rounds should not pay py4j plan-stringification, and the module-global
+# list is not concurrency-safe — tests flip the flag around a search.
+_CAPTURE_TRAVERSAL_PLANS = False
 _TRAVERSAL_PLANS: list[str] = []
 
 
@@ -245,9 +248,10 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explor
                 distance_for_metric(F.col("embedding"), F.col("qvec"), metric).alias("dist"),
             )
         )
-        _TRAVERSAL_PLANS.append(
-            scored._jdf.queryExecution().executedPlan().toString()
-        )
+        if _CAPTURE_TRAVERSAL_PLANS:
+            _TRAVERSAL_PLANS.append(
+                scored._jdf.queryExecution().executedPlan().toString()
+            )
         scored = scored.localCheckpoint()
         n_new = scored.count()
         if n_new == 0:
@@ -477,14 +481,24 @@ def search(
     payloads = index.vectors(
         states=tuple(SEARCHABLE_BRUTE) + tuple(SEARCHABLE_SEALED)
     ).select("gid", "payload")
-    # right-outer with the ≤ Q×k topk broadcast: streams the payload
-    # table past a broadcast hash map instead of shuffling it (a left
-    # join from topk cannot broadcast its own preserved side). The
-    # mid-compaction double-gid dedup happens AFTER the join, on ≤ Q×k
-    # rows (both copies carry identical payload bytes), instead of a
-    # full-table dropDuplicates shuffle before it.
+    # Two broadcast-honorable joins (a broadcast hint on the preserved
+    # side of an outer join is silently DROPPED by Spark — a right-outer
+    # with broadcast(topk) degrades to a full sort-merge shuffle of the
+    # payload table):
+    # 1. INNER join payloads ⋈ broadcast(topk gids): streams the payload
+    #    table past a tiny hash map → ≤ Q×k(+dup) matching rows;
+    # 2. LEFT join topk ⋈ broadcast(hits): decorates the ≤ Q×k results.
+    # The mid-compaction double-gid dedup happens on the tiny hit set
+    # (both copies carry identical payload bytes).
+    # lazy checkpoint: topk is referenced twice below (gid probe +
+    # decorate); without it the whole search pipeline would compute
+    # twice. eager=False → no job here, materialized once on first use.
+    topk = topk.localCheckpoint(eager=False)
+    hits = (
+        payloads.join(F.broadcast(topk.select("gid")), "gid")
+        .dropDuplicates(["gid"])
+    )
     return (
-        payloads.join(F.broadcast(topk), "gid", "right")
-        .dropDuplicates(["query_id", "gid"])
+        topk.join(F.broadcast(hits), "gid", "left")
         .select("query_id", "gid", "distance", "score", "payload", "rank")
     )

@@ -71,9 +71,15 @@ def curate_sample(
     pred = F.when(best <= 0, F.lit("und"))
     for la in langs:
         pred = pred.when(F.col(f"_s_{la}") == best, F.lit(la))
-    rate = F.lit(float(default_rate) * _RATE_MOD)
+    # INTEGER thresholds: the oracle truncates with int(), and an
+    # integer-vs-fractional-double comparison diverges on boundary hash
+    # values whenever r*1e6 is not exactly representable (~1% of
+    # 6-decimal rates) — int(round(·)) on both sides is exact
+    rate = F.lit(int(round(float(default_rate) * _RATE_MOD)))
     for code, r in sorted(rates_by_lang.items()):
-        rate = F.when(F.col("pred_lang") == code, F.lit(float(r) * _RATE_MOD)).otherwise(rate)
+        rate = F.when(
+            F.col("pred_lang") == code, F.lit(int(round(float(r) * _RATE_MOD)))
+        ).otherwise(rate)
     return (
         base.select(F.col(id_col), pred.alias("pred_lang"), "quality_score")
         .filter(F.col("quality_score") >= min_quality)

@@ -324,6 +324,7 @@ def embedding_near_dup(
     n_bits: int = 8,
     exact_pair_limit: int = 0,
     seed: int = 42,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs (id_a < id_b, cosine ≥ τ), LSH-bucketed.
 
@@ -357,13 +358,21 @@ def embedding_near_dup(
         )
     from vectorsearch_spark.operators.similarity import lsh_signatures
 
+    # max_band_freq is OPT-IN here (unlike the text dedups): this
+    # operator's recall contract says byte-identical vectors are ALWAYS
+    # caught, and a giant identical group saturates every bucket — a
+    # default cap would silently zero its recall. Callers who enable the
+    # cap should resolve identical groups first (hash-groupBy on the
+    # embedding bytes — dedup_exact's shape) or use duplicate_clusters
+    # for cluster-level output; the all-pairs OUTPUT of an f-sized
+    # identical group is itself O(f²) regardless of candidate strategy.
     dim = len(df.select(vec_col).first()[0])
     sig = _cap_band_freq(
         lsh_signatures(
             df, dim, n_tables=n_tables, n_bits=n_bits, id_col=id_col,
             vec_col=vec_col, seed=seed,
         ),
-        MAX_BAND_FREQ_DEFAULT,
+        max_band_freq,
     )
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band_key"

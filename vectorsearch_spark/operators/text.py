@@ -56,9 +56,22 @@ def fan_out(df: DataFrame, key_col: str) -> DataFrame:
     before a CPU-bound stage; no-op when the input already has ≥
     defaultParallelism partitions — at 100 TB (thousands of input
     splits) this adds NO shuffle, while on small-file corpora it stops a
-    regex/hash stage from running 3-way parallel on a 32-core cluster."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    regex/hash stage from running 3-way parallel on a 32-core cluster.
+
+    The width probe runs with AQE disabled: under AQE, ``df.rdd``
+    EXECUTES every non-final query stage of the plan just to learn the
+    partitioning, and those stages then re-run in the real action
+    (no exchange reuse across QueryExecutions). Without AQE the RDD DAG
+    is built lazily and getNumPartitions is pure metadata."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nparts = df.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    if nparts < par:
         return df.repartition(par, F.col(key_col))
     return df
 

@@ -190,10 +190,13 @@ def stream_add(
         # 1) epoch guard: skip replays whose commit DID land
         applied = dict(index._meta().get(_APPLIED_KEY, {}))
         if int(applied.get(sid, -1)) >= epoch_id:
+            n_built = 0
             if build_on_rotate:
-                index.build()  # idempotent; finish an interrupted build
+                # idempotent; finishes a build the crash interrupted —
+                # report what it actually sealed, not a hardcoded 0
+                n_built = len(index.build())
             if on_batch is not None:
-                on_batch(epoch_id, 0)
+                on_batch(epoch_id, n_built)
             return
         # 2) write-ahead intent, then add with the epoch mark riding the
         #    add's own atomic meta commit

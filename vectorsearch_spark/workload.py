@@ -827,10 +827,10 @@ def _curation_sql() -> str:
     rate = (
         "CASE pred_lang "
         + " ".join(
-            f"WHEN '{c}' THEN {int(r * 1_000_000)}"
+            f"WHEN '{c}' THEN {int(round(r * 1_000_000))}"
             for c, r in sorted(_CURATE_RATES.items())
         )
-        + f" ELSE {int(_CURATE_DEFAULT * 1_000_000)} END"
+        + f" ELSE {int(round(_CURATE_DEFAULT * 1_000_000))} END"
     )
     return f"""
 WITH base AS (
