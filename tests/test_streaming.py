@@ -214,3 +214,77 @@ def test_stream_add_scrub_after_crash_before_commit(spark, tmp_path_factory):
     assert idx2.build()  # sealed segments search fine after recovery
     qdf = spark.createDataFrame([(0, [20.0, 1.0])], "query_id long, embedding array<float>")
     assert len(idx2.search(qdf, k=3).collect()) == 3
+
+
+def test_stream_recovery_crash_after_intent_only(spark, tmp_path_factory):
+    """Crash point (a): the intent file was written but NO mutation
+    followed — recovery is a no-op and the epoch applies cleanly."""
+    from vectorsearch_spark.streaming.ingest import (
+        _write_intent,
+        recover_interrupted_epoch,
+    )
+
+    idx_path = str(tmp_path_factory.mktemp("ionly_idx"))
+    idx = VectorIndex.create(
+        spark, idx_path,
+        IndexConfig(name="io", dimension=2, max_segment_size=10, pq_m=2, pq_k=4),
+    )
+    idx.add(
+        spark.createDataFrame([(i, [float(i), 0.0]) for i in range(5)], EMB_SCHEMA),
+        order_col="row_id", meta_extra={"applied_epochs": {"s": 0}},
+    )
+    segs_before = idx._segment_rows()
+    _write_intent(idx, "s", 1)  # crash immediately after
+    idx2 = VectorIndex.open(spark, idx_path)
+    assert recover_interrupted_epoch(idx2, "s", 1) == 0  # nothing to scrub
+    assert idx2._segment_rows() == segs_before
+    idx2.add(
+        spark.createDataFrame([(i, [float(i), 1.0]) for i in range(5, 9)], EMB_SCHEMA),
+        order_col="row_id", meta_extra={"applied_epochs": {"s": 1}},
+    )
+    assert sorted(r["gid"] for r in idx2.vectors().collect()) == list(range(9))
+
+
+def test_stream_recovery_crash_after_parquet_only(spark, tmp_path_factory):
+    """Crash point (b): parquet rows committed but NEITHER the registry
+    nor meta advanced — recovery scrubs the orphans from the intent's
+    gid watermark alone."""
+    import shutil
+
+    from vectorsearch_spark.streaming.ingest import (
+        _write_intent,
+        recover_interrupted_epoch,
+    )
+
+    idx_path = str(tmp_path_factory.mktemp("ponly_idx"))
+    idx = VectorIndex.create(
+        spark, idx_path,
+        IndexConfig(name="po", dimension=2, max_segment_size=10, pq_m=2, pq_k=4),
+    )
+    idx.add(
+        spark.createDataFrame([(i, [float(i), 0.0]) for i in range(7)], EMB_SCHEMA),
+        order_col="row_id", meta_extra={"applied_epochs": {"s": 0}},
+    )
+    meta_before = open(idx.meta_path).read()
+    segs_before = open(idx.segments_path).read()
+    _write_intent(idx, "s", 1)
+    idx.add(
+        spark.createDataFrame([(i, [float(i), 1.0]) for i in range(7, 18)], EMB_SCHEMA),
+        order_col="row_id", meta_extra={"applied_epochs": {"s": 1}},
+    )
+    # crash simulated just after the parquet job commit: roll back BOTH
+    # driver-state files to their pre-epoch bytes
+    with open(idx.meta_path, "w") as f:
+        f.write(meta_before)
+    with open(idx.segments_path, "w") as f:
+        f.write(segs_before)
+    idx2 = VectorIndex.open(spark, idx_path)
+    assert spark.read.parquet(idx2.vectors_path).count() == 18  # orphans on disk
+    assert recover_interrupted_epoch(idx2, "s", 1) == 11
+    assert sorted(r["gid"] for r in idx2.vectors().collect()) == list(range(7))
+    idx2.add(
+        spark.createDataFrame([(i, [float(i), 1.0]) for i in range(7, 18)], EMB_SCHEMA),
+        order_col="row_id", meta_extra={"applied_epochs": {"s": 1}},
+    )
+    gids = sorted(r["gid"] for r in idx2.vectors().collect())
+    assert gids == list(range(18))  # exactly once after replay
