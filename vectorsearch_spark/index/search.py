@@ -264,10 +264,9 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explor
         w = Window.partitionBy("query_id", "seg_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
         )
-        # no checkpoint here: state(i+1) references state(i) exactly once
-        # (the union), so lineage depth grows LINEARLY in rounds — only
-        # `scored` (referenced by broadcast twice per round) needs eager
-        # materialization. Saves one Spark job per round.
+        # no checkpoint here: after scored's checkpoint, state(i+1)'s
+        # only un-truncated reference to state(i) is the union, so
+        # lineage depth grows LINEARLY in rounds. Saves a job per round.
         state = (
             state.unionByName(scored)
             .withColumn("_rn", F.row_number().over(w))
@@ -277,7 +276,18 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explor
         )
         if over_budget:
             break
-        frontier = scored  # only newly discovered nodes expand next round
+        # Best-first fidelity: expand only newly discovered nodes that
+        # SURVIVED the ef cut (the reference expands from the best list,
+        # fdb/FdbVectorIndex.java:911-968, not from every visited node).
+        # Nodes worse than the current ef-th candidate cannot improve
+        # the result through expansion in a well-linked graph; dropping
+        # them shrinks the frontier and ends the loop as soon as a round
+        # stops improving the best list — the reference's convergence.
+        frontier = scored.join(
+            F.broadcast(state.select("query_id", "seg_id", "vec_id")),
+            ["query_id", "seg_id", "vec_id"],
+            "left_semi",
+        )
     return state
 
 
