@@ -529,6 +529,21 @@ def test_heavy_recall_n1000(spark, tmp_path_factory):
         hits += r["gid"] in got[r["query_id"]]
     assert total == 100 * 10
     assert hits / total >= 0.9
+    # GRAPH traversal (best-list-survivor frontier) holds the same gate
+    # at heavy scale (25 self-queries keep runtime bounded)
+    g_qdf = _queries_df(spark, data, qids[:25])
+    graph = idx.search(g_qdf, k=10, params=SearchParams(mode="GRAPH"))
+    g_got = {}
+    for r in graph.collect():
+        g_got.setdefault(r["query_id"], set()).add(r["gid"])
+    g_hits = g_total = 0
+    for r in exact.collect():
+        if r["query_id"] not in g_got:
+            continue
+        g_total += 1
+        g_hits += r["gid"] in g_got[r["query_id"]]
+    assert g_total == 25 * 10
+    assert g_hits / g_total >= 0.9
 
 
 # ---------------------------------------------------------------------------
