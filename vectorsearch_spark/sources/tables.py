@@ -50,12 +50,23 @@ def _check_schema(df: DataFrame, expected: dict[str, str], name: str) -> DataFra
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read the ns epoch as long and truncate to a µs
-    timestamp (identical to DuckDB's internal ns→µs handling)."""
+    """Normalize events.parquet's ``ts`` to a session-TZ TIMESTAMP.
+
+    Corpus drops have carried two physical encodings: TIMESTAMP(NANOS)
+    (which Spark's parquet reader rejects — ``nanosAsLong`` surfaces it
+    as a ns-epoch long we truncate to µs, matching DuckDB's internal
+    ns→µs handling) and plain TIMESTAMP(MICROS) (read natively as
+    TIMESTAMP_NTZ; cast to TIMESTAMP so downstream window/session ops
+    and string renderings are identical across drops under the UTC
+    session zone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(path)
-    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # ns epoch via nanosAsLong
+        return ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
