@@ -1,0 +1,125 @@
+"""Semantic tests for the backward as-of join (operators/events.py):
+match selection, tie-breaking, inner/left modes, tolerance, and key
+isolation — on handcrafted frames where the expected answer is obvious.
+(Oracle parity at corpus scale runs via test_workload_parity.)"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from vectorsearch_spark.operators.events import asof_join
+
+
+def _ts(s: int) -> datetime:
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts(3), 9.0),   # between clicks t1 and t5
+            (101, 1, _ts(6), 8.0),   # after click t5
+            (102, 1, _ts(0), 7.0),   # before any click
+            (103, 2, _ts(10), 6.0),  # user 2: tie at t10, two clicks
+            (104, 3, _ts(4), 5.0),   # user 3 has no clicks at all
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 1, _ts(1)),
+            (12, 1, _ts(5)),
+            (21, 2, _ts(10)),  # equal-ts pair: max event_id must win
+            (22, 2, _ts(10)),
+            (23, 2, _ts(2)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {
+        r.event_id: (r.asof_event_id, r.asof_ts and r.asof_ts.second)
+        for r in df.collect()
+    }
+
+
+def test_backward_match_and_ties(spark, frames):
+    left, right = frames
+    got = _rows(
+        asof_join(
+            left, right, on="user_id", payload=["event_id"], tiebreak="event_id"
+        )
+    )
+    assert got[100] == (11, 1)  # latest click <= t3 is t1
+    assert got[101] == (12, 5)
+    assert 102 not in got  # no click <= t0, inner drops
+    assert got[103] == (22, 10)  # >= includes equal ts; max tiebreak wins
+    assert 104 not in got  # user 3 never clicked
+
+
+def test_left_keeps_unmatched_with_nulls(spark, frames):
+    left, right = frames
+    got = _rows(
+        asof_join(
+            left,
+            right,
+            on="user_id",
+            payload=["event_id"],
+            tiebreak="event_id",
+            how="left",
+        )
+    )
+    assert len(got) == 5
+    assert got[102] == (None, None)
+    assert got[104] == (None, None)
+    assert got[100] == (11, 1)
+
+
+def test_tolerance_nulls_stale_matches(spark, frames):
+    left, right = frames
+    got = _rows(
+        asof_join(
+            left,
+            right,
+            on="user_id",
+            payload=["event_id"],
+            tiebreak="event_id",
+            tolerance_ms=1500,
+            how="left",
+        )
+    )
+    # purchase t3 ← click t1 is 2000 ms stale > 1500 → nulled
+    assert got[100] == (None, None)
+    # purchase t6 ← click t5 is 1000 ms → kept
+    assert got[101] == (12, 5)
+    # equal-ts match is 0 ms → kept
+    assert got[103] == (22, 10)
+
+
+def test_plan_is_single_shuffle_no_join(spark, frames):
+    """The union+window re-expression must plan as ONE hash exchange on
+    the key and NO join operator — the property that makes it linear at
+    100 TB (vs the O(|L|·|R|)-per-key range-join re-expression)."""
+    left, right = frames
+    out = asof_join(
+        left, right, on="user_id", payload=["event_id"], tiebreak="event_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_left_columns_pass_through_unchanged(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="user_id", payload=["event_id"], tiebreak="event_id"
+    )
+    assert out.columns == ["event_id", "user_id", "ts", "value",
+                           "asof_event_id", "asof_ts"]
+    vals = {r.event_id: r.value for r in out.collect()}
+    assert vals == {100: 9.0, 101: 8.0, 103: 6.0}

@@ -1,0 +1,112 @@
+"""Temporal event operators: as-of join (point-in-time attribution).
+
+The reference engine has no temporal-join surface (its only event-like
+input is the ingest stream, vectorsearch.proto:123-125); this is a
+north-star extension per BASELINE.json for event/feature pipelines,
+where "latest right-side row at or before each left timestamp" is the
+fundamental primitive (feature stores, attribution, slowly-changing
+dims).
+
+Scale design — the union + window re-expression:
+
+Spark has no ASOF JOIN operator, and the naive re-expressions are
+scale-killers: a range join (``l.ts >= r.ts``) explodes to O(|L|·|R|)
+per key before its window-prune, and a per-row lateral lookup is a
+driver loop. Instead we UNION the two sides (tagged), sort each key
+partition once by (ts, tag, tiebreak), and carry the right payload
+forward with ``last(payload, ignorenulls=True)`` over an unbounded
+preceding window. Cost: ONE shuffle of each side on the join key +
+an in-partition sort — the same plan shape as sessionization
+(streaming/rollup.py), linear in |L|+|R|, skew-bounded by the key.
+Determinism under ts ties: right rows order before left rows at equal
+ts (backward join is ≥-inclusive), and equal-ts right rows order by
+``tiebreak`` so the LAST (max-tiebreak) one wins — reruns and engines
+agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_KIND = "__asof_kind"
+_TB = "__asof_tb"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    payload: list[str] | None = None,
+    prefix: str = "asof_",
+    tiebreak: str | None = None,
+    tolerance_ms: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for every ``left`` row, attach ``payload``
+    columns of the latest ``right`` row with ``right.ts <= left.ts``
+    for the same ``on`` key(s).
+
+    - ``payload`` defaults to every right column not in ``on``/``ts``;
+      attached columns are renamed ``{prefix}{col}`` and the matched
+      right timestamp is ``{prefix}{ts}``.
+    - ``tiebreak``: right column ordering equal-ts right rows; the
+      max-tiebreak row wins (pass a unique id for determinism).
+    - ``tolerance_ms``: if set, matches older than this many
+      milliseconds before ``left.ts`` are nulled out.
+    - ``how``: 'inner' drops left rows with no match, 'left' keeps
+      them with null payload.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if payload is None:
+        payload = [c for c in right.columns if c not in (*keys, ts)]
+    out_payload = [prefix + c for c in payload] + [prefix + ts]
+    rtypes = dict(right.dtypes)
+
+    r = right.select(
+        *keys,
+        F.col(ts).alias(_TS),
+        F.lit(0).alias(_KIND),
+        (F.col(tiebreak) if tiebreak else F.lit(None)).alias(_TB),
+        *[F.col(c).alias(prefix + c) for c in payload],
+        F.col(ts).alias(prefix + ts),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys],
+    )
+    l = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(ts).alias(_TS),
+        F.lit(1).alias(_KIND),
+        F.lit(None).alias(_TB),
+        *[F.lit(None).cast(rtypes[c]).alias(prefix + c) for c in payload],
+        F.lit(None).cast(rtypes[ts]).alias(prefix + ts),
+    )
+    unioned = r.unionByName(l)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left.columns,
+        F.col(_KIND).alias(_KIND),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_payload],
+    ).where(F.col(_KIND) == 1)
+
+    if tolerance_ms is not None:
+        stale = F.unix_millis(F.col(ts)) - F.unix_millis(F.col(prefix + ts)) > int(
+            tolerance_ms
+        )
+        carried = carried.select(
+            *left.columns,
+            F.col(_KIND),
+            *[F.when(~stale, F.col(c)).alias(c) for c in out_payload],
+        )
+    out = carried.drop(_KIND)
+    if how == "inner":
+        return out.where(F.col(prefix + ts).isNotNull())
+    if how == "left":
+        return out
+    raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
