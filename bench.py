@@ -43,6 +43,10 @@ HEADLINE = [
     "doc_fingerprints",
     "stream_window_rollup",
     "events_session_windows",
+    "events_asof_attribution",
+    "doc_repetition",
+    "pii_redaction",
+    "benchmark_contamination",
     "mm_feature_extract",
 ]
 

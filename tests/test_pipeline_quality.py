@@ -1,0 +1,87 @@
+"""Handcrafted-value tests for the round-3 pipeline-quality operators:
+repetition metrics, PII scan/redaction, and benchmark contamination.
+(Corpus-scale oracle parity runs via test_workload_parity.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+from vectorsearch_spark.operators.dedup import benchmark_overlap
+from vectorsearch_spark.operators.text import pii_scan, repetition_stats
+
+
+def test_repetition_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # bigrams: aa aa ab → best 2/3
+            (2, "x y x y x"),        # bigrams: xy yx xy yx → best 2/4
+            (3, "one two"),          # no trigrams
+            (4, ""),                 # no tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].n_2grams == 3 and got[1].top_2gram_frac == 0.6667
+    assert got[1].n_3grams == 2 and got[1].top_3gram_frac == 0.5
+    assert got[2].n_2grams == 4 and got[2].top_2gram_frac == 0.5
+    assert got[3].n_2grams == 1 and got[3].top_2gram_frac == 1.0
+    assert got[3].n_3grams == 0 and got[3].top_3gram_frac is None
+    assert got[4].n_tokens == 0 and got[4].n_2grams == 0
+    assert got[4].top_2gram_frac is None
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    text = "mail bob@corp.io or b.c@x.co, call +1-555-867-5309, ip 10.0.3.25 end"
+    df = spark.createDataFrame([(1, text), (2, "clean prose only")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ipv4) == (2, 1, 1)
+    assert got[1].has_pii is True
+    expected = "mail <EMAIL> or <EMAIL>, call <PHONE>, ip <IP> end"
+    assert got[1].redacted_len == len(expected)
+    assert got[1].redacted_md5 == hashlib.md5(expected.encode()).hexdigest()
+    assert got[2].has_pii is False
+    assert got[2].redacted_md5 == hashlib.md5(b"clean prose only").hexdigest()
+
+
+def test_pii_ip_like_email_degrades_deterministically(spark):
+    # no alpha TLD → not an email; the embedded IPv4 is still caught
+    df = spark.createDataFrame([(1, "ping a@1.2.3.4 now")], "doc_id long, text string")
+    r = pii_scan(df).collect()[0]
+    assert r.n_emails == 0 and r.n_ipv4 == 1
+    expected = "ping a@<IP> now"
+    assert r.redacted_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_benchmark_overlap_flags_copies(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # verbatim copy
+            (3, "completely different words about spark plans here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = corpus.where("doc_id = 1")
+    got = {r.doc_id: r for r in benchmark_overlap(corpus, bench).collect()}
+    assert got[1].contamination == 1.0 and got[1].flagged is True
+    assert got[2].contamination == 1.0 and got[2].flagged is True
+    assert got[3].n_overlap == 0 and got[3].flagged is False
+    assert got[3].contamination == 0.0
+
+
+def test_benchmark_overlap_is_broadcast_no_corpus_shuffle(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = corpus.where("doc_id < 2")
+    plan = (
+        benchmark_overlap(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # corpus side must not hash-shuffle; the only join is the broadcast
+    # of the single-row bench-gram array
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan

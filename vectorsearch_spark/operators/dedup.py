@@ -476,3 +476,45 @@ def duplicate_clusters(
             (F.col("doc") == F.col("label")).alias("is_keeper"),
         )
     )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each corpus doc's
+    distinct word n-grams that appear anywhere in the benchmark set —
+    the standard pretraining decontamination check (flag or drop corpus
+    docs that overlap an eval set).
+
+    Scale shape: the benchmark side is BOUNDED by definition (eval
+    suites are ≤ ~10⁶ distinct n-grams ≈ tens of MB), so its distinct
+    gram set is collapsed to one sorted array and broadcast; the corpus
+    side is then a pure narrow pass (per-row array_intersect against
+    the broadcast array) — ZERO shuffle of corpus data, which is the
+    whole game at 100 TB. The per-row cost is O(|doc grams| + |bench
+    grams|) hash-set probing inside codegen.
+    """
+    bench_set = (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("g"))
+        .where(F.length("g") > 0)
+        .distinct()
+        .agg(F.array_sort(F.collect_list("g")).alias("bench_grams"))
+    )
+    out = corpus.select(
+        F.col(id_col), word_shingles(text_col, n).alias("grams")
+    ).crossJoin(F.broadcast(bench_set))
+    hits = F.size(F.array_intersect("grams", "bench_grams")).cast("long")
+    total = F.size("grams").cast("long")
+    rate = F.when(total > 0, F.round(hits / total, 4)).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        total.alias("n_grams"),
+        hits.alias("n_overlap"),
+        rate.alias("contamination"),
+        (rate >= flag_threshold).alias("flagged"),
+    )

@@ -309,3 +309,103 @@ def token_counts(
         F.size(pieces).cast("long").alias("n_pieces"),
         sub_est.alias("n_subword_est"),
     )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    string array == the max multiplicity of any element — an O(g log g)
+    doc-LOCAL mode count (sort + one fold), chosen over the
+    explode→groupBy(doc, gram) formulation precisely because it needs NO
+    shuffle: repetition scoring stays a narrow pass at 100 TB instead of
+    shuffling every token of the corpus. Empty-string sentinel is safe:
+    tokens are non-empty by construction of TOKEN_RE."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals: for each n in ``ns``, the total
+    n-gram count and the fraction held by the single most frequent
+    n-gram (high top-fraction = boilerplate / degenerate repetition —
+    a standard pretraining quality filter).
+
+    Pure codegen narrow projection (see ``_max_run``): no shuffle, no
+    Python in the row path. Docs with fewer than n tokens get
+    ``n_{n}grams = 0`` and a null fraction.
+    """
+    from vectorsearch_spark.functions.text import word_ngrams
+
+    cols = [F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")]
+    for n in ns:
+        grams = word_ngrams(text_col, n)
+        total = F.size(grams).cast("long")
+        best = _max_run(F.array_sort(grams))
+        cols += [
+            total.alias(f"n_{n}grams"),
+            F.when(total > 0, F.round(best / total, 4)).alias(
+                f"top_{n}gram_frac"
+            ),
+        ]
+    return df.select(*cols)
+
+
+# PII patterns: a conservative regex subset interpreted identically by
+# Java regex (Spark) and RE2 (DuckDB) — character classes, bounded
+# repetition, \b word boundaries; no lookaround, no backrefs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction: per-doc counts of emails / phone
+    numbers / IPv4 literals, a has_pii flag, and the redacted text's
+    length + md5 (the digest makes redaction itself oracle-checkable
+    without shipping full redacted bodies around).
+
+    Redaction order matters and is fixed (email → phone → IP) so an
+    address like ``a@1.2.3.4`` (no alpha TLD: not an email) degrades
+    deterministically. Pure codegen narrow projection — regexp_count /
+    regexp_replace inline into WholeStageCodegen; no shuffle.
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(t, F.lit(PHONE_RE))
+    n_ipv4 = F.regexp_count(t, F.lit(IPV4_RE))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

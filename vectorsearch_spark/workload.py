@@ -934,6 +934,132 @@ FROM base
 """
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-{2,3}-gram fraction) over
+    docs with ≥ 3 tokens — a shuffle-free narrow pass (the doc-local
+    sorted-run mode count in operators/text.py _max_run). Oracle is an
+    independent formulation: unnest + GROUP BY max-count per doc."""
+    from vectorsearch_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    from vectorsearch_spark.functions.text import tokens as _toks
+
+    return repetition_stats(
+        docs.where(F.size(_toks("text")) >= 3), ns=(2, 3)
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS toks
+  FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t WHERE len(toks) >= 3),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+         i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))) AS g
+  FROM base),
+a2 AS (
+  SELECT doc_id, sum(c) AS total, max(c) AS best
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(toks) - 2),
+         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS g
+  FROM base),
+a3 AS (
+  SELECT doc_id, sum(c) AS total, max(c) AS best
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(a2.total AS BIGINT) AS n_2grams,
+       round(CAST(a2.best AS DOUBLE) / a2.total, 4) AS top_2gram_frac,
+       CAST(a3.total AS BIGINT) AS n_3grams,
+       round(CAST(a3.best AS DOUBLE) / a3.total, 4) AS top_3gram_frac
+FROM base b JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan/redaction over the corpus with DETERMINISTIC synthetic
+    PII injected (the corpus itself is PII-free, which would make the
+    gate vacuous): docs get an email / IPv4 / phone appended keyed on
+    doc_id residues, mirrored literally in the oracle."""
+    from vectorsearch_spark.operators.text import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".25"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" call +1-555-867-5309")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(injected)
+
+
+def _pii_sql() -> str:
+    from vectorsearch_spark.operators.text import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH injected AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || (doc_id % 256) || '.25' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call +1-555-867-5309' ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g') AS r
+  FROM injected)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       (len(regexp_extract_all(text, '{EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{PHONE_RE}'))
+        + len(regexp_extract_all(text, '{IPV4_RE}'))) > 0 AS has_pii,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       md5(r) AS redacted_md5
+FROM red
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan over the dedup corpus: benchmark set = the
+    base docs with doc_id % 10 = 0 (whose verbatim copies exist in the
+    corpus under doc_id+1000000 — those must flag at contamination
+    1.0); broadcast bench-gram array, zero corpus shuffle."""
+    from vectorsearch_spark.operators.dedup import benchmark_overlap
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    bench = corpus.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000)
+    )
+    return benchmark_overlap(corpus, bench, n=3, flag_threshold=0.5)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.operators.dedup import exact_duplicates
 
@@ -951,6 +1077,30 @@ _SHINGLE_SQL = f"""
     list_distinct(list_transform(
       range(0, greatest(len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) - 3, 0) + 1),
       i -> array_to_string(list_slice(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'), i + 1, i + 3), ' ')))
+"""
+
+
+BENCH_CONTAMINATION_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLE_SQL} AS grams FROM corpus),
+bg AS (
+  SELECT DISTINCT unnest(grams) AS g FROM sh
+  WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+bl AS (SELECT list(g ORDER BY g) AS bench_grams FROM bg WHERE length(g) > 0),
+calc AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         len(list_filter(grams, x -> list_contains(bench_grams, x))) AS n_overlap
+  FROM sh, bl),
+rated AS (
+  SELECT doc_id, n_grams, n_overlap,
+         CASE WHEN n_grams > 0
+              THEN round(CAST(n_overlap AS DOUBLE) / n_grams, 4)
+              ELSE 0.0 END AS contamination
+  FROM calc)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       contamination, contamination >= 0.5 AS flagged
+FROM rated
 """
 
 
@@ -1245,6 +1395,63 @@ FROM numbered GROUP BY user_id, sess
 """
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution: each purchase joined to the LATEST
+    click at-or-before it by the same user (backward as-of join,
+    operators/events.py — union + window, one shuffle per side).
+
+    Oracle is an independent formulation: a correlated LATERAL top-1
+    lookup per purchase, deterministic under ts ties via the
+    (ts DESC, event_id DESC) order mirrored by the operator's
+    (kind, tiebreak) window order."""
+    from vectorsearch_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        payload=["event_id"],
+        prefix="click_",
+        tiebreak="event_id",
+        how="inner",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_value",
+        "click_event_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        (F.unix_millis(F.col("ts")) - F.unix_millis(F.col("click_ts")))
+        .cast("long")
+        .alias("lag_ms"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(p.value, 4) AS purchase_value,
+       m.click_event_id,
+       strftime(m.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CAST(epoch_ms(p.ts) - epoch_ms(m.click_ts) AS BIGINT) AS lag_ms
+FROM p, LATERAL (
+  SELECT c.event_id AS click_event_id, c.ts AS click_ts
+  FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal queries (operators/multimodal.py): documents' ASCII text
 # doubles as a deterministic binary payload, so the full binary→decode→
@@ -1390,6 +1597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_exhaustive": ann_lsh_exhaustive,
         "doc_token_stats": doc_token_stats,
         "doc_token_counts": doc_token_counts,
+        "doc_repetition": doc_repetition,
+        "pii_redaction": pii_redaction,
+        "benchmark_contamination": benchmark_contamination,
         "lang_id_scores": lang_id_scores,
         "corpus_curation": corpus_curation,
         "doc_shard_packing": doc_shard_packing,
@@ -1405,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "stream_window_rollup": stream_window_rollup,
         "events_session_windows": events_session_windows,
+        "events_asof_attribution": events_asof_attribution,
     }
 
 
@@ -1436,6 +1647,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
+        "doc_repetition": DOC_REPETITION_SQL,
+        "pii_redaction": _pii_sql(),
+        "benchmark_contamination": BENCH_CONTAMINATION_SQL,
         "lang_id_scores": _lang_sql(),
         "corpus_curation": _curation_sql(),
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
@@ -1451,4 +1665,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": MM_FRAMES_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
+        "events_asof_attribution": EVENTS_ASOF_SQL,
     }
