@@ -123,3 +123,51 @@ def test_left_columns_pass_through_unchanged(spark, frames):
                            "asof_event_id", "asof_ts"]
     vals = {r.event_id: r.value for r in out.collect()}
     assert vals == {100: 9.0, 101: 8.0, 103: 6.0}
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+def _interval_frames(spark):
+    left = spark.createDataFrame(
+        [(i, 1 + i % 2, _ts(i % 50)) for i in range(40)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(10), "a"),
+            (1, _ts(10), _ts(30), "b"),
+            (2, _ts(5), _ts(6), "c"),
+            (2, _ts(20), _ts(45), "d"),
+            (3, _ts(0), _ts(50), "never-matches"),
+        ],
+        "user_id long, start timestamp, end timestamp, tag string",
+    )
+    return left, right
+
+
+def test_interval_join_semantics(spark):
+    from vectorsearch_spark.operators.events import interval_join
+
+    left, right = _interval_frames(spark)
+    got = interval_join(left, right, on="user_id").collect()
+    for r in got:
+        assert r.start <= r.ts < r.end
+    # user 2 event at t=5 lands in [5,6); no user-3 left rows exist
+    tags = {(r.event_id, r.tag) for r in got}
+    assert all(t != "never-matches" for _, t in tags)
+
+
+def test_interval_join_binned_equals_unbinned(spark):
+    from vectorsearch_spark.operators.events import interval_join
+
+    left, right = _interval_frames(spark)
+    plain = interval_join(left, right, on="user_id")
+    for bins in (1, 7, 3600):
+        binned = interval_join(left, right, on="user_id", bin_seconds=bins)
+        assert sorted(binned.columns) == sorted(plain.columns)
+        a = {tuple(r) for r in plain.select(*sorted(plain.columns)).collect()}
+        b = {tuple(r) for r in binned.select(*sorted(plain.columns)).collect()}
+        assert a == b, f"bin_seconds={bins} diverged"
+        assert len(a) == plain.count()  # no dup rows from bin explode

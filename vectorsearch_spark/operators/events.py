@@ -110,3 +110,54 @@ def asof_join(
     if how == "left":
         return out
     raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bin_seconds: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: match each ``left`` row to every
+    ``right`` interval with ``start <= ts < end`` for the same key(s).
+
+    Spark plans ``key = key AND ts >= start AND ts < end`` as a hash
+    join on the equi key with the range conjuncts as residual filters —
+    fine when keys are selective. When intervals per key are many/long
+    (or keys are few), the residual degrades toward O(|L|·|R|) per key;
+    pass ``bin_seconds`` to switch to the BINNED plan: each interval
+    explodes to the time bins it covers, each left row maps to one bin,
+    and the join becomes equi on (key…, bin) + residual — the standard
+    range-join optimization, output-identical (guarded by a test).
+    Choose ``bin_seconds`` ≈ the typical interval length: one interval
+    then lands in O(1) bins while each bin's population stays small.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r = right
+    for k in keys:  # rename right keys so the output has no dup columns
+        r = r.withColumnRenamed(k, "__r_" + k)
+    if bin_seconds is not None:
+        left = left.withColumn(
+            "__bin", (F.unix_seconds(F.col(ts)) / bin_seconds).cast("long")
+        )
+        r = r.withColumn(
+            "__r_bin",
+            F.explode(
+                F.sequence(
+                    (F.unix_seconds(F.col(start)) / bin_seconds).cast("long"),
+                    # end is exclusive, but a partial last bin still overlaps
+                    (F.unix_seconds(F.col(end)) / bin_seconds).cast("long"),
+                )
+            ),
+        )
+    cond = (left[ts] >= r[start]) & (left[ts] < r[end])
+    for k in keys:
+        cond = cond & (left[k] == r["__r_" + k])
+    if bin_seconds is not None:
+        cond = cond & (left["__bin"] == r["__r_bin"])
+    out = left.join(r, cond, how).drop(*["__r_" + k for k in keys])
+    return out.drop("__bin", "__r_bin") if bin_seconds is not None else out

@@ -183,6 +183,121 @@ WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: EXISTS-style semi-join with a NON-EQUI
+    conjunct (late shipment: l_shipdate > o_orderdate) — Spark plans
+    the equi part as the shuffle key and evaluates the inequality as a
+    join residual, so it stays a hash semi-join, never a cartesian.
+    Oracle uses the EXISTS formulation directly."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promo revenue share for one ship month —
+    broadcast dim join + conditional aggregate, single output row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: large-volume orders via a HAVING subquery —
+    the aggregate-then-join shape (lineitem rolls up to order grain
+    FIRST, so the join input is |orders| not |lineitem|). Deterministic
+    top-100 via the unique o_orderkey tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 100
+"""
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(r_name, n_name) revenue with grouping level — exercises
     Spark's native multi-level aggregate (Expand) operator."""
@@ -1395,6 +1510,74 @@ FROM numbered GROUP BY user_id, sess
 """
 
 
+def events_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/events.py): each error event matched
+    into its user's containing session window, on the BINNED plan
+    (bin_seconds=3600) so the scale path is what the gate checks. The
+    operator's end bound is exclusive, so sessions pass end+1µs; the
+    oracle independently uses inclusive BETWEEN."""
+    from vectorsearch_spark.operators.events import interval_join
+    from vectorsearch_spark.streaming.rollup import sessionize_batch
+
+    ev = _events(spark, sf_dir)
+    sessions = sessionize_batch(
+        ev.select("user_id", "ts", "value"), gap_seconds=1800.0
+    ).select(
+        "user_id",
+        "session_start",
+        F.timestamp_micros(F.unix_micros("session_end") + 1).alias("session_end_x"),
+        "session_end",
+        "n_events",
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(
+        errors,
+        sessions,
+        on="user_id",
+        ts="ts",
+        start="session_start",
+        end="session_end_x",
+        bin_seconds=3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+EVENTS_ERROR_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked),
+sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, sess)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(s.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s.session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       s.n_events
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end
+WHERE e.event_type = 'error'
+"""
+
+
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase→click attribution: each purchase joined to the LATEST
     click at-or-before it by the same user (backward as-of join,
@@ -1576,6 +1759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "q6_revenue_change": q6_revenue_change,
+        "q4_order_priority": q4_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
         "revenue_rollup": revenue_rollup,
         "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
@@ -1616,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_rollup": stream_window_rollup,
         "events_session_windows": events_session_windows,
         "events_asof_attribution": events_asof_attribution,
+        "events_error_sessions": events_error_sessions,
     }
 
 
@@ -1625,6 +1812,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,
         "q6_revenue_change": Q6_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q14_promo_revenue": Q14_SQL,
+        "q18_large_orders": Q18_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
@@ -1666,4 +1856,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
+        "events_error_sessions": EVENTS_ERROR_SESSIONS_SQL,
     }
