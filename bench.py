@@ -28,6 +28,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_revenue_change",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "revenue_rollup",
     "sql_knn_topk",
     "events_hourly_rollup",
@@ -44,6 +47,7 @@ HEADLINE = [
     "stream_window_rollup",
     "events_session_windows",
     "events_asof_attribution",
+    "events_error_sessions",
     "doc_repetition",
     "pii_redaction",
     "benchmark_contamination",

@@ -81,7 +81,7 @@ def test_benchmark_overlap_is_broadcast_no_corpus_shuffle(spark):
         benchmark_overlap(corpus, bench)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # corpus side must not hash-shuffle; the only join is the broadcast
-    # of the single-row bench-gram array
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "Exchange hashpartitioning(doc_id" not in plan
+    # the bench-gram set must come in as a broadcast hash table (built
+    # once per task); the exploded corpus grams must never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -311,32 +311,6 @@ def token_counts(
     )
 
 
-def _max_run(sorted_arr: Column) -> Column:
-    """Length of the longest run of equal adjacent elements in a SORTED
-    string array == the max multiplicity of any element — an O(g log g)
-    doc-LOCAL mode count (sort + one fold), chosen over the
-    explode→groupBy(doc, gram) formulation precisely because it needs NO
-    shuffle: repetition scoring stays a narrow pass at 100 TB instead of
-    shuffling every token of the corpus. Empty-string sentinel is safe:
-    tokens are non-empty by construction of TOKEN_RE."""
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("long")
-        )
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
-
-
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -348,24 +322,67 @@ def repetition_stats(
     n-gram (high top-fraction = boilerplate / degenerate repetition —
     a standard pretraining quality filter).
 
-    Pure codegen narrow projection (see ``_max_run``): no shuffle, no
-    Python in the row path. Docs with fewer than n tokens get
-    ``n_{n}grams = 0`` and a null fraction.
-    """
-    from vectorsearch_spark.functions.text import word_ngrams
+    Arrow-batched ``mapInPandas`` narrow pass — same justification as
+    ``winnow_fingerprints``: the pure-Catalyst formulation (array_sort
+    + an F.aggregate run-length fold) runs as INTERPRETED lambdas with
+    per-element struct allocation and re-evaluates the tokenize+n-gram
+    child per reference (measured 21.8 s for 5 000 docs at sf0.1 vs
+    <1 s here); the explode→groupBy(doc, gram) alternative shuffles
+    every n-gram of the corpus. This pass tokenizes each doc once in
+    NumPy and takes np.unique counts — no shuffle, no per-row JVM↔Py
+    chatter beyond the Arrow batches. The mapper emits INTEGER counts
+    only; the ratio is computed and rounded in Catalyst so rounding
+    semantics stay engine-portable (Python's banker's rounding differs
+    from Spark/DuckDB HALF_UP on exact dyadic ties like 1/32).
 
-    cols = [F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")]
+    Docs with fewer than n tokens get ``n_{n}grams = 0`` and a null
+    fraction.
+    """
+    import re as _re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    token_re = _re.compile(TOKEN_RE)
+    ns = tuple(ns)
+    raw_cols = [id_col, "n_tokens"] + [
+        c for n in ns for c in (f"n_{n}grams", f"_best_{n}")
+    ]
+    schema = ", ".join(f"`{c}` long" for c in raw_cols)
+
+    def mapper(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = token_re.findall((text or "").lower())
+                rec = [did, len(toks)]
+                for n in ns:
+                    if len(toks) >= n:
+                        grams = [
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        ]
+                        _, counts = np.unique(grams, return_counts=True)
+                        rec += [len(grams), int(counts.max())]
+                    else:
+                        rec += [0, 0]
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=raw_cols)
+
+    counted = fan_out(df.select(id_col, text_col), id_col).mapInPandas(
+        mapper, schema
+    )
+    out_cols = [F.col(id_col), F.col("n_tokens")]
     for n in ns:
-        grams = word_ngrams(text_col, n)
-        total = F.size(grams).cast("long")
-        best = _max_run(F.array_sort(grams))
-        cols += [
-            total.alias(f"n_{n}grams"),
-            F.when(total > 0, F.round(best / total, 4)).alias(
+        total = F.col(f"n_{n}grams")
+        out_cols += [
+            total,
+            F.when(total > 0, F.round(F.col(f"_best_{n}") / total, 4)).alias(
                 f"top_{n}gram_frac"
             ),
         ]
-    return df.select(*cols)
+    return counted.select(*out_cols)
 
 
 # PII patterns: a conservative regex subset interpreted identically by
