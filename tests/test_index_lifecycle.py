@@ -676,3 +676,28 @@ def test_codebook_cache_serves_and_invalidates(spark, built_index):
     again = idx.codebooks_np(sealed)
     for s in sealed:
         assert (again[s] == cbs[s]).all()
+
+
+def test_create_or_open_round_trip(spark, tmp_path):
+    """api/VectorIndex.java:43-49 createOrOpen parity: first call
+    creates, second opens with state intact, mismatched config raises."""
+    import pytest as _pytest
+
+    from vectorsearch_spark.config import IndexConfig
+    from vectorsearch_spark.index import VectorIndex
+
+    path = str(tmp_path / "coo")
+    cfg = IndexConfig(name="coo", dimension=8, max_segment_size=10)
+    idx = VectorIndex.create_or_open(spark, path, cfg)
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    idx.add(emb, order_col="vec_id")
+
+    again = VectorIndex.create_or_open(spark, path, cfg)
+    assert again.next_gid == 6  # opened, not re-created
+    with _pytest.raises(ValueError):
+        VectorIndex.create_or_open(
+            spark, path, IndexConfig(name="coo", dimension=16, max_segment_size=10)
+        )

