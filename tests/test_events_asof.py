@@ -114,6 +114,40 @@ def test_plan_is_single_shuffle_no_join(spark, frames):
     assert "Join" not in plan
 
 
+def test_null_payload_comes_from_matched_row(spark):
+    """A NULL payload value on the matched right row must be attached
+    as NULL — it must not un-hide an older non-null value — and the
+    tolerance check applies to the matched row's ts, so an
+    out-of-tolerance older value can never leak through a NULL field
+    of an in-tolerance match (single struct carry)."""
+    left = spark.createDataFrame(
+        [(100, 1, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 1, _ts(1), "old-value"),  # older, non-null payload
+            (12, 1, _ts(9), None),         # matched row: NULL payload
+        ],
+        "event_id long, user_id long, ts timestamp, attr string",
+    )
+    row = asof_join(
+        left, right, on="user_id", payload=["event_id", "attr"],
+        tiebreak="event_id", how="left",
+    ).collect()[0]
+    assert row.asof_event_id == 12
+    assert row.asof_attr is None          # matched row's NULL, not "old-value"
+    assert row.asof_ts == _ts(9)
+
+    # with tolerance_ms=2000 the t9 match (1000 ms stale) is in
+    # tolerance; attr stays NULL rather than falling back to the
+    # out-of-tolerance t1 value
+    row = asof_join(
+        left, right, on="user_id", payload=["event_id", "attr"],
+        tiebreak="event_id", tolerance_ms=2000, how="left",
+    ).collect()[0]
+    assert (row.asof_event_id, row.asof_attr) == (12, None)
+
+
 def test_left_columns_pass_through_unchanged(spark, frames):
     left, right = frames
     out = asof_join(
@@ -163,11 +197,39 @@ def test_interval_join_binned_equals_unbinned(spark):
     from vectorsearch_spark.operators.events import interval_join
 
     left, right = _interval_frames(spark)
-    plain = interval_join(left, right, on="user_id")
-    for bins in (1, 7, 3600):
+    plain = interval_join(left, right, on="user_id", bin_seconds=None)
+    for bins in (1, 7, 3600, "auto"):
         binned = interval_join(left, right, on="user_id", bin_seconds=bins)
         assert sorted(binned.columns) == sorted(plain.columns)
         a = {tuple(r) for r in plain.select(*sorted(plain.columns)).collect()}
         b = {tuple(r) for r in binned.select(*sorted(plain.columns)).collect()}
         assert a == b, f"bin_seconds={bins} diverged"
         assert len(a) == plain.count()  # no dup rows from bin explode
+
+
+def test_interval_join_auto_bins_degenerate_input(spark):
+    """The degenerate shape the residual-filter plan dies on — ONE key,
+    long overlapping intervals — must plan BINNED by default: auto mode
+    derives a bin from the median interval length, visible as the
+    Generate (explode) node over the interval sequence; the plain
+    bin_seconds=None plan has no Generate."""
+    from vectorsearch_spark.operators.events import interval_join
+
+    left = spark.createDataFrame(
+        [(i, 1, _ts(i % 50)) for i in range(40)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), _ts(50 - i), f"tag{i}") for i in range(10)],
+        "user_id long, start timestamp, end timestamp, tag string",
+    )
+    auto = interval_join(left, right, on="user_id")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan  # interval→bin explode present
+    plain = interval_join(left, right, on="user_id", bin_seconds=None)
+    assert "Generate" not in plain._jdf.queryExecution().executedPlan().toString()
+    # and the auto plan is output-identical to the plain one
+    cols = sorted(auto.columns)
+    assert {tuple(r) for r in auto.select(*cols).collect()} == {
+        tuple(r) for r in plain.select(*cols).collect()
+    }

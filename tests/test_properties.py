@@ -175,14 +175,20 @@ def test_pq_lut_distance_equals_explicit(spark, data, m, k):
         min_size=0, max_size=25,
     ),
     rights=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 60),
+            st.one_of(st.none(), st.integers(0, 5)),  # nullable payload
+        ),
         min_size=0, max_size=25,
     ),
 )
 def test_asof_join_matches_python_model(spark, lefts, rights):
     """asof_join ≡ the trivial per-row model: for each left row, the
     right row of the same key with max (ts, id) among ts <= left.ts —
-    for arbitrary keys, duplicate timestamps, and empty sides."""
+    for arbitrary keys, duplicate timestamps, empty sides, and NULLable
+    payload columns (the matched row's value must be attached even when
+    it is NULL — it must not un-hide an older non-null value)."""
     from datetime import datetime
 
     from vectorsearch_spark.operators.events import asof_join
@@ -191,24 +197,30 @@ def test_asof_join_matches_python_model(spark, lefts, rights):
         return datetime(2024, 1, 1, 0, 0, 0).replace(minute=s // 60, second=s % 60)
 
     lrows = [(i, u, ts(s)) for i, (u, s) in enumerate(lefts)]
-    rrows = [(1000 + i, u, ts(s)) for i, (u, s) in enumerate(rights)]
+    rrows = [(1000 + i, u, ts(s), v) for i, (u, s, v) in enumerate(rights)]
     left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp") \
         if lrows else spark.range(0).selectExpr(
             "id AS event_id", "id AS user_id", "CAST(NULL AS timestamp) AS ts")
-    right = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp") \
+    right = spark.createDataFrame(
+        rrows, "event_id long, user_id long, ts timestamp, val long") \
         if rrows else spark.range(0).selectExpr(
-            "id AS event_id", "id AS user_id", "CAST(NULL AS timestamp) AS ts")
+            "id AS event_id", "id AS user_id", "CAST(NULL AS timestamp) AS ts",
+            "CAST(NULL AS long) AS val")
 
     got = {
-        r.event_id: r.asof_event_id
+        r.event_id: (r.asof_event_id, r.asof_val)
         for r in asof_join(
-            left, right, on="user_id", payload=["event_id"],
+            left, right, on="user_id", payload=["event_id", "val"],
             tiebreak="event_id", how="left",
         ).collect()
     }
     for lid, lu, lts in lrows:
-        cands = [(rts, rid) for rid, ru, rts in rrows if ru == lu and rts <= lts]
-        want = max(cands)[1] if cands else None
+        cands = [(rts, rid, rv) for rid, ru, rts, rv in rrows
+                 if ru == lu and rts <= lts]
+        want = (None, None)
+        if cands:
+            _, rid, rv = max(cands, key=lambda t: (t[0], t[1]))
+            want = (rid, rv)
         assert got[lid] == want, (lid, got[lid], want)
 
 
@@ -222,7 +234,7 @@ def test_asof_join_matches_python_model(spark, lefts, rights):
         st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(1, 20)),
         min_size=0, max_size=10,
     ),
-    bins=st.sampled_from([None, 1, 5, 3600]),
+    bins=st.sampled_from([None, 1, 5, 3600, "auto"]),
 )
 def test_interval_join_matches_python_model(spark, lefts, intervals, bins):
     """interval_join (both plans) ≡ the trivial nested-loop model:

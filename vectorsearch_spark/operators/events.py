@@ -14,10 +14,13 @@ scale-killers: a range join (``l.ts >= r.ts``) explodes to O(|L|·|R|)
 per key before its window-prune, and a per-row lateral lookup is a
 driver loop. Instead we UNION the two sides (tagged), sort each key
 partition once by (ts, tag, tiebreak), and carry the right payload
-forward with ``last(payload, ignorenulls=True)`` over an unbounded
-preceding window. Cost: ONE shuffle of each side on the join key +
-an in-partition sort — the same plan shape as sessionization
-(streaming/rollup.py), linear in |L|+|R|, skew-bounded by the key.
+forward with ONE ``last(struct(ts, *payload), ignorenulls=True)``
+over an unbounded preceding window — a single struct column, so every
+attached value comes from the SAME matched right row (a NULL payload
+field rides a non-null struct and propagates exactly). Cost: ONE
+shuffle of each side on the join key + an in-partition sort — the
+same plan shape as sessionization (streaming/rollup.py), linear in
+|L|+|R|, skew-bounded by the key.
 Determinism under ts ties: right rows order before left rows at equal
 ts (backward join is ≥-inclusive), and equal-ts right rows order by
 ``tiebreak`` so the LAST (max-tiebreak) one wins — reruns and engines
@@ -32,6 +35,7 @@ from pyspark.sql import functions as F
 _TS = "__asof_ts"
 _KIND = "__asof_kind"
 _TB = "__asof_tb"
+_PAY = "__asof_pay"
 
 
 def asof_join(
@@ -59,26 +63,32 @@ def asof_join(
     - ``how``: 'inner' drops left rows with no match, 'left' keeps
       them with null payload.
 
-    Caveat: the carry is ``last(col, ignorenulls=True)`` per payload
-    column, so a right row whose payload value is itself NULL does not
-    overwrite an older non-null value for that column (the matched
-    ``{prefix}{ts}`` is always from the true latest row). Project
-    right-side nulls to a sentinel first if exact null propagation
-    matters.
+    All attached columns come from the SAME matched right row: the
+    carry is a single ``last(struct(...), ignorenulls=True)`` of the
+    whole payload struct, so a NULL payload field on the matched row
+    propagates as NULL (it never un-hides an older non-null value),
+    and the tolerance check applies to exactly that row's timestamp.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if payload is None:
         payload = [c for c in right.columns if c not in (*keys, ts)]
     out_payload = [prefix + c for c in payload] + [prefix + ts]
     rtypes = dict(right.dtypes)
+    # DDL type of the carried struct, for the typed NULL on left rows.
+    pay_type = "struct<" + ",".join(
+        [f"`{prefix}{c}`:{rtypes[c]}" for c in payload]
+        + [f"`{prefix}{ts}`:{rtypes[ts]}"]
+    ) + ">"
 
     r = right.select(
         *keys,
         F.col(ts).alias(_TS),
         F.lit(0).alias(_KIND),
         (F.col(tiebreak) if tiebreak else F.lit(None)).alias(_TB),
-        *[F.col(c).alias(prefix + c) for c in payload],
-        F.col(ts).alias(prefix + ts),
+        F.struct(
+            *[F.col(c).alias(prefix + c) for c in payload],
+            F.col(ts).alias(prefix + ts),
+        ).alias(_PAY),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys],
     )
     l = left.select(
@@ -86,8 +96,7 @@ def asof_join(
         F.col(ts).alias(_TS),
         F.lit(1).alias(_KIND),
         F.lit(None).alias(_TB),
-        *[F.lit(None).cast(rtypes[c]).alias(prefix + c) for c in payload],
-        F.lit(None).cast(rtypes[ts]).alias(prefix + ts),
+        F.lit(None).cast(pay_type).alias(_PAY),
     )
     unioned = r.unionByName(l)
 
@@ -99,8 +108,13 @@ def asof_join(
     carried = unioned.select(
         *left.columns,
         F.col(_KIND).alias(_KIND),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_payload],
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     ).where(F.col(_KIND) == 1)
+    carried = carried.select(
+        *left.columns,
+        F.col(_KIND),
+        *[F.col(_PAY)[c].alias(c) for c in out_payload],
+    )
 
     if tolerance_ms is not None:
         stale = F.unix_millis(F.col(ts)) - F.unix_millis(F.col(prefix + ts)) > int(
@@ -126,7 +140,7 @@ def interval_join(
     ts: str = "ts",
     start: str = "start",
     end: str = "end",
-    bin_seconds: int | None = None,
+    bin_seconds: int | str | None = "auto",
     how: str = "inner",
 ) -> DataFrame:
     """Interval (range) join: match each ``left`` row to every
@@ -136,14 +150,28 @@ def interval_join(
     join on the equi key with the range conjuncts as residual filters —
     fine when keys are selective. When intervals per key are many/long
     (or keys are few), the residual degrades toward O(|L|·|R|) per key;
-    pass ``bin_seconds`` to switch to the BINNED plan: each interval
-    explodes to the time bins it covers, each left row maps to one bin,
-    and the join becomes equi on (key…, bin) + residual — the standard
-    range-join optimization, output-identical (guarded by a test).
-    Choose ``bin_seconds`` ≈ the typical interval length: one interval
-    then lands in O(1) bins while each bin's population stays small.
+    the BINNED plan fixes this: each interval explodes to the time bins
+    it covers, each left row maps to one bin, and the join becomes equi
+    on (key…, bin) + residual — the standard range-join optimization,
+    output-identical (guarded by a test). ``bin_seconds`` ≈ the typical
+    interval length puts one interval in O(1) bins while each bin's
+    population stays small.
+
+    ``bin_seconds``: the default ``"auto"`` derives the bin width from
+    the MEDIAN interval length (one ``approxQuantile`` sketch over the
+    right side — a bounded driver action, the only pre-plan job); an
+    int forces that width; ``None`` forces the plain equi+residual
+    plan (only sensible when keys are known-selective and the right
+    side is hot enough that even one sketch pass matters).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if bin_seconds == "auto":
+        med = right.select(
+            (F.unix_seconds(F.col(end)) - F.unix_seconds(F.col(start)))
+            .cast("double")
+            .alias("__len")
+        ).approxQuantile("__len", [0.5], 0.05)
+        bin_seconds = max(1, int(med[0])) if med else None
     r = right
     for k in keys:  # rename right keys so the output has no dup columns
         r = r.withColumnRenamed(k, "__r_" + k)

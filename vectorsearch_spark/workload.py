@@ -1512,10 +1512,11 @@ FROM numbered GROUP BY user_id, sess
 
 def events_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (operators/events.py): each error event matched
-    into its user's containing session window, on the BINNED plan
-    (bin_seconds=3600) so the scale path is what the gate checks. The
-    operator's end bound is exclusive, so sessions pass end+1µs; the
-    oracle independently uses inclusive BETWEEN."""
+    into its user's containing session window, on the BINNED plan via
+    the default auto bin width (median interval length from one
+    approxQuantile sketch) so the scale path is what the gate checks.
+    The operator's end bound is exclusive, so sessions pass end+1µs;
+    the oracle independently uses inclusive BETWEEN."""
     from vectorsearch_spark.operators.events import interval_join
     from vectorsearch_spark.streaming.rollup import sessionize_batch
 
@@ -1539,7 +1540,6 @@ def events_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts",
         start="session_start",
         end="session_end_x",
-        bin_seconds=3600,
     )
     return j.select(
         "event_id",
