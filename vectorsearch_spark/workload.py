@@ -298,6 +298,181 @@ ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 100
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bidirectional trade volume between two nations
+    — a 6-way join whose selective predicate is an OR-of-ANDs ACROSS
+    tables (supp_nation/cust_nation pairs), the join-ordering shape
+    none of the other queries exercise. The implied single-table
+    predicate n_name IN (A, B) is applied to BOTH nation aliases
+    before the join (semantics-preserving: every disjunct requires
+    both names in the pair set) so the dim broadcasts carry only the
+    two relevant nations at any scale; the exact OR-of-ANDs remains
+    as the cross-table residual."""
+    n_a, n_b = "NATION_1", "NATION_2"
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(n_a, n_b))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == n_a) & (F.col("cust_nation") == n_b))
+            | ((F.col("supp_nation") == n_b) & (F.col("cust_nation") == n_a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, supplier, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3
+"""
+
+
+def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: disjunctive pushdown — the join predicate is
+    an OR of three AND-branches mixing part attributes (brand, size)
+    and lineitem attributes (quantity). The per-table implications of
+    the disjunction — p_brand IN (…) with its branch's size bound, and
+    l_quantity in the union range — are applied as scan filters
+    (exact, not approximations: each is the OR of that table's
+    conjuncts), so both scans prune before the broadcast join; the
+    full cross-table OR remains as the residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    b12 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+    b23 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+    b3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+    q12 = F.col("l_quantity").between(1, 11)
+    q23 = F.col("l_quantity").between(10, 20)
+    q3 = F.col("l_quantity").between(20, 30)
+    return (
+        li.where(q12 | q23 | q3)
+        .join(F.broadcast(part.where(b12 | b23 | b3)),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .where((b12 & q12) | (b23 & q23) | (b3 & q3))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: the semi+anti join stack — suppliers whose
+    line was the ONLY late one on a finished multi-supplier order
+    (the testdata schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 60 days; the correlated-subquery
+    structure is Q21's). One `late` plan feeds both the driving side
+    and the anti side; the semi probes the raw lineitem. Both probe
+    sides shuffle on l_orderkey — the semi/anti build reuses the key
+    — and the 100-row supplier dim broadcasts. Oracle independently
+    uses EXISTS / NOT EXISTS."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_5", "NATION_6")
+    )
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    return (
+        late.join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND n_name IN ('NATION_5', 'NATION_6')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(r_name, n_name) revenue with grouping level — exercises
     Spark's native multi-level aggregate (Expand) operator."""
@@ -1762,6 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q19_discount_revenue": q19_discount_revenue,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "revenue_rollup": revenue_rollup,
         "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
@@ -1815,6 +1993,9 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": Q4_SQL,
         "q14_promo_revenue": Q14_SQL,
         "q18_large_orders": Q18_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q19_discount_revenue": Q19_SQL,
+        "q21_suppliers_kept_waiting": Q21_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
