@@ -701,3 +701,55 @@ def test_create_or_open_round_trip(spark, tmp_path):
         VectorIndex.create_or_open(
             spark, path, IndexConfig(name="coo", dimension=16, max_segment_size=10)
         )
+
+
+# ---------------------------------------------------------------------------
+# search_join: distributed query-side search (queries never collected)
+# ---------------------------------------------------------------------------
+
+def test_search_join_matches_brute(spark, built_index):
+    """search_join ≡ mode=BRUTE search on the same batch, and the query
+    side reaches the executors through a broadcast join — never a
+    driver collect."""
+    idx, data, _ = built_index
+    qids = list(range(0, N, 3))
+    qdf = _queries_df(spark, data, qids)
+    got = idx.search_join(qdf, k=5)
+    exact = idx.search(qdf, k=5, params=SearchParams(mode="BRUTE"))
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["gid"], round(r["distance"], 9), r["rank"], r["score"] is not None)
+            for r in rows
+        )
+
+    assert key(got.collect()) == key(exact.collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_search_join_derived_query_df_never_materialized(spark, built_index):
+    """A query DF built purely by Spark-side transformation (range →
+    join) — the shape of a million-query batch that CANNOT be collected
+    — runs end-to-end and returns exactly k rows per query with the
+    self-match at rank 1."""
+    idx, data, _ = built_index
+    vec = idx.vectors().select(F.col("gid"), "embedding")
+    q = (
+        spark.range(1000)
+        .select(F.col("id").alias("query_id"), (F.col("id") % N).alias("gid"))
+        .join(vec, "gid")
+        .select("query_id", "embedding")
+    )
+    res = idx.search_join(q, k=3)
+    rows = res.collect()
+    assert len(rows) == 1000 * 3
+    top1 = {r["query_id"]: r["gid"] for r in rows if r["rank"] == 1}
+    assert all(top1[qid] == qid % N for qid in range(0, 1000, 97))
+
+
+def test_search_join_rejects_approx_modes(spark, built_index):
+    idx, data, _ = built_index
+    qdf = _queries_df(spark, data, [0])
+    with pytest.raises(ValueError):
+        idx.search_join(qdf, k=3, params=SearchParams(mode="GRAPH"))

@@ -421,6 +421,15 @@ class VectorIndex:
 
         return search(self, queries, k, params or SearchParams())
 
+    def search_join(
+        self, queries: DataFrame, k: int = 10, params: SearchParams | None = None
+    ) -> DataFrame:
+        """Exhaustive-exact search with a DataFrame query side (never
+        collected) — for query batches beyond driver comfort."""
+        from vectorsearch_spark.index.search import search_join
+
+        return search_join(self, queries, k, params or SearchParams())
+
     def delete(self, gids: list[int]) -> int:
         from vectorsearch_spark.index.maintenance import delete_gids
 

@@ -806,6 +806,20 @@ FROM ranked WHERE rank <= {_KNN_K}
 """
 
 
+def index_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed query-side search (index/search.py search_join): the
+    query batch stays a DataFrame end-to-end — broadcast-joined into
+    the vectors scan, per-partition streaming top-k reduce, shared
+    global merge. Exhaustive-exact, so the brute-force oracle applies
+    unchanged."""
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search_join(_emb_queries(spark, sf_dir), k=_KNN_K)
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def index_search_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ approx → exact re-rank search (approximate: no SQL
     oracle; recall ≥ 0.9 is asserted in tests/test_index_lifecycle.py)."""
@@ -1950,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
         "index_search_brute": index_search_brute,
+        "index_search_join": index_search_join,
         "index_search_sealed": index_search_sealed,
         "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
         "index_search_graph": index_search_graph,
@@ -2006,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_norms": VECTOR_NORMS_SQL,
         "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
+        "index_search_join": INDEX_SEARCH_BRUTE_SQL,
         # index_search_sealed / index_search_graph / ann_ivf_topk /
         # ann_lsh_topk: approximate → rows-only by design, recall ≥ 0.9
         # enforced in tests; each has a degenerate-exact *_exhaustive
