@@ -5,7 +5,7 @@ isolation — on handcrafted frames where the expected answer is obvious.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 
@@ -146,6 +146,55 @@ def test_null_payload_comes_from_matched_row(spark):
         tiebreak="event_id", tolerance_ms=2000, how="left",
     ).collect()[0]
     assert (row.asof_event_id, row.asof_attr) == (12, None)
+
+
+def test_time_sliced_plan_equivalent_under_hot_key(spark):
+    """Skew hardening: one key holding ~50% of all rows. The
+    slice_seconds plan must (a) produce byte-identical results to the
+    default plan — including matches whose right row lives in an
+    EARLIER slice — and (b) partition by (key, slice) so the hot key's
+    rows spread over many tasks instead of funneling into one."""
+    import random
+
+    rng = random.Random(7)
+    # hot user 1: 300 of 600 left rows over a 3000 s span; users 2..11
+    # share the rest. right rows are sparse for user 1 (many slices have
+    # none → carry-in must cross slice boundaries).
+    lrows, rrows = [], []
+    for i in range(600):
+        u = 1 if i % 2 == 0 else 2 + (i % 10)
+        s = rng.randrange(0, 3000)
+        lrows.append((i, u, datetime(2024, 1, 1, 0, 0, 0) + timedelta(seconds=s)))
+    for j in range(40):
+        u = 1 if j % 4 == 0 else 2 + (j % 10)
+        s = rng.randrange(0, 3000)
+        rrows.append((1000 + j, u, datetime(2024, 1, 1, 0, 0, 0) + timedelta(seconds=s)))
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp")
+
+    base = asof_join(
+        left, right, on="user_id", payload=["event_id"],
+        tiebreak="event_id", how="left",
+    )
+    sliced = asof_join(
+        left, right, on="user_id", payload=["event_id"],
+        tiebreak="event_id", how="left", slice_seconds=120,
+    )
+    a = sorted(tuple(r) for r in base.collect())
+    b = sorted(tuple(r) for r in sliced.collect())
+    assert a == b
+    # at least one match crossed a slice boundary (carry-in exercised)
+    crossed = [
+        r for r in sliced.collect()
+        if r.asof_ts is not None and int(r.ts.timestamp()) // 120 != int(r.asof_ts.timestamp()) // 120
+    ]
+    assert crossed
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_slice" in plan
+    assert any(
+        "hashpartitioning" in line and "__asof_slice" in line
+        for line in plan.splitlines()
+    )
 
 
 def test_left_columns_pass_through_unchanged(spark, frames):

@@ -182,8 +182,9 @@ def test_pq_lut_distance_equals_explicit(spark, data, m, k):
         ),
         min_size=0, max_size=25,
     ),
+    slice_seconds=st.sampled_from([None, 7]),  # default and time-sliced plans
 )
-def test_asof_join_matches_python_model(spark, lefts, rights):
+def test_asof_join_matches_python_model(spark, lefts, rights, slice_seconds):
     """asof_join ≡ the trivial per-row model: for each left row, the
     right row of the same key with max (ts, id) among ts <= left.ts —
     for arbitrary keys, duplicate timestamps, empty sides, and NULLable
@@ -211,7 +212,7 @@ def test_asof_join_matches_python_model(spark, lefts, rights):
         r.event_id: (r.asof_event_id, r.asof_val)
         for r in asof_join(
             left, right, on="user_id", payload=["event_id", "val"],
-            tiebreak="event_id", how="left",
+            tiebreak="event_id", how="left", slice_seconds=slice_seconds,
         ).collect()
     }
     for lid, lu, lts in lrows:

@@ -125,6 +125,45 @@ def test_sessionize_stream_vs_batch_oracle(spark, tmp_path_factory):
         assert batch[k] == v, k
 
 
+def test_sessionize_batch_hot_key_correct(spark):
+    """Documented skew bound (rollup.py sessionize_batch): one user
+    holding ~50% of all events funnels through one task — parallelism
+    degrades but results must stay exact. Model-checked against a
+    per-row Python sessionizer on a 1000-event hot key."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    hot_ts = sorted(rng.randrange(0, 40_000) for _ in range(1000))
+    for s in hot_ts:
+        rows.append((1, base + dt.timedelta(seconds=s), 1.0))
+    for i in range(1000):  # 100 cold users share the other half
+        rows.append((2 + i % 100, base + dt.timedelta(seconds=rng.randrange(0, 40_000)), 1.0))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev, gap_seconds=60.0).collect()
+    }
+
+    want = set()
+    by_user: dict[int, list] = {}
+    for u, t, _ in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for t in tss[1:]:
+            if (t - last).total_seconds() > 60.0:
+                want.add((u, start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        want.add((u, start, last, n))
+    assert got == want
+
+
 def test_stream_add_exactly_once_replay_after_commit(spark, tmp_path_factory):
     """Failure injection AFTER the epoch's atomic commit (on_batch runs
     post-add): Spark replays the epoch on restart because the checkpoint

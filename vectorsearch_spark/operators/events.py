@@ -36,6 +36,7 @@ _TS = "__asof_ts"
 _KIND = "__asof_kind"
 _TB = "__asof_tb"
 _PAY = "__asof_pay"
+_SL = "__asof_slice"
 
 
 def asof_join(
@@ -48,6 +49,7 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance_ms: int | None = None,
     how: str = "inner",
+    slice_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every ``left`` row, attach ``payload``
     columns of the latest ``right`` row with ``right.ts <= left.ts``
@@ -68,6 +70,19 @@ def asof_join(
     whole payload struct, so a NULL payload field on the matched row
     propagates as NULL (it never un-hides an older non-null value),
     and the tolerance check applies to exactly that row's timestamp.
+
+    Skew: the default plan partitions by the join key alone, so one
+    hot key (a user with 10⁸ events) funnels through one task. Pass
+    ``slice_seconds`` for the TIME-SLICED two-phase plan: rows
+    partition by (key, floor(ts/slice_seconds)) — the hot key's
+    timeline splits across tasks — each slice runs the window carry
+    locally, and a per-(key, slice) "last right struct" aggregate
+    (map-side combinable; #key×#slice rows, not events) is
+    prefix-carried across slices to seed slice-crossing matches. Same
+    two-phase partition-parallel prefix pattern as
+    ``operators.curate.pack_shards``; output-identical to the default
+    plan (guarded by the hypothesis model test and a hot-key test).
+    Choose a slice ≈ hot-key event span / desired parallelism.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if payload is None:
@@ -100,16 +115,66 @@ def asof_join(
     )
     unioned = r.unionByName(l)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        *left.columns,
-        F.col(_KIND).alias(_KIND),
-        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
-    ).where(F.col(_KIND) == 1)
+    if slice_seconds is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_TS).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            *left.columns,
+            F.col(_KIND).alias(_KIND),
+            F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
+        ).where(F.col(_KIND) == 1)
+    else:
+        sliced = unioned.withColumn(
+            _SL, F.floor(F.unix_seconds(F.col(_TS)) / F.lit(int(slice_seconds)))
+        )
+        # Phase 1: per-(key, slice) LAST right struct — an aggregate,
+        # so it combines map-side; output is #key×#slice rows. max_by
+        # on (ts, tb) mirrors the window's order (equal-(ts, tb) right
+        # rows are nondeterministic in BOTH plans unless `tiebreak` is
+        # unique — the documented determinism contract).
+        slice_last = (
+            sliced.where(F.col(_KIND) == 0)
+            .groupBy(*keys, _SL)
+            .agg(
+                F.max_by(_PAY, F.struct(F.col(_TS), F.col(_TB))).alias("__last_pay")
+            )
+        )
+        # Phase 2: prefix-carry that last struct across slices (strictly
+        # earlier slices only). The window runs over slice-grain rows —
+        # including left-only slices, hence the distinct∪left join.
+        slices = sliced.select(*keys, _SL).distinct()
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_SL).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = slices.join(slice_last, [*keys, _SL], "left").select(
+            *keys,
+            _SL,
+            F.last("__last_pay", ignorenulls=True).over(w_carry).alias("__carry_in"),
+        )
+        # Phase 3: within-slice carry, seeded by the slice's carry-in.
+        # Join and window both hash on (key…, slice) — the hot key's
+        # rows spread over #slices tasks instead of one.
+        w_slice = (
+            Window.partitionBy(*keys, _SL)
+            .orderBy(F.col(_TS).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = (
+            sliced.join(carry_in, [*keys, _SL])
+            .select(
+                *left.columns,
+                F.col(_KIND).alias(_KIND),
+                F.coalesce(
+                    F.last(_PAY, ignorenulls=True).over(w_slice), F.col("__carry_in")
+                ).alias(_PAY),
+            )
+            .where(F.col(_KIND) == 1)
+        )
     carried = carried.select(
         *left.columns,
         F.col(_KIND),

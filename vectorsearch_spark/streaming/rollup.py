@@ -133,7 +133,20 @@ def sessionize_batch(
 ) -> DataFrame:
     """Batch oracle for ``sessionize``: gap-based sessions via windows —
     session boundary where the gap to the previous event exceeds the
-    threshold; includes the final (unclosed) session of every user."""
+    threshold; includes the final (unclosed) session of every user.
+
+    Skew bound (explicit, by design): both windows partition by
+    ``user_id`` alone, so ONE user's entire history sorts in ONE task —
+    a user with 10⁸ events is a straggler. This is inherent to exact
+    gap-based sessions: a session boundary depends on the previous
+    event, a sequential chain along the whole per-user timeline, so a
+    time-sliced split would need a per-slice boundary-merge pass whose
+    fix-ups can cascade across every slice (unlike ``asof_join``'s
+    carry, which is a single prefix value — see its ``slice_seconds``
+    plan). Mitigate upstream: cap events per (user, day) before
+    sessionizing, or pre-split keys on a natural sub-key (device,
+    tenant). Results under a hot key remain correct — only parallelism
+    degrades (guarded by the hot-key test)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(ts_col)
