@@ -253,3 +253,28 @@ def test_duplicate_clusters_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert duplicate_clusters(empty).collect() == []
+
+
+def test_embedding_near_dup_plan_only_with_dim(spark):
+    """With `dim` supplied and the exact opt-in off, building the
+    candidate plan runs ZERO Spark jobs (no count(), no first() probe)
+    — the contract that keeps the operator cheap inside loops."""
+    from vectorsearch_spark.operators.dedup import embedding_near_dup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(30)]
+        + [(100, [3.0, 1.0, 0.0, 0.5]), (101, [3.0, 1.0, 0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = embedding_near_dup(df, dim=4)  # plan only — no action yet
+    after = set(tracker.getJobIdsForGroup(None))
+    assert before == after, "planning ran Spark jobs"
+    # passed-dim results ≡ probed-dim results
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    probed = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup(df, threshold=0.95).collect()
+    }
+    assert got == probed
+    assert (100, 101) in got  # identical pair always caught

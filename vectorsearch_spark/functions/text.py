@@ -54,21 +54,6 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """ORDERED, non-distinct word n-grams (space-joined) — empty array
-    when the text has fewer than ``n`` tokens (unlike ``word_shingles``,
-    which emits one short shingle; repetition metrics need true n-gram
-    multiset counts)."""
-    toks = tokens(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def char_shingles(col: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of the lowercased text."""
     s = F.lower(_c(col))

@@ -183,6 +183,13 @@ def _graph_traverse_candidates(
     # every action here runs inside this function (each round is
     # materialized), explicit broadcast() hints above still apply, and
     # shuffle joins on (seg_id, vec_id) are the scale-correct plan.
+    # SESSION-SCOPED WINDOW: the toggle is conf-level, so an UNRELATED
+    # query planned on this session concurrently with the traversal
+    # also loses auto-broadcast for that window (it regains it at the
+    # finally). Single-driver batch jobs — the intended deployment —
+    # are unaffected; concurrent-query apps should run traversal
+    # searches on their own spark.newSession() (shared context,
+    # isolated conf).
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

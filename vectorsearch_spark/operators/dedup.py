@@ -325,6 +325,7 @@ def embedding_near_dup(
     exact_pair_limit: int = 0,
     seed: int = 42,
     max_band_freq: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs (id_a < id_b, cosine ≥ τ), LSH-bucketed.
 
@@ -345,7 +346,14 @@ def embedding_near_dup(
     ``exact_pair_limit`` > 0 switches to the exact pairwise scan when
     the input has at most that many rows — a guaranteed-recall escape
     hatch for small candidate sets; it is the one path that cross
-    -joins, so it is opt-in and bounded.
+    -joins, so it is opt-in and bounded (and the one path that runs a
+    pre-plan ``count()`` — only when the opt-in is set).
+
+    ``dim``: embedding dimensionality, needed to generate the LSH
+    hyperplanes (Spark's array<float> schema does not carry a length).
+    Pass it to keep the default path fully plan-only; when omitted, a
+    one-row ``first()`` probe reads it (one tiny Spark job before the
+    candidate plan).
     """
     if exact_pair_limit and df.count() <= exact_pair_limit:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
@@ -366,7 +374,8 @@ def embedding_near_dup(
     # embedding bytes — dedup_exact's shape) or use duplicate_clusters
     # for cluster-level output; the all-pairs OUTPUT of an f-sized
     # identical group is itself O(f²) regardless of candidate strategy.
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     sig = _cap_band_freq(
         lsh_signatures(
             df, dim, n_tables=n_tables, n_bits=n_bits, id_col=id_col,

@@ -41,7 +41,17 @@ def exclude_generate_filter_inference(spark) -> None:
     it re-runs per row at file parallelism. Measured: 8 of 10 seconds of
     the minhash pipeline at sf0.1. The inferred filter buys nothing for
     text pipelines (every non-null doc yields ≥1 shingle/token), so the
-    operators that explode expensive arrays turn the rule off."""
+    operators that explode expensive arrays turn the rule off.
+
+    SESSION-SCOPED MUTATION (deliberate, permanent): this alters
+    ``excludedRules`` for every query subsequently planned on the
+    session, not just the calling operator — acceptable because the
+    rule is pure optimization (excluding it never changes results) and
+    re-adding it between queries would re-open the same perf trap for
+    the next text pipeline. Callers sharing a session with non-text
+    workloads that WANT generate-filter inference should plan those on
+    a separate session (Spark: ``spark.newSession()`` shares the
+    context but isolates conf)."""
     key = "spark.sql.optimizer.excludedRules"
     try:
         cur = spark.conf.get(key, None) or ""
@@ -51,27 +61,30 @@ def exclude_generate_filter_inference(spark) -> None:
         spark.conf.set(key, ",".join([c for c in (cur, _INFER_GEN_RULE) if c]))
 
 
-def fan_out(df: DataFrame, key_col: str) -> DataFrame:
+def fan_out(df: DataFrame, key_col: str, width: int | None = None) -> DataFrame:
     """Spread a NARROW source (few parquet files) to cluster parallelism
-    before a CPU-bound stage; no-op when the input already has ≥
-    defaultParallelism partitions — at 100 TB (thousands of input
-    splits) this adds NO shuffle, while on small-file corpora it stops a
+    before a CPU-bound stage; no-op when the input is already ≥
+    defaultParallelism wide — at 100 TB (thousands of input splits)
+    this adds NO shuffle, while on small-file corpora it stops a
     regex/hash stage from running 3-way parallel on a 32-core cluster.
 
-    The width probe runs with AQE disabled: under AQE, ``df.rdd``
-    EXECUTES every non-final query stage of the plan just to learn the
-    partitioning, and those stages then re-run in the real action
-    (no exchange reuse across QueryExecutions). Without AQE the RDD DAG
-    is built lazily and getNumPartitions is pure metadata."""
+    The width probe is pure metadata and conf-neutral: for file
+    sources, ``df.inputFiles()`` (driver-side file-index listing — no
+    job, no AQE interaction; an earlier ``df.rdd`` probe had to toggle
+    ``spark.sql.adaptive.enabled`` session-wide, which raced against
+    concurrently-planned queries). File count caps scan width — big
+    splittable files only divide further, so ≥ par files never
+    repartitions; fewer files than cores repartitions (worst case: a
+    shuffle that AQE-coalesces, on inputs small enough to have few
+    files). Non-file sources (createDataFrame, views over exchanges)
+    have no metadata-only width — they're treated as narrow unless the
+    caller passes an explicit ``width`` hint."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        nparts = df.rdd.getNumPartitions()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-    if nparts < par:
+    if width is None:
+        files = df.inputFiles()
+        width = len(files) if files else 1
+    if width < par:
         return df.repartition(par, F.col(key_col))
     return df
 
