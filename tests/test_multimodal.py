@@ -83,3 +83,124 @@ def test_sample_frames_bounded_fanout(media):
         assert [r["frame_idx"] for r in got] == keep
         for r in got:
             assert bytes(r["payload"]) == frames[r["frame_idx"]].astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (functions/codecs.py): BMP + PPM, byte-exact
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_various_shapes():
+    """encode→decode identity on widths that exercise every row-padding
+    residue (3w % 4 ∈ {0,1,2,3})."""
+    from vectorsearch_spark.functions.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for w, h in [(1, 1), (2, 3), (3, 2), (4, 4), (5, 7), (6, 1), (7, 5), (16, 9)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (w, h)
+
+
+def test_bmp_handcrafted_bytes_bottom_up_bgr_padding():
+    """Decode a BMP constructed BY HAND (not by our encoder): 2×2, so a
+    roundtrip-symmetric bug (both sides top-down, or both RGB) cannot
+    hide. Pixel layout asserts all three container quirks at once:
+    bottom-up row order, BGR byte order, 2-byte row padding at w=2."""
+    import struct
+
+    w, h = 2, 2
+    row = lambda pixels_bgr: b"".join(bytes(p) for p in pixels_bgr) + b"\x00\x00"
+    # file rows bottom-up: FIRST stored row is the BOTTOM image row
+    bottom = row([(255, 0, 0), (0, 255, 0)])   # BGR: blue px, green px
+    top = row([(0, 0, 255), (10, 20, 30)])     # BGR: red px, odd px
+    body = bottom + top
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    from vectorsearch_spark.functions.codecs import decode_bmp
+
+    img = decode_bmp(header + dib + body)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]    # top-left is RED (RGB)
+    assert img[0, 1].tolist() == [30, 20, 10]   # BGR reversed
+    assert img[1, 0].tolist() == [0, 0, 255]    # bottom-left BLUE
+    assert img[1, 1].tolist() == [0, 255, 0]    # bottom-right GREEN
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    from vectorsearch_spark.functions.codecs import decode_bmp, encode_bmp
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(encode_bmp(img))
+    # flip height sign → rows are now stored top-down; re-decode must
+    # therefore see the VERTICALLY FLIPPED image
+    struct.pack_into("<i", data, 22, -2)
+    assert np.array_equal(decode_bmp(bytes(data)), img[::-1])
+
+
+def test_bmp_rejects_unsupported():
+    import pytest as _pytest
+
+    from vectorsearch_spark.functions.codecs import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG....")
+    import struct
+
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 0, 0
+    )
+    with _pytest.raises(ValueError):
+        decode_bmp(hdr)  # 8bpp unsupported
+
+
+def test_ppm_roundtrip_and_comment_header():
+    from vectorsearch_spark.functions.codecs import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # comment lines inside the header, per the Netpbm spec
+    with_comment = b"P6\n# a comment\n6 # trailing\n4\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+
+
+def test_decode_media_dispatch():
+    import pytest as _pytest
+
+    from vectorsearch_spark.functions.codecs import (
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    img = np.full((3, 3, 3), 7, dtype=np.uint8)
+    assert np.array_equal(decode_media(encode_bmp(img)), img)
+    assert np.array_equal(decode_media(encode_ppm(img)), img)
+    with _pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n")
+
+
+def test_extract_features_with_real_bmp_codec(spark):
+    """The real codec through the real operator: BMP payloads built in
+    Spark rows, features extracted via decode_media — mean of the
+    decoded pixels equals the mean of the source pixels (container
+    overhead invisible), proving the seam takes a working decoder."""
+    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
+    from vectorsearch_spark.operators.multimodal import extract_features
+
+    rng = np.random.default_rng(9)
+    rows, means = [], {}
+    for i in range(6):
+        img = rng.integers(0, 256, size=(3 + i, 5 + i, 3), dtype=np.uint8)
+        rows.append((i, bytearray(encode_bmp(img))))
+        means[i] = float(img.astype(np.float64).mean())
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = extract_features(media, decoder=decode_media, feature_dim=4)
+    for r in feats.collect():
+        got = float(np.mean(r["feature"]))
+        # feature_dim chunks may zero-pad the tail: recompute expected
+        img_size = (3 + r["media_id"]) * (5 + r["media_id"]) * 3
+        pad = (-img_size) % 4
+        expect = means[r["media_id"]] * img_size / (img_size + pad) if pad else means[r["media_id"]]
+        assert abs(got - expect) < 1e-3, r["media_id"]

@@ -6,13 +6,16 @@ BASELINE.json; the reference's only binary surface is the opaque
 ``payload`` column, vectorsearch.proto:123-125).
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested. The actual codec step is STUBBED because
-image/audio libraries are not available in this environment:
+shapes — is real and tested. For the codec step, two REAL pure-stdlib
+codecs ship in ``functions/codecs.py`` (24-bit uncompressed BMP and
+binary PPM, decode+encode; ``codecs.decode_media`` sniffs the magic) —
+plug ``decoder=decode_media`` for actual container parsing, exercised
+end-to-end by the ``mm_image_decode`` workload query. Formats those
+codecs don't cover (JPEG/video/audio) still need an external library:
 
-- ``decoder=None`` (default) raises ``NotImplementedError`` with
-  installation guidance, exactly at the point a Pillow/ffmpeg-backed
-  callable would plug in;
-- tests inject a deterministic fake decoder to exercise the full path.
+- ``decoder=None`` (default) raises ``NotImplementedError`` naming the
+  shipped codecs and the Pillow/ffmpeg plug-in point;
+- tests exercise both the real codecs and a deterministic fake.
 
 Scale design: every operator is a narrow ``mapInPandas`` pass — binary
 blobs never shuffle; only the (small) extracted features do. Arrow
@@ -47,10 +50,10 @@ Decoder = Callable[[bytes], np.ndarray]
 def _require_decoder(decoder: Decoder | None, op: str) -> Decoder:
     if decoder is None:
         raise NotImplementedError(
-            f"{op}: no media codec available in this environment. Pass "
-            "decoder=<callable bytes -> np.ndarray>, e.g. a Pillow/"
-            "torchvision/ffmpeg-backed function, to run the real path; "
-            "tests use a deterministic fake."
+            f"{op}: no decoder given. For BMP/PPM payloads pass the shipped "
+            "pure-stdlib codec (functions/codecs.py decode_media); for other "
+            "formats pass decoder=<callable bytes -> np.ndarray>, e.g. a "
+            "Pillow/torchvision/ffmpeg-backed function."
         )
     return decoder
 

@@ -1938,6 +1938,83 @@ FROM shaped
 """
 
 
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec end-to-end (functions/codecs.py): deterministic RGB
+    pixels derived from each document's bytes are wrapped in actual
+    24-bit BMP containers by the shipped encoder, then parsed back by
+    the shipped decoder (pixel-offset field, bottom-up rows, BGR order,
+    4-byte row padding) inside one narrow Arrow pass. The oracle
+    recomputes size/mean/position-weighted checksum straight from the
+    text bytes — a decoder that mis-handles any container quirk
+    hash-fails (the checksum is raster-order-sensitive). The handcrafted
+    -bytes pytest covers encoder/decoder-symmetric bugs."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w, h = 5 + did % 12, 4 + did % 9
+                k = np.arange(w * h * 3)
+                pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
+                data = encode_bmp(pix.reshape(h, w, 3))
+                dec = decode_media(data)  # the real container parse
+                flat = dec.astype(np.int64).ravel()
+                rows.append(
+                    (
+                        int(did),
+                        len(data),
+                        dec.shape[1],
+                        dec.shape[0],
+                        float(flat.sum()) / flat.size,
+                        int(((np.arange(flat.size) + 1) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "bmp_bytes", "width", "height", "mean_px", "checksum"],
+            )
+
+    out = docs.mapInPandas(
+        mapper,
+        "media_id long, bmp_bytes long, width long, height long, "
+        "mean_px double, checksum long",
+    )
+    return out.select(
+        "media_id", "bmp_bytes", "width", "height",
+        F.round("mean_px", 4).alias("mean_px"), "checksum",
+    )
+
+
+MM_IMAGE_DECODE_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+  FROM documents),
+pix AS (
+  SELECT media_id, n, w, h,
+         list_transform(range(0, w * h * 3),
+           k -> CASE WHEN n = 0 THEN 0
+                     ELSE ascii(text[CAST(k % n AS BIGINT) + 1]) END) AS p
+  FROM base)
+SELECT media_id,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS bmp_bytes,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round(CAST(list_aggregate(p, 'sum') AS DOUBLE) / (w * h * 3), 4) AS mean_px,
+       CAST(list_aggregate(
+         list_transform(range(0, w * h * 3), k -> (k + 1) * p[CAST(k AS BIGINT) + 1]),
+         'sum') AS BIGINT) AS checksum
+FROM pix
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1992,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_metadata": mm_media_metadata,
         "mm_feature_extract": mm_feature_extract,
         "mm_frame_sample": mm_frame_sample,
+        "mm_image_decode": mm_image_decode,
         "stream_window_rollup": stream_window_rollup,
         "events_session_windows": events_session_windows,
         "events_asof_attribution": events_asof_attribution,
@@ -2050,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_metadata": MM_METADATA_SQL,
         "mm_feature_extract": MM_FEATURES_SQL,
         "mm_frame_sample": MM_FRAMES_SQL,
+        "mm_image_decode": MM_IMAGE_DECODE_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
