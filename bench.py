@@ -31,6 +31,12 @@ HEADLINE = [
     "q4_order_priority",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q19_discount_revenue",
+    "q21_suppliers_kept_waiting",
+    "q13_customer_distribution",
+    "q22_inactive_customers",
+    "q15_top_supplier",
     "revenue_rollup",
     "sql_knn_topk",
     "events_hourly_rollup",
@@ -52,6 +58,8 @@ HEADLINE = [
     "pii_redaction",
     "benchmark_contamination",
     "mm_feature_extract",
+    "mm_image_decode",
+    "index_search_join",
 ]
 
 def _index_build(spark, sf_dir):

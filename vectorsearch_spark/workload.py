@@ -473,6 +473,123 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: two-level aggregation over a LEFT OUTER join
+    with a non-equi residual in the JOIN condition (filtering in WHERE
+    would drop the zero-order customers the query exists to count) —
+    the outer-join-then-agg shape no other query exercises. Customers
+    shuffle once on c_custkey; the second agg groups on the tiny
+    c_count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: scalar aggregate subquery (global avg balance
+    — a 1-row agg broadcast into the filter, never a driver collect)
+    plus an ANTI join against recent orders. The order side is pruned
+    to the date window BEFORE the anti join, so the build side is the
+    small recent set, not all orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = orders.where(F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("long").alias("cust_group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cust_group")
+    )
+
+
+Q22_SQL = """
+SELECT CAST(c_custkey % 10 AS BIGINT) AS cust_group,
+       count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: aggregate view + scalar MAX subquery join —
+    the revenue rollup computes once, its 1-row max broadcasts back
+    over it (no second scan of lineitem, no driver collect), and the
+    100-row supplier dim broadcasts onto the winners."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(r_name, n_name) revenue with grouping level — exercises
     Spark's native multi-level aggregate (Expand) operator."""
@@ -2031,6 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q19_discount_revenue": q19_discount_revenue,
         "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q22_inactive_customers": q22_inactive_customers,
+        "q15_top_supplier": q15_top_supplier,
         "revenue_rollup": revenue_rollup,
         "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
@@ -2089,6 +2209,9 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": Q7_SQL,
         "q19_discount_revenue": Q19_SQL,
         "q21_suppliers_kept_waiting": Q21_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q22_inactive_customers": Q22_SQL,
+        "q15_top_supplier": Q15_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
