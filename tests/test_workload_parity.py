@@ -25,3 +25,31 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
         assert df.count() > 0, f"{name}: rows-only query returned no rows"
         return
     assert_matches(df, con, oracles[name], name)
+
+
+def test_hll_sketch_within_tolerance_of_exact(spark, sf_dir):
+    """HLL sketch distinct counts (hll_sketch_agg/hll_sketch_estimate —
+    Spark 3.5+ DataSketches surface) vs the oracle-checked exact
+    counts: ≤5% relative error per event_type. Sketch bytes are
+    engine-specific so the sketch itself can't hash-compare; this gate
+    plus the exact twin (events_distinct_users) covers the operator."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.workload import _events, events_distinct_users
+
+    ev = _events(spark, sf_dir)
+    approx = {
+        r["event_type"]: r["n_approx"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_approx")
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in events_distinct_users(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)

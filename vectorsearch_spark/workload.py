@@ -696,6 +696,62 @@ GROUP BY 1, 2
 """
 
 
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (trailing 1 h per user) — the RangeFrame
+    physical shape (peer-row handling at equal timestamps, interval
+    bounds) that no ROWS-frame query exercises. One shuffle on user_id;
+    frame evaluation is streaming within the sorted partition. Spark's
+    rangeBetween needs a numeric ordering key, so the frame orders by
+    unix_micros(ts) with ±µs bounds — DuckDB's INTERVAL arithmetic is
+    the independent formulation."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+    )
+
+
+EVENTS_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS avg_1h,
+       count(*)   OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+FROM events
+"""
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type (two-level shuffle
+    dedup-then-count). The HLL sketch twin of this query
+    (``hll_sketch_agg``) is gated in tests/test_workload_parity.py
+    against these exact counts at ≤5% relative error — sketch bytes are
+    engine-specific, so the exact form is the oracle surface."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window ranking (T2-style per-group top-k on relational data)."""
     from pyspark.sql import Window
@@ -2154,6 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": revenue_rollup,
         "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
+        "events_moving_avg": events_moving_avg,
+        "events_distinct_users": events_distinct_users,
         "top_customers_per_nation": top_customers_per_nation,
         "knn_l2_batch": knn_l2_batch,
         "knn_cosine_batch": knn_cosine_batch,
@@ -2215,6 +2273,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
+        "events_moving_avg": EVENTS_MOVING_AVG_SQL,
+        "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
         "knn_l2_batch": _knn_sql(Metric.L2),
         "knn_cosine_batch": _knn_sql(Metric.COSINE),
