@@ -40,6 +40,8 @@ HEADLINE = [
     "revenue_rollup",
     "sql_knn_topk",
     "events_hourly_rollup",
+    "events_moving_avg",
+    "events_distinct_users",
     "top_customers_per_nation",
     "knn_l2_batch",
     "knn_cosine_batch",

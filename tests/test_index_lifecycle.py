@@ -748,8 +748,79 @@ def test_search_join_derived_query_df_never_materialized(spark, built_index):
     assert all(top1[qid] == qid % N for qid in range(0, 1000, 97))
 
 
-def test_search_join_rejects_approx_modes(spark, built_index):
+def test_search_join_rejects_graph_mode(spark, built_index):
     idx, data, _ = built_index
     qdf = _queries_df(spark, data, [0])
     with pytest.raises(ValueError):
         idx.search_join(qdf, k=3, params=SearchParams(mode="GRAPH"))
+
+
+def test_search_join_pq_exhaustive_twin_equals_brute(spark, built_index):
+    """Distributed PQ mode with ef ≥ segment size: the cogroup
+    candidate pool is every row of every sealed segment, so the exact
+    re-rank sees everything and the result must equal the exhaustive
+    plan — every stage of the distributed PQ path (bucketed cogroup,
+    LUT distances, re-rank join, per-seg cap, merge) is exact-checked."""
+    idx, data, _ = built_index
+    qids = list(range(0, N, 5))
+    qdf = _queries_df(spark, data, qids)
+    pq = idx.search_join(qdf, k=5, params=SearchParams(mode="PQ", ef=CAP))
+    brute = idx.search_join(qdf, k=5, params=SearchParams(mode="BRUTE"))
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["gid"], round(r["distance"], 9), r["rank"]) for r in rows
+        )
+
+    assert key(pq.collect()) == key(brute.collect())
+
+
+def test_search_join_pq_mixed_states_exact_twin(spark, tmp_path_factory):
+    """PQ-mode search_join over a MIXED index (one SEALED segment via
+    the cogroup path, one ACTIVE segment via the exhaustive brute part)
+    must merge both correctly — ef=cap makes it exactly BRUTE."""
+    path = str(tmp_path_factory.mktemp("vsmix"))
+    cfg = IndexConfig(
+        name="mix", dimension=DIM, max_segment_size=CAP, pq_m=4, pq_k=16,
+        graph_degree=8, graph_build_breadth=16, oversample=4, seed=7,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, 80, DIM, seed=11)  # 50 + 30: segs 0, 1
+    idx.add(df, order_col="row_id")
+    idx.build([0])  # seal only segment 0; segment 1 stays brute-searchable
+    states = {r["seg_id"]: r["state"] for r in idx.segments().collect()}
+    assert states[0] == "SEALED" and states[1] != "SEALED"
+
+    qdf = _queries_df(spark, data, [0, 20, 55, 79])
+    pq = idx.search_join(qdf, k=4, params=SearchParams(mode="PQ", ef=CAP))
+    brute = idx.search_join(qdf, k=4, params=SearchParams(mode="BRUTE"))
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["gid"], round(r["distance"], 9), r["rank"]) for r in rows
+        )
+
+    rows = pq.collect()
+    assert key(rows) == key(brute.collect())
+    # both sides of the gid space represented (top1 self-match each)
+    top1 = {r["query_id"]: r["gid"] for r in rows if r["rank"] == 1}
+    assert top1 == {0: 0, 20: 20, 55: 55, 79: 79}
+
+
+def test_search_join_pq_default_recall(spark, built_index):
+    """Default-ef distributed PQ search: recall@10 ≥ 0.9 vs exhaustive
+    (the same bar as the collected sealed path)."""
+    idx, data, _ = built_index
+    qids = list(range(0, N, N // 30))[:30]
+    qdf = _queries_df(spark, data, qids)
+    approx = idx.search_join(qdf, k=10, params=SearchParams(mode="PQ"))
+    exact = idx.search_join(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in got[r["query_id"]]
+    assert total == 30 * 10
+    assert hits / total >= 0.9

@@ -53,3 +53,21 @@ def test_hll_sketch_within_tolerance_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_q19_disjunctive_pushdown_reaches_scans(spark, sf_dir):
+    """Regression guard for the Q19 shape: the per-table implications
+    of the OR-of-ANDs must appear as data filters on BOTH scans (the
+    quantity-range union on lineitem, the brand/size disjunction on
+    part) — losing them silently reverts to scanning everything."""
+    from vectorsearch_spark.workload import q19_discount_revenue
+
+    plan = (
+        q19_discount_revenue(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    li_scan = next(l for l in scans if "lineitem" in l)
+    part_scan = next(l for l in scans if "part.parquet" in l)
+    assert "l_quantity" in li_scan
+    assert "p_brand" in part_scan and "p_size" in part_scan

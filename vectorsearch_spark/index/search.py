@@ -554,57 +554,241 @@ def _stream_topk_reducer(k: int):
 def search_join(
     index: VectorIndex, queries: DataFrame, k: int = 10, params: SearchParams | None = None
 ) -> DataFrame:
-    """Distributed exhaustive index search for query batches too large
-    to collect: the query side stays a DataFrame end-to-end — no driver
+    """Distributed index search for query batches too large to collect:
+    the query side stays a DataFrame end-to-end — no driver
     materialization anywhere on the path (``search`` collects its batch
     into the Arrow mapper closure, the widened form of the reference's
     one-query API, fdb/FdbVectorIndex.java:351-479; this is the
     million-query form).
 
-    Plan: visibility-filtered vectors (state dispatch + tombstone
-    filter, as in ``search``) ⋈ BROADCAST(queries) — Catalyst builds
-    the query-side hash relation executor-side from the exchange, the
-    driver never holds Python rows — then the exact metric distance in
-    codegen, projected to a narrow (query_id, gid, distance) stream
-    BEFORE the Arrow pass, then a per-partition streaming top-k reduce
-    (O(Q×k) task memory) and the shared global merge + payload attach.
+    Modes:
 
-    Exhaustive by construction (every searchable vector is scored), so
-    results are exact — the distributed twin of mode=BRUTE; approx
-    modes (PQ/GRAPH) remain on ``search``'s collected path, whose
-    per-query LUT/frontier state is driver-seeded. Relative to
-    ``search`` the per-pair cost moves from NumPy GEMM into codegen
-    HOFs (~2× constant) in exchange for unbounded Q; for an
-    approximate cosine variant at huge Q see
-    ``operators.similarity.ann_lsh_join``.
+    - ``AUTO`` / ``BRUTE`` — exhaustive-exact: visibility-filtered
+      vectors (state dispatch + tombstone filter, as in ``search``)
+      ⋈ BROADCAST(queries) — Catalyst builds the query-side hash
+      relation executor-side from the exchange — then the exact metric
+      distance in codegen, projected to a narrow (query_id, gid,
+      distance) stream BEFORE the Arrow pass, then a per-partition
+      streaming top-k reduce (O(Q×k) task memory) and the shared
+      global merge + payload attach. Exhaustive by construction, so
+      results are exact. (Unlike ``search``, AUTO here is exhaustive:
+      with no driver-seeded per-query state the exact plan is the
+      default; opt into PQ explicitly.)
+    - ``PQ`` — the distributed two-phase approx plan: sealed segments
+      go through the PQ-codes scan via a bucketed COGROUP (see
+      ``_pq_cogroup_candidates``) — the codes table and the replicated
+      query DF meet in ``applyInPandas`` with the codebooks as a Spark
+      broadcast, LUT distances per (query, segment), top-ef per
+      (query, segment) — then the exact re-rank joins candidates back
+      to raw vectors with the query DF broadcast. Brute-state segments
+      (ACTIVE/PENDING) are scored exhaustively and merged, exactly as
+      in ``search``. With ef ≥ segment size the candidate pool is the
+      whole segment and the result equals BRUTE — the hash-checkable
+      degenerate twin.
+
+    GRAPH stays on ``search``'s collected path (frontier state is
+    driver-seeded). For an approximate cosine variant at huge Q
+    without an index, see ``operators.similarity.ann_lsh_join``.
     """
     params = params or SearchParams()
-    if params.mode not in ("AUTO", "BRUTE"):
+    if params.mode not in ("AUTO", "BRUTE", "PQ"):
         raise ValueError(
-            f"search_join is exhaustive-exact; mode={params.mode!r} requires "
-            "the collected-batch search()"
+            f"search_join supports AUTO/BRUTE (exhaustive) and PQ; "
+            f"mode={params.mode!r} requires the collected-batch search()"
         )
     metric = Metric(index.config.metric)
+    cfg = index.config
     q = queries.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("embedding").alias("__qvec"),
     )
-    vec = index.vectors().filter(~F.col("deleted"))
-    emb = F.col("embedding")
-    if params.normalize_on_read:
-        emb = normalize(emb).cast("array<float>")
-    scored = (
-        vec.select("gid", emb.alias("__vvec"))
-        .crossJoin(F.broadcast(q))
-        .select(
-            "query_id",
-            "gid",
-            distance_for_metric(F.col("__vvec"), F.col("__qvec"), metric).alias(
-                "distance"
-            ),
+    if params.mode in ("AUTO", "BRUTE"):
+        vec = index.vectors().filter(~F.col("deleted"))
+        emb = F.col("embedding")
+        if params.normalize_on_read:
+            emb = normalize(emb).cast("array<float>")
+        scored = (
+            vec.select("gid", emb.alias("__vvec"))
+            .crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                "gid",
+                distance_for_metric(F.col("__vvec"), F.col("__qvec"), metric).alias(
+                    "distance"
+                ),
+            )
         )
+        partial = scored.mapInPandas(
+            _stream_topk_reducer(k), "query_id long, gid long, distance double"
+        )
+        return _merge_and_attach(index, partial, k, metric)
+
+    # -- PQ mode: two-phase over sealed segments + exhaustive brute part
+    spark = index.spark
+    per_seg_limit = params.per_seg_limit or max(k, k * cfg.oversample)
+    seg_rows = index.segments().collect()  # O(#segments) registry read
+    brute_segs = [r["seg_id"] for r in seg_rows if r["state"] in SEARCHABLE_BRUTE]
+    sealed_segs = [r["seg_id"] for r in seg_rows if r["state"] in SEARCHABLE_SEALED]
+    counts = {r["seg_id"]: r["count"] + r["deleted_count"] for r in seg_rows}
+    parts: list[DataFrame] = []
+
+    if brute_segs:
+        vec = index.vectors().filter(
+            F.col("seg_id").isin(brute_segs) & ~F.col("deleted")
+        )
+        emb = F.col("embedding")
+        if params.normalize_on_read:
+            emb = normalize(emb).cast("array<float>")
+        scored = (
+            vec.select("gid", emb.alias("__vvec"))
+            .crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                "gid",
+                distance_for_metric(F.col("__vvec"), F.col("__qvec"), metric).alias(
+                    "distance"
+                ),
+            )
+        )
+        parts.append(
+            scored.mapInPandas(
+                _stream_topk_reducer(per_seg_limit),
+                "query_id long, gid long, distance double",
+            )
+        )
+
+    if sealed_segs:
+        ef_base = params.ef or default_ef(k, cfg.oversample)
+        ef_by_seg = {
+            s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs
+        }
+        cand = _pq_cogroup_candidates(index, q, sealed_segs, ef_by_seg, metric)
+        # exact re-rank: candidates are ≤ Q×S×ef (seg_id, vec_id)
+        # triples — join raw vectors on the composite key, then attach
+        # the query vector by broadcast and rescore with the true metric
+        vec = index.vectors(states=SEARCHABLE_SEALED).select(
+            "seg_id", "vec_id", "gid", "embedding", "deleted"
+        )
+        emb = F.col("embedding")
+        if params.normalize_on_read:
+            emb = normalize(emb).cast("array<float>")
+        reranked = (
+            vec.join(cand, ["seg_id", "vec_id"])
+            .filter(~F.col("deleted"))
+            .join(F.broadcast(q), "query_id")
+            .withColumn("distance", distance_for_metric(emb, F.col("__qvec"), metric))
+            .select("query_id", "seg_id", "gid", "distance")
+        )
+        w_cap = Window.partitionBy("query_id", "seg_id").orderBy(
+            F.col("distance").asc(), F.col("gid").asc()
+        )
+        parts.append(
+            reranked.withColumn("rn", F.row_number().over(w_cap))
+            .filter(F.col("rn") <= per_seg_limit)
+            .select("query_id", "gid", "distance")
+        )
+
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "query_id long, gid long, distance double, score double, "
+            "payload binary, rank int",
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return _merge_and_attach(index, merged, k, metric)
+
+
+def _pq_cogroup_candidates(
+    index: VectorIndex,
+    q: DataFrame,
+    sealed_segs: list[int],
+    ef_by_seg: dict[int, int],
+    metric: Metric,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Distributed PQ candidate generation with a DataFrame query side:
+    the replicated-join re-expression of ``search``'s closure-captured
+    codes scan (S3 + T1, fdb/FdbVectorIndex.java:1057-1079).
+
+    The codes table buckets by hash(seg_id) (a whole segment shares a
+    bucket so its LUT computes once per bucket); the query DF
+    replicates to every bucket via ``explode(sequence(0, B-1))`` — a
+    Q×B-row shuffle of the SMALL side, the classic replicated
+    (fragment-and-replicate) join — and the two sides meet in an
+    ``applyInPandas`` cogroup where NumPy builds per-(query, segment)
+    LUTs from the broadcast codebooks and emits top-ef candidates.
+    Nothing is collected to the driver; the big side (codes) shuffles
+    once on the bucket key.
+
+    Task memory is one bucket's codes (≈ N·m/B bytes) + Q query rows;
+    size ``n_buckets`` so a bucket's codes fit comfortably in executor
+    memory (default: one bucket per sealed segment, capped at 256)."""
+    spark = index.spark
+    B = n_buckets or min(max(len(sealed_segs), 1), 256)
+    cbs_bc = spark.sparkContext.broadcast(index.codebooks_np(sealed_segs))
+
+    codes = index.codes(sealed_segs).withColumn(
+        "__b", F.pmod(F.hash("seg_id"), F.lit(B))
     )
-    partial = scored.mapInPandas(
-        _stream_topk_reducer(k), "query_id long, gid long, distance double"
+    q_rep = q.withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+
+    def fn(codes_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(codes_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "seg_id": [], "vec_id": [], "approx": []}
+            ).astype({"query_id": "int64", "seg_id": "int32", "vec_id": "int32", "approx": "float64"})
+        cb_map = cbs_bc.value
+        qids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+        qvecs = [np.asarray(v, dtype=np.float64) for v in q_pdf["__qvec"]]
+        if metric == Metric.COSINE:
+            # unit-normalize queries so the L2² LUT ranking is exactly
+            # monotone in cosine distance (build normalizes stored
+            # vectors; see _pq_scan_fn)
+            qvecs = [
+                (v / n if (n := np.linalg.norm(v)) > 0.0 else v) for v in qvecs
+            ]
+        out = []
+        for seg_id, grp in codes_pdf.groupby("seg_id"):
+            seg_id = int(seg_id)
+            cb = cb_map.get(seg_id)
+            if cb is None:
+                continue
+            m = cb.shape[0]
+            mat = np.frombuffer(
+                b"".join(grp["codes"].to_numpy()), dtype=np.uint8
+            ).reshape(len(grp), m)
+            vec_ids = grp["vec_id"].to_numpy(dtype=np.int64)
+            ef = ef_by_seg[seg_id]
+            kk = min(ef, len(vec_ids))
+            for qid, qv in zip(qids, qvecs):
+                lut = build_lut(cb, qv)
+                d = approx_distances(mat, lut)
+                head = (
+                    np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+                )
+                order = np.lexsort((vec_ids[head], d[head]))
+                sel = head[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, qid, dtype=np.int64),
+                            "seg_id": np.full(kk, seg_id, dtype=np.int32),
+                            "vec_id": vec_ids[sel].astype(np.int32),
+                            "approx": d[sel],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": [], "seg_id": [], "vec_id": [], "approx": []}
+            ).astype({"query_id": "int64", "seg_id": "int32", "vec_id": "int32", "approx": "float64"})
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        codes.groupBy("__b")
+        .cogroup(q_rep.groupBy("__b"))
+        .applyInPandas(fn, _CAND_SCHEMA)
+        .select("query_id", "seg_id", "vec_id")
     )
-    return _merge_and_attach(index, partial, k, metric)

@@ -993,6 +993,28 @@ def index_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def index_search_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PQ search with a DataFrame query side: the bucketed
+    cogroup codes scan (queries replicated by explode, LUTs from the
+    codebook broadcast) → exact re-rank. ef = segment cap makes the
+    candidate pool exhaustive, so the whole distributed path is
+    hash-checked against the brute oracle (same degenerate-exact-twin
+    pattern as index_search_sealed_exhaustive); default-ef recall is
+    gated in tests/test_index_lifecycle.py."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search_join(
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        params=SearchParams(mode="PQ", ef=idx.config.max_segment_size),
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def index_search_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ approx → exact re-rank search (approximate: no SQL
     oracle; recall ≥ 0.9 is asserted in tests/test_index_lifecycle.py)."""
@@ -2220,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_assignment": segment_assignment,
         "index_search_brute": index_search_brute,
         "index_search_join": index_search_join,
+        "index_search_join_pq": index_search_join_pq,
         "index_search_sealed": index_search_sealed,
         "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
         "index_search_graph": index_search_graph,
@@ -2283,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
         "index_search_join": INDEX_SEARCH_BRUTE_SQL,
+        "index_search_join_pq": INDEX_SEARCH_BRUTE_SQL,
         # index_search_sealed / index_search_graph / ann_ivf_topk /
         # ann_lsh_topk: approximate → rows-only by design, recall ≥ 0.9
         # enforced in tests; each has a degenerate-exact *_exhaustive
