@@ -732,6 +732,39 @@ FROM events
 """
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the ``props`` JSON column parsed
+    with a SCHEMA'D ``from_json`` (JVM-side Jackson inside codegen —
+    never a Python UDF; a schema'd parse also short-circuits malformed
+    rows to NULL instead of throwing) and aggregated per event type.
+    At scale the parse is a narrow map fused into the scan stage; only
+    the 5-row rollup shuffles. Oracle uses DuckDB's json_extract as
+    the independent parser."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user counts per event type (two-level shuffle
     dedup-then-count). The HLL sketch twin of this query
@@ -2234,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "events_moving_avg": events_moving_avg,
         "events_distinct_users": events_distinct_users,
+        "events_json_props": events_json_props,
         "top_customers_per_nation": top_customers_per_nation,
         "knn_l2_batch": knn_l2_batch,
         "knn_cosine_batch": knn_cosine_batch,
@@ -2298,6 +2332,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
         "events_moving_avg": EVENTS_MOVING_AVG_SQL,
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
+        "events_json_props": EVENTS_JSON_PROPS_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
         "knn_l2_batch": _knn_sql(Metric.L2),
         "knn_cosine_batch": _knn_sql(Metric.COSINE),
