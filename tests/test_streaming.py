@@ -327,3 +327,84 @@ def test_stream_recovery_crash_after_parquet_only(spark, tmp_path_factory):
     )
     gids = sorted(r["gid"] for r in idx2.vectors().collect())
     assert gids == list(range(18))  # exactly once after replay
+
+
+def test_stream_dedup_drops_replayed_rows(spark, tmp_path_factory):
+    """At-least-once input (every event written TWICE, in two files so
+    they can land in different micro-batches) → exactly-once output:
+    the watermarked dropDuplicates keeps one copy per event_id. Batch
+    distinct is the oracle."""
+    import datetime as dt
+
+    from vectorsearch_spark.streaming.rollup import stream_dedup_events
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, 1 + i % 3, base + dt.timedelta(seconds=10 * i), float(i)) for i in range(20)]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    ev = spark.createDataFrame(rows, schema)
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # the replay
+    assert spark.read.parquet(src).count() == 40
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(got) == 20  # one copy per event_id across micro-batches
+    assert {r["event_id"] for r in got} == set(range(20))
+    # value integrity: the surviving copy is a faithful row
+    vals = {r["event_id"]: r["value"] for r in got}
+    assert all(vals[i] == float(i) for i in range(20))
+
+
+def test_stream_enrich_matches_batch_join(spark, tmp_path_factory):
+    """Stream-static enrichment: per-micro-batch broadcast join against
+    a static dimension ≡ the batch join on the same data."""
+    import datetime as dt
+
+    from vectorsearch_spark.streaming.rollup import stream_enrich
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, 1 + i % 4, base + dt.timedelta(seconds=i), float(i)) for i in range(12)]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    ev = spark.createDataFrame(rows, schema)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "user_id long, tier string"
+    )
+    src = str(tmp_path_factory.mktemp("enrich_src"))
+    ckpt = str(tmp_path_factory.mktemp("enrich_ckpt"))
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_enrich(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["tier"]) for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in stream_enrich(ev, dim, on="user_id").collect()
+    }
+    assert got == want and len(got) == 12
+    # user 4 (i % 4 == 3 → user_id 4) has no dim row → NULL tier kept by left join
+    assert any(t is None for _, t in got)

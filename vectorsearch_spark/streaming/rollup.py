@@ -128,6 +128,40 @@ def sessionize(
     )
 
 
+def stream_dedup_events(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked streaming deduplication: at-least-once upstream
+    delivery (a replayed source batch, a retried producer) becomes
+    exactly-once downstream. ``dropDuplicates`` keyed on ``id_cols``
+    keeps per-key state ONLY within the watermark horizon, so state is
+    bounded by (horizon × arrival rate) instead of growing forever —
+    the knob that makes streaming dedup viable at all on an unbounded
+    stream. Duplicates straddling more than the horizon are NOT caught
+    (that is the documented watermark contract); batch ``distinct`` on
+    the same keys is the oracle on bounded input."""
+    keys = id_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins the (small) static dimension — Spark plans the static side as
+    a broadcast per micro-batch, no streaming state at all (unlike
+    stream-stream joins). The batch twin of the same expression is the
+    oracle; at 100 TB/day the stream side only ever exists one
+    micro-batch at a time."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def sessionize_batch(
     events: DataFrame, gap_seconds: float = 1800.0, ts_col: str = "ts"
 ) -> DataFrame:
