@@ -142,9 +142,16 @@ def stream_dedup_events(
     the knob that makes streaming dedup viable at all on an unbounded
     stream. Duplicates straddling more than the horizon are NOT caught
     (that is the documented watermark contract); batch ``distinct`` on
-    the same keys is the oracle on bounded input."""
+    the same keys is the oracle on bounded input.
+
+    Uses ``dropDuplicatesWithinWatermark`` — with plain
+    ``dropDuplicates`` the watermark only evicts state when the
+    event-time column is PART of the key subset, and deduping on
+    (event_id, ts) would silently keep duplicates whose replay carries
+    a different timestamp; the WithinWatermark variant evicts by the
+    watermark while keying on the id alone."""
     keys = id_cols or ["event_id"]
-    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_enrich(
