@@ -204,3 +204,28 @@ def test_extract_features_with_real_bmp_codec(spark):
         pad = (-img_size) % 4
         expect = means[r["media_id"]] * img_size / (img_size + pad) if pad else means[r["media_id"]]
         assert abs(got - expect) < 1e-3, r["media_id"]
+
+
+def test_resize_and_frames_with_real_codec(spark):
+    """resize_images and sample_frames through the REAL BMP codec:
+    decode → NumPy resample → re-encode (BMP) → re-decode byte-exact.
+    Nearest-neighbor resize of a solid-color image must stay solid."""
+    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
+    from vectorsearch_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(4):
+        img = rng.integers(0, 256, size=(6 + i, 9 - i, 3), dtype=np.uint8)
+        img[0, :] = [255, 0, 0]  # marker row survives nearest-neighbor
+        rows.append((i, bytearray(encode_bmp(img))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = resize_images(
+        media, out_width=4, out_height=3, decoder=decode_media,
+        encoder=lambda a: encode_bmp(a.astype(np.uint8)),
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        back = decode_media(bytes(r["payload"]))
+        assert back.shape == (3, 4, 3)
+        assert back[0].tolist() == [[255, 0, 0]] * 4  # marker row kept

@@ -71,3 +71,17 @@ def test_q19_disjunctive_pushdown_reaches_scans(spark, sf_dir):
     part_scan = next(l for l in scans if "part.parquet" in l)
     assert "l_quantity" in li_scan
     assert "p_brand" in part_scan and "p_size" in part_scan
+
+
+def test_q21_shared_late_plan_reused_at_runtime(spark):
+    """The q21 semi+anti stack derives both its driving side and its
+    anti build from ONE `late` subplan; at runtime AQE must reuse the
+    shared exchange instead of recomputing it (sf0.01 — at sf0.001 the
+    result is empty and AQE collapses stages to EmptyRelation before
+    any reuse can appear)."""
+    from vectorsearch_spark.workload import q21_suppliers_kept_waiting
+
+    df = q21_suppliers_kept_waiting(spark, "/root/testdata/sf0.01")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
