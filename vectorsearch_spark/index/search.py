@@ -665,7 +665,13 @@ def search_join(
         cand = _pq_cogroup_candidates(index, q, sealed_segs, ef_by_seg, metric)
         # exact re-rank: candidates are ≤ Q×S×ef (seg_id, vec_id)
         # triples — join raw vectors on the composite key, then attach
-        # the query vector by broadcast and rescore with the true metric
+        # the query vector and rescore with the true metric. NO
+        # broadcast hint on the query join: at moderate Q AQE picks
+        # broadcast from the observed size anyway, and at the
+        # million-query scale this mode exists for, a forced broadcast
+        # of the query relation would be the memory wall — the shuffle
+        # join on query_id is the correct fallback and both sides here
+        # are already bounded (candidates ≤ Q×S×ef, queries = Q).
         vec = index.vectors(states=SEARCHABLE_SEALED).select(
             "seg_id", "vec_id", "gid", "embedding", "deleted"
         )
@@ -675,7 +681,7 @@ def search_join(
         reranked = (
             vec.join(cand, ["seg_id", "vec_id"])
             .filter(~F.col("deleted"))
-            .join(F.broadcast(q), "query_id")
+            .join(q, "query_id")
             .withColumn("distance", distance_for_metric(emb, F.col("__qvec"), metric))
             .select("query_id", "seg_id", "gid", "distance")
         )

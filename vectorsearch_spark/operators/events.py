@@ -229,6 +229,10 @@ def interval_join(
     equi+residual plan (only sensible when keys are known-selective and
     the right side is hot enough that even one sketch pass matters).
 
+    Auto mode runs a Spark ACTION, so it requires a batch ``right``;
+    for a streaming right side pass an explicit ``bin_seconds`` (or
+    ``None``).
+
     Why p90, not the median: the explode cost of an interval is
     ``len/bin + 1`` rows, so the bin must track the LONG tail — with a
     skewed length distribution (e.g. sessions: most are single-event
