@@ -785,6 +785,76 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group: Spark's sort-based ``percentile``
+    aggregate (linear interpolation — the same definition as DuckDB's
+    ``quantile_cont``, which makes the oracle a genuine cross-engine
+    check of an order-statistics aggregate). Map-side partial
+    aggregation does not apply to exact percentiles — the agg buffers
+    per-group values — so at 100 TB prefer ``approx_percentile``
+    (t-digest-style sketch, map-combinable) unless exactness is the
+    requirement; this query pins the exact semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event types to columns with mixed aggregates (counts for
+    click/view/purchase, value sum for error). Spark plans pivot as a
+    single groupBy with one conditional aggregate per (value, agg) pair
+    — one shuffle regardless of pivot width; the explicit value list
+    keeps it one pass (omitting it adds a distinct-values pre-job).
+    Oracle uses FILTER-style conditional aggregation — the equivalent
+    relational formulation."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy((F.col("user_id") % 7).alias("user_group"))
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+        .select(
+            F.col("user_group").cast("long").alias("user_group"),
+            F.col("click_n").cast("long").alias("click"),
+            F.col("view_n").cast("long").alias("view"),
+            F.col("purchase_n").cast("long").alias("purchase"),
+            F.col("error_v").alias("error_value"),
+        )
+        .orderBy("user_group")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(user_id % 7 AS BIGINT) AS user_group,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       round(sum(value) FILTER (event_type = 'error'), 4) AS error_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window ranking (T2-style per-group top-k on relational data)."""
     from pyspark.sql import Window
@@ -2268,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": events_moving_avg,
         "events_distinct_users": events_distinct_users,
         "events_json_props": events_json_props,
+        "price_percentiles": price_percentiles,
+        "events_type_pivot": events_type_pivot,
         "top_customers_per_nation": top_customers_per_nation,
         "knn_l2_batch": knn_l2_batch,
         "knn_cosine_batch": knn_cosine_batch,
@@ -2333,6 +2405,8 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": EVENTS_MOVING_AVG_SQL,
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
         "events_json_props": EVENTS_JSON_PROPS_SQL,
+        "price_percentiles": PRICE_PERCENTILES_SQL,
+        "events_type_pivot": EVENTS_PIVOT_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
         "knn_l2_batch": _knn_sql(Metric.L2),
         "knn_cosine_batch": _knn_sql(Metric.COSINE),
