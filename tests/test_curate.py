@@ -72,3 +72,38 @@ def test_curate_sample_deterministic_and_gated(spark):
     assert all_en == set(range(100))  # rate 1.0 keeps everything
     # quality gate dominates: impossible threshold keeps nothing
     assert curate_sample(df, {"en": 1.0}, min_quality=1.01).collect() == []
+
+
+def test_write_packed_shards_layout(spark, tmp_path):
+    """Sink e2e: one parquet partition directory per shard, every doc
+    present exactly once, per-shard token sums within budget (except
+    oversized single docs), and one data file per shard (the
+    repartition-before-partitionBy contract)."""
+    import glob
+    import os
+
+    from vectorsearch_spark.operators.curate import write_packed_shards
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (5 + (i * 7) % 40)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    n_shards = write_packed_shards(docs, path, budget=120)
+    assert n_shards >= 2
+
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == list(range(60))
+    # budget contract: shard_id = floor(start_offset / budget), so a
+    # shard's docs all START inside its budget window — the sum may
+    # overrun by at most the straddling last doc
+    from pyspark.sql import functions as F
+    for r in back.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("mx")
+    ).collect():
+        assert r["s"] - r["mx"] < 120, (r["shard_id"], r["s"], r["mx"])
+    # one data file per shard directory
+    for d in glob.glob(os.path.join(path, "shard_id=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d

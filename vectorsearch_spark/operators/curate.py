@@ -153,3 +153,35 @@ def pack_token_shards(
     out = out.localCheckpoint()
     t.unpersist()
     return out
+
+
+def write_packed_shards(
+    df: DataFrame,
+    path: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> int:
+    """The SINK half of shard packing: compute ``pack_token_shards``
+    assignments, then physically write one parquet directory partition
+    per shard — the layout a training-data loader consumes (read shard
+    k = read one partition; shards are token-budget-balanced by
+    construction).
+
+    ``repartition(shard_id)`` before ``partitionBy`` makes each shard's
+    rows land in ONE task → one file per shard (the dynamic-partition
+    small-files trap: without it every task writes a sliver of every
+    shard, producing tasks×shards files). Shard count is data-dependent
+    and unbounded, so this stays a hash repartition — at 10⁵ shards
+    that is still one shuffle + one file per shard.
+
+    Returns the number of shards written."""
+    packed = pack_token_shards(df, budget, id_col, text_col, count_col)
+    out = (
+        df.join(packed.select(id_col, "n_tokens", "shard_id"), id_col)
+        .repartition(F.col("shard_id"))
+    )
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    spark = df.sparkSession
+    return spark.read.parquet(path).select("shard_id").distinct().count()
