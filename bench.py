@@ -42,6 +42,8 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_moving_avg",
     "events_distinct_users",
+    "price_percentiles",
+    "events_type_pivot",
     "top_customers_per_nation",
     "knn_l2_batch",
     "knn_cosine_batch",

@@ -278,3 +278,47 @@ def test_embedding_near_dup_plan_only_with_dim(spark):
     }
     assert got == probed
     assert (100, 101) in got  # identical pair always caught
+
+
+def test_edit_distance_pairs_complete_for_all_edit_kinds(spark):
+    """Symmetric-delete blocking must catch every edit kind within
+    distance 1 — substitution, insertion, deletion, identical — and
+    nothing at distance ≥ 2."""
+    from vectorsearch_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "spark"),
+        (2, "spork"),    # substitution        → dist 1
+        (3, "sparks"),   # insertion           → dist 1
+        (4, "park"),     # deletion vs spark   → dist 1 (vs spork: 2)
+        (5, "spark"),    # identical           → dist 0
+        (6, "flink"),    # unrelated
+        (7, "sp"),       # far
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["key_a"], r["key_b"]): r["dist"]
+        for r in edit_distance_pairs(df, id_col="id", text_col="name").collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    assert got[(2, 5)] == 1 and got[(3, 5)] == 1 and got[(4, 5)] == 1
+    assert (2, 4) not in got        # spork↔park is distance 2
+    assert all(6 not in p and 7 not in p for p in got)
+
+
+def test_edit_distance_pairs_hot_bucket_cap(spark):
+    """max_key_freq drops degenerate buckets (a giant identical-string
+    group) exactly like the LSH band cap — the linear exact_duplicates
+    path owns those groups."""
+    from vectorsearch_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, "clone") for i in range(30)] + [(100, "alpha"), (101, "alphas")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = edit_distance_pairs(df, id_col="id", text_col="name", max_key_freq=10)
+    ids = {r["key_a"] for r in capped.collect()} | {r["key_b"] for r in capped.collect()}
+    assert ids == {100, 101}  # the 30-clone group was dropped by the cap
+    full = edit_distance_pairs(df, id_col="id", text_col="name", max_key_freq=None)
+    assert full.count() == 30 * 29 // 2 + 1

@@ -546,3 +546,57 @@ def benchmark_overlap(
         rate.alias("contamination"),
         (rate >= flag_threshold).alias("flagged"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "name",
+    max_key_freq: int | None = MAX_BAND_FREQ_DEFAULT,
+) -> DataFrame:
+    """Record-linkage: all pairs within Levenshtein distance ≤ 1, via
+    SYMMETRIC-DELETE blocking (the SymSpell technique): every string
+    emits itself plus each single-character deletion as candidate keys;
+    two strings within one edit ALWAYS share a key (substitution →
+    same-position deletes agree; insert/delete → one side's delete
+    equals the other side verbatim), so the self-join is complete — no
+    distance computation outside the bucket-local candidates.
+
+    Scale: prefix/length blocking degenerates when keys share long
+    prefixes (every "Customer#000…" in one quadratic block); deletion
+    keys bucket by actual near-duplicate density instead. The explode
+    is ×(len+1) on the SHORT key column only; ``max_key_freq`` caps
+    degenerate buckets exactly like the LSH band cap (a bucket of f
+    identical strings is an exact-duplicate group — resolve those with
+    ``exact_duplicates`` first). Candidates are verified with the
+    codegen ``levenshtein`` and deduped on the pair key.
+
+    Returns (key_a, key_b, dist) with key_a < key_b, dist ∈ {0, 1}.
+    """
+    s = df.select(F.col(id_col).alias("_k"), F.col(text_col).alias("_t"))
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("_t")),
+        lambda i: F.concat(
+            F.col("_t").substr(F.lit(1), i - F.lit(1)),
+            F.col("_t").substr(i + F.lit(1), F.length("_t")),
+        ),
+    )
+    keyed = s.select(
+        "_k", "_t",
+        F.explode(F.array_union(F.array(F.col("_t")), dels)).alias("band_key"),
+    )
+    keyed = _cap_band_freq(keyed, max_key_freq)
+    a = keyed.select(
+        F.col("_k").alias("key_a"), F.col("_t").alias("_ta"), "band_key"
+    )
+    b = keyed.select(
+        F.col("_k").alias("key_b"), F.col("_t").alias("_tb"), "band_key"
+    )
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+        .withColumn("dist", F.levenshtein("_ta", "_tb").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("key_a", "key_b", "dist")
+    )

@@ -1940,6 +1940,33 @@ SELECT id_a, id_b, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.95
 # test_streaming.py, which this registry can't express).
 # ---------------------------------------------------------------------------
 
+def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-delete (SymSpell) edit-distance join over customer
+    names (operators/dedup.py edit_distance_pairs). The oracle is the
+    independent brute formulation — full pairwise levenshtein with a
+    length pre-filter — feasible at oracle SF, while the Spark plan is
+    the deletion-key blocked join that survives shared-prefix key
+    spaces (every name here shares 'Customer#…', the adversarial case
+    for prefix blocking). max_key_freq=None: names are near-unique, so
+    no bucket cap is needed and completeness is exact."""
+    from vectorsearch_spark.operators.dedup import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return edit_distance_pairs(
+        cust, id_col="c_custkey", text_col="c_name", max_key_freq=None
+    ).orderBy("key_a", "key_b")
+
+
+CUSTOMER_FUZZY_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY key_a, key_b
+"""
+
+
 def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (streaming twin of
     events_hourly_rollup) — 1h windows align to epoch hours, so the
@@ -2372,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_ngram": dedup_jaccard_ngram,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "customer_fuzzy_pairs": customer_fuzzy_pairs,
         "doc_fingerprints": doc_fingerprints,
         "mm_media_metadata": mm_media_metadata,
         "mm_feature_extract": mm_feature_extract,
@@ -2440,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_ngram": DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+        "customer_fuzzy_pairs": CUSTOMER_FUZZY_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "mm_media_metadata": MM_METADATA_SQL,
         "mm_feature_extract": MM_FEATURES_SQL,
