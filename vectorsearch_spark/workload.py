@@ -473,6 +473,101 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: revenue lost to returns per customer — the
+    selective-fact-filter star join (returnflag + order-date window
+    pushed to both scans) with a wide grouping key and deterministic
+    top-20. c_acctbal rides as max() since it is functionally dependent
+    on the grouping key (same trick as the oracle)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(max(c_acctbal), 2) AS c_acctbal
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one nation's share of a region's import volume
+    per year — a 7-way join (nation joined TWICE under different
+    roles) feeding a conditional-share aggregate; the region filter
+    prunes the customer-side nation alias before the join while the
+    supplier-side alias stays unfiltered (the asymmetric-alias shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+WITH flat AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0.0 END)
+             / sum(volume), 4) AS mkt_share
+FROM flat GROUP BY o_year ORDER BY o_year
+"""
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 analog: two-level aggregation over a LEFT OUTER join
     with a non-equi residual in the JOIN condition (filtering in WHERE
@@ -2356,6 +2451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q19_discount_revenue": q19_discount_revenue,
         "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q10_returned_items": q10_returned_items,
+        "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
         "q22_inactive_customers": q22_inactive_customers,
         "q15_top_supplier": q15_top_supplier,
@@ -2424,6 +2521,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": Q7_SQL,
         "q19_discount_revenue": Q19_SQL,
         "q21_suppliers_kept_waiting": Q21_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q8_market_share": Q8_SQL,
         "q13_customer_distribution": Q13_SQL,
         "q22_inactive_customers": Q22_SQL,
         "q15_top_supplier": Q15_SQL,
