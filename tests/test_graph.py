@@ -94,3 +94,41 @@ def test_build_graph_dispatch():
     assert [a.tolist() for a in brute] == [a.tolist() for a in knn_graph(x, 4)]
     vam = build_graph(x, degree=4, l_build=8, alpha=1.3, seed=42)
     assert all(len(a) <= 4 for a in vam)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank ≡ NumPy power iteration with the identical update rule
+    on a handcrafted graph (star + chain + isolated pair): exact
+    formula parity, ranks sum to 1, hub outranks leaves."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.centrality import pagerank
+
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (5, 6), (1, 2)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=12).collect()}
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        r = (1 - 0.85) / n + 0.85 * (adj.T @ (r / deg))
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > got[4] and got[0] > got[5]  # hub beats leaf/isolated
+
+
+def test_pagerank_empty_and_single_edge(spark):
+    from vectorsearch_spark.operators.centrality import pagerank
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert pagerank(empty).collect() == []
+    one = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+    got = {r["node"]: r["rank"] for r in pagerank(one, iters=5).collect()}
+    assert abs(got[7] - 0.5) < 1e-12 and abs(got[9] - 0.5) < 1e-12

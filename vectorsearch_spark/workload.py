@@ -2062,6 +2062,65 @@ ORDER BY key_a, key_b
 """
 
 
+def customer_name_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/centrality.py) over the fuzzy-name pair
+    graph — corpus-curation centrality: rank mass concentrates on
+    densely-duplicated records. Oracle is the same fixed-point UNROLLED
+    into plain SQL (10 chained CTEs, one per iteration — no recursive
+    aggregation needed), over the independently-formulated brute
+    levenshtein pair graph; both sides round(6) the converged ranks."""
+    from vectorsearch_spark.operators.centrality import pagerank
+    from vectorsearch_spark.operators.dedup import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = edit_distance_pairs(
+        cust, id_col="c_custkey", text_col="c_name", max_key_freq=None
+    ).select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+    return (
+        pagerank(pairs, damping=0.85, iters=10)
+        .select(F.col("node").cast("long").alias("node"), F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+def _pagerank_sql(pairs_cte: str, iters: int = 10, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in ANSI SQL: one CTE per
+    iteration (recursive CTEs cannot aggregate, so unrolling is the
+    oracle-able formulation)."""
+    sql = f"WITH pairs AS ({pairs_cte}),\n"
+    sql += (
+        "edges AS (SELECT key_a AS src, key_b AS dst FROM pairs "
+        "UNION SELECT key_b, key_a FROM pairs),\n"
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),\n"
+        "nodes AS (SELECT src AS node FROM deg),\n"
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\n"
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),\n"
+    )
+    for i in range(1, iters + 1):
+        sql += (
+            f"r{i} AS (SELECT nodes.node, "
+            f"(1-{d})/(SELECT n FROM nn) + {d} * COALESCE(s.inbound, 0.0) AS rank "
+            f"FROM nodes LEFT JOIN ("
+            f"SELECT e.dst, sum(r.rank/deg.deg) AS inbound FROM edges e "
+            f"JOIN r{i-1} r ON r.node = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst) s ON s.dst = nodes.node),\n"
+        )
+    return (
+        sql.rstrip(",\n")
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"
+    )
+
+
+_FUZZY_PAIRS_CTE = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+CUSTOMER_PAGERANK_SQL = _pagerank_sql(_FUZZY_PAIRS_CTE, iters=10, d=0.85)
+
+
 def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (streaming twin of
     events_hourly_rollup) — 1h windows align to epoch hours, so the
@@ -2497,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "customer_fuzzy_pairs": customer_fuzzy_pairs,
+        "customer_name_pagerank": customer_name_pagerank,
         "doc_fingerprints": doc_fingerprints,
         "mm_media_metadata": mm_media_metadata,
         "mm_feature_extract": mm_feature_extract,
@@ -2568,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
         "customer_fuzzy_pairs": CUSTOMER_FUZZY_SQL,
+        "customer_name_pagerank": CUSTOMER_PAGERANK_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "mm_media_metadata": MM_METADATA_SQL,
         "mm_feature_extract": MM_FEATURES_SQL,
