@@ -7,6 +7,13 @@ Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); "queries"
 reports per-query MEDIANS (machine-noise robust — single-shot timings
 let environment contention masquerade as plan regressions), and
 "queries_min" the per-query minima. "value" is the sum of medians.
+
+Host-variance caveat: this VM's effective CPU fluctuates — the same
+commit has measured 40s/50s/62s/82s totals across hours, with
+UNTOUCHED pure-scan queries moving 1.4-1.9× between runs (r2's
+"uniform regression" was the same effect). Compare runs via per-query
+medians taken under similar load, and treat uniform movements across
+unrelated queries as environment, not plan changes.
 """
 
 from __future__ import annotations
