@@ -725,6 +725,47 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with non-hierarchical sets — (region), (nation),
+    (mktsegment), grand total — a different Expand shape from ROLLUP's
+    prefix hierarchy (expressed via spark.sql; the DataFrame API has no
+    grouping-sets builder). One scan, one Expand, one aggregate."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name", "c_mktsegment", "o_totalprice")
+    ).createOrReplaceTempView("vs_gs_base")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, '(all)')       AS r_name,
+               coalesce(n_name, '(all)')       AS n_name,
+               coalesce(c_mktsegment, '(all)') AS segment,
+               round(sum(o_totalprice), 2)     AS revenue,
+               count(*)                        AS n_orders
+        FROM vs_gs_base
+        GROUP BY GROUPING SETS ((r_name), (n_name), (c_mktsegment), ())
+        """
+    )
+
+
+REVENUE_GROUPING_SETS_SQL = """
+SELECT coalesce(r_name, '(all)')       AS r_name,
+       coalesce(n_name, '(all)')       AS n_name,
+       coalesce(c_mktsegment, '(all)') AS segment,
+       round(sum(o_totalprice), 2)     AS revenue,
+       count(*)                        AS n_orders
+FROM orders, customer, nation, region
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), (c_mktsegment), ())
+"""
+
+
 def sql_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface end-to-end: vs_* SQL UDFs (functions/sql.py,
     Spark SQL scalar functions that inline into codegen) driving a
@@ -2516,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_inactive_customers": q22_inactive_customers,
         "q15_top_supplier": q15_top_supplier,
         "revenue_rollup": revenue_rollup,
+        "revenue_grouping_sets": revenue_grouping_sets,
         "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
         "events_moving_avg": events_moving_avg,
@@ -2587,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_inactive_customers": Q22_SQL,
         "q15_top_supplier": Q15_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
+        "revenue_grouping_sets": REVENUE_GROUPING_SETS_SQL,
         "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
         "events_moving_avg": EVENTS_MOVING_AVG_SQL,
