@@ -44,6 +44,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "q22_inactive_customers",
     "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q9_product_profit",
+    "q11_important_parts",
     "revenue_rollup",
     "sql_knn_topk",
     "events_hourly_rollup",

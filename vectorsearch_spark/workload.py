@@ -685,6 +685,331 @@ ORDER BY s_suppkey
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: per-group correlated scalar subquery
+    (``l_quantity < 0.2 * avg(l_quantity) per part``), decorrelated the
+    way Catalyst would — ONE pruned lineitem pass feeds both the
+    per-part threshold aggregate and the probe side, and the threshold
+    table (one row per filtered part) broadcasts back.  The semi-prune
+    by the filtered part list happens BEFORE the aggregate, which is
+    correct here because only pruned parts' thresholds are consulted.
+    l_quantity is integer-valued, so avg() is fp-exact in both engines
+    and the strict `<` threshold cannot flip on accumulation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    part_f = part.filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    li_p = li.join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = li_p.groupBy(F.col("l_partkey").alias("__tk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("__qty_thresh")
+    )
+    return (
+        li_p.join(F.broadcast(thresh), F.col("l_partkey") == F.col("__tk"))
+        .where(F.col("l_quantity") < F.col("__qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#4' AND p_type = 'MEDIUM'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (lineitem as the part-supplier offer relation —
+    testdata has no partsupp): for every size-15 part, the EUROPE
+    supplier(s) offering the minimum unit price.  The argmin-join-back
+    shape: per-part MIN over the region-filtered offer relation, then
+    an equality join back on (partkey, price = min).  The minima table
+    (≤ one row per filtered part) broadcasts; unit price is a single
+    fp division, identical in both engines, so the equality join-back
+    is exact.  DISTINCT collapses equal-price duplicate offers from
+    the same supplier.  The output price is quantized with
+    floor(unit × 10⁴) rather than round(): round's half-way behavior
+    is engine-specific (Spark rounds the double's exact decimal
+    expansion HALF_UP; DuckDB rounds the scaled double), while the
+    scale-then-floor path is the same IEEE ops in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    eu = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_f = part.filter(F.col("p_size") == 15).select("p_partkey")
+    offers = (
+        li.join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
+        )
+    )
+    minima = offers.groupBy(F.col("l_partkey").alias("__mk")).agg(
+        F.min("__unit").alias("__min_unit")
+    )
+    return (
+        offers.join(
+            F.broadcast(minima),
+            (F.col("l_partkey") == F.col("__mk"))
+            & (F.col("__unit") == F.col("__min_unit")),
+        )
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.floor(F.col("__unit") * 10000.0).cast("long").alias("unit_price_e4"),
+        )
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+                JOIN eu   ON l_suppkey = s_suppkey
+  WHERE p_size = 15)
+SELECT DISTINCT s_acctbal, s_name, n_name,
+       CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(floor(unit_price * 10000.0) AS BIGINT) AS unit_price_e4
+FROM offers o
+WHERE unit_price = (SELECT min(unit_price) FROM offers o2
+                    WHERE o2.l_partkey = o.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct supplier count per part attribute
+    after a NOT-IN exclusion.  The part-supplier relation is
+    reconstructed as DISTINCT (l_partkey, l_suppkey) — ONE shuffle on
+    the pair; the excluded-supplier list (negative balance, the
+    comment-pattern surrogate) and the attribute-filtered part dim
+    both broadcast; count(DISTINCT l_suppkey) runs on the already
+    pair-distinct relation so the final aggregate needs no expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    part_f = part.filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = supp.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part_f), pairs.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            pairs.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: nested semi-join stack.  Suppliers in
+    NATION_3 who shipped more than 30% of a 'small%' part's total 1995
+    volume (availqty surrogate): a per-(supplier, part) aggregate
+    joined against the per-part total aggregate — both from the SAME
+    pruned lineitem pass (exchange-reusable) — then the qualifying
+    supplier keys semi-join into the supplier dim.  Quantity sums are
+    integer-valued doubles, so the 0.3 × total threshold is fp-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part_f = part.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    li95 = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_sp = li95.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("__sp_qty")
+    )
+    per_part = li95.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.3 * F.sum("l_quantity")).alias("__part_thresh")
+    )
+    qualifying = (
+        per_sp.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("__sp_qty") > F.col("__part_thresh"))
+        .select("l_suppkey")
+    )
+    nat = nation.filter(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == F.col("n_nationkey"))
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH li95 AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+    AND p_name LIKE 'small%')
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM li95 GROUP BY l_partkey, l_suppkey
+    HAVING sum(l_quantity) > (SELECT 0.3 * sum(l_quantity)
+                              FROM li95 i WHERE i.l_partkey = li95.l_partkey))
+ORDER BY s_suppkey
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: LIKE-filtered 5-way join profit rollup by
+    (supplier nation, order year).  The '%red%' contains-filter pushes
+    into the part scan; part/supplier/nation broadcast; lineitem⋈orders
+    is the one big shuffle; amount omits the supplycost term (no
+    partsupp table in the testdata)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    part_f = part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: GROUP BY ... HAVING sum > fraction × global
+    scalar.  Part value (Σ extendedprice·quantity over NATION_7
+    suppliers' lines) is aggregated ONCE; its 1-row global sum
+    broadcasts back over the same aggregate for the HAVING filter —
+    the Q15 reuse pattern applied to a many-row HAVING instead of an
+    argmax."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = (
+        li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").cast("long").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__value"))
+    )
+    total = value.agg((0.001 * F.sum("__value")).alias("__thresh"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(F.col("__value") > F.col("__thresh"))
+        .select("p_partkey", F.round("__value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH value AS (
+  SELECT l_partkey AS p_partkey,
+         sum(l_extendedprice * l_quantity) AS v
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, round(v, 2) AS part_value
+FROM value
+WHERE v > (SELECT 0.001 * sum(v) FROM value)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(r_name, n_name) revenue with grouping level — exercises
     Spark's native multi-level aggregate (Expand) operator."""
@@ -1095,6 +1420,96 @@ SELECT e.vec_id AS id, round({_duck_l2("e.embedding", "q.qe")}, 4) AS distance
 FROM embeddings e CROSS JOIN q
 ORDER BY {_duck_l2("e.embedding", "q.qe")} ASC, e.vec_id ASC
 LIMIT 5
+"""
+
+
+# Fixed query string for the full-text / hybrid retrieval queries —
+# terms drawn from the synthetic corpus vocabulary so BM25 produces a
+# meaningful ranking at every SF.
+_BM25_QUERY = "spark query join window vector"
+
+
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over documents: one-pass fold term counting,
+    1-row broadcast corpus stats, codegen scoring, TakeOrdered top-k
+    (operators/textsearch.py)."""
+    from vectorsearch_spark.operators.textsearch import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERY, k=20)
+
+
+def _bm25_sql(k: int) -> str:
+    from vectorsearch_spark.operators.textsearch import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_QUERY, k=k)
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (text) + exact-cosine top-50
+    (vector) fused with reciprocal-rank fusion, k_rrf = 60 — the
+    standard lexical+dense ensemble over the aligned doc_id/vec_id
+    corpus.  Both candidate lists are tiny, so ranking windows are
+    single-task on ≤50 rows and the fusion full-outer join is
+    broadcast-size by construction."""
+    from pyspark.sql import Window
+
+    from vectorsearch_spark.config import Metric as _M
+    from vectorsearch_spark.functions.distances import distance_for_metric
+    from vectorsearch_spark.operators.textsearch import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    text_ranked = bm25_topk(docs, _BM25_QUERY, k=50).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("text_rank"),
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qe"))
+    vec_ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            distance_for_metric("embedding", "__qe", _M.COSINE).alias("__d"),
+        )
+        .orderBy(F.col("__d").asc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("__d").asc(), F.col("doc_id").asc()))
+            .alias("vec_rank"),
+        )
+    )
+    return rrf_fuse(text_ranked, vec_ranked, k=10)
+
+
+def _hybrid_sql() -> str:
+    bm25_50 = _bm25_sql(50)
+    cos = _duck_cosine_dist("e.embedding", "q.qe")
+    return f"""
+WITH ttop AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS text_rank
+  FROM ({bm25_50}) b),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vd AS (
+  SELECT e.vec_id AS doc_id, {cos} AS d
+  FROM embeddings e CROSS JOIN q),
+vtop AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY d ASC, doc_id ASC) AS vec_rank
+  FROM (SELECT * FROM vd ORDER BY d ASC, doc_id ASC LIMIT 50) v)
+SELECT CAST(COALESCE(t.doc_id, v.doc_id) AS BIGINT) AS doc_id,
+       round(COALESCE(1.0 / (60.0 + text_rank), 0.0)
+             + COALESCE(1.0 / (60.0 + vec_rank), 0.0), 6) AS rrf_score,
+       CAST(text_rank AS BIGINT) AS text_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank
+FROM ttop t FULL JOIN vtop v ON t.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
 """
 
 
@@ -2556,6 +2971,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q22_inactive_customers": q22_inactive_customers,
         "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
         "revenue_rollup": revenue_rollup,
         "revenue_grouping_sets": revenue_grouping_sets,
         "sql_knn_topk": sql_knn_topk,
@@ -2566,6 +2987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": price_percentiles,
         "events_type_pivot": events_type_pivot,
         "top_customers_per_nation": top_customers_per_nation,
+        "text_search_bm25": text_search_bm25,
+        "hybrid_search_rrf": hybrid_search_rrf,
         "knn_l2_batch": knn_l2_batch,
         "knn_cosine_batch": knn_cosine_batch,
         "knn_topk_single": knn_topk_single,
@@ -2628,6 +3051,12 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": Q13_SQL,
         "q22_inactive_customers": Q22_SQL,
         "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q16_supplier_part_counts": Q16_SQL,
+        "q20_dominant_suppliers": Q20_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q11_important_parts": Q11_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "revenue_grouping_sets": REVENUE_GROUPING_SETS_SQL,
         "sql_knn_topk": SQL_KNN_SQL,
@@ -2638,6 +3067,8 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": PRICE_PERCENTILES_SQL,
         "events_type_pivot": EVENTS_PIVOT_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
+        "text_search_bm25": _bm25_sql(20),
+        "hybrid_search_rrf": _hybrid_sql(),
         "knn_l2_batch": _knn_sql(Metric.L2),
         "knn_cosine_batch": _knn_sql(Metric.COSINE),
         "knn_topk_single": KNN_SINGLE_SQL,
