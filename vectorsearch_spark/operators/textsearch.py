@@ -1,0 +1,252 @@
+"""Full-text relevance (BM25) and hybrid text+vector rank fusion.
+
+The reference engine is a pure vector index (api/VectorIndex.java); real
+retrieval deployments pair it with a lexical scorer and fuse the two
+rankings.  This module supplies that pairing Spark-first:
+
+- ``bm25_topk``: Okapi BM25 (Robertson & Walker, SIGIR'94) scoring of a
+  tokenized corpus against a small query-term list, entirely in
+  Catalyst codegen — no UDF, no explode, no shuffle other than a 1-row
+  global-stats aggregate that broadcasts back.
+- ``rrf_fuse``: reciprocal-rank fusion (Cormack et al., SIGIR'09) of
+  any two ranked candidate lists — in retrieval practice, BM25 top-N
+  and ANN top-N.
+
+Scale notes (100 TB):
+- Per-document term frequencies for ALL query terms plus the document
+  length are computed by ONE ``F.aggregate`` fold over ONE
+  ``tokens()`` reference, so the tokenizer regex — the dominant CPU
+  cost — runs exactly once per document even though Catalyst collapses
+  projections (re-referencing the token array per term would re-run
+  the regex |terms| times; see operators/dedup.py:90-93 for the
+  quadratic variant of this trap).
+- Corpus statistics (N, avgdl, per-term document frequencies) are one
+  map-side-combinable aggregate producing ONE row that broadcasts back
+  into the scoring pass: no driver collect, no shuffle of document
+  data.  The scan runs twice (stats pass + scoring pass) — an engine
+  with a persisted inverted index amortizes the first pass; callers
+  scoring many queries against one corpus should cache/persist the
+  ``_term_counts`` projection.
+- The final top-k is a global TakeOrderedAndProject (partial top-k per
+  partition, k rows to the driver), never a full sort.
+
+Determinism contract (DuckDB oracle parity): tf/dl/df are integers;
+avgdl = Σdl / N is an exact-integer division; the only transcendental
+is ln() in the idf, computed from identical doubles on both engines and
+rounded to 4 decimals in the output; ranking orders by the ROUNDED
+score with a doc-id tie-break so equal-scoring documents (common in
+bounded-vocabulary corpora) cut identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.functions.text import TOKEN_RE
+
+__all__ = ["query_terms", "bm25_topk", "rrf_fuse"]
+
+
+def query_terms(query_text: str) -> list[str]:
+    """Distinct lowercased query tokens, first-occurrence order —
+    the same token grammar as the corpus side (functions/text.py
+    TOKEN_RE), applied driver-side (pure string work, no Spark job)."""
+    seen: dict[str, None] = {}
+    for t in re.findall(TOKEN_RE, query_text.lower()):
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+def _term_counts(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __dl, __tf_0..__tf_n) — one tokenizer pass per document.
+
+    A single fold computes every per-term count AND the total token
+    count: accumulator slot i counts term i, the last slot counts all
+    tokens.  ``tokens()`` is referenced exactly once, so projection
+    collapse cannot duplicate the regex.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+    )
+    zero = F.array(*([F.lit(0)] * (len(terms) + 1)))
+    counts = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.array(
+            *[
+                acc[i] + F.when(t == F.lit(w), F.lit(1)).otherwise(F.lit(0))
+                for i, w in enumerate(terms)
+            ],
+            acc[len(terms)] + F.lit(1),
+        ),
+    )
+    proj = docs.select(F.col(id_col).alias("__id"), counts.alias("__c"))
+    return proj.select(
+        "__id",
+        F.col("__c")[len(terms)].cast("double").alias("__dl"),
+        *[
+            F.col("__c")[i].cast("double").alias(f"__tf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 against ``query_text``.
+
+    Returns (``id_col`` long, ``bm25`` double rounded to ``round_to``),
+    ordered by (rounded score desc, id asc), zero-scoring documents
+    excluded.  idf uses the non-negative formulation
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    """
+    terms = query_terms(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, bm25 double")
+    tc = _term_counts(docs, terms, id_col, text_col)
+
+    stats = tc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"__tf_{i}")
+        idf = F.log(
+            1.0
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+        )
+        denom = tf + k1 * (one_minus_b + b * F.col("__dl") / F.col("__avgdl"))
+        return idf * (tf * k1p1) / denom
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+
+    return (
+        tc.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("__id").cast("long").alias(id_col),
+            F.round(score, round_to).alias("bm25"),
+        )
+        .where(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    query_text: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """Independently formulated DuckDB BM25 (list_filter per term — the
+    oracle need not share the engine's one-pass fold), identical math
+    and rounding."""
+    terms = query_terms(query_text)
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(terms)
+    )
+    dfs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0!r}) "
+        f"/ (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS toks
+  FROM {table}),
+tf AS (
+  SELECT {id_col}, CAST(len(toks) AS DOUBLE) AS dl,
+         {tfs}
+  FROM tok),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(dl) / count(*) AS avgdl,
+         {dfs}
+  FROM tf),
+scored AS (
+  SELECT {id_col}, round({parts}, {round_to}) AS bm25
+  FROM tf, stats)
+SELECT CAST({id_col} AS BIGINT) AS {id_col}, bm25
+FROM scored WHERE bm25 > 0.0
+ORDER BY bm25 DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+def rrf_fuse(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    left_rank_col: str = "text_rank",
+    right_rank_col: str = "vec_rank",
+    k: int = 10,
+    k_rrf: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists.
+
+    ``left`` / ``right`` carry (``id_col``, rank col); a document
+    missing from one list contributes 0 for that list (the standard RRF
+    convention).  Both inputs are top-N candidate lists — tiny by
+    construction — so the full-outer join broadcasts trivially and the
+    result is ordered by (rounded fused score desc, id).  Ranks are
+    integers, so 1/(k_rrf + rank) and their two-term sum are identical
+    IEEE arithmetic on any engine.
+    """
+    l = left.select(F.col(id_col).alias("__lid"), F.col(left_rank_col))
+    r = right.select(F.col(id_col).alias("__rid"), F.col(right_rank_col))
+    contrib_l = F.when(
+        F.col(left_rank_col).isNotNull(),
+        1.0 / (F.lit(float(k_rrf)) + F.col(left_rank_col)),
+    ).otherwise(0.0)
+    contrib_r = F.when(
+        F.col(right_rank_col).isNotNull(),
+        1.0 / (F.lit(float(k_rrf)) + F.col(right_rank_col)),
+    ).otherwise(0.0)
+    return (
+        l.join(r, F.col("__lid") == F.col("__rid"), "full_outer")
+        .select(
+            F.coalesce(F.col("__lid"), F.col("__rid")).cast("long").alias(id_col),
+            F.round(contrib_l + contrib_r, round_to).alias("rrf_score"),
+            F.col(left_rank_col).cast("long").alias(left_rank_col),
+            F.col(right_rank_col).cast("long").alias(right_rank_col),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
