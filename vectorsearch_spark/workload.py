@@ -1316,6 +1316,107 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel view → click → purchase: each stage's
+    per-user time is the MIN event time strictly after the previous
+    stage's time.  Three dependent aggregates, each a per-user 1-row
+    table that joins back into the (type-pruned) event scan — the
+    stage tables are |users|-sized, so every join is the small-side
+    build; no window over the raw event stream, no UDF.  Counts are
+    integers → hash-exact."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("__t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("__t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t3"))
+    )
+    stages = [
+        ("1_view", v),
+        ("2_view_click", c),
+        ("3_view_click_purchase", p),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT '1_view' AS stage, count(*) AS users FROM v
+UNION ALL SELECT '2_view_click', count(*) FROM c
+UNION ALL SELECT '3_view_click_purchase', count(*) FROM p
+ORDER BY stage
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-seen ISO week,
+    distinct-user counts per (cohort week, whole weeks since).  The
+    first-seen table is one per-user aggregate; the activity side is
+    the distinct (user, week) projection; their join is user-keyed with
+    the |users|-sized cohort table as the build side.  Weeks are
+    date_trunc('week') — Monday-based ISO in both engines — and the
+    offset is an exact integer day difference / 7."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cw")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("__aw")
+    ).distinct()
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .groupBy(
+            F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("__aw"), F.col("__cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY 1),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, aw) / 7 AS BIGINT) AS week_offset,
+       count(*) AS users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window ranking (T2-style per-group top-k on relational data)."""
     from pyspark.sql import Window
@@ -2986,6 +3087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "price_percentiles": price_percentiles,
         "events_type_pivot": events_type_pivot,
+        "events_funnel": events_funnel,
+        "events_cohort_retention": events_cohort_retention,
         "top_customers_per_nation": top_customers_per_nation,
         "text_search_bm25": text_search_bm25,
         "hybrid_search_rrf": hybrid_search_rrf,
@@ -3066,6 +3169,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": EVENTS_JSON_PROPS_SQL,
         "price_percentiles": PRICE_PERCENTILES_SQL,
         "events_type_pivot": EVENTS_PIVOT_SQL,
+        "events_funnel": EVENTS_FUNNEL_SQL,
+        "events_cohort_retention": EVENTS_COHORT_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
         "text_search_bm25": _bm25_sql(20),
         "hybrid_search_rrf": _hybrid_sql(),
