@@ -57,7 +57,13 @@ HEADLINE = [
     "events_distinct_users",
     "price_percentiles",
     "events_type_pivot",
+    "events_funnel",
+    "events_cohort_retention",
     "top_customers_per_nation",
+    "text_search_bm25",
+    "hybrid_search_rrf",
+    "label_centroids",
+    "corpus_vocab_stats",
     "knn_l2_batch",
     "knn_cosine_batch",
     "ann_ivf_topk",

@@ -1614,6 +1614,80 @@ LIMIT 10
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, columnar: posexplode flattens
+    vectors to (label, dim, component) so the average is an ordinary
+    map-side-combinable groupBy over (label × dim) keys — at 100 TB the
+    shuffle carries one partial sum per (label, dim), never whole
+    vectors, and no collect_list materializes a label's vectors in one
+    task.  Output stays long-form (label, dim, centroid) — the
+    hash-stable shape; reassembling arrays is a presentation concern.
+    ``round(avg) + 0.0`` normalizes −0.0 (DuckDB's round preserves the
+    sign of a tiny negative mean; Spark's does not — the knn −0.0
+    lesson, functions/distances.py:95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "__x"))
+        .groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+        )
+        .agg((F.round(F.avg("__x"), 4) + 0.0).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(u.i - 1 AS BIGINT) AS dim,
+       round(avg(CAST(embedding[u.i] AS DOUBLE)), 4) + 0.0 AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-25 tokens by document frequency with
+    smoothed idf.  Distinct tokens per doc explode into a
+    map-side-combinable (token → df) aggregate; N broadcasts back from
+    a 1-row count.  The explode carries DISTINCT tokens only (array_
+    distinct before the generate), bounding fan-out by vocabulary-per-
+    doc, not document length."""
+    from vectorsearch_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("__n") / (1.0 + F.col("df"))), 4).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+CORPUS_VOCAB_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_distinct(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS token
+  FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT token, count(*) AS df,
+       round(ln(n / (1.0 + count(*))), 4) AS idf
+FROM tok, n
+GROUP BY token, n
+ORDER BY df DESC, token ASC
+LIMIT 25
+"""
+
+
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function parity check: norm / dot / dimension (C3, C4, F3)."""
     from vectorsearch_spark.functions.distances import dot, norm
@@ -3095,6 +3169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2_batch": knn_l2_batch,
         "knn_cosine_batch": knn_cosine_batch,
         "knn_topk_single": knn_topk_single,
+        "label_centroids": label_centroids,
+        "corpus_vocab_stats": corpus_vocab_stats,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
         "index_search_brute": index_search_brute,
@@ -3177,6 +3253,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_l2_batch": _knn_sql(Metric.L2),
         "knn_cosine_batch": _knn_sql(Metric.COSINE),
         "knn_topk_single": KNN_SINGLE_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
+        "corpus_vocab_stats": CORPUS_VOCAB_SQL,
         "vector_norms": VECTOR_NORMS_SQL,
         "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
