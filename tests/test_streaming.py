@@ -408,3 +408,62 @@ def test_stream_enrich_matches_batch_join(spark, tmp_path_factory):
     assert got == want and len(got) == 12
     # user 4 (i % 4 == 3 → user_id 4) has no dim row → NULL tier kept by left join
     assert any(t is None for _, t in got)
+
+
+def test_stream_stream_join_matches_batch_join(spark, tmp_path_factory):
+    """Watermarked stream-stream inner join (view ⋈ click within 600 s)
+    ≡ the same join expression over the batch DataFrames. Includes
+    pairs outside the window (excluded), multiple clicks per view
+    (all pairs kept), and clicks before the view (excluded)."""
+    import datetime as dt
+
+    from vectorsearch_spark.streaming.rollup import stream_stream_join
+
+    base = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    schema = "event_id long, user_id long, ts timestamp"
+    # user 1: view@0 with clicks at 10 s (in), 500 s (in), 700 s (out)
+    # user 2: click@50 BEFORE view@100 (out), click@400 after (in)
+    # user 3: view@0, no clicks; user 4: click@0, no view
+    views = spark.createDataFrame(
+        [(100, 1, base), (101, 2, base + 100 * sec), (102, 3, base)], schema
+    )
+    clicks = spark.createDataFrame(
+        [
+            (200, 1, base + 10 * sec),
+            (201, 1, base + 500 * sec),
+            (202, 1, base + 700 * sec),
+            (203, 2, base + 50 * sec),
+            (204, 2, base + 400 * sec),
+            (205, 4, base),
+        ],
+        schema,
+    )
+    vsrc = str(tmp_path_factory.mktemp("ssj_views"))
+    csrc = str(tmp_path_factory.mktemp("ssj_clicks"))
+    ckpt = str(tmp_path_factory.mktemp("ssj_ckpt"))
+    views.write.mode("overwrite").parquet(vsrc)
+    clicks.write.mode("overwrite").parquet(csrc)
+
+    vstream = spark.readStream.schema(schema).parquet(vsrc)
+    cstream = spark.readStream.schema(schema).parquet(csrc)
+    q = (
+        stream_stream_join(vstream, cstream, within_seconds=600.0)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    want = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in stream_stream_join(views, clicks, within_seconds=600.0).collect()
+    }
+    assert got == want
+    assert got == {(1, 100, 200), (1, 100, 201), (2, 101, 204)}

@@ -169,6 +169,50 @@ def stream_enrich(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    within_seconds: float = 600.0,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every (left, right) pair
+    sharing ``on`` with ``right_ts`` in [left_ts, left_ts + within].
+
+    The canonical click-attribution shape (view stream ⋈ click stream).
+    Both sides carry a watermark and the join condition carries an
+    explicit event-time range — together they let the engine EVICT
+    buffered rows once the other side's watermark passes
+    ``left_ts + within``; without the range the state store grows
+    unboundedly. State is therefore bounded by
+    (watermark horizon + within) × per-key arrival rate, and the join
+    itself is key-partitioned — the same hash shuffle as a batch join,
+    held resident. Works identically on batch DataFrames (watermark is
+    a no-op), which is the oracle in the tests.
+    """
+    l = left.select(
+        F.col(on),
+        F.col(id_col).alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    r = right.select(
+        F.col(on).alias("__rk"),
+        F.col(id_col).alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    return l.join(
+        r,
+        (F.col(on) == F.col("__rk"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+        ),
+    ).select(on, "left_id", "right_id", "left_ts", "right_ts")
+
+
 def sessionize_batch(
     events: DataFrame, gap_seconds: float = 1800.0, ts_col: str = "ts"
 ) -> DataFrame:
