@@ -299,3 +299,59 @@ def test_codec_roundtrip_property(w, h, seed, fmt):
     out = decode_media(data)
     assert out.dtype == np.uint8 and out.shape == (h, w, 3)
     assert np.array_equal(out, img)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["apple", "banana", "cherry", "dog", "egg"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    query=st.lists(
+        st.sampled_from(["apple", "banana", "cherry", "zebra"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_matches_python_model(spark, docs, query):
+    """bm25_topk vs a per-document pure-Python Okapi BM25 (idf =
+    ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75, round 4, ranked by
+    (rounded score desc, doc_id), zero-score docs excluded)."""
+    import math
+
+    from vectorsearch_spark.operators.textsearch import bm25_topk
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs) / n
+    model = []
+    for i, words in enumerate(docs):
+        score = 0.0
+        for t in query:
+            tf = float(words.count(t))
+            dfreq = sum(1 for w in docs if t in w)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            if avgdl > 0:
+                denom = tf + 1.2 * (0.25 + 0.75 * len(words) / avgdl)
+            else:
+                denom = tf + 1.2 * 0.25
+            score += idf * (tf * 2.2) / denom if denom else 0.0
+        score = round(score, 4)
+        if score > 0:
+            model.append((i, score))
+    model.sort(key=lambda p: (-p[1], p[0]))
+    model = model[:10]
+
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(df, " ".join(query), k=10).collect()
+    ]
+    assert got == model

@@ -133,13 +133,19 @@ def bm25_topk(
     k1p1 = k1 + 1.0
     one_minus_b = 1.0 - b
 
+    # avgdl = 0 ⟺ every document is empty (ANSI mode raises on the
+    # division); the ratio is then irrelevant (all tf = 0) — define it 0.
+    dl_ratio = F.when(
+        F.col("__avgdl") > 0.0, F.col("__dl") / F.col("__avgdl")
+    ).otherwise(0.0)
+
     def term_score(i: int) -> Column:
         tf = F.col(f"__tf_{i}")
         idf = F.log(
             1.0
             + (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
         )
-        denom = tf + k1 * (one_minus_b + b * F.col("__dl") / F.col("__avgdl"))
+        denom = tf + k1 * (one_minus_b + b * dl_ratio)
         return idf * (tf * k1p1) / denom
 
     score = term_score(0)
@@ -180,10 +186,11 @@ def bm25_oracle_sql(
         f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
         for i in range(len(terms))
     )
+    ratio = "CASE WHEN avgdl > 0.0 THEN dl / avgdl ELSE 0.0 END"
     parts = " + ".join(
         f"(ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
         f" * (tf{i} * {k1 + 1.0!r}) "
-        f"/ (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        f"/ (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * ({ratio}))))"
         for i in range(len(terms))
     )
     return f"""
