@@ -183,13 +183,16 @@ def test_pq_lut_distance_equals_explicit(spark, data, m, k):
         min_size=0, max_size=25,
     ),
     slice_seconds=st.sampled_from([None, 7]),  # default and time-sliced plans
+    direction=st.sampled_from(["backward", "forward"]),
 )
-def test_asof_join_matches_python_model(spark, lefts, rights, slice_seconds):
+def test_asof_join_matches_python_model(spark, lefts, rights, slice_seconds, direction):
     """asof_join ≡ the trivial per-row model: for each left row, the
-    right row of the same key with max (ts, id) among ts <= left.ts —
-    for arbitrary keys, duplicate timestamps, empty sides, and NULLable
-    payload columns (the matched row's value must be attached even when
-    it is NULL — it must not un-hide an older non-null value)."""
+    right row of the same key with max (ts, id) among ts <= left.ts
+    (backward) / nearest ts ≥ left.ts with max id at equal ts
+    (forward) — for arbitrary keys, duplicate timestamps, empty sides,
+    and NULLable payload columns (the matched row's value must be
+    attached even when it is NULL — it must not un-hide an older
+    non-null value)."""
     from datetime import datetime
 
     from vectorsearch_spark.operators.events import asof_join
@@ -213,14 +216,22 @@ def test_asof_join_matches_python_model(spark, lefts, rights, slice_seconds):
         for r in asof_join(
             left, right, on="user_id", payload=["event_id", "val"],
             tiebreak="event_id", how="left", slice_seconds=slice_seconds,
+            direction=direction,
         ).collect()
     }
     for lid, lu, lts in lrows:
-        cands = [(rts, rid, rv) for rid, ru, rts, rv in rrows
-                 if ru == lu and rts <= lts]
+        if direction == "backward":
+            cands = [(rts, rid, rv) for rid, ru, rts, rv in rrows
+                     if ru == lu and rts <= lts]
+        else:
+            cands = [(rts, rid, rv) for rid, ru, rts, rv in rrows
+                     if ru == lu and rts >= lts]
         want = (None, None)
         if cands:
-            _, rid, rv = max(cands, key=lambda t: (t[0], t[1]))
+            if direction == "backward":
+                _, rid, rv = max(cands, key=lambda t: (t[0], t[1]))
+            else:
+                _, rid, rv = min(cands, key=lambda t: (t[0], -t[1]))
             want = (rid, rv)
         assert got[lid] == want, (lid, got[lid], want)
 

@@ -37,6 +37,7 @@ _KIND = "__asof_kind"
 _TB = "__asof_tb"
 _PAY = "__asof_pay"
 _SL = "__asof_slice"
+_ORD = "__asof_ord"
 
 
 def asof_join(
@@ -50,18 +51,30 @@ def asof_join(
     tolerance_ms: int | None = None,
     how: str = "inner",
     slice_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every ``left`` row, attach ``payload``
-    columns of the latest ``right`` row with ``right.ts <= left.ts``
-    for the same ``on`` key(s).
+    """As-of join: for every ``left`` row, attach ``payload`` columns
+    of the latest ``right`` row with ``right.ts <= left.ts``
+    (``direction='backward'``, the default) or the EARLIEST right row
+    with ``right.ts >= left.ts`` (``direction='forward'`` — "next
+    event after": next order after a campaign touch, next error after
+    a deploy) for the same ``on`` key(s).
+
+    Both directions run the identical union+carry machinery: ordering
+    happens on a signed ``unix_micros`` expression (+ts backward, −ts
+    forward), so forward is exactly backward on reversed time — the
+    window plan AND the time-sliced skew plan (slices, prefix carry,
+    in-slice seeds) transform together, and the max-``tiebreak``-wins
+    contract at equal candidate timestamps holds for both.
 
     - ``payload`` defaults to every right column not in ``on``/``ts``;
       attached columns are renamed ``{prefix}{col}`` and the matched
       right timestamp is ``{prefix}{ts}``.
     - ``tiebreak``: right column ordering equal-ts right rows; the
       max-tiebreak row wins (pass a unique id for determinism).
-    - ``tolerance_ms``: if set, matches older than this many
-      milliseconds before ``left.ts`` are nulled out.
+    - ``tolerance_ms``: if set, matches farther than this many
+      milliseconds from ``left.ts`` (older for backward, later for
+      forward) are nulled out.
     - ``how``: 'inner' drops left rows with no match, 'left' keeps
       them with null payload.
 
@@ -84,6 +97,9 @@ def asof_join(
     plan (guarded by the hypothesis model test and a hot-key test).
     Choose a slice ≈ hot-key event span / desired parallelism.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    sign = 1 if direction == "backward" else -1
     keys = [on] if isinstance(on, str) else list(on)
     if payload is None:
         payload = [c for c in right.columns if c not in (*keys, ts)]
@@ -113,12 +129,14 @@ def asof_join(
         F.lit(None).alias(_TB),
         F.lit(None).cast(pay_type).alias(_PAY),
     )
-    unioned = r.unionByName(l)
+    unioned = r.unionByName(l).withColumn(
+        _ORD, F.unix_micros(F.col(_TS)) * F.lit(sign)
+    )
 
     if slice_seconds is None:
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(_TS).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
+            .orderBy(F.col(_ORD).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = unioned.select(
@@ -128,7 +146,7 @@ def asof_join(
         ).where(F.col(_KIND) == 1)
     else:
         sliced = unioned.withColumn(
-            _SL, F.floor(F.unix_seconds(F.col(_TS)) / F.lit(int(slice_seconds)))
+            _SL, F.floor(F.col(_ORD) / F.lit(int(slice_seconds) * 1_000_000))
         )
         # Phase 1: per-(key, slice) LAST right struct — an aggregate,
         # so it combines map-side; output is #key×#slice rows. max_by
@@ -139,7 +157,7 @@ def asof_join(
             sliced.where(F.col(_KIND) == 0)
             .groupBy(*keys, _SL)
             .agg(
-                F.max_by(_PAY, F.struct(F.col(_TS), F.col(_TB))).alias("__last_pay")
+                F.max_by(_PAY, F.struct(F.col(_ORD), F.col(_TB))).alias("__last_pay")
             )
         )
         # Phase 2: prefix-carry that last struct across slices (strictly
@@ -161,7 +179,7 @@ def asof_join(
         # rows spread over #slices tasks instead of one.
         w_slice = (
             Window.partitionBy(*keys, _SL)
-            .orderBy(F.col(_TS).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
+            .orderBy(F.col(_ORD).asc(), F.col(_KIND).asc(), F.col(_TB).asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = (
@@ -182,9 +200,9 @@ def asof_join(
     )
 
     if tolerance_ms is not None:
-        stale = F.unix_millis(F.col(ts)) - F.unix_millis(F.col(prefix + ts)) > int(
-            tolerance_ms
-        )
+        stale = (
+            F.unix_millis(F.col(ts)) - F.unix_millis(F.col(prefix + ts))
+        ) * F.lit(sign) > int(tolerance_ms)
         carried = carried.select(
             *left.columns,
             F.col(_KIND),
