@@ -1157,6 +1157,43 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 1-hour windows every
+    15 min, so each event lands in 4 windows — Spark's window()
+    assigns them through ONE Expand (4 rows per input) feeding a
+    map-side-combinable aggregate: no self-join, no per-window scans.
+    The oracle reconstructs the assignment arithmetic independently
+    (epoch-µs floor-division, generate_series of the 4 hops)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH wins AS (
+  SELECT event_type, value,
+         make_timestamp((CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - i.i) * 900000000) AS ws
+  FROM events, unnest(generate_series(0, 3)) AS i(i))
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM wins GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (trailing 1 h per user) — the RangeFrame
     physical shape (peer-row handling at equal timestamps, interval
@@ -3157,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
         "events_moving_avg": events_moving_avg,
+        "events_sliding_windows": events_sliding_windows,
         "events_distinct_users": events_distinct_users,
         "events_json_props": events_json_props,
         "price_percentiles": price_percentiles,
@@ -3241,6 +3279,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
         "events_moving_avg": EVENTS_MOVING_AVG_SQL,
+        "events_sliding_windows": EVENTS_SLIDING_SQL,
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
         "events_json_props": EVENTS_JSON_PROPS_SQL,
         "price_percentiles": PRICE_PERCENTILES_SQL,
