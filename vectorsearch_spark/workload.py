@@ -1194,6 +1194,81 @@ FROM wins GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL set operators: 1995-buyers INTERSECT 1996-buyers (planned
+    as a distinct + left-semi hash join) and 1995 EXCEPT 1996 (distinct
+    + left-anti) — the two set-op physical shapes not exercised by the
+    explicit semi/anti-join queries (Q4/Q21/Q22)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= f"{year}-01-01")
+            & (F.col("o_orderdate") < f"{year + 1}-01-01")
+        ).select("o_custkey")
+
+    c95, c96 = buyers(1995), buyers(1996)
+    both = c95.intersect(c96).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    ).select(F.lit("both_years").alias("cohort"), "n_customers")
+    only95 = c95.subtract(c96).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    ).select(F.lit("only_1995").alias("cohort"), "n_customers")
+    return both.unionByName(only95).orderBy("cohort")
+
+
+CUSTOMER_SET_OPS_SQL = """
+WITH c95 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate <  TIMESTAMP '1996-01-01'),
+c96 AS (SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT 'both_years' AS cohort,
+       (SELECT count(*) FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)) AS n_customers
+UNION ALL
+SELECT 'only_1995',
+       (SELECT count(*) FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96))
+ORDER BY cohort
+"""
+
+
+def event_type_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF: per-type
+    geometric mean of event value — the Arrow-batched custom-UDAF
+    surface (each group's values arrive as ONE pandas Series; no
+    partial aggregation, so this is the right tool only for aggregates
+    that genuinely cannot decompose — decomposable ones belong in
+    builtin agg expressions, as everywhere else in this workload; nor
+    can it mix with built-in aggregates in one agg() — Spark plans
+    the whole aggregate through the Arrow path).
+    Values are strictly positive by schema contract; round(4) absorbs
+    summation-order fp noise between engines."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _gmean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # explicit functionType: the module uses `from __future__ import
+    # annotations`, so type-hint inference cannot resolve pd.Series
+    gmean = pandas_udf(_gmean, "double", PandasUDFType.GROUPED_AGG)
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(gmean("value"), 4).alias("gmean_value"))
+        .orderBy("event_type")
+    )
+
+
+EVENT_TYPE_GMEAN_SQL = """
+SELECT event_type,
+       round(exp(avg(ln(value))), 4) AS gmean_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (trailing 1 h per user) — the RangeFrame
     physical shape (peer-row handling at equal timestamps, interval
@@ -3195,6 +3270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "events_moving_avg": events_moving_avg,
         "events_sliding_windows": events_sliding_windows,
+        "customer_set_ops": customer_set_ops,
+        "event_type_gmean": event_type_gmean,
         "events_distinct_users": events_distinct_users,
         "events_json_props": events_json_props,
         "price_percentiles": price_percentiles,
@@ -3280,6 +3357,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
         "events_moving_avg": EVENTS_MOVING_AVG_SQL,
         "events_sliding_windows": EVENTS_SLIDING_SQL,
+        "customer_set_ops": CUSTOMER_SET_OPS_SQL,
+        "event_type_gmean": EVENT_TYPE_GMEAN_SQL,
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
         "events_json_props": EVENTS_JSON_PROPS_SQL,
         "price_percentiles": PRICE_PERCENTILES_SQL,
