@@ -896,7 +896,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = nation.filter(F.col("n_name") == "NATION_3")
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == F.col("n_nationkey"))
-        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(qualifying),
+            supp.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
         .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
         .orderBy("s_suppkey")
     )
