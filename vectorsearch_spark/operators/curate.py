@@ -50,23 +50,41 @@ def curate_sample(
     iff ``quality_score >= min_quality`` AND its hash selector falls
     under its language's rate. Languages absent from ``rates_by_lang``
     get ``default_rate``. Returns (doc_id, pred_lang, quality_score) of
-    the kept docs — one narrow pass, no shuffle, rerun-stable."""
+    the kept docs — ONE tokenizer pass, rerun-stable."""
     from vectorsearch_spark.functions.text import tokens
     from vectorsearch_spark.operators.text import LANG_LEXICONS, doc_stats_cols
 
-    # ONE projection computes quality stats + per-language lexicon
-    # scores (no joins — the operator is a shuffle-free narrow pass);
-    # the second projection derives the argmax language. Two selects on
-    # purpose: the pred CASE references every score several times, and
-    # CollapseProject keeps the expensive multi-referenced token exprs
-    # materialized instead of inlining the tokenizer per reference.
+    # Tokenize-once barrier (the dedup.py:87-93 / doc_stats pattern):
+    # quality stats reference the token array 5× and the per-language
+    # lexicon scores |langs|× more; inline, every reference re-runs
+    # the tokenizer regex (Catalyst does not hoist the common
+    # subexpression out of HOF lambdas — 69.9 s inline vs 5.8 s for
+    # barrier + checkpoint on the 100× probe corpus, 500 k docs). The
+    # array materializes below a repartition and crosses the exchange
+    # as data; one linear shuffle buys |refs|−1 regex passes.
     langs = sorted(LANG_LEXICONS)
-    toks = tokens(text_col)
+    tok_base = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = F.col("__toks")
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(LANG_LEXICONS[la]))).alias(f"_s_{la}")
         for la in langs
     ]
-    base = df.select(F.col(id_col), *doc_stats_cols(text_col), *scores)
+    # Lazy localCheckpoint = a HARD plan barrier on the post-stats rows
+    # (id + a dozen numbers per doc). Exchanges and nondeterministic
+    # dummy columns do NOT stop Catalyst here: the keep-filters push
+    # through repartitions, column pruning deletes unused
+    # nondeterministic members, and the pushed predicates substitute
+    # the quality/argmax trees all the way into the scan, re-running
+    # the tokenizer once per referenced score tree (measured 50-70 s
+    # vs 5.8 s at the 100× probe corpus, 500 k docs). Lineage truncation is the
+    # one boundary nothing crosses; the stored footprint is the narrow
+    # stats row, not text. (A persisted per-doc stats table is the
+    # equivalent contract at petabyte scale.)
+    base = tok_base.select(
+        F.col(id_col), *doc_stats_cols(text_col, toks=toks), *scores
+    ).localCheckpoint(eager=False)
     best = F.greatest(*[F.col(f"_s_{la}") for la in langs])
     pred = F.when(best <= 0, F.lit("und"))
     for la in langs:
