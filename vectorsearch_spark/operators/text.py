@@ -326,15 +326,24 @@ def token_counts(
       (long/rare words fragment under BPE; digits/punct are already
       chunked by the regex).
 
-    Pure codegen narrow projection — the 100 TB shape; the aggregate
-    lambda touches only its own element/accumulator variables, so the
-    Catalyst re-evaluation trap does not apply.
+    Tokenize-once: ``n_pieces`` and ``n_subword_est`` both reference
+    the piece array, so it materializes below a repartition barrier
+    (see ``doc_stats``) and the two consumers read the attribute —
+    inline, the piece regex ran twice (measured 10.1 s → 4.8 s on the
+    100× probe corpus).
     """
     t = F.trim(F.col(text_col))
     ws = F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
         F.size(F.split(t, r"\s+")).cast("long")
     )
-    pieces = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0))
+    base = df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+        ).alias("__pieces"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    pieces = F.col("__pieces")
     sub_est = F.aggregate(
         pieces,
         F.lit(0).cast("long"),
@@ -344,9 +353,9 @@ def token_counts(
             p.rlike("^[a-z]"), F.floor((F.length(p) - 1) / 4).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
-        ws.alias("n_ws_tokens"),
+        F.col("n_ws_tokens"),
         F.size(pieces).cast("long").alias("n_pieces"),
         sub_est.alias("n_subword_est"),
     )
