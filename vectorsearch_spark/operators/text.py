@@ -4,11 +4,15 @@ document fingerprinting (north-star extensions per BASELINE.json; no
 reference analog — the reference's only text-adjacent surface is the
 opaque payload column, vectorsearch.proto:123-125).
 
-All operators are single-pass narrow projections (no shuffle at all
-until an aggregation the caller adds), built from codegen'd
-expressions — this is the shape that survives 100 TB: a pure map over
-the documents table, pushdown-friendly, no Python in the row path
-except the explicitly-marked simhash variant's oracle tests.
+All operators tokenize ONCE per document: the token/piece array
+materializes in a projection below a repartition barrier and crosses
+the exchange as data, because Catalyst collapses projections and does
+not hoist the tokenizer regex out of HOF lambdas — every reference
+re-runs it otherwise (measured 5× the single-pass cost for doc_stats
+at the 100× probe corpus). The one doc-keyed linear shuffle is the
+price; everything above it is codegen'd attribute arithmetic, and no
+Python appears in the row path except the explicitly-marked Arrow
+passes (winnowing, repetition).
 """
 
 from __future__ import annotations
