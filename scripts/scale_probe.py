@@ -50,6 +50,9 @@ PROBES = [
     "dedup_exact",
     "pii_redaction",
     "doc_token_stats",
+    "doc_token_counts",
+    "lang_id_scores",
+    "corpus_curation",
     "text_search_bm25",
     "knn_l2_batch",
 ]

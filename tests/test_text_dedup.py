@@ -322,3 +322,33 @@ def test_edit_distance_pairs_hot_bucket_cap(spark):
     assert ids == {100, 101}  # the 30-clone group was dropped by the cap
     full = edit_distance_pairs(df, id_col="id", text_col="name", max_key_freq=None)
     assert full.count() == 30 * 29 // 2 + 1
+
+
+def test_text_operators_null_and_empty_text(spark):
+    """NULL / empty / whitespace-only text must not crash any text
+    operator; NULL text yields NULL token-derived stats (Spark
+    size(NULL)=NULL under default conf, mirroring DuckDB len(NULL)),
+    empty text yields zeros."""
+    from vectorsearch_spark.operators.text import doc_stats, language_id, token_counts
+    from vectorsearch_spark.operators.textsearch import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "the quick fox")],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in doc_stats(docs).collect()}
+    assert stats[1]["n_tokens"] is None and stats[1]["n_chars"] is None
+    assert stats[2]["n_tokens"] == 0 and stats[2]["n_chars"] == 0
+    assert stats[3]["n_tokens"] == 0
+    assert stats[4]["n_tokens"] == 3
+
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[2]["n_pieces"] == 0 and tc[4]["n_pieces"] == 3
+    assert tc[1]["n_pieces"] is None
+
+    lid = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert lid[2] == "und" and lid[4] == "en"
+
+    # NULL-text docs simply never match a query (score NULL -> filtered)
+    hits = {r["doc_id"] for r in bm25_topk(docs, "quick fox").collect()}
+    assert hits == {4}

@@ -1804,6 +1804,45 @@ LIMIT 25
 """
 
 
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters: top-5 tokens by occurrence count
+    within each document language — count-then-rank (the window runs
+    over the (lang, token) AGGREGATE, cardinality |langs|×|vocab|, not
+    over raw token occurrences; ranking raw rows is the scale trap).
+    Length filter keeps word tokens (drops punctuation hitters)."""
+    from vectorsearch_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .where(F.length("token") > 1)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+TOP_TOKENS_SQL = r"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+  FROM documents),
+counts AS (
+  SELECT lang, token, count(*) AS n FROM tok
+  WHERE length(token) > 1 GROUP BY 1, 2)
+SELECT lang, token, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS BIGINT) AS rk
+FROM counts
+QUALIFY rk <= 5
+ORDER BY lang, rk
+"""
+
+
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function parity check: norm / dot / dimension (C3, C4, F3)."""
     from vectorsearch_spark.functions.distances import dot, norm
@@ -3290,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_single": knn_topk_single,
         "label_centroids": label_centroids,
         "corpus_vocab_stats": corpus_vocab_stats,
+        "top_tokens_per_lang": top_tokens_per_lang,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
         "index_search_brute": index_search_brute,
@@ -3377,6 +3417,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk_single": KNN_SINGLE_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "corpus_vocab_stats": CORPUS_VOCAB_SQL,
+        "top_tokens_per_lang": TOP_TOKENS_SQL,
         "vector_norms": VECTOR_NORMS_SQL,
         "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
