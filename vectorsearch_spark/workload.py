@@ -1598,6 +1598,41 @@ def knn_l2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_batch(spark, sf_dir, Metric.L2)
 
 
+def knn_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (an extension — the reference's
+    SearchParams has traversal knobs only, api/SearchParams.java:18-29):
+    the label predicate applies BEFORE the distance pass, so it reaches
+    the parquet scan as a pushed filter and the KNN computes over the
+    reduced candidate set — filter-then-search, never search-then-drop
+    (post-filtering top-k can return < k survivors and wastes distance
+    work at 100 TB)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("label").isin(0, 2))
+    res = knn_join(
+        emb, _emb_queries(spark, sf_dir), k=_KNN_K, metric=Metric.L2, id_col="vec_id"
+    )
+    return res.select(
+        "query_id",
+        "id",
+        F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+KNN_FILTERED_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS id, {_duck_l2("e.embedding", "q.qe")} AS d
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (0, 2)),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rank
+  FROM pairs)
+SELECT query_id, id, round(d, 4) AS distance, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
 def knn_cosine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_batch(spark, sf_dir, Metric.COSINE)
 
@@ -3326,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": hybrid_search_rrf,
         "knn_l2_batch": knn_l2_batch,
         "knn_cosine_batch": knn_cosine_batch,
+        "knn_filtered_batch": knn_filtered_batch,
         "knn_topk_single": knn_topk_single,
         "label_centroids": label_centroids,
         "corpus_vocab_stats": corpus_vocab_stats,
@@ -3414,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_rrf": _hybrid_sql(),
         "knn_l2_batch": _knn_sql(Metric.L2),
         "knn_cosine_batch": _knn_sql(Metric.COSINE),
+        "knn_filtered_batch": KNN_FILTERED_SQL,
         "knn_topk_single": KNN_SINGLE_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "corpus_vocab_stats": CORPUS_VOCAB_SQL,
