@@ -229,3 +229,70 @@ def test_resize_and_frames_with_real_codec(spark):
         back = decode_media(bytes(r["payload"]))
         assert back.shape == (3, 4, 3)
         assert back[0].tolist() == [[255, 0, 0]] * 4  # marker row kept
+
+
+def test_png_roundtrip_all_filter_types():
+    """Encode with each fixed scanline filter (None/Sub/Up/Average/
+    Paeth) — the decoder must reconstruct the identical raster through
+    every unfilter path, across shapes incl. 1-pixel edges."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (1, 7), (5, 1), (8, 6), (13, 13)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        for ftype in range(5):
+            data = encode_png(img, row_filter=ftype)
+            out = decode_png(data)
+            assert out.shape == img.shape, (shape, ftype)
+            assert (out == img).all(), (shape, ftype)
+
+
+def test_png_rgba_decode_drops_alpha():
+    """Hand-built color-type-6 (RGBA) PNG: decode returns the RGB
+    planes, alpha dropped."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    rng = np.random.default_rng(3)
+    h, w = 4, 5
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    lines = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (h, w, 3)
+    assert (out == rgba[:, :, :3]).all()
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from vectorsearch_spark.functions.codecs import decode_png, encode_png
+
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    data = bytearray(encode_png(img))
+    data[-5] ^= 0xFF  # corrupt IEND CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + bytes(20))
+
+
+def test_decode_media_dispatches_png():
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import decode_media, encode_png
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_media(encode_png(img)) == img).all()

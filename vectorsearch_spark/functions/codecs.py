@@ -8,6 +8,11 @@ specified without external libraries:
   4-byte boundary) — the classic uncompressed raster container.
 - PPM: Netpbm "P6" binary RGB (ASCII header ``P6 <w> <h> <maxval>``
   with ``#`` comments, then a top-down RGB raster).
+- PNG (RFC 2083): 8-bit truecolor (RGB) and truecolor+alpha (RGBA,
+  alpha dropped on decode), non-interlaced; chunk CRCs verified, all
+  five scanline filters (None/Sub/Up/Average/Paeth) unfiltered on
+  decode, and the encoder can emit any fixed filter type (the deflate
+  stream is stdlib ``zlib``).
 
 Both decode to ``(height, width, 3)`` uint8 RGB ndarrays — exactly the
 ``bytes -> np.ndarray`` signature the multimodal operators take — and
@@ -23,6 +28,7 @@ tier's decode step a working implementation rather than plumbing.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -114,6 +120,142 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img: np.ndarray, row_filter: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced 8-bit truecolor PNG.
+
+    ``row_filter`` fixes the per-scanline filter type (0-4) — filters
+    1-4 exist so tests can exercise every decoder unfilter path; 0
+    (None) is the fast default."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"encode_png expects (h, w, 3), got {img.shape}")
+    if row_filter not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {row_filter}")
+    h, w, _ = img.shape
+    ch = 3
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines = bytearray()
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        if row_filter == 0:
+            filt = row
+        elif row_filter == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            filt = (row - left) % 256
+        elif row_filter == 2:  # Up
+            filt = (row - prev) % 256
+        elif row_filter == 3:  # Average
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            filt = np.empty_like(row)
+            for x in range(len(row)):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                filt[x] = (int(row[x]) - _paeth(a, b, c)) % 256
+        lines.append(row_filter)
+        lines += filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit truecolor(+alpha) PNG → (h, w, 3) uint8 RGB
+    (alpha channel dropped). Verifies chunk CRCs; unfilters all five
+    scanline filter types. Row unfiltering is sequential by spec (Sub/
+    Average/Paeth depend on the reconstructed left neighbor) — fine for
+    the operator seam's thumbnail-scale media; a vectorized production
+    path would live behind the same Decoder signature."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * ch
+    if len(raw) != h * stride:
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * stride]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w * ch, offset=y * stride + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # sequential left-dependent filters
+            recon = np.empty_like(line)
+            for x in range(len(line)):
+                a = int(recon[x - ch]) if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[x])) // 2
+                else:
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pred = _paeth(a, b, c)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad scanline filter {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    img = out.reshape(h, w, ch)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def decode_media(data: bytes) -> np.ndarray:
     """Magic-sniffing dispatch over the shipped codecs — the drop-in
     real ``Decoder`` for operators/multimodal.py."""
@@ -121,4 +263,6 @@ def decode_media(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
-    raise ValueError("unrecognized media container (expected BMP or P6 PPM)")
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(data)
+    raise ValueError("unrecognized media container (expected BMP, P6 PPM, or PNG)")
