@@ -3292,6 +3292,75 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG codec end-to-end: the same deterministic pixels as
+    mm_image_decode, wrapped in real PNG containers with the scanline
+    filter CYCLING over doc_id % 5 — across the corpus every unfilter
+    path (None/Sub/Up/Average/Paeth) must reconstruct exactly or the
+    position-weighted checksum hash-fails against the oracle, which
+    recomputes it straight from the source bytes (byte size is
+    compression-dependent, hence not an output column)."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import decode_media, encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w, h = 5 + did % 12, 4 + did % 9
+                k = np.arange(w * h * 3)
+                pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
+                data = encode_png(pix.reshape(h, w, 3), row_filter=int(did) % 5)
+                dec = decode_media(data)
+                flat = dec.astype(np.int64).ravel()
+                rows.append(
+                    (
+                        int(did),
+                        dec.shape[1],
+                        dec.shape[0],
+                        float(flat.sum()) / flat.size,
+                        int(((np.arange(flat.size) + 1) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_px", "checksum"]
+            )
+
+    out = docs.mapInPandas(
+        mapper, "media_id long, width long, height long, mean_px double, checksum long"
+    )
+    return out.select(
+        "media_id", "width", "height", F.round("mean_px", 4).alias("mean_px"), "checksum"
+    )
+
+
+MM_PNG_DECODE_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+  FROM documents),
+pix AS (
+  SELECT media_id, n, w, h,
+         list_transform(range(0, w * h * 3),
+           k -> CASE WHEN n = 0 THEN 0
+                     ELSE ascii(text[CAST(k % n AS BIGINT) + 1]) END) AS p
+  FROM base)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round(CAST(list_aggregate(p, 'sum') AS DOUBLE) / (w * h * 3), 4) AS mean_px,
+       CAST(list_aggregate(
+         list_transform(range(0, w * h * 3), k -> (k + 1) * p[CAST(k AS BIGINT) + 1]),
+         'sum') AS BIGINT) AS checksum
+FROM pix
+"""
+
+
 MM_IMAGE_DECODE_SQL = """
 WITH base AS (
   SELECT doc_id AS media_id, text, length(text) AS n,
@@ -3401,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_feature_extract": mm_feature_extract,
         "mm_frame_sample": mm_frame_sample,
         "mm_image_decode": mm_image_decode,
+        "mm_png_decode": mm_png_decode,
         "stream_window_rollup": stream_window_rollup,
         "events_session_windows": events_session_windows,
         "events_asof_attribution": events_asof_attribution,
@@ -3491,6 +3561,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_feature_extract": MM_FEATURES_SQL,
         "mm_frame_sample": MM_FRAMES_SQL,
         "mm_image_decode": MM_IMAGE_DECODE_SQL,
+        "mm_png_decode": MM_PNG_DECODE_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
