@@ -66,6 +66,13 @@ HEADLINE = [
     "corpus_vocab_stats",
     "knn_l2_batch",
     "knn_cosine_batch",
+    "knn_filtered_batch",
+    "top_tokens_per_lang",
+    "events_sliding_windows",
+    "events_next_purchase",
+    "customer_set_ops",
+    "event_type_gmean",
+    "mm_png_decode",
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -3124,6 +3124,64 @@ FROM p, LATERAL (
 """
 
 
+def events_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join, oracle-checked: each view attached to the
+    EARLIEST purchase at-or-after it by the same user, nulled when the
+    gap exceeds 1 h (tolerance) — time-to-convert analysis.  Same
+    union+carry plan as the backward join on a sign-flipped ordering
+    (operators/events.py direction='forward').  Oracle is the
+    independent LEFT JOIN LATERAL nearest-future formulation; at equal
+    candidate timestamps the operator's max-tiebreak contract mirrors
+    (ts ASC, event_id DESC)."""
+    from vectorsearch_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        ts="ts",
+        payload=["event_id"],
+        prefix="purchase_",
+        tiebreak="event_id",
+        how="left",
+        tolerance_ms=3_600_000,
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_event_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        (F.unix_millis(F.col("purchase_ts")) - F.unix_millis(F.col("ts")))
+        .cast("long")
+        .alias("gap_ms"),
+    )
+
+
+EVENTS_NEXT_PURCHASE_SQL = """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT v.event_id, v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       m.purchase_event_id,
+       strftime(m.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(epoch_ms(m.purchase_ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+FROM v LEFT JOIN LATERAL (
+  SELECT p.event_id AS purchase_event_id, p.ts AS purchase_ts
+  FROM p WHERE p.user_id = v.user_id AND p.ts >= v.ts
+            AND p.ts <= v.ts + INTERVAL 1 HOUR
+  ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) m ON TRUE
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal queries (operators/multimodal.py): documents' ASCII text
 # doubles as a deterministic binary payload, so the full binary→decode→
@@ -3474,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_rollup": stream_window_rollup,
         "events_session_windows": events_session_windows,
         "events_asof_attribution": events_asof_attribution,
+        "events_next_purchase": events_next_purchase,
         "events_error_sessions": events_error_sessions,
     }
 
@@ -3565,5 +3624,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
+        "events_next_purchase": EVENTS_NEXT_PURCHASE_SQL,
         "events_error_sessions": EVENTS_ERROR_SESSIONS_SQL,
     }
