@@ -1,0 +1,116 @@
+"""Keyed MERGE into partitioned parquet (operators/merge.py): content
+semantics (insert / update / cross-partition move / delete /
+idempotency) plus the layout contract — untouched partitions' files
+are byte-identical on disk."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.operators.merge import merge_delete, merge_upsert
+
+SCHEMA = "doc_id long, lang string, text string"
+
+
+def _write_initial(spark, path):
+    rows = [
+        (1, "en", "one"),
+        (2, "en", "two"),
+        (3, "fr", "trois"),
+        (4, "de", "vier"),
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(path)
+
+
+def _snapshot(path, part):
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/lang={part}/*.parquet")
+    }
+
+
+def _content(spark, path):
+    return {
+        (r["doc_id"], r["lang"], r["text"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_merge_upsert_update_insert_and_move(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("merge_tbl"))
+    _write_initial(spark, path)
+    de_before = _snapshot(path, "de")
+
+    updates = spark.createDataFrame(
+        [
+            (2, "en", "TWO"),      # in-place update
+            (3, "en", "three"),    # moves fr -> en
+            (5, "fr", "cinq"),     # new key
+        ],
+        SCHEMA,
+    )
+    n = merge_upsert(spark, path, updates, key_col="doc_id", partition_col="lang")
+    # touched: en (update + move target), fr (move source + insert) — de untouched
+    assert n == 2
+    assert _content(spark, path) == {
+        (1, "en", "one"),
+        (2, "en", "TWO"),
+        (3, "en", "three"),
+        (4, "de", "vier"),
+        (5, "fr", "cinq"),
+    }
+    assert _snapshot(path, "de") == de_before  # untouched bytes
+
+    # idempotency: the same upsert again changes nothing semantically
+    merge_upsert(spark, path, updates, key_col="doc_id", partition_col="lang")
+    assert _content(spark, path) == {
+        (1, "en", "one"),
+        (2, "en", "TWO"),
+        (3, "en", "three"),
+        (4, "de", "vier"),
+        (5, "fr", "cinq"),
+    }
+
+
+def test_merge_upsert_empty_updates_is_noop(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("merge_noop"))
+    _write_initial(spark, path)
+    empty = spark.createDataFrame([], SCHEMA)
+    assert merge_upsert(spark, path, empty, "doc_id", "lang") == 0
+    assert len(_content(spark, path)) == 4
+
+
+def test_merge_delete_partition_scoped(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("merge_del"))
+    _write_initial(spark, path)
+    de_before = _snapshot(path, "de")
+
+    keys = spark.createDataFrame([(2,), (3,), (99,)], "doc_id long")
+    n = merge_delete(spark, path, keys, key_col="doc_id", partition_col="lang")
+    assert n == 2  # en + fr; de untouched, 99 absent
+    assert _content(spark, path) == {(1, "en", "one"), (4, "de", "vier")}
+    assert _snapshot(path, "de") == de_before
+
+    # deleting already-absent keys is a no-op
+    assert merge_delete(spark, path, keys, "doc_id", "lang") == 0
+
+
+def test_merge_delete_empties_partition(spark, tmp_path_factory):
+    """Deleting every row of a partition leaves it empty (rows gone on
+    read) — dynamic overwrite writes no files for an empty group, and
+    the stale files of the fully-emptied partition must not resurrect
+    rows."""
+    path = str(tmp_path_factory.mktemp("merge_del_all"))
+    _write_initial(spark, path)
+    keys = spark.createDataFrame([(4,)], "doc_id long")
+    n = merge_delete(spark, path, keys, key_col="doc_id", partition_col="lang")
+    assert n == 1
+    got = _content(spark, path)
+    assert (4, "de", "vier") not in got
+    assert len(got) == 3
