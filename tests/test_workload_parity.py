@@ -85,3 +85,34 @@ def test_q21_shared_late_plan_reused_at_runtime(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
+    """approx_percentile (map-combinable sketch — the documented scale
+    path for price_percentiles) vs the oracle-checked exact sort-based
+    percentiles: ≤1% relative error per (group, quantile). The sketch
+    is engine-specific so it cannot hash-compare; this gate plus the
+    exact twin covers the operator (the HLL pattern)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.workload import _t, price_percentiles
+
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in price_percentiles(spark, sf_dir).collect()
+    }
+    li = _t(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["qs"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+            ).alias("qs")
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, es in exact.items():
+        for q, e, a in zip([0.5, 0.9, 0.99], es, approx[flag]):
+            assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (flag, q, a, e)

@@ -1095,6 +1095,39 @@ GROUP BY GROUPING SETS ((r_name), (n_name), (c_mktsegment), ())
 """
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping combinations through
+    ONE Expand (4 rows/input) + one aggregate — completes the
+    multi-level-aggregate family (ROLLUP's prefix hierarchy,
+    GROUPING SETS' explicit list, CUBE's powerset)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, '(all)')  AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
 def sql_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface end-to-end: vs_* SQL UDFs (functions/sql.py,
     Spark SQL scalar functions that inline into codegen) driving a
@@ -3471,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "revenue_rollup": revenue_rollup,
         "revenue_grouping_sets": revenue_grouping_sets,
+        "orders_cube": orders_cube,
         "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
         "events_moving_avg": events_moving_avg,
@@ -3562,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": Q11_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "revenue_grouping_sets": REVENUE_GROUPING_SETS_SQL,
+        "orders_cube": ORDERS_CUBE_SQL,
         "sql_knn_topk": SQL_KNN_SQL,
         "events_hourly_rollup": EVENTS_HOURLY_SQL,
         "events_moving_avg": EVENTS_MOVING_AVG_SQL,
