@@ -105,6 +105,39 @@ def curate_sample(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset splitting: every row gets a split label
+    ('train'/'val'/'test'/...) by its hash selector falling into
+    cumulative weight bands — the split is a PURE FUNCTION of the id
+    (rerun-stable, engine-agnostic, join-free), unlike randomSplit()
+    whose assignment changes with partitioning and seed plumbing.
+    Weights are normalized; band edges use the same integer-threshold
+    exactness contract as ``curate_sample``. Adds a ``split`` column.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    sel = hash_rate_col(id_col)
+    acc = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        acc += float(wgt) / total
+        edge = int(round(acc * _RATE_MOD))
+        expr = (
+            F.when(sel < edge, F.lit(name))
+            if expr is None
+            else expr.when(sel < edge, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
 def pack_token_shards(
     df: DataFrame,
     budget: int,

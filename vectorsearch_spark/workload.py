@@ -2361,6 +2361,36 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10): assignment is a
+    pure function of doc_id (hash bands — rerun/engine-stable, unlike
+    randomSplit), counted per (language, split) to show stratification
+    (operators/curate.py assign_splits)."""
+    from vectorsearch_spark.operators.curate import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+CORPUS_SPLITS_SQL = """
+SELECT lang,
+       CASE WHEN h < 800000 THEN 'train'
+            WHEN h < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM (SELECT lang,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS h
+      FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _curation_sql() -> str:
     from vectorsearch_spark.operators.text import LANG_LEXICONS
 
@@ -3548,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": benchmark_contamination,
         "lang_id_scores": lang_id_scores,
         "corpus_curation": corpus_curation,
+        "corpus_splits": corpus_splits,
         "doc_shard_packing": doc_shard_packing,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3641,6 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": BENCH_CONTAMINATION_SQL,
         "lang_id_scores": _lang_sql(),
         "corpus_curation": _curation_sql(),
+        "corpus_splits": CORPUS_SPLITS_SQL,
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
