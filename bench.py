@@ -73,6 +73,9 @@ HEADLINE = [
     "customer_set_ops",
     "event_type_gmean",
     "mm_png_decode",
+    "orders_cube",
+    "corpus_splits",
+    "pipeline_pack_curated",
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",

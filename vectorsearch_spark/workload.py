@@ -2391,6 +2391,84 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_PIPE_BUDGET = 2000
+_PIPE_MIN_Q = 0.5
+
+
+def pipeline_pack_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline COMPOSITION: exact-dedup keepers → quality
+    gate → token-budget shard packing → per-shard rollup, chaining the
+    individually-oracled operators (fingerprint, doc_stats,
+    pack_token_shards) through one plan — the hash gate here checks
+    that the operators compose exactly, not just that each works in
+    isolation.  Every stage keeps its scale contract: hash-groupBy
+    keepers, tokenize-once stats, two-phase partition-parallel prefix
+    sum."""
+    from vectorsearch_spark.operators.curate import pack_token_shards
+    from vectorsearch_spark.operators.text import doc_stats, fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = (
+        fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    good = (
+        doc_stats(docs)
+        .where(F.col("quality_score") >= _PIPE_MIN_Q)
+        .select("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id", "left_semi").join(good, "doc_id", "left_semi")
+    packed = pack_token_shards(kept, budget=_PIPE_BUDGET)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+PIPELINE_PACK_SQL = rf"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct_chars
+  FROM documents),
+good AS (
+  SELECT doc_id FROM base
+  WHERE round(0.25 * least(len(toks) / 100.0, 1.0)
+      + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+      + 0.25 * (1 - least((CAST(punct_chars AS DOUBLE) / greatest(n_chars, 1)) * 4, 1.0))
+      + 0.25 * least((CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1)) * 5, 1.0), 4) >= {_PIPE_MIN_Q}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN keepers USING (doc_id) JOIN good USING (doc_id)),
+tc AS (
+  SELECT doc_id,
+         list_aggregate(list_prepend(CAST(0 AS BIGINT), list_transform(
+           regexp_extract_all(lower(text), '''[a-z]{{1,2}}|[a-z]+|[0-9]{{1,3}}|[^a-z0-9\s]'),
+           p -> 1 + CASE WHEN regexp_matches(p, '^[a-z]')
+                         THEN (length(p) - 1) // 4 ELSE 0 END)), 'sum') AS n_tokens
+  FROM kept),
+o AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tc)
+SELECT CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {_PIPE_BUDGET}) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
 def _curation_sql() -> str:
     from vectorsearch_spark.operators.text import LANG_LEXICONS
 
@@ -3579,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_scores": lang_id_scores,
         "corpus_curation": corpus_curation,
         "corpus_splits": corpus_splits,
+        "pipeline_pack_curated": pipeline_pack_curated,
         "doc_shard_packing": doc_shard_packing,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3673,6 +3752,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_scores": _lang_sql(),
         "corpus_curation": _curation_sql(),
         "corpus_splits": CORPUS_SPLITS_SQL,
+        "pipeline_pack_curated": PIPELINE_PACK_SQL,
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
