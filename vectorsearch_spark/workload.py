@@ -1231,6 +1231,41 @@ FROM wins GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current-state compaction (CDC pattern): the latest
+    event per user via one ranked window over the key — the
+    deduplicate-to-snapshot primitive behind SCD-1 tables and upsert
+    materialization. Deterministic under ts ties via event_id desc."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type, round(value, 4) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
 def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL set operators: 1995-buyers INTERSECT 1996-buyers (planned
     as a distinct + left-semi hash join) and 1995 EXCEPT 1996 (distinct
@@ -3618,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": events_moving_avg,
         "events_sliding_windows": events_sliding_windows,
         "customer_set_ops": customer_set_ops,
+        "events_latest_snapshot": events_latest_snapshot,
         "event_type_gmean": event_type_gmean,
         "events_distinct_users": events_distinct_users,
         "events_json_props": events_json_props,
@@ -3712,6 +3748,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": EVENTS_MOVING_AVG_SQL,
         "events_sliding_windows": EVENTS_SLIDING_SQL,
         "customer_set_ops": CUSTOMER_SET_OPS_SQL,
+        "events_latest_snapshot": EVENTS_LATEST_SQL,
         "event_type_gmean": EVENT_TYPE_GMEAN_SQL,
         "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
         "events_json_props": EVENTS_JSON_PROPS_SQL,
