@@ -57,6 +57,8 @@ HEADLINE = [
     "events_distinct_users",
     "price_percentiles",
     "events_type_pivot",
+    "events_gap_fill",
+    "lineitem_unpivot",
     "events_funnel",
     "events_cohort_retention",
     "top_customers_per_nation",

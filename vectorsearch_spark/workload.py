@@ -1500,6 +1500,102 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: a generated hourly spine
+    (``sequence`` + explode over the observed [min, max] hour bounds ×
+    the observed event types) LEFT-joined onto the hourly rollup, with
+    missing (hour, type) cells zero-filled — the gap-fill every
+    downstream charting/forecasting consumer needs, as a plan rather
+    than a driver loop.
+
+    Scale shape: events shuffle ONCE into the hourly aggregate, and a
+    lazy ``localCheckpoint`` barrier under it makes the bounds row, the
+    type list, and the gap-fill probe all read that materialized
+    aggregate instead of re-scanning the fact table (column pruning
+    specializes each consumer's aggregate, so without the barrier
+    Catalyst plans three scans — same trap as the tokenize-once fix).
+    The spine is hours × types — tiny at any corpus size (a decade is
+    < 90 k hours) — so the gap-fill join broadcasts the aggregate."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("__h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.round(F.sum("value"), 4).alias("__v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = hourly.agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+    types = hourly.select("event_type").distinct()
+    spine = bounds.select(
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("__h")
+    ).crossJoin(types)
+    return (
+        spine.join(F.broadcast(hourly), ["__h", "event_type"], "left")
+        .select(
+            F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("n_events"),
+            F.coalesce(F.col("__v"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+spine AS (
+  SELECT s.h, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b) s
+  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t)
+SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       s.event_type AS event_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+       coalesce(a.v, 0.0) AS sum_value
+FROM spine s
+LEFT JOIN hourly a ON s.h = a.h AND s.event_type = a.event_type
+ORDER BY 1, 2
+"""
+
+
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt): per-returnflag measure columns
+    melted into (measure, total) rows — the inverse reshape of
+    ``events_type_pivot`` and the long-form hand-off shape for ML
+    feature tables.  Spark plans ``unpivot`` as one Expand (values×rows
+    row multiplication, no shuffle, no distinct pre-job) sitting above
+    the already-3-row aggregate; at 100 TB the only shuffle is the
+    groupBy that produced the wide table."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "total"
+    ).orderBy("l_returnflag", "measure")
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 4)      AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price,
+         round(sum(l_discount), 4)      AS sum_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, measure, total
+FROM wide UNPIVOT (total FOR measure IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, measure
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel view → click → purchase: each stage's
     per-user time is the MIN event time strictly after the previous
@@ -3659,6 +3755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "price_percentiles": price_percentiles,
         "events_type_pivot": events_type_pivot,
+        "events_gap_fill": events_gap_fill,
+        "lineitem_unpivot": lineitem_unpivot,
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
         "top_customers_per_nation": top_customers_per_nation,
@@ -3754,6 +3852,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": EVENTS_JSON_PROPS_SQL,
         "price_percentiles": PRICE_PERCENTILES_SQL,
         "events_type_pivot": EVENTS_PIVOT_SQL,
+        "events_gap_fill": EVENTS_GAP_FILL_SQL,
+        "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
         "events_funnel": EVENTS_FUNNEL_SQL,
         "events_cohort_retention": EVENTS_COHORT_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
