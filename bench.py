@@ -59,6 +59,7 @@ HEADLINE = [
     "events_type_pivot",
     "events_gap_fill",
     "lineitem_unpivot",
+    "events_stratified_sample",
     "events_funnel",
     "events_cohort_retention",
     "top_customers_per_nation",

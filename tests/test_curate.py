@@ -107,3 +107,54 @@ def test_write_packed_shards_layout(spark, tmp_path):
     for d in glob.glob(os.path.join(path, "shard_id=*")):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, d
+
+
+def _quota_model(rows, quota):
+    """Per-row Python model: per group, the `quota` ids with the smallest
+    (md5-prefix, id) key, with their 1-based ranks."""
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for gid, g in rows:
+        key = hashlib.md5(str(gid).encode()).hexdigest()[:15]
+        by_g[g].append((key, gid))
+    out = set()
+    for g, items in by_g.items():
+        items.sort()
+        for rank, (_, gid) in enumerate(items[:quota], start=1):
+            out.add((g, gid, rank))
+    return out
+
+
+def test_stratified_quota_exact_vs_model(spark):
+    from vectorsearch_spark.operators.curate import stratified_quota
+
+    # skewed groups: 'hot' has 400 rows, 'mid' 40, 'tiny' 5 (< quota)
+    rows = (
+        [(i, "hot") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(40)]
+        + [(2000 + i, "tiny") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {
+        (r["grp"], r["doc_id"], r["rank_in_group"])
+        for r in stratified_quota(df, "grp", quota=20, id_col="doc_id").collect()
+    }
+    assert got == _quota_model(rows, 20)
+
+
+def test_stratified_quota_rescue_path(spark):
+    """oversample < 1 starves the prefilter on purpose: survivors < quota
+    forces the rescue branch, which must still produce the exact answer."""
+    from vectorsearch_spark.operators.curate import stratified_quota
+
+    rows = [(i, "g") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {
+        (r["grp"], r["doc_id"], r["rank_in_group"])
+        for r in stratified_quota(
+            df, "grp", quota=50, id_col="doc_id", oversample=0.01
+        ).collect()
+    }
+    assert got == _quota_model(rows, 50)

@@ -206,6 +206,78 @@ def pack_token_shards(
     return out
 
 
+def stratified_quota(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Deterministic stratified QUOTA sampling: for each group keep the
+    ``quota`` rows with the smallest hash selector — the balanced
+    training-mix rebalance pass (cap every language/source/domain at N
+    examples).  The kept set is a pure function of the ids (rerun-,
+    retry-, and engine-stable), unlike ``df.sampleBy`` which is
+    rate-based and seed/partitioning-dependent.
+
+    EXACT two-phase plan (no full-table sort): a per-group count (one
+    map-combinable agg, |groups| rows, broadcast back) sets a per-group
+    hash threshold keeping ~``oversample * quota`` expected rows; a
+    narrow codegen prefilter drops everything else; the exact
+    ``row_number`` rank then sorts only survivors.  The selector
+    (60-bit md5 prefix) is MONOTONE in the rank order, so the prefilter
+    keeps a prefix of the order — any group whose survivor count still
+    reaches ``quota`` is provably exact, and the rare under-sampled
+    group (hash fluctuation beats the oversample margin) is rescued by
+    ranking that group's full rows instead, so exactness never depends
+    on the margin.  Threshold arithmetic is double-precision: boundary
+    fuzz only perturbs survivor-set SIZE, never the final ranked
+    answer.  At 100 TB the naive one-window form shuffles and sorts the
+    whole table; this shuffles ~oversample·quota·|groups| rows, at the
+    price of extra column-pruned scans (counts, prefilter, rescue) —
+    the right trade for file sources.
+    """
+    hexsel = F.substring(F.md5(F.col(id_col).cast("string")), 1, 15)
+    hsel = F.conv(hexsel, 16, 10).cast("long")
+    hmax = float(16**15)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    thr = F.least(
+        F.lit(1.0), F.lit(float(oversample) * float(quota)) / F.col("__c")
+    ) * F.lit(hmax)
+    surv = (
+        df.join(F.broadcast(counts), group_col)
+        .filter((F.col("__c") <= F.lit(int(quota))) | (hsel < thr))
+        .drop("__c")
+    )
+    # under-sampled groups — anchored on ``counts``, NOT on the survivor
+    # aggregate: a group whose prefilter kept ZERO rows is absent from
+    # the survivor side entirely and would silently vanish from the
+    # output if the shortfall scan started there. A group is short when
+    # its survivors fall below what it owes (quota, or its full size
+    # for groups smaller than the quota — for which nothing was
+    # dropped, so they can never actually land here).
+    short = (
+        counts.join(
+            surv.groupBy(group_col).agg(F.count(F.lit(1)).alias("__s")),
+            group_col,
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("__s"), F.lit(0))
+            < F.least(F.lit(int(quota)), F.col("__c"))
+        )
+        .select(group_col)
+    )
+    ok = surv.join(F.broadcast(short), group_col, "left_anti")
+    rescue = df.join(F.broadcast(short), group_col, "left_semi")
+    cand = ok.unionByName(rescue)
+    w = Window.partitionBy(group_col).orderBy(hexsel.asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank_in_group", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_group") <= F.lit(int(quota)))
+    )
+
+
 def write_packed_shards(
     df: DataFrame,
     path: str,

@@ -1596,6 +1596,43 @@ ORDER BY l_returnflag, measure
 """
 
 
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-mix rebalancing: cap every event type at 150
+    deterministically-chosen events via ``stratified_quota``
+    (operators/curate.py) — per-group smallest-md5 selection, a pure
+    function of the ids.  The oracle ranks ALL rows per group with one
+    window; the Spark side runs the exact two-phase plan (count →
+    broadcast threshold prefilter → rank survivors + rescue), so the
+    hash gate proves the bounded-shuffle plan equals the naive
+    full-sort semantics row-for-row."""
+    from vectorsearch_spark.operators.curate import stratified_quota
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    return (
+        stratified_quota(ev, "event_type", quota=150, id_col="event_id")
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            "rank_in_group",
+        )
+        .orderBy("event_type", "rank_in_group")
+    )
+
+
+EVENTS_STRATIFIED_SQL = """
+SELECT event_type, event_id, CAST(rn AS BIGINT) AS rank_in_group
+FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY substring(md5(CAST(event_id AS VARCHAR)), 1, 15) ASC,
+                    event_id ASC) AS rn
+  FROM events) t
+WHERE rn <= 150
+ORDER BY event_type, rn
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel view → click → purchase: each stage's
     per-user time is the MIN event time strictly after the previous
@@ -3757,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": events_type_pivot,
         "events_gap_fill": events_gap_fill,
         "lineitem_unpivot": lineitem_unpivot,
+        "events_stratified_sample": events_stratified_sample,
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
         "top_customers_per_nation": top_customers_per_nation,
@@ -3854,6 +3892,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": EVENTS_PIVOT_SQL,
         "events_gap_fill": EVENTS_GAP_FILL_SQL,
         "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
+        "events_stratified_sample": EVENTS_STRATIFIED_SQL,
         "events_funnel": EVENTS_FUNNEL_SQL,
         "events_cohort_retention": EVENTS_COHORT_SQL,
         "top_customers_per_nation": TOP_CUSTOMERS_SQL,
