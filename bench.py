@@ -79,9 +79,11 @@ HEADLINE = [
     "orders_cube",
     "corpus_splits",
     "pipeline_pack_curated",
+    "doc_chunking",
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_clusters",
     "dedup_simhash",
     "doc_token_stats",

@@ -158,3 +158,55 @@ def test_stratified_quota_rescue_path(spark):
         ).collect()
     }
     assert got == _quota_model(rows, 50)
+
+
+def _chunk_model(n: int, chunk: int, stride: int) -> list[tuple[int, int, int]]:
+    """(chunk_idx, start, length) for a doc of n tokens — trivial Python
+    mirror of the documented chunk rule."""
+    if n <= 0:
+        return []
+    n_chunks = 1 + -(-max(n - chunk, 0) // stride)
+    return [(i, i * stride, min(chunk, n - i * stride)) for i in range(n_chunks)]
+
+
+def test_chunk_documents_coverage_and_edges(spark):
+    from vectorsearch_spark.operators.curate import chunk_documents
+
+    rows = [
+        (0, ""),                      # empty -> no chunks
+        (1, "one"),                   # shorter than chunk -> 1 chunk
+        (2, " ".join(f"w{i}" for i in range(10))),   # exact multiples
+        (3, " ".join(f"w{i}" for i in range(23))),   # ragged tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, stride=5).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc
+    # token counts per doc under the piece tokenizer: w7 -> ['w', '7']
+    n_toks = {1: 1, 2: 20, 3: 46}
+    for doc, n in n_toks.items():
+        got = sorted(
+            (r["chunk_idx"], r["start_tok"], r["n_tokens"]) for r in by_doc[doc]
+        )
+        assert got == _chunk_model(n, 8, 5), f"doc {doc}"
+        # overlap-coverage invariant: chunks tile [0, n) with no gap
+        covered = set()
+        for _, s, ln in got:
+            covered |= set(range(s, s + ln))
+        assert covered == set(range(n)), f"doc {doc} gap"
+    # chunk_text round-trips the token stream on the no-overlap path
+    nol = chunk_documents(df.where("doc_id = 3"), chunk_tokens=8).collect()
+    joined = " ".join(r["chunk_text"] for r in sorted(nol, key=lambda r: r["chunk_idx"]))
+    assert joined.split(" ") == [t for i in range(23) for t in (f"w", str(i))]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from vectorsearch_spark.operators.curate import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, stride=-1)

@@ -352,3 +352,35 @@ def test_text_operators_null_and_empty_text(spark):
     # NULL-text docs simply never match a query (score NULL -> filtered)
     hits = {r["doc_id"] for r in bm25_topk(docs, "quick fox").collect()}
     assert hits == {4}
+
+
+def test_incremental_minhash_matches_selfjoin_cross_pairs(spark, docs):
+    """The incremental (batch-vs-corpus) dedup must find exactly the
+    self-join's cross-side pairs: identical signature machinery means a
+    batch/corpus pair collides iff it collides in the union self-join."""
+    from vectorsearch_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    corpus = docs
+    batch = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    got = {
+        (r["batch_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_minhash_pairs(
+            batch, corpus, num_hashes=16, bands=8, threshold=0.3
+        ).collect()
+    }
+    # every doc is its own duplicate across the sides
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert all((i + 100, i, 1.0) in got for i in doc_ids)
+    # cross pairs of the union self-join (a<b guarantees batch ids, +100,
+    # always land on the a-or-b side consistently -> normalize)
+    union = docs.unionByName(batch)
+    self_pairs = minhash_lsh_pairs(union, num_hashes=16, bands=8, threshold=0.3)
+    cross = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]), r["jaccard"])
+        for r in self_pairs.collect()
+        if (r["doc_a"] >= 100) != (r["doc_b"] >= 100)
+    }
+    assert got == cross

@@ -206,6 +206,76 @@ def pack_token_shards(
     return out
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-length training-sequence chunking: split each document's
+    token stream into chunks of ``chunk_tokens`` pieces starting every
+    ``stride`` tokens (``stride < chunk_tokens`` ⇒ overlapping context
+    windows, the standard LLM-pretraining shape; default = no overlap).
+
+    Chunk starts are ``0, stride, 2·stride, …`` and generation stops
+    once a chunk reaches the end of the document:
+    ``n_chunks = 1 + ceil(max(n − chunk_tokens, 0) / stride)`` — every
+    token is covered, no fully-redundant tail chunk, and an empty
+    document yields zero chunks. The last chunk may be shorter.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_text) where
+    ``start_tok`` is the 0-based token offset and ``chunk_text`` the
+    space-joined pieces (tokenization = ``BPE_PIECE_RE``, the
+    ``token_counts`` pre-tokenizer).
+
+    Scale: tokenize-once barrier (the piece array is referenced by the
+    count arithmetic AND every emitted chunk — inline, Catalyst re-runs
+    the regex per reference), then ``explode(sequence(...))`` +
+    ``slice`` — all codegen, no shuffle beyond the barrier repartition,
+    output rows ≈ input tokens / stride. The explode fan-out is
+    per-document and bounded by document length; one pathological
+    book-length doc produces len/stride rows, not a hot partition.
+    """
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+        ).alias("__p"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    n = F.size("__p")
+    # integer ceil-div: identical arithmetic is mirrored in the oracle
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    start = F.col("chunk_idx") * stride
+    return (
+        base.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.col("__p"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(chunk_tokens), F.size("__p") - start)
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.slice("__p", start + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
 def stratified_quota(
     df: DataFrame,
     group_col: str,

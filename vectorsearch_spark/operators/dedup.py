@@ -181,36 +181,16 @@ def jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
-    threshold: float = 0.5,
-    max_band_freq: int | None = MAX_BAND_FREQ_DEFAULT,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs: banded signature bucketing generates
-    candidates, exact Jaccard verifies. Returns (doc_a, doc_b, jaccard)
-    for verified pairs ≥ τ.
+def _minhash_buckets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band_key) LSH bucket assignments from a shingle DF.
 
-    Signature computation is explode → groupBy, NOT nested array
-    lambdas: each shingle is digested exactly once and the per-band keys
-    read materialized agg columns. (The pure-expression form re-evaluates
-    the whole signature per band because Catalyst doesn't hoist
-    loop-invariant lambda subexpressions — quadratic blowup on long
-    documents.) One explode + one doc-keyed shuffle; map-side combine
-    applies to the min() aggregates.
-
-    Hash family: ONE md5 per shingle; the ``num_hashes`` family members
-    are the Carter–Wegman affine combinations ``(h1 + i·h2) mod P`` of
-    two 60-bit digest halves reduced mod P = 2³¹−1 — pairwise-
-    independent, and 16× cheaper than one md5 per family member (the
-    digest dominates; the affine arithmetic is codegen adds/mults).
+    ONE md5 per shingle; the family members are Carter–Wegman affine
+    combinations ``(h1 + i·h2) mod P`` of the digest's two 60-bit
+    halves reduced mod P = 2³¹−1. Shared by the self-join and the
+    incremental (batch-vs-corpus) dedups — identical parameters on two
+    calls produce comparable signatures by construction.
     """
     rows_per_band = num_hashes // bands
-    sh = _shingle_df(df, id_col, text_col, shingle_n)
     exploded = sh.select("doc_id", F.explode("shingles").alias("_s"))
     digest = exploded.select("doc_id", F.md5("_s").alias("_d"))
     P = _MINHASH_P
@@ -240,9 +220,40 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_band_freq: int | None = MAX_BAND_FREQ_DEFAULT,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: banded signature bucketing generates
+    candidates, exact Jaccard verifies. Returns (doc_a, doc_b, jaccard)
+    for verified pairs ≥ τ.
+
+    Signature computation is explode → groupBy, NOT nested array
+    lambdas: each shingle is digested exactly once and the per-band keys
+    read materialized agg columns. (The pure-expression form re-evaluates
+    the whole signature per band because Catalyst doesn't hoist
+    loop-invariant lambda subexpressions — quadratic blowup on long
+    documents.) One explode + one doc-keyed shuffle; map-side combine
+    applies to the min() aggregates.
+
+    Hash family: ONE md5 per shingle; the ``num_hashes`` family members
+    are the Carter–Wegman affine combinations ``(h1 + i·h2) mod P`` of
+    two 60-bit digest halves reduced mod P = 2³¹−1 — pairwise-
+    independent, and 16× cheaper than one md5 per family member (the
+    digest dominates; the affine arithmetic is codegen adds/mults).
+    """
+    sh = _shingle_df(df, id_col, text_col, shingle_n)
     buckets = _cap_band_freq(
-        sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key")),
-        max_band_freq,
+        _minhash_buckets(sh, num_hashes, bands), max_band_freq
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -263,6 +274,66 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_band_freq: int | None = MAX_BAND_FREQ_DEFAULT,
+) -> DataFrame:
+    """Incremental near-dedup: MinHash-LSH candidates between a NEW
+    ``batch`` and an EXISTING ``corpus`` — the production shape, where
+    each ingested batch is checked against everything already accepted
+    instead of re-running the O(corpus²) self-join. Returns
+    (batch_id, corpus_id, jaccard) for verified pairs ≥ ``threshold``.
+
+    Both sides run the identical signature machinery
+    (``_minhash_buckets`` with the same parameters), so a batch doc and
+    a corpus doc collide exactly when they would have in the self-join
+    plan — an accepted corpus's (doc_id, band_key) buckets can be
+    PERSISTED once and re-joined by every subsequent batch, making the
+    per-batch cost O(|batch| tokens + matched buckets), independent of
+    corpus size. The band join is keyed by band_key with the same
+    hot-band caps (applied per side) as the self-join; no all-pairs
+    plan exists at any scale. Ids may overlap across sides (they are
+    different namespaces); no (a < b) ordering is imposed.
+    """
+    sh_b = _shingle_df(batch, id_col, text_col, shingle_n)
+    sh_c = _shingle_df(corpus, id_col, text_col, shingle_n)
+    bk_b = _cap_band_freq(
+        _minhash_buckets(sh_b, num_hashes, bands), max_band_freq
+    )
+    bk_c = _cap_band_freq(
+        _minhash_buckets(sh_c, num_hashes, bands), max_band_freq
+    )
+    cand = (
+        bk_b.select(F.col("doc_id").alias("batch_id"), "band_key")
+        .join(
+            bk_c.select(F.col("doc_id").alias("corpus_id"), "band_key"),
+            "band_key",
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    va = sh_b.select(F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_a"))
+    vb = sh_c.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(va, "batch_id")
+        .join(vb, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", F.round("jaccard", 4).alias("jaccard"))
     )
 
 

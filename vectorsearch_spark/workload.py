@@ -2712,6 +2712,44 @@ FROM o
 """
 
 
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence chunking with overlap (stride <
+    chunk length) — the LLM-pretraining windowing pass; every token
+    covered, no redundant tail chunk, empty docs yield nothing."""
+    from vectorsearch_spark.operators.curate import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_LEN,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+DOC_CHUNKING_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{{1,2}}|[a-z]+|[0-9]{{1,3}}|[^a-z0-9\s]') AS p
+  FROM documents),
+nn AS (
+  SELECT doc_id, p, len(p) AS n FROM base WHERE len(p) > 0),
+c AS (
+  SELECT doc_id, p, n,
+         unnest(range(0, 1 + (greatest(n - {_CHUNK_LEN}, 0) + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS chunk_idx
+  FROM nn)
+SELECT doc_id,
+       chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * {_CHUNK_STRIDE})::BIGINT AS start_tok,
+       least({_CHUNK_LEN}, n - chunk_idx * {_CHUNK_STRIDE})::BIGINT AS n_tokens,
+       array_to_string(list_slice(p, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                  chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ') AS chunk_text
+FROM c
+"""
+
+
 # dedup corpora: deterministic duplicates/near-duplicates injected
 # in-query so the operators have something to find (raw texts are all
 # distinct). Mirrored literally in SQL.
@@ -2973,6 +3011,59 @@ verified AS (
               - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jaccard
   FROM cand JOIN sh2 sa ON sa.doc_id = doc_a JOIN sh2 sb ON sb.doc_id = doc_b)
 SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash-LSH dedup: the injected
+    copies/near-dups play the NEW batch, the original documents the
+    accepted corpus — the production per-ingest shape, no self-join."""
+    from vectorsearch_spark.operators.dedup import incremental_minhash_pairs
+
+    full = _dedup_corpus(spark, sf_dir)
+    return incremental_minhash_pairs(
+        full.filter(F.col("doc_id") >= 1000000),
+        full.filter(F.col("doc_id") < 1000000),
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM corpus),
+sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 16),
+           i -> list_aggregate(list_transform(shingles,
+             s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483647
+                   + i * (CAST(concat('0x', substring(md5(s), 17, 15)) AS BIGINT) % 2147483647))
+                  % 2147483647), 'min')) AS sig
+  FROM sh2),
+bands AS (
+  SELECT doc_id, shingles,
+         unnest(list_transform(range(0, 8),
+           b -> b || '|' || md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), ',')))) AS band_key
+  FROM sig),
+-- hot-band cap applied PER SIDE (each side runs _cap_band_freq on its own buckets)
+bands2 AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_key, doc_id >= 1000000) <= 5000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+  FROM bands2 a JOIN bands2 b ON a.band_key = b.band_key
+  WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000),
+verified AS (
+  SELECT batch_id, corpus_id,
+         CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jaccard
+  FROM cand JOIN sh2 sa ON sa.doc_id = batch_id JOIN sh2 sb ON sb.doc_id = corpus_id)
+SELECT batch_id, corpus_id, round(jaccard, 4) AS jaccard
 FROM verified WHERE jaccard >= 0.5
 """
 
@@ -3831,6 +3922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": corpus_splits,
         "pipeline_pack_curated": pipeline_pack_curated,
         "doc_shard_packing": doc_shard_packing,
+        "doc_chunking": doc_chunking,
+        "dedup_incremental": dedup_incremental,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -3930,6 +4023,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_splits": CORPUS_SPLITS_SQL,
         "pipeline_pack_curated": PIPELINE_PACK_SQL,
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
+        "doc_chunking": DOC_CHUNKING_SQL,
+        "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
