@@ -63,6 +63,7 @@ HEADLINE = [
     "events_funnel",
     "events_cohort_retention",
     "top_customers_per_nation",
+    "bloom_pruned_revenue",
     "text_search_bm25",
     "hybrid_search_rrf",
     "label_centroids",

@@ -1763,6 +1763,47 @@ WHERE rk <= 3
 """
 
 
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom runtime-filter join: lineitems of high-balance
+    BUILDING-segment customers. The fact side is pre-filtered by a
+    broadcast Bloom bitmap of the qualifying order keys BELOW the
+    shuffle (operators/joins.py bloom_semi_join); the exact semi join
+    then removes false positives, so the result is identical to the
+    plain IN-subquery — the oracle checks exactly that."""
+    from vectorsearch_spark.operators.joins import bloom_semi_join
+
+    cust = _t(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(cust.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    pruned = bloom_semi_join(
+        _t(spark, sf_dir, "lineitem"), orders, on="l_orderkey", keys_on="o_orderkey"
+    )
+    return pruned.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+BLOOM_PRUNED_REVENUE_SQL = """
+SELECT l_orderkey, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000))
+GROUP BY l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Vector queries (C1-C6, J5, T2, T4): exact brute-force KNN with DuckDB
 # oracles computed in double precision via list lambdas.
@@ -3924,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_packing": doc_shard_packing,
         "doc_chunking": doc_chunking,
         "dedup_incremental": dedup_incremental,
+        "bloom_pruned_revenue": bloom_pruned_revenue,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -4025,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "doc_chunking": DOC_CHUNKING_SQL,
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+        "bloom_pruned_revenue": BLOOM_PRUNED_REVENUE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
