@@ -92,6 +92,7 @@ HEADLINE = [
     "stream_window_rollup",
     "events_session_windows",
     "events_asof_attribution",
+    "events_scd2_history",
     "events_error_sessions",
     "doc_repetition",
     "pii_redaction",

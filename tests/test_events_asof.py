@@ -282,3 +282,111 @@ def test_interval_join_auto_bins_degenerate_input(spark):
     assert {tuple(r) for r in auto.select(*cols).collect()} == {
         tuple(r) for r in plain.select(*cols).collect()
     }
+
+
+def test_scd2_collapse_and_intervals(spark):
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.events import changelog_to_scd2
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: A, A (no-op), B, B (no-op), A  -> versions A, B, A
+        (1, 1, t0, "A"),
+        (2, 1, t0 + timedelta(hours=1), "A"),
+        (3, 1, t0 + timedelta(hours=2), "B"),
+        (4, 1, t0 + timedelta(hours=3), "B"),
+        (5, 1, t0 + timedelta(hours=4), "A"),
+        # user 2: NULL, NULL (no-op via null-safe eq), C
+        (6, 2, t0, None),
+        (7, 2, t0 + timedelta(hours=1), None),
+        (8, 2, t0 + timedelta(hours=2), "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, attr string"
+    )
+    out = changelog_to_scd2(
+        df.select("user_id", "event_id", "ts", "attr"),
+        on="user_id", ts="ts", attrs=["attr"], tiebreak="event_id",
+    ).collect()
+    got = sorted(
+        (
+            (r["user_id"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out
+        ),
+        key=lambda t: (t[0], t[1] or "", t[2]),
+    )
+    h = timedelta(hours=1)
+    assert got == [
+        (1, "A", t0, t0 + 2 * h, False),
+        (1, "A", t0 + 4 * h, None, True),
+        (1, "B", t0 + 2 * h, t0 + 4 * h, False),
+        (2, None, t0, t0 + 2 * h, False),
+        (2, "C", t0 + 2 * h, None, True),
+    ]
+    # no collapse: every changelog row opens a version
+    out2 = changelog_to_scd2(
+        df.select("user_id", "event_id", "ts", "attr"),
+        on="user_id", ts="ts", attrs=["attr"], tiebreak="event_id",
+        collapse=False,
+    ).collect()
+    assert len(out2) == len(rows)
+    assert sum(1 for r in out2 if r["is_current"]) == 2
+
+
+def test_scd2_consistent_with_asof_join(spark):
+    """Probing the SCD2 dimension with [from, to) containment must agree
+    with a backward as-of join against the raw changelog — the two views
+    of 'value at time t' are the same function."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.events import asof_join, changelog_to_scd2
+
+    t0 = datetime(2024, 1, 1)
+    chg = spark.createDataFrame(
+        [
+            (i, u, t0 + timedelta(minutes=7 * i + u), f"v{i % 4}")
+            for u in (1, 2, 3)
+            for i in range(12)
+        ],
+        "event_id long, user_id long, ts timestamp, attr string",
+    )
+    probes = spark.createDataFrame(
+        [(u, t0 + timedelta(minutes=m)) for u in (1, 2, 3) for m in range(0, 100, 9)],
+        "user_id long, ts timestamp",
+    )
+    scd = changelog_to_scd2(
+        chg.select("user_id", "event_id", "ts", "attr"),
+        on="user_id", ts="ts", attrs=["attr"], tiebreak="event_id",
+    )
+    via_scd = probes.alias("p").join(
+        scd.alias("s"),
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.valid_from"))
+        & (F.col("p.ts") < F.coalesce(F.col("s.valid_to"), F.lit(datetime(2100, 1, 1)))),
+        "left",
+    ).select("p.user_id", "p.ts", F.col("s.attr").alias("attr"))
+    via_asof = asof_join(
+        probes, chg.select("user_id", "ts", "attr"),
+        on="user_id", ts="ts", payload=["attr"], tiebreak=None, how="left",
+    ).select("user_id", "ts", F.col("asof_attr").alias("attr"))
+    a = sorted((r["user_id"], r["ts"], r["attr"]) for r in via_scd.collect())
+    b = sorted((r["user_id"], r["ts"], r["attr"]) for r in via_asof.collect())
+    assert a == b
+
+
+def test_scd2_single_exchange_plan(spark):
+    """Both windows (lag-collapse + lead-carry) must share ONE shuffle:
+    the filter between them preserves partitioning/ordering."""
+    from vectorsearch_spark.operators.events import changelog_to_scd2
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), "A")],
+        "event_id long, user_id long, ts timestamp, attr string",
+    )
+    scd = changelog_to_scd2(
+        df, on="user_id", ts="ts", attrs=["attr"], tiebreak="event_id"
+    )
+    plan = scd._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, plan

@@ -216,6 +216,60 @@ def asof_join(
     raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
 
+def changelog_to_scd2(
+    df: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    attrs: list[str] | None = None,
+    tiebreak: str | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Changelog → SCD Type-2 dimension: per key, turn the event stream
+    into validity intervals — each surviving row carries
+    ``valid_from`` (its own ts), ``valid_to`` (the NEXT version's ts,
+    NULL for the open/current version) and ``is_current``. The interval
+    semantics are half-open ``[valid_from, valid_to)``, the convention
+    an ``asof_join`` against the dimension reproduces exactly.
+
+    ``collapse=True`` (default) keeps true SCD2 semantics: a changelog
+    row whose ``attrs`` equal the previous version's attrs does NOT
+    open a new version (no-op updates are folded into the open
+    interval). Equality is NULL-safe (``<=>`` per attr). With
+    ``collapse=False`` every changelog row opens a version.
+
+    Scale: two key-partitioned windows over one shuffle of the
+    changelog (lag-compare + lead-carry reuse the same
+    (key, ts, tiebreak) sort — Spark plans ONE Exchange+Sort and both
+    windows run in it); linear, skew-bounded by the key like
+    sessionization. Deterministic under ts ties via ``tiebreak``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if attrs is None:
+        attrs = [c for c in df.columns if c not in (*keys, ts)]
+    order = [F.col(ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    if collapse:
+        changed = F.lit(False)
+        for a in attrs:
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+        first = F.row_number().over(w) == 1
+        df = (
+            df.withColumn("__keep", first | changed)
+            .where(F.col("__keep"))
+            .drop("__keep")
+        )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return df.select(
+        *keys,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -1763,6 +1763,49 @@ WHERE rk <= 3
 """
 
 
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD Type-2 dimension: per-user event_type version
+    intervals with no-op updates collapsed (consecutive same-type
+    events fold into one open interval); half-open [from, to) validity,
+    NULL/'' valid_to marks the current version."""
+    from vectorsearch_spark.operators.events import changelog_to_scd2
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    scd = changelog_to_scd2(
+        ev, on="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id"
+    )
+    return scd.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("valid_to"),
+        "is_current",
+    )
+
+
+EVENTS_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+kept AS (
+  SELECT user_id, event_id, event_type, ts FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
+v AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM kept)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
+       valid_to IS NULL AS is_current
+FROM v
+"""
+
+
 def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit Bloom runtime-filter join: lineitems of high-balance
     BUILDING-segment customers. The fact side is pre-filtered by a
@@ -3966,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": doc_chunking,
         "dedup_incremental": dedup_incremental,
         "bloom_pruned_revenue": bloom_pruned_revenue,
+        "events_scd2_history": events_scd2_history,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -4068,6 +4112,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": DOC_CHUNKING_SQL,
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "bloom_pruned_revenue": BLOOM_PRUNED_REVENUE_SQL,
+        "events_scd2_history": EVENTS_SCD2_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
