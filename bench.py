@@ -93,6 +93,9 @@ HEADLINE = [
     "events_session_windows",
     "events_asof_attribution",
     "events_scd2_history",
+    "events_incremental_rollup",
+    "customer_balance_ranks",
+    "documents_profile",
     "events_error_sessions",
     "doc_repetition",
     "pii_redaction",

@@ -1,0 +1,69 @@
+"""Incremental aggregate maintenance: keep a grouped rollup current by
+merging per-batch partial states instead of rescanning the base table
+(materialized-view maintenance, the production shape for "nightly base
++ hourly delta" pipelines; north-star extension per BASELINE.json).
+
+The algebra: ``count/sum/min/max`` are commutative-monoid aggregates,
+so a rollup STATE (n, total, vmin, vmax) per group merges associatively
+— ``state(base ∪ delta) = merge(state(base), state(delta))`` — and
+derived values (avg) are finalized from the merged state. The merge
+shuffles only STATE ROWS (O(|groups|), not O(|rows|)): at 100 TB the
+delta pass reads one increment and the merge re-aggregates two
+group-sized tables. This is exactly Spark's own partial-aggregation
+contract (map-side combine) lifted to cross-batch persistence.
+
+Append-only by construction: min/max are NOT retractable monoids — a
+deletion/update in the base requires re-aggregating the affected
+groups (the documented limitation of every min/max materialized view;
+count/sum alone would admit retraction via negative weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ("n_rows", "total", "vmin", "vmax")
+
+
+def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Aggregate a batch into mergeable per-group state:
+    (keys…, n_rows, total, vmin, vmax) over ``value_col`` (NULL values
+    count toward no measure, like SQL aggregates)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.col(value_col)).alias("n_rows"),
+        F.sum(F.col(value_col)).alias("total"),
+        F.min(F.col(value_col)).alias("vmin"),
+        F.max(F.col(value_col)).alias("vmax"),
+    )
+
+
+def merge_rollup_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge any number of state tables: union (by name) + one re-agg
+    combining the monoids — groups present in only some states pass
+    through, shared groups combine."""
+    if not states:
+        raise ValueError("need at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def finalize_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the user-facing aggregate view from a state table —
+    avg from (total, n_rows); groups whose measures were all NULL keep
+    NULL aggregates (n_rows = 0)."""
+    return state.select(
+        *keys,
+        F.col("n_rows"),
+        F.col("total"),
+        F.col("vmin"),
+        F.col("vmax"),
+        F.when(F.col("n_rows") > 0, F.col("total") / F.col("n_rows")).alias("avg"),
+    )

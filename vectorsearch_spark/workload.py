@@ -1763,6 +1763,123 @@ WHERE rk <= 3
 """
 
 
+_INCR_SPLIT = "2024-01-25 00:00:00"
+
+
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the hourly (event_type, hour)
+    rollup built as merge(state(base), state(delta)) across a time
+    split — the oracle recomputes from the full table, proving the
+    merged state is indistinguishable from a rescan."""
+    from vectorsearch_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "value",
+        "ts",
+    )
+    keys = ["event_type", "hour"]
+    base = rollup_state(ev.where(F.col("ts") < F.lit(_INCR_SPLIT)), keys, "value")
+    delta = rollup_state(ev.where(F.col("ts") >= F.lit(_INCR_SPLIT)), keys, "value")
+    out = finalize_rollup(merge_rollup_states([base, delta], keys), keys)
+    return out.select(
+        "event_type",
+        "hour",
+        "n_rows",
+        F.round("total", 4).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round("avg", 6).alias("avg"),
+    )
+
+
+EVENTS_INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(value) AS n_rows,
+       round(sum(value), 4) AS total,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax,
+       round(sum(value) / count(value), 6) AS avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of the documents table (nulls /
+    exact distincts / min-max per column in a single full-scan agg)."""
+    from vectorsearch_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"),
+        cols=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+DOCUMENTS_PROFILE_SQL = """
+SELECT 'doc_id' AS "column", count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+"""
+
+
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family window sweep in ONE pass: ntile quartiles,
+    percent_rank, cume_dist, dense_rank and a lag delta over the same
+    (nation, balance) window — all five share one Exchange+Sort (the
+    window family is frame-compatible), which is the plan property the
+    oracle's QUALIFY-free mirror checks implicitly via exactness."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_custkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.dense_rank().over(w).cast("long").alias("drank"),
+            F.round(
+                F.col("c_acctbal") - F.lag("c_acctbal", 1, 0.0).over(w), 2
+            ).alias("bal_step"),
+        )
+    )
+
+
+CUSTOMER_BALANCE_RANKS_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       round(c_acctbal - lag(c_acctbal, 1, 0.0) OVER w, 2) AS bal_step
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog → SCD Type-2 dimension: per-user event_type version
     intervals with no-op updates collapsed (consecutive same-type
@@ -4010,6 +4127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "bloom_pruned_revenue": bloom_pruned_revenue,
         "events_scd2_history": events_scd2_history,
+        "customer_balance_ranks": customer_balance_ranks,
+        "documents_profile": documents_profile,
+        "events_incremental_rollup": events_incremental_rollup,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -4113,6 +4233,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "bloom_pruned_revenue": BLOOM_PRUNED_REVENUE_SQL,
         "events_scd2_history": EVENTS_SCD2_SQL,
+        "customer_balance_ranks": CUSTOMER_BALANCE_RANKS_SQL,
+        "documents_profile": DOCUMENTS_PROFILE_SQL,
+        "events_incremental_rollup": EVENTS_INCREMENTAL_ROLLUP_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
