@@ -96,6 +96,7 @@ HEADLINE = [
     "events_incremental_rollup",
     "customer_balance_ranks",
     "documents_profile",
+    "part_zorder_values",
     "events_error_sessions",
     "doc_repetition",
     "pii_redaction",

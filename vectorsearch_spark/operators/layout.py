@@ -1,0 +1,88 @@
+"""Data-layout operators: Z-order (Morton-curve) clustering for
+multi-dimensional data skipping.
+
+The 100 TB problem: parquet row-group min/max statistics only skip
+row groups when the data is CLUSTERED on the filtered columns, and a
+sort can only cluster on ONE prefix. Z-ordering interleaves the bits
+of several quantized columns into one scalar so that sorting by it
+clusters on ALL of them at once — a rectangle predicate
+``x BETWEEN … AND y BETWEEN …`` then touches O(perimeter) row groups
+instead of O(everything) (the Morton-curve layout used by Delta
+OPTIMIZE ZORDER BY, Iceberg sort orders, and classic UB-tree papers).
+
+Everything is codegen expressions: per-column linear quantization to
+``bits`` bits over caller-supplied (lo, hi) bounds (explicit bounds
+keep the z-value a pure per-row function — rerun/engine-stable and
+oracle-checkable; ``compute_bounds`` derives them with ONE bounded
+min/max aggregate when the caller has none), then a bit-interleave
+built from shift/and/or terms. Clustering = ``repartitionByRange`` on
+the z-value (one skew-free range shuffle; Spark samples boundaries)
++ ``sortWithinPartitions`` so every output file covers a tight
+z-range — i.e., a small hyper-rectangle of the original space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Linear quantization of ``col`` to an integer in [0, 2^bits):
+    values at/below ``lo`` map to 0, at/above ``hi`` to 2^bits − 1;
+    integer-exact arithmetic mirrored literally in oracles."""
+    n = (1 << bits) - 1
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        / F.lit(float(hi) - float(lo))
+        * F.lit(n + 1)
+    ).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(n))
+
+
+def zorder_value(cols: dict[str, tuple[float, float]], bits: int = 8) -> Column:
+    """Morton z-value interleaving ``bits`` bits of each column
+    (quantized over its (lo, hi) bounds): bit i of column j lands at
+    position ``i·n_cols + j``. Pure codegen shift/and arithmetic —
+    ``bits × n_cols`` OR-terms, no UDF."""
+    names = list(cols)
+    q = {c: quantize(F.col(c), *cols[c], bits=bits) for c in names}
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(names):
+            bit = F.shiftright(q[c], i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * len(names) + j)
+    return z
+
+
+def compute_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """(min, max) per column via ONE aggregate (bounded driver
+    collect) — for callers without domain knowledge of the bounds."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"])) for c in cols}
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: dict[str, tuple[float, float]] | list[str],
+    bits: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` re-laid-out along the Morton curve: range-partition
+    + in-partition sort on the z-value (dropped from the output).
+    Writing the result produces one tight z-range — one small
+    hyper-rectangle — per file, which is what parquet row-group
+    pruning needs to skip on EVERY z-ordered column."""
+    if isinstance(cols, list):
+        cols = compute_bounds(df, cols)
+    z = zorder_value(cols, bits=bits)
+    out = df.withColumn("__z", z)
+    out = (
+        out.repartitionByRange(num_partitions, "__z")
+        if num_partitions
+        else out.repartitionByRange("__z")
+    )
+    return out.sortWithinPartitions("__z").drop("__z")

@@ -1763,6 +1763,41 @@ WHERE rk <= 3
 """
 
 
+_Z_BITS = 8
+_Z_BOUNDS = {"p_size": (1.0, 50.0), "p_retailprice": (900.0, 1000.0)}
+
+
+def part_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (p_size, p_retailprice) with fixed bounds —
+    the clustering key cluster_by_zorder sorts by; pure per-row bit
+    arithmetic, mirrored literally in the oracle."""
+    from vectorsearch_spark.operators.layout import zorder_value
+
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", zorder_value(_Z_BOUNDS, bits=_Z_BITS).alias("zval")
+    )
+
+
+def _zorder_sql() -> str:
+    qs = {}
+    for c, (lo, hi) in _Z_BOUNDS.items():
+        n = (1 << _Z_BITS) - 1
+        qs[c] = (
+            f"least(greatest(CAST(floor((CAST({c} AS DOUBLE) - {lo}) / "
+            f"({hi} - {lo}) * {n + 1}) AS BIGINT), 0), {n})"
+        )
+    names = list(_Z_BOUNDS)
+    terms = []
+    for i in range(_Z_BITS):
+        for j, c in enumerate(names):
+            terms.append(f"(((q_{c} >> {i}) & 1) << {i * len(names) + j})")
+    qcols = ", ".join(f"{qs[c]} AS q_{c}" for c in names)
+    return f"""
+WITH q AS (SELECT p_partkey, {qcols} FROM part)
+SELECT p_partkey, CAST({" + ".join(terms)} AS BIGINT) AS zval FROM q
+"""
+
+
 _INCR_SPLIT = "2024-01-25 00:00:00"
 
 
@@ -4130,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_ranks": customer_balance_ranks,
         "documents_profile": documents_profile,
         "events_incremental_rollup": events_incremental_rollup,
+        "part_zorder_values": part_zorder_values,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -4236,6 +4272,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_balance_ranks": CUSTOMER_BALANCE_RANKS_SQL,
         "documents_profile": DOCUMENTS_PROFILE_SQL,
         "events_incremental_rollup": EVENTS_INCREMENTAL_ROLLUP_SQL,
+        "part_zorder_values": _zorder_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
