@@ -97,6 +97,7 @@ HEADLINE = [
     "customer_balance_ranks",
     "documents_profile",
     "part_zorder_values",
+    "part_copurchase_pairs",
     "events_error_sessions",
     "doc_repetition",
     "pii_redaction",

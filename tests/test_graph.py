@@ -132,3 +132,74 @@ def test_pagerank_empty_and_single_edge(spark):
     one = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
     got = {r["node"]: r["rank"] for r in pagerank(one, iters=5).collect()}
     assert abs(got[7] - 0.5) < 1e-12 and abs(got[9] - 0.5) < 1e-12
+
+
+# --- co-occurrence + triangle counting (operators/centrality.py) ---
+
+
+def test_cooccurrence_support_and_cap(spark):
+    from vectorsearch_spark.operators.centrality import cooccurrence_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # dup line item: support counts baskets
+        (4, "x"), (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccurrence_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    assert got == {("a", "b"): 3}
+    # cap drops basket 1 (size 3): (a,b) support falls to 2
+    capped = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccurrence_pairs(
+            df, "basket", "item", min_support=2, max_basket=2
+        ).collect()
+    }
+    assert capped == {("a", "b"): 2}
+
+
+def _py_triangles(edges):
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            n += 1
+    return n
+
+
+def test_triangle_count_matches_model(spark):
+    import random
+
+    from vectorsearch_spark.operators.centrality import triangle_count
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(150)}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "item_a long, item_b long"
+    )
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == _py_triangles(edges)
+
+
+def test_triangle_count_handles_skew_hub(spark):
+    """A star (hub connected to everything) has no triangles unless
+    spokes interconnect; orientation must not blow up or miscount."""
+    from vectorsearch_spark.operators.centrality import triangle_count
+
+    star = [(0, i) for i in range(1, 200)]
+    ring = [(i, i + 1) for i in range(1, 199)]
+    df = spark.createDataFrame(star + ring, "item_a long, item_b long")
+    # every ring edge closes a triangle with the hub: 198 triangles
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == 198

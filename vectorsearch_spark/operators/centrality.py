@@ -81,3 +81,103 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int | None = 10_000,
+) -> DataFrame:
+    """Market-basket co-occurrence: item pairs appearing in the same
+    basket, with ``support`` = number of shared baskets, filtered to
+    ``support >= min_support``. Returns (item_a, item_b, support) with
+    ``item_a < item_b``. The classic item-item graph behind
+    recommendation candidates and substitution analysis.
+
+    Scale: the self-join is keyed by basket — per-basket fan-out is
+    ``s·(s−1)/2`` for basket size s, so one pathological basket (a
+    crawler's 10⁶-item "order") is quadratic; ``max_basket`` drops
+    larger baskets first (one map-side-combinable size count), the
+    same explicit-cap contract as the dedup hot-band caps — a dropped
+    basket only removes support counts it would have contributed
+    (documented lower-bound semantics). Items are deduped per basket
+    so support counts BASKETS, not line items.
+    """
+    b = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")).distinct()
+    if max_basket is not None:
+        sizes = b.groupBy("__b").agg(F.count("*").alias("__sz"))
+        b = b.join(sizes.where(F.col("__sz") <= max_basket), "__b")
+    l = b.select("__b", F.col("__i").alias("item_a"))
+    r = b.select("__b", F.col("__i").alias("item_b"))
+    return (
+        l.join(r, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+def triangle_count(
+    edges: DataFrame, id_a: str = "item_a", id_b: str = "item_b"
+) -> DataFrame:
+    """EXACT global triangle count of an undirected graph — the
+    clustering-coefficient numerator (community structure / spam-ring
+    detection over similarity and co-occurrence graphs).
+
+    Scale design — degree orientation (the MapReduce-era standard):
+    orient every edge from its (degree, id)-smaller endpoint to the
+    larger, so each triangle is counted exactly once as a wedge
+    u→v, u→w with v→w; the wedge join fans out per node as
+    out-degree², and orientation bounds every out-degree by O(√|E|)
+    regardless of raw degree skew — a celebrity node of degree 10⁶
+    contributes wedges only through its (rare) higher-degree
+    neighbors, not 10¹² pairs. Three shuffles total (degrees, wedge
+    join, closing semi join); output is ONE row (n_triangles).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    # orient: u -> v iff (deg(u), u) < (deg(v), v)
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = w1.join(w2, "u").where(F.col("v1") < F.col("v2"))
+    closing = oriented.select(
+        F.col("u").alias("c1"), F.col("v").alias("c2")
+    ).unionByName(
+        oriented.select(F.col("v").alias("c1"), F.col("u").alias("c2"))
+    )
+    closed = wedges.join(
+        closing,
+        (F.col("v1") == F.col("c1")) & (F.col("v2") == F.col("c2")),
+        "left_semi",
+    )
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))

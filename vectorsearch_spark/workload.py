@@ -1763,6 +1763,55 @@ WHERE rk <= 3
 """
 
 
+_COPURCHASE_SUPPORT = 2
+
+
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs sharing >= 2 orders
+    (basket-keyed self-join + support rollup; hot-basket cap)."""
+    from vectorsearch_spark.operators.centrality import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=_COPURCHASE_SUPPORT,
+    ).select("item_a", "item_b", F.col("support").cast("long").alias("support"))
+
+
+PART_COPURCHASE_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+       count(*)::BIGINT AS support
+FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= {_COPURCHASE_SUPPORT}
+"""
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the co-purchase graph (degree-oriented
+    wedge join — out-degrees bounded O(sqrt(E)) under any skew)."""
+    from vectorsearch_spark.operators.centrality import (
+        cooccurrence_pairs,
+        triangle_count,
+    )
+
+    edges = cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=1
+    )
+    return triangle_count(edges)
+
+
+COPURCHASE_TRIANGLES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS bb
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1 JOIN e e2 ON e1.bb = e2.a JOIN e e3 ON e1.a = e3.a AND e2.bb = e3.bb
+"""
+
+
 _Z_BITS = 8
 _Z_BOUNDS = {"p_size": (1.0, 50.0), "p_retailprice": (900.0, 1000.0)}
 
@@ -4166,6 +4215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": documents_profile,
         "events_incremental_rollup": events_incremental_rollup,
         "part_zorder_values": part_zorder_values,
+        "part_copurchase_pairs": part_copurchase_pairs,
+        "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -4273,6 +4324,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_profile": DOCUMENTS_PROFILE_SQL,
         "events_incremental_rollup": EVENTS_INCREMENTAL_ROLLUP_SQL,
         "part_zorder_values": _zorder_sql(),
+        "part_copurchase_pairs": PART_COPURCHASE_SQL,
+        "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
