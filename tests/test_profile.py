@@ -117,3 +117,37 @@ def test_incremental_merge_shuffles_state_not_rows(spark):
     plan = merged._jdf.queryExecution().optimizedPlan().toString()
     # the union children are Aggregates (states), not raw relations
     assert plan.count("Aggregate") >= 3, plan
+
+
+def test_incremental_distinct_merge_identical_to_single_pass(spark):
+    """HLL register merge is exact: merging per-batch sketches must give
+    the IDENTICAL estimate as one sketch over all rows — and land within
+    5% of the true distinct count."""
+    from vectorsearch_spark.operators.incremental import (
+        distinct_state,
+        finalize_distinct,
+        merge_distinct_states,
+    )
+
+    df = spark.range(0, 30000).selectExpr(
+        "id % 4 AS g", "CAST(id % 1777 AS STRING) AS v", "id"
+    )
+    keys = ["g"]
+    batches = [df.where(f"id % 3 = {i}") for i in range(3)]
+    merged = {
+        r["g"]: r["n_distinct_est"]
+        for r in finalize_distinct(
+            merge_distinct_states(
+                [distinct_state(b, keys, "v") for b in batches], keys
+            ),
+            keys,
+        ).collect()
+    }
+    single = {
+        r["g"]: r["n_distinct_est"]
+        for r in finalize_distinct(distinct_state(df, keys, "v"), keys).collect()
+    }
+    assert merged == single
+    for g, est in merged.items():
+        true = df.where(f"g = {g}").select("v").distinct().count()
+        assert abs(est - true) / true < 0.05, (g, est, true)

@@ -27,9 +27,12 @@ Construction (all built-in expressions, no UDF):
   bitwise-and against the broadcast array — whole-stage codegen,
   evaluated at scan parallelism before any exchange.
 
-Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k; the default
-m = 2²⁰ bits / k = 5 holds ~1% at n ≈ 100k keys. m is a hard driver/
-executor memory bound (2²⁰ bits = 128 KiB) independent of fact size.
+Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k; auto-sizing picks
+m ≈ 16·n bits (~0.2% FP at k = 5) from one count of the key side,
+clamped to [2¹⁴, 2²³] — the literal rides the expression tree k times
+and CATALYST PLANNING COST is linear in literal size, so an oversized
+bitmap costs more in driver-side planning than it saves (measured).
+m is a hard memory bound independent of fact size.
 """
 
 from __future__ import annotations
@@ -52,8 +55,13 @@ def _bit(shift) -> F.Column:
     )
 
 
-def _positions(col, m_bits: int, k: int):
-    """k Bloom positions for ``col`` as an array<int> expression.
+def _positions(col, m_bits: int, k: int) -> list:
+    """The k Bloom positions for ``col`` as a PYTHON LIST of plain
+    int32 expressions — deliberately NOT an array + higher-order
+    function: ``transform``/``forall`` are CodegenFallback (interpreted
+    row-at-a-time, measured 7.6 s vs 0.3 s for the probe over 600 k
+    rows at sf0.1); k is a compile-time constant, so the family unrolls
+    into k whole-stage-codegen conjuncts.
 
     Both base hashes are reduced mod m BEFORE the affine combination —
     ``i·h2`` on raw xxhash64 values overflows int64 (ANSI mode raises);
@@ -62,10 +70,10 @@ def _positions(col, m_bits: int, k: int):
     """
     h1 = F.pmod(F.xxhash64(col, F.lit(_SEED_A)), F.lit(m_bits))
     h2 = F.pmod(F.xxhash64(col, F.lit(_SEED_B)), F.lit(m_bits - 1)) + 1
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)).cast("int"),
-    )
+    return [
+        F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(m_bits)).cast("int")
+        for i in range(k)
+    ]
 
 
 def bloom_semi_join(
@@ -73,7 +81,7 @@ def bloom_semi_join(
     keys: DataFrame,
     on: str,
     keys_on: str | None = None,
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 5,
     exact: bool = True,
 ) -> DataFrame:
@@ -93,10 +101,30 @@ def bloom_semi_join(
     by data size (the codebook-broadcast contract).
     """
     keys_on = keys_on or on
-    kdf = keys.select(F.col(keys_on).alias("__k")).where(F.col("__k").isNotNull())
+    # lazy checkpoint: the key plan executes ONCE (for the bitmap
+    # build) and the exact semi join reads the materialized result
+    # instead of re-running a possibly-expensive dim pipeline
+    kdf = (
+        keys.select(F.col(keys_on).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    if m_bits is None:
+        # ~16 bits/key (FP ≈ 0.2% at k=5), clamped: the literal bitmap
+        # rides the EXPRESSION TREE k times, and Catalyst planning cost
+        # is linear in literal size — an oversized bitmap costs more in
+        # driver-side planning than it saves in skipped rows (measured
+        # 1.7-3.3 s planning at m=2²⁰ vs 0.3-0.6 s at m=2¹⁴ for the
+        # same probe). Caps: 2¹⁴ floor, 2²³ ceiling (1 MiB bitmap);
+        # key sets beyond ~500 k belong to Spark's own runtime bloom /
+        # a plain shuffle join, not a literal-transported filter.
+        n_keys = kdf.count()
+        m_bits = 1 << max(14, min(23, (16 * max(n_keys, 1)).bit_length()))
     n_words = (m_bits + 63) // 64
     words = (
-        kdf.select(F.explode(_positions(F.col("__k"), m_bits, k)).alias("__pos"))
+        kdf.select(
+            F.explode(F.array(*_positions(F.col("__k"), m_bits, k))).alias("__pos")
+        )
         .select(
             (F.col("__pos") / 64).cast("int").alias("__w"),
             _bit(F.pmod(F.col("__pos"), F.lit(64))).alias("__m"),
@@ -114,15 +142,14 @@ def bloom_semi_join(
     # closure exactly like a broadcast variable, keeps the probe a
     # NARROW filter on the fact scan
     bloom = F.lit(bitmap)
-    probe = F.forall(
-        _positions(F.col(on), m_bits, k),
-        lambda p: (
+    probe = F.lit(True)
+    for p in _positions(F.col(on), m_bits, k):
+        probe = probe & (
             F.element_at(bloom, (p / 64).cast("int") + 1).bitwiseAND(
                 _bit(F.pmod(p, F.lit(64)))
             )
+            != 0
         )
-        != 0,
-    )
     pruned = fact.where(probe)
     if not exact:
         return pruned
