@@ -3,6 +3,7 @@ plan shape (the probe must run below any exchange)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vectorsearch_spark.operators.joins import bloom_semi_join
@@ -59,3 +60,49 @@ def test_bloom_tiny_bitmap_degrades_to_semi_join_result(spark):
     assert sorted((r["k"], r["payload"]) for r in got) == sorted(
         (r["k"], r["payload"]) for r in exp
     )
+
+
+# --- salted_join (skew-hardened equi join) ---
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    from vectorsearch_spark.operators.joins import salted_join
+
+    # one key holds ~50% of left rows
+    left = spark.createDataFrame(
+        [(i if i % 2 else 7, i) for i in range(2000)], "k long, payload long"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 2000, 3)], "k long, attr string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["payload"], r["attr"])
+            for r in salted_join(left, right, "k", how=how, salt=8).collect()
+        )
+        exp = sorted(
+            (r["k"], r["payload"], r["attr"])
+            for r in left.join(right, "k", how).collect()
+        )
+        assert got == exp, how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in multiple shuffle partitions:
+    the join key includes __salt (visible in the plan's partitioning)."""
+    from vectorsearch_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(7, i) for i in range(100)], "k long, p long")
+    right = spark.createDataFrame([(7, "x")], "k long, attr string")
+    out = salted_join(left, right, "k", salt=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert sorted(r["p"] for r in out.collect()) == list(range(100))
+
+
+def test_salted_join_rejects_outer(spark):
+    from vectorsearch_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")

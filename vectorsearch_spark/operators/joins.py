@@ -155,3 +155,44 @@ def bloom_semi_join(
         return pruned
     kd = kdf.distinct()
     return pruned.join(kd, pruned[on] == kd["__k"], "left_semi")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-hardened equi join: split each hot key's left rows across
+    ``salt`` sub-keys and replicate the right side ``salt`` ways, so
+    one celebrity key occupies ``salt`` tasks instead of one. The
+    classic mitigation for shuffle joins where the hot side is too big
+    to broadcast and AQE's skew splitting doesn't apply (AQE only
+    splits sort-merge partitions of BATCH shuffles; a hot key inside a
+    hash-partitioned stateful/streaming or bucketed join still funnels).
+
+    The left salt is DETERMINISTIC — ``xxhash64`` of the whole left row
+    mod ``salt``, never ``rand()`` (a nondeterministic salt re-deals
+    rows on task retry, corrupting any downstream that saw the first
+    deal; identical duplicate rows share a salt, which only matters if
+    one key's rows are also all identical — then they are one logical
+    row anyway). Cost: right side shuffles ``salt``× — size it against
+    the skew saved; ``salt ≈ hot-key share × cluster cores`` is plenty.
+
+    ``how``: 'inner' or 'left' (right/full-outer would surface each
+    unmatched REPLICATED right row ``salt`` times — rejected).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).alias("__salt")
+    l = left.select("*", lsalt)
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))),
+    )
+    out = l.join(r, [*keys, "__salt"], how)
+    return out.drop("__salt")

@@ -1763,6 +1763,37 @@ WHERE rk <= 3
 """
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via the VARIANT type (Spark 4):
+    ``try_parse_json`` builds the binary variant once, ``try_variant_get``
+    path-extracts under a per-row type cast — the open-schema analog of
+    the schema'd ``from_json`` in events_json_props (variant shreds the
+    JSON once; repeated path gets don't re-parse the text, which is the
+    at-scale advantage over N × get_json_object). Deciles of k per
+    event type; malformed/missing paths surface as NULL, never throw."""
+    ev = _events(spark, sf_dir)
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).cast("long").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+        )
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_decile,
+       count(*) AS n_events,
+       count(json_extract(props, '$.k')) AS n_with_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _COPURCHASE_SUPPORT = 2
 
 
@@ -4216,6 +4247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incremental_rollup": events_incremental_rollup,
         "part_zorder_values": part_zorder_values,
         "part_copurchase_pairs": part_copurchase_pairs,
+        "events_variant_props": events_variant_props,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4325,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         "events_incremental_rollup": EVENTS_INCREMENTAL_ROLLUP_SQL,
         "part_zorder_values": _zorder_sql(),
         "part_copurchase_pairs": PART_COPURCHASE_SQL,
+        "events_variant_props": EVENTS_VARIANT_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
