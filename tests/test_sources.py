@@ -4,6 +4,7 @@ handling, and FAILFAST csv/json parsing."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.utils import CapturedException
 
 from vectorsearch_spark.sources import (
@@ -50,3 +51,51 @@ def test_csv_failfast(spark, tmp_path_factory):
     bad.write_text("1,alpha\nnot_an_int,beta\n")
     with pytest.raises((CapturedException, Exception)):
         read_with_schema(spark, str(bad), "id int, name string", fmt="csv").collect()
+
+
+# --- custom Python DataSource (Spark 4 datasource API) ---
+
+
+def test_synthetic_corpus_datasource(spark):
+    from vectorsearch_spark.sources.synthetic import SyntheticCorpusDataSource
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 1000)
+        .option("partitions", 7)
+        .option("seed", 11)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "lang"]
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 7
+    assert df.select("doc_id").distinct().count() == 1000
+    # determinism: re-read AND different partitioning give identical rows
+    again = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 1000)
+        .option("partitions", 3)
+        .option("seed", 11)
+        .load()
+    )
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
+    # different seed -> different corpus
+    other = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 1000)
+        .option("seed", 12)
+        .load()
+    )
+    assert sorted(tuple(r) for r in other.collect()) != a
+    # composes with real operators: language histogram is plan-only
+    from collections import Counter
+
+    langs = Counter(r["lang"] for r in df.collect())
+    got = {
+        r["lang"]: r["n"]
+        for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == dict(langs)
