@@ -81,6 +81,8 @@ HEADLINE = [
     "corpus_splits",
     "pipeline_pack_curated",
     "doc_chunking",
+    "doc_lm_perplexity",
+    "events_variant_props",
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -384,3 +384,25 @@ def test_incremental_minhash_matches_selfjoin_cross_pairs(spark, docs):
         if (r["doc_a"] >= 100) != (r["doc_b"] >= 100)
     }
     assert got == cross
+
+
+def test_lm_perplexity_known_values(spark):
+    """Hand-computed Laplace unigram model on a 2-doc corpus."""
+    import math
+
+    from vectorsearch_spark.operators.text import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    # counts: a=3, b=1, c=1; N=5, V=3, alpha=0.5 -> denom 5 + 0.5*4 = 7
+    p = {"a": 3.5 / 7, "b": 1.5 / 7, "c": 1.5 / 7}
+    nll1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    nll2 = -(math.log(p["a"]) + math.log(p["c"])) / 2
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["nll"] - round(nll1, 6)) < 1e-9
+    assert abs(out[2]["nll"] - round(nll2, 6)) < 1e-9
+    assert abs(out[2]["ppl"] - round(math.exp(nll2), 4)) < 1e-9
+    # the all-common-token doc scores lower (better) than the rarer mix
+    assert out[1]["nll"] < out[2]["nll"]

@@ -480,3 +480,64 @@ def pii_scan(
         F.length(red).cast("long").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram-LM quality score (the CCNet-style filter): train a
+    Laplace-smoothed unigram model on the corpus itself, then score
+    every document by mean negative log-likelihood (nats/token) —
+    boilerplate and in-domain text scores low, gibberish and off-corpus
+    noise scores high. Returns (doc_id, n_tokens, nll, ppl).
+
+    P(t) = (count(t) + α) / (N + α·(V+1)); unseen tokens share the α
+    mass (can't occur when scoring the training corpus itself, but the
+    model is reusable against other corpora — the +1 in V reserves it).
+
+    Scale: ONE tokenizer pass behind the explode; token counts are a
+    map-side-combinable aggregate; the vocabulary (V ≈ 10⁵-10⁷ rows,
+    counts only, never text) joins back to the exploded tokens by token
+    — Spark broadcasts it when small and shuffle-joins otherwise, both
+    correct; the per-doc score is one more doc-keyed aggregate. No
+    driver collect of the model.
+    """
+    from vectorsearch_spark.functions.text import tokens as toks_fn
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), toks_fn(text_col).alias("__toks"))
+        .repartition(parallelism, F.col(id_col))
+    )
+    exploded = tok.select(F.col(id_col), F.explode("__toks").alias("__t"))
+    counts = exploded.groupBy("__t").agg(F.count("*").alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("__N"), F.count("*").alias("__V")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "__t",
+        (
+            -F.log(
+                (F.col("__c") + F.lit(alpha))
+                / (F.col("__N") + F.lit(alpha) * (F.col("__V") + 1))
+            )
+        ).alias("__nll_t"),
+    )
+    scored = exploded.join(model, "__t")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("__nll_t").alias("__nll"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round("__nll", 6).alias("nll"),
+            F.round(F.exp("__nll"), 4).alias("ppl"),
+        )
+    )

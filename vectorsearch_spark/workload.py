@@ -1763,6 +1763,31 @@ WHERE rk <= 3
 """
 
 
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet-style): corpus-trained
+    Laplace-smoothed model, per-doc mean NLL + perplexity."""
+    from vectorsearch_spark.operators.text import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
+DOC_LM_PERPLEXITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+  FROM documents),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+model AS (
+  SELECT t, -ln((c + 0.5) / (n + 0.5 * (v + 1))) AS nll_t FROM counts, tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(nll_t) AS nll
+  FROM tok JOIN model USING (t) GROUP BY doc_id)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(nll, 6) AS nll, round(exp(nll), 4) AS ppl
+FROM scored
+"""
+
+
 def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction via the VARIANT type (Spark 4):
     ``try_parse_json`` builds the binary variant once, ``try_variant_get``
@@ -4248,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_zorder_values": part_zorder_values,
         "part_copurchase_pairs": part_copurchase_pairs,
         "events_variant_props": events_variant_props,
+        "doc_lm_perplexity": doc_lm_perplexity,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4358,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         "part_zorder_values": _zorder_sql(),
         "part_copurchase_pairs": PART_COPURCHASE_SQL,
         "events_variant_props": EVENTS_VARIANT_SQL,
+        "doc_lm_perplexity": DOC_LM_PERPLEXITY_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
