@@ -55,6 +55,16 @@ PROBES = [
     "corpus_curation",
     "text_search_bm25",
     "knn_l2_batch",
+    # round-4 additions
+    "doc_chunking",
+    "doc_lm_perplexity",
+    "bloom_pruned_revenue",
+    "events_scd2_history",
+    "events_incremental_rollup",
+    "documents_profile",
+    "part_copurchase_pairs",
+    "events_variant_props",
+    "customer_balance_ranks",
 ]
 
 SHIFTS = {
