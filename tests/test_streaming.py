@@ -467,3 +467,73 @@ def test_stream_stream_join_matches_batch_join(spark, tmp_path_factory):
     }
     assert got == want
     assert got == {(1, 100, 200), (1, 100, 201), (2, 101, 204)}
+
+
+def test_transform_with_state_running_totals(spark, tmp_path_factory):
+    """transformWithStateInPandas running counters: replay events in two
+    micro-batches; the LAST update per key must equal the batch
+    aggregate over all rows (cumulative state survives across batches,
+    RocksDB state store).
+
+    The TWS Python runner links against google.protobuf (its state
+    protocol is proto-serialized); environments without a working
+    protobuf cannot start the runner at all — skip there, the operator
+    is exercised on any standard cluster image."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState runner requires google.protobuf")
+    import datetime as dt
+
+    from vectorsearch_spark.streaming.rollup import stream_running_totals
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1 + i % 3, base + dt.timedelta(seconds=i), float(i)) for i in range(30)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    ev = spark.createDataFrame(rows, schema)
+    src = str(tmp_path_factory.mktemp("tws_src"))
+    ckpt = str(tmp_path_factory.mktemp("tws_ckpt"))
+    # two files -> with maxFilesPerTrigger=1, two micro-batches
+    ev.where("event_id < 15").coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where("event_id >= 15").coalesce(1).write.mode("append").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_running_totals(stream)
+            .writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    out = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY n_events DESC) rn FROM tws_out) WHERE rn = 1"
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], r["total"]) for r in out}
+    exp = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t")
+        )
+        .collect()
+    }
+    assert got == exp

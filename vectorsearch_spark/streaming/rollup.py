@@ -253,3 +253,74 @@ def sessionize_batch(
         )
         .drop("_sess")
     )
+
+
+def stream_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key RUNNING totals across micro-batches via
+    ``transformWithStateInPandas`` (Spark 4's arbitrary-state API, the
+    successor of ``applyInPandasWithState``): explicit ValueState holds
+    (n_events, total) per key; every batch emits the keys it touched
+    with their cumulative values (Update-mode semantics — a changelog
+    of the running aggregate, the feature-store "online counter"
+    shape).
+
+    vs ``applyInPandasWithState``: typed per-field state handles
+    (ValueState/ListState/MapState), timers decoupled from output, and
+    the RocksDB state store REQUIRED underneath — which is also the
+    production answer to unbounded key cardinality (state spills to
+    disk instead of executor heap; set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider before starting the query).
+
+    State is O(#keys) and never evicted here (running totals are
+    forever by definition); bound key cardinality upstream or add a
+    TTL via the handle's timer API if keys churn.
+
+    Runtime requirement: the TransformWithState Python runner speaks a
+    protobuf-serialized state protocol — ``google.protobuf`` must
+    import cleanly on driver and executors (standard cluster images
+    have it; the test suite skips where it is absent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = 0, 0.0
+            if self._state.exists():
+                prev = self._state.get()
+                n, total = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                n += len(pdf)
+                total += float(vals.sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=f"{key_col} long, n_events long, total double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
