@@ -83,6 +83,8 @@ HEADLINE = [
     "doc_chunking",
     "doc_lm_perplexity",
     "events_variant_props",
+    "events_value_outliers",
+    "pipeline_chunk_shards",
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1763,6 +1763,124 @@ WHERE rk <= 3
 """
 
 
+_CHUNK_PIPE_LEN = 32
+_CHUNK_PIPE_BUDGET = 4000
+
+
+def pipeline_chunk_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pretraining composition: exact-dedup keepers →
+    fixed-length sequence chunking → token-budget shard packing of the
+    CHUNKS (not docs) → per-shard rollup — four individually-oracled
+    operators chained through one plan; the hash gate proves the
+    composition, incl. the chunk-uid ordering contract between
+    chunking and the two-phase prefix-sum packer."""
+    from vectorsearch_spark.operators.curate import chunk_documents, pack_token_shards
+    from vectorsearch_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = (
+        fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    chunks = chunk_documents(kept, chunk_tokens=_CHUNK_PIPE_LEN).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_uid"),
+        "doc_id",
+        "n_tokens",
+    )
+    packed = pack_token_shards(
+        chunks, budget=_CHUNK_PIPE_BUDGET, id_col="chunk_uid", count_col="n_tokens"
+    )
+    enriched = packed.join(
+        chunks.select("chunk_uid", "doc_id"), "chunk_uid"
+    )
+    return (
+        enriched.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+PIPELINE_CHUNK_SQL = rf"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM keepers)),
+base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '''[a-z]{{1,2}}|[a-z]+|[0-9]{{1,3}}|[^a-z0-9\s]')) AS n
+  FROM kept),
+chunks AS (
+  SELECT doc_id * 10000 + chunk_idx AS chunk_uid, doc_id,
+         least({_CHUNK_PIPE_LEN}, n - chunk_idx * {_CHUNK_PIPE_LEN}) AS n_tokens
+  FROM (SELECT doc_id, n,
+               unnest(range(0, 1 + (greatest(n - {_CHUNK_PIPE_LEN}, 0) + {_CHUNK_PIPE_LEN - 1}) // {_CHUNK_PIPE_LEN})) AS chunk_idx
+        FROM base WHERE n > 0)),
+packed AS (
+  SELECT chunk_uid, doc_id, n_tokens,
+         CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY chunk_uid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE) / {_CHUNK_PIPE_BUDGET}) AS BIGINT) AS shard_id
+  FROM chunks)
+SELECT shard_id, count(*)::BIGINT AS n_chunks,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM packed GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from their
+    type's median by more than 3× the median absolute deviation (MAD) —
+    the standard heavy-tail-safe anomaly gate (mean/stddev break under
+    the very outliers being hunted). Two grouped EXACT percentile
+    aggregates (type-keyed, map-side partial) + one broadcast join of
+    the 5-row stats table back onto the scan; at scale swap
+    percentile → approx_percentile, same plan shape."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+
+
+EVENTS_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad, any_value(m.med) AS med
+  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+       round(m.med, 4) AS med, round(m.mad, 4) AS mad
+FROM events e JOIN mad m USING (event_type)
+WHERE abs(e.value - m.med) > 3 * m.mad
+"""
+
+
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (CCNet-style): corpus-trained
     Laplace-smoothed model, per-doc mean NLL + perplexity."""
@@ -4274,6 +4392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_pairs": part_copurchase_pairs,
         "events_variant_props": events_variant_props,
         "doc_lm_perplexity": doc_lm_perplexity,
+        "events_value_outliers": events_value_outliers,
+        "pipeline_chunk_shards": pipeline_chunk_shards,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4385,6 +4505,8 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pairs": PART_COPURCHASE_SQL,
         "events_variant_props": EVENTS_VARIANT_SQL,
         "doc_lm_perplexity": DOC_LM_PERPLEXITY_SQL,
+        "events_value_outliers": EVENTS_OUTLIERS_SQL,
+        "pipeline_chunk_shards": PIPELINE_CHUNK_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
