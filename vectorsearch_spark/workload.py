@@ -1986,6 +1986,77 @@ FROM e e1 JOIN e e2 ON e1.bb = e2.a JOIN e e3 ON e1.a = e3.a AND e2.bb = e3.bb
 """
 
 
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning on the documents corpus (8
+    rounds). No SQL oracle — the per-round argmax/merge loop has no
+    tractable SQL form; correctness is gated by the exact pure-Python
+    reference model test (tests/test_bpe.py), the same contract as the
+    approximate-ANN rows-only entries."""
+    from vectorsearch_spark.operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        merges or [(-1, "", "", 0)],
+        "round int, left string, right string, pair_count long",
+    )
+
+
+_REACH_SEED_MOD = 500
+_REACH_MAX_HOPS = 3
+
+
+def part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the co-purchase graph via WITH RECURSIVE
+    (Spark 4 recursive CTE — the SQL-surface form of the iterative
+    DataFrame loops in pagerank/duplicate_clusters): min hop count from
+    a seed part set, depth ≤ 3. The oracle is an INDEPENDENTLY
+    formulated level-by-level unrolled expansion, so the recursion
+    semantics (UNION ALL growth + outer min-group) are cross-checked
+    rather than echoed."""
+    from vectorsearch_spark.operators.centrality import cooccurrence_pairs
+
+    edges = cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=1
+    ).select("item_a", "item_b")
+    edges.unionByName(
+        edges.select(F.col("item_b").alias("item_a"), F.col("item_a").alias("item_b"))
+    ).createOrReplaceTempView("__copurchase_edges")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__part_seed_src")
+    return spark.sql(f"""
+      WITH RECURSIVE reach(part, hops) AS (
+        SELECT p_partkey, 0 FROM __part_seed_src
+        WHERE p_partkey % {_REACH_SEED_MOD} = 0
+        UNION ALL
+        SELECT e.item_b, r.hops + 1
+        FROM reach r JOIN __copurchase_edges e ON e.item_a = r.part
+        WHERE r.hops < {_REACH_MAX_HOPS}
+      )
+      SELECT part AS p_partkey, CAST(min(hops) AS BIGINT) AS hops
+      FROM reach GROUP BY part
+    """)
+
+
+PART_REACHABILITY_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS bb
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2),
+e AS (SELECT a, bb FROM e0 UNION ALL SELECT bb, a FROM e0),
+h0 AS (SELECT p_partkey AS part FROM part WHERE p_partkey % {_REACH_SEED_MOD} = 0),
+h1 AS (SELECT DISTINCT e.bb AS part FROM h0 JOIN e ON e.a = h0.part),
+h2 AS (SELECT DISTINCT e.bb AS part FROM h1 JOIN e ON e.a = h1.part),
+h3 AS (SELECT DISTINCT e.bb AS part FROM h2 JOIN e ON e.a = h2.part),
+lv AS (
+  SELECT part, 0 AS hops FROM h0
+  UNION ALL SELECT part, 1 FROM h1
+  UNION ALL SELECT part, 2 FROM h2
+  UNION ALL SELECT part, 3 FROM h3)
+SELECT part AS p_partkey, CAST(min(hops) AS BIGINT) AS hops
+FROM lv GROUP BY part
+"""
+
+
 _Z_BITS = 8
 _Z_BOUNDS = {"p_size": (1.0, 50.0), "p_retailprice": (900.0, 1000.0)}
 
@@ -4394,6 +4465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": doc_lm_perplexity,
         "events_value_outliers": events_value_outliers,
         "pipeline_chunk_shards": pipeline_chunk_shards,
+        "part_reachability": part_reachability,
+        "bpe_merge_table": bpe_merge_table,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4507,6 +4580,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_perplexity": DOC_LM_PERPLEXITY_SQL,
         "events_value_outliers": EVENTS_OUTLIERS_SQL,
         "pipeline_chunk_shards": PIPELINE_CHUNK_SQL,
+        "part_reachability": PART_REACHABILITY_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
