@@ -137,6 +137,13 @@ def triangle_count(
     neighbors, not 10¹² pairs. Three shuffles total (degrees, wedge
     join, closing semi join); output is ONE row (n_triangles).
     """
+    # lazy checkpoints: `e` feeds degrees + the oriented build, and
+    # `oriented` feeds the wedge join twice plus both closing
+    # directions — without barriers Catalyst re-expands the WHOLE
+    # upstream edge pipeline per reference (measured: 116 exchanges /
+    # 10 sort-merge joins for the co-purchase query vs 7 exchanges
+    # with barriers; at scale that is 4+ recomputes of candidate
+    # generation). Each materializes once, on first use.
     e = (
         edges.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),
@@ -144,6 +151,7 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("n"))
@@ -166,6 +174,7 @@ def triangle_count(
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint(eager=False)
     )
     w1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
