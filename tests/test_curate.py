@@ -210,3 +210,18 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, stride=-1)
+
+
+def test_chunk_documents_sampling_stride(spark):
+    """stride > chunk: gaps are the documented sampling semantics."""
+    from vectorsearch_spark.operators.curate import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    # 20 words -> 40 pieces under BPE_PIECE_RE ("tok"+digits split)
+    out = sorted(
+        (r["chunk_idx"], r["start_tok"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=8, stride=16).collect()
+    )
+    assert out == [(0, 0, 8), (1, 16, 8), (2, 32, 8)]

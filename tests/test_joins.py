@@ -106,3 +106,17 @@ def test_salted_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="full")
+
+
+def test_bloom_semi_join_empty_key_set(spark):
+    fact, _ = _fact_and_keys(spark)
+    empty = spark.createDataFrame([], "k long")
+    assert bloom_semi_join(fact, empty, on="k").count() == 0
+    assert bloom_semi_join(fact, empty, on="k", exact=False).count() == 0
+
+
+def test_bloom_semi_join_null_fact_keys(spark):
+    fact = spark.createDataFrame([(None, 1), (2, 2)], "k long, payload long")
+    keys = spark.createDataFrame([(2,)], "k long")
+    got = bloom_semi_join(fact, keys, on="k").collect()
+    assert [(r["k"], r["payload"]) for r in got] == [(2, 2)]

@@ -223,6 +223,11 @@ def chunk_documents(
     ``n_chunks = 1 + ceil(max(n − chunk_tokens, 0) / stride)`` — every
     token is covered, no fully-redundant tail chunk, and an empty
     document yields zero chunks. The last chunk may be shorter.
+    ``stride > chunk_tokens`` is allowed and means SAMPLING, not
+    coverage: tokens between chunk end and the next start are skipped
+    (a cheap way to subsample long documents at a fixed context
+    length); the every-token-covered invariant only holds for
+    ``stride <= chunk_tokens``.
 
     Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_text) where
     ``start_tok`` is the 0-based token offset and ``chunk_text`` the
