@@ -85,6 +85,9 @@ HEADLINE = [
     "events_variant_props",
     "events_value_outliers",
     "pipeline_chunk_shards",
+    "lineitem_corr_matrix",
+    "embedding_pca",
+    "part_reachability",
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1986,6 +1986,58 @@ FROM e e1 JOIN e e2 ON e1.bb = e2.a JOIN e e3 ON e1.a = e3.a AND e2.bb = e3.bb
 """
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PCA (d×d sufficient statistics via one Arrow
+    pass, driver eigensolve, broadcast GEMM projection) truncating the
+    64-d embeddings to 8 components. No SQL oracle (eigendecomposition
+    has no SQL form); exact-equality NumPy model tests gate it
+    (tests/test_projection.py), the bpe_merge_table contract."""
+    from vectorsearch_spark.operators.projection import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = pca_project(emb, k=8, dim=64)
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda v: F.round(v, 6)).alias("pca"),
+    )
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem measures in
+    ONE full-scan aggregate (all C(4,2) corr aggregates share the scan
+    and combine map-side) — the feature-analysis pass before model
+    training; long-form output (col_a, col_b, corr)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    one = li.agg(
+        *[F.corr(a, b).alias(f"{a}|{b}") for a, b in pairs]
+    )
+    long = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(F.col(f"`{a}|{b}`"), 6).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return one.select(F.explode(long).alias("p")).select("p.*")
+
+
+LINEITEM_CORR_SQL = f"""
+{" UNION ALL ".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+)}
+"""
+
+
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning on the documents corpus (8
     rounds). No SQL oracle — the per-round argmax/merge loop has no
@@ -4467,6 +4519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunk_shards": pipeline_chunk_shards,
         "part_reachability": part_reachability,
         "bpe_merge_table": bpe_merge_table,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
+        "embedding_pca": embedding_pca,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4581,6 +4635,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_outliers": EVENTS_OUTLIERS_SQL,
         "pipeline_chunk_shards": PIPELINE_CHUNK_SQL,
         "part_reachability": PART_REACHABILITY_SQL,
+        "lineitem_corr_matrix": LINEITEM_CORR_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
