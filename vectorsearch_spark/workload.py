@@ -1986,6 +1986,40 @@ FROM e e1 JOIN e e2 ON e1.bb = e2.a JOIN e e3 ON e1.a = e3.a AND e2.bb = e3.bb
 """
 
 
+_HIST_BUCKETS = 20
+_HIST_LO, _HIST_HI = 900.0, 1000.0
+
+
+def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` — one narrow codegen
+    projection + one tiny groupBy (the profiling companion: shape, not
+    just min/max); under/overflow land in buckets 0 and n+1."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            F.width_bucket(
+                "p_retailprice", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_BUCKETS)
+            ).alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+PART_PRICE_HISTOGRAM_SQL = f"""
+-- DuckDB has no width_bucket: mirror its arithmetic explicitly
+SELECT CAST(CASE WHEN p_retailprice < {_HIST_LO} THEN 0
+            WHEN p_retailprice >= {_HIST_HI} THEN {_HIST_BUCKETS + 1}
+            ELSE floor((p_retailprice - {_HIST_LO}) / ({_HIST_HI} - {_HIST_LO}) * {_HIST_BUCKETS}) + 1
+       END AS BIGINT) AS bucket,
+       count(*) AS n
+FROM part GROUP BY 1
+"""
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -4521,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": bpe_merge_table,
         "lineitem_corr_matrix": lineitem_corr_matrix,
         "embedding_pca": embedding_pca,
+        "part_price_histogram": part_price_histogram,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4636,6 +4671,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_chunk_shards": PIPELINE_CHUNK_SQL,
         "part_reachability": PART_REACHABILITY_SQL,
         "lineitem_corr_matrix": LINEITEM_CORR_SQL,
+        "part_price_histogram": PART_PRICE_HISTOGRAM_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
