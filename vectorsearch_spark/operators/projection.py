@@ -29,7 +29,6 @@ from typing import Iterator
 
 import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def _partial_stats(dim: int, vec_col: str):
