@@ -2101,8 +2101,13 @@ def part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than echoed."""
     from vectorsearch_spark.operators.centrality import cooccurrence_pairs
 
+    # support >= 2: recursive UNION ALL tracks PATHS, not nodes — on the
+    # dense support>=1 graph (avg degree ~80) a 3-hop BFS is ~2M paths
+    # and trips Spark's recursion row limit; the support-filtered graph
+    # keeps the same query shape at bounded fan-out (the node-distinct
+    # form is the iterative-DataFrame loop, dedup.py duplicate_clusters)
     edges = cooccurrence_pairs(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=1
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=2
     ).select("item_a", "item_b")
     edges.unionByName(
         edges.select(F.col("item_b").alias("item_a"), F.col("item_a").alias("item_b"))
@@ -2127,7 +2132,7 @@ WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e0 AS (
   SELECT x.l_partkey AS a, y.l_partkey AS bb
   FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-  GROUP BY 1, 2),
+  GROUP BY 1, 2 HAVING count(*) >= 2),
 e AS (SELECT a, bb FROM e0 UNION ALL SELECT bb, a FROM e0),
 h0 AS (SELECT p_partkey AS part FROM part WHERE p_partkey % {_REACH_SEED_MOD} = 0),
 h1 AS (SELECT DISTINCT e.bb AS part FROM h0 JOIN e ON e.a = h0.part),
