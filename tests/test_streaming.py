@@ -537,3 +537,58 @@ def test_transform_with_state_running_totals(spark, tmp_path_factory):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_rollup_maintenance_and_crash_replay(spark, tmp_path_factory):
+    """foreachBatch rollup maintenance: streamed folds == batch
+    aggregate; a replayed epoch is skipped (marker rides the atomic
+    rename); the rename-gap crash restores from .old."""
+    import datetime as dt
+    import os
+
+    from vectorsearch_spark.operators.incremental import (
+        finalize_rollup,
+        fold_rollup_batch,
+        maintain_rollup_stream,
+        rollup_state,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1 + i % 3, base + dt.timedelta(seconds=i), float(i)) for i in range(30)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    ev = spark.createDataFrame(rows, schema)
+    src = str(tmp_path_factory.mktemp("mr_src"))
+    ckpt = str(tmp_path_factory.mktemp("mr_ckpt"))
+    state = str(tmp_path_factory.mktemp("mr_state_root")) + "/state"
+    ev.where("event_id < 10").coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where("event_id >= 10").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = maintain_rollup_stream(stream, state, ["user_id"], "value", ckpt)
+    q.awaitTermination(120)
+
+    def live():
+        return {
+            r["user_id"]: (r["n_rows"], r["total"])
+            for r in finalize_rollup(spark.read.parquet(state), ["user_id"]).collect()
+        }
+
+    exp = {
+        r["user_id"]: (r["n_rows"], r["total"])
+        for r in finalize_rollup(rollup_state(ev, ["user_id"], "value"), ["user_id"]).collect()
+    }
+    assert live() == exp
+
+    # exactly-once under replay: re-applying the LAST epoch is a no-op
+    last_epoch = __import__("json").load(open(os.path.join(state, "_last_epoch.json")))["epoch"]
+    fold_rollup_batch(ev.where("event_id >= 10"), last_epoch, state, ["user_id"], "value")
+    assert live() == exp
+
+    # rename-gap crash: state dir gone, .old present -> next fold restores
+    os.rename(state, state + ".old")
+    fold_rollup_batch(
+        ev.where("event_id < 0"), last_epoch + 1, state, ["user_id"], "value"
+    )
+    assert live() == exp

@@ -95,3 +95,82 @@ def finalize_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
     return state.select(
         *keys, F.hll_sketch_estimate(F.col("hll")).alias("n_distinct_est")
     )
+
+
+def maintain_rollup_stream(
+    events: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+):
+    """Keep a PERSISTENT rollup-state table current from a stream:
+    every micro-batch folds into the parquet state at ``state_path``
+    via ``merge_rollup_states`` (monoid merge — O(|groups| + |batch
+    groups|) per batch, never a rescan of history). Returns the
+    StreamingQuery; read the live view any time with
+    ``finalize_rollup(spark.read.parquet(state_path), keys)``.
+
+    Exactly-once: foreachBatch can replay a batch after a crash, and
+    a blind re-merge would double-count it. The state write is staged
+    (tmp dir + atomic rename) and the LAST APPLIED batch id rides a
+    marker file inside the state dir — a replayed epoch is detected
+    and skipped, the same intent/guard discipline as the streaming
+    index ingest (streaming/ingest.py).
+    """
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_rollup_batch(batch_df, epoch_id, state_path, keys, value_col)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fold_rollup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+) -> None:
+    """One micro-batch fold (the foreachBatch body, exposed for direct
+    crash-injection testing): staged write + atomic rename with the
+    applied-epoch marker riding inside the renamed dir."""
+    import json
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    old = state_path + ".old"
+    # crash recovery: a crash between the two renames leaves no
+    # live state but a complete .old — restore it before anything
+    if not os.path.exists(state_path) and os.path.exists(old):
+        os.rename(old, state_path)
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if json.load(fh)["epoch"] >= epoch_id:
+                return  # replayed epoch: already folded in
+    delta = rollup_state(batch_df, keys, value_col)
+    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        prev = spark.read.parquet(state_path)
+        merged = merge_rollup_states([prev, delta], keys)
+    else:
+        merged = delta
+    tmp = state_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    # the applied-epoch marker rides INSIDE the renamed dir, so
+    # state content and marker swap in the same atomic rename — a
+    # crash can never pair new state with an old marker (which a
+    # replay would double-merge)
+    with open(os.path.join(tmp, "_last_epoch.json"), "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -2109,9 +2109,13 @@ def part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_pairs(
         _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=2
     ).select("item_a", "item_b")
+    # materialize BEFORE the recursion: UnionLoopExec re-executes the
+    # recursive term's subplan every iteration, and a temp VIEW is just
+    # a logical plan — unmaterialized, each of the 3 hops would rebuild
+    # candidate generation from lineitem (measured 8.5 s → ~2 s)
     edges.unionByName(
         edges.select(F.col("item_b").alias("item_a"), F.col("item_a").alias("item_b"))
-    ).createOrReplaceTempView("__copurchase_edges")
+    ).localCheckpoint().createOrReplaceTempView("__copurchase_edges")
     _t(spark, sf_dir, "part").createOrReplaceTempView("__part_seed_src")
     return spark.sql(f"""
       WITH RECURSIVE reach(part, hops) AS (
