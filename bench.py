@@ -58,6 +58,7 @@ HEADLINE = [
     "price_percentiles",
     "events_type_pivot",
     "events_gap_fill",
+    "events_interpolated",
     "lineitem_unpivot",
     "events_stratified_sample",
     "events_funnel",

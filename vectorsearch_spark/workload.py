@@ -1986,6 +1986,92 @@ FROM e e1 JOIN e e2 ON e1.bb = e2.a JOIN e e3 ON e1.a = e3.a AND e2.bb = e3.bb
 """
 
 
+def events_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation: the hourly per-type average series
+    densified onto the spine, with missing hours LINEARLY interpolated
+    between the previous and next observed cells (nearest-value at the
+    edges) — the feature-engineering upgrade of events_gap_fill's
+    zero-fill. Two key-partitioned carry windows (backward last +
+    forward first over ignorenulls) on the broadcast-sized spine; the
+    fact table shuffles once into the hourly aggregate."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("__h"), "event_type")
+        .agg(F.avg("value").alias("__v"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = hourly.agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+    types = hourly.select("event_type").distinct()
+    spine = bounds.select(
+        F.explode(F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))).alias("__h")
+    ).crossJoin(types)
+    j = spine.join(F.broadcast(hourly), ["__h", "event_type"], "left")
+    t = F.unix_seconds("__h")
+    obs_t = F.when(F.col("__v").isNotNull(), t)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("__h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last("__v", ignorenulls=True).over(wb)
+    pt = F.last(obs_t, ignorenulls=True).over(wb)
+    nv = F.first("__v", ignorenulls=True).over(wf)
+    nt = F.first(obs_t, ignorenulls=True).over(wf)
+    filled = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * (t - pt) / (nt - pt),
+        )
+        .when(pv.isNotNull(), pv)
+        .otherwise(nv)
+    )
+    return j.select(
+        F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.round(filled, 6).alias("value"),
+        F.col("__v").isNull().alias("interpolated"),
+    )
+
+
+EVENTS_INTERPOLATED_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+types AS (SELECT DISTINCT event_type FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h, event_type
+  FROM bounds, types),
+j AS (
+  SELECT s.h, s.event_type, hourly.v
+  FROM spine s LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = s.event_type),
+c AS (
+  SELECT h, event_type, v,
+         last_value(CASE WHEN v IS NOT NULL THEN epoch(h) END IGNORE NULLS) OVER wb AS pt,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         first_value(CASE WHEN v IS NOT NULL THEN epoch(h) END IGNORE NULLS) OVER wf AS nt,
+         first_value(v IGNORE NULLS) OVER wf AS nv
+  FROM j
+  WINDOW wb AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (epoch(h) - pt) / (nt - pt)
+                  WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value,
+       (v IS NULL) AS interpolated
+FROM c
+"""
+
+
 _HIST_BUCKETS = 20
 _HIST_LO, _HIST_HI = 900.0, 1000.0
 
@@ -4565,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr_matrix": lineitem_corr_matrix,
         "embedding_pca": embedding_pca,
         "part_price_histogram": part_price_histogram,
+        "events_interpolated": events_interpolated,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4681,6 +4768,7 @@ def oracle_sql() -> dict[str, str]:
         "part_reachability": PART_REACHABILITY_SQL,
         "lineitem_corr_matrix": LINEITEM_CORR_SQL,
         "part_price_histogram": PART_PRICE_HISTOGRAM_SQL,
+        "events_interpolated": EVENTS_INTERPOLATED_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
