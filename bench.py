@@ -88,6 +88,7 @@ HEADLINE = [
     "pipeline_chunk_shards",
     "lineitem_corr_matrix",
     "embedding_pca",
+    "embedding_kmeans",
     "part_reachability",
     "ann_ivf_topk",
     "dedup_exact",

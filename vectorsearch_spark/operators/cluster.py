@@ -1,0 +1,127 @@
+"""Corpus-level clustering: exact distributed Lloyd's k-means over an
+embedding column — the curation workhorse behind semantic
+deduplication, diversity-aware sampling (quota per cluster), and topic
+bucketing of web-scale corpora.
+
+Scale design — the same bounded-driver-state discipline as PCA
+(operators/projection.py) and the PQ codebooks (operators/pq.py):
+
+- centroids are O(k·d) driver state (the codebook contract), broadcast
+  into each pass inside the Arrow mapper's closure;
+- one ``mapInPandas`` pass per iteration emits PER-PARTITION partial
+  (cluster → count, vector sum) statistics — each partition collapses
+  to ≤ k·(d+1) numbers; the driver sums partials and updates centroids
+  (one NumPy GEMM per batch for the assignment distances);
+- an empty cluster keeps its previous centroid (the standard Lloyd
+  fallback, deterministic);
+- init is the first k vectors in ``id_col`` order (deterministic,
+  rerun/engine-stable — ``rand()`` inits re-deal under retries), or a
+  caller-supplied array.
+
+The final assignment pass reuses the same mapper, emitting
+(id, cluster, dist). Ties break to the LOWEST cluster index
+(NumPy argmin), mirrored by the reference model test.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # ||x - c||² = ||x||² - 2 x·c + ||c||²; argmin ignores ||x||²
+    d2 = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    idx = d2.argmin(axis=1)
+    dist = d2[np.arange(len(x)), idx] + (x * x).sum(axis=1)
+    return idx, np.maximum(dist, 0.0)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Fit k centroids (k×d ndarray); one distributed pass per
+    iteration, O(k·d) driver state."""
+    if init is None:
+        first = df.orderBy(id_col).select(vec_col).limit(k).collect()
+        if len(first) < k:
+            raise ValueError(f"need >= {k} rows to init {k} clusters")
+        cents = np.array([r[0] for r in first], dtype=np.float64)
+    else:
+        cents = np.asarray(init, dtype=np.float64).copy()
+    d = cents.shape[1]
+
+    for _ in range(iters):
+        c = cents.copy()
+
+        def partials(batches: "Iterator") -> "Iterator":
+            import pandas as pd
+
+            cnt = np.zeros(len(c))
+            sums = np.zeros_like(c)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                idx, _ = _assign(x, c)
+                np.add.at(cnt, idx, 1)
+                np.add.at(sums, idx, x)
+            nz = np.nonzero(cnt)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cl": nz.astype("int64"),
+                        "n": cnt[nz].astype("int64"),
+                        "s": [sums[i].tolist() for i in nz],
+                    }
+                )
+
+        rows = df.select(vec_col).mapInPandas(
+            partials, schema="cl long, n long, s array<double>"
+        ).collect()
+        cnt = np.zeros(k)
+        sums = np.zeros((k, d))
+        for r in rows:
+            cnt[r["cl"]] += r["n"]
+            sums[r["cl"]] += np.array(r["s"])
+        upd = cnt > 0
+        cents[upd] = sums[upd] / cnt[upd, None]  # empty: keep previous
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign every row to its nearest centroid; appends
+    (out_col int, {out_col}_dist double — squared L2)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cols = list(df.columns)
+
+    def mapper(batches: "Iterator") -> "Iterator":
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                idx, dist = _assign(x, cents)
+                pdf[out_col] = idx.astype("int32")
+                pdf[f"{out_col}_dist"] = dist
+            else:
+                pdf[out_col] = np.array([], dtype="int32")
+                pdf[f"{out_col}_dist"] = np.array([], dtype="float64")
+            yield pdf
+
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(
+        mapper, schema=f"{in_schema}, {out_col} int, {out_col}_dist double"
+    )

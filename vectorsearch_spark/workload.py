@@ -2125,6 +2125,22 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means clustering of the embeddings (k=8,
+    5 iterations, deterministic first-k init) + assignment. No SQL
+    oracle (iterative centroid updates have no tractable SQL form);
+    exact NumPy-model equality tests gate it (tests/test_cluster.py)."""
+    from vectorsearch_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, iters=5)
+    return kmeans_assign(emb, cents).select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("cluster_dist", 6).alias("dist2"),
+    )
+
+
 def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix of the lineitem measures in
     ONE full-scan aggregate (all C(4,2) corr aggregates share the scan
@@ -4652,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": embedding_pca,
         "part_price_histogram": part_price_histogram,
         "events_interpolated": events_interpolated,
+        "embedding_kmeans": embedding_kmeans,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
