@@ -89,6 +89,7 @@ HEADLINE = [
     "lineitem_corr_matrix",
     "embedding_pca",
     "embedding_kmeans",
+    "dedup_semantic",
     "part_reachability",
     "ann_ivf_topk",
     "dedup_exact",

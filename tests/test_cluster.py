@@ -100,3 +100,55 @@ def test_diversity_sample_composition(spark):
         for r in stratified_quota(clustered, "cluster", quota=25, id_col="vec_id").collect()
     }
     assert again == {(r["vec_id"], r["cluster"]) for r in rows}
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    """Inject near-duplicate vectors (same direction, tiny noise) into
+    blobs: semantic_dedup must keep the min-id representative of each
+    duplicate family and all singletons, matching a per-cluster greedy
+    Python model."""
+    from vectorsearch_spark.operators.cluster import (
+        kmeans_assign,
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(33)
+    base = _blobs(n=60, d=6, k=3, seed=33)
+    dups = base[:10] * 1.001 + rng.normal(scale=1e-4, size=(10, 6))
+    x = np.vstack([base, dups])  # ids 60..69 duplicate ids 0..9
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(len(x))], "vec_id long, embedding array<double>"
+    )
+    kept = {r["vec_id"] for r in semantic_dedup(df, k=3, threshold=0.999).collect()}
+    # python model: same clustering, same greedy min-id keeper
+    cents = kmeans_fit(df, k=3, iters=5)
+    cl = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    exp = set()
+    for c in set(cl.values()):
+        ids = sorted(i for i in cl if cl[i] == c)
+        keep = []
+        for i in ids:
+            if all(float(xn[i] @ xn[j]) < 0.999 for j in keep):
+                keep.append(i)
+        exp |= set(keep)
+    assert kept == exp
+    # the duplicate family collapsed: of each (i, i+60) pair sharing a
+    # cluster, only the lower id survives
+    for i in range(10):
+        if cl[i] == cl[i + 60]:
+            assert i in kept and (i + 60) not in kept
+
+
+def test_semantic_dedup_max_cluster_cap(spark):
+    import pytest as _pytest
+
+    from vectorsearch_spark.operators.cluster import semantic_dedup
+
+    x = _blobs(n=50, d=4, k=2, seed=40)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(len(x))], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(df, k=1, max_cluster=10).collect()

@@ -29,7 +29,6 @@ from typing import Iterator
 
 import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def _assign(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -106,7 +105,6 @@ def kmeans_assign(
     """Assign every row to its nearest centroid; appends
     (out_col int, {out_col}_dist double — squared L2)."""
     cents = np.asarray(centroids, dtype=np.float64)
-    cols = list(df.columns)
 
     def mapper(batches: "Iterator") -> "Iterator":
         for pdf in batches:
@@ -124,4 +122,62 @@ def kmeans_assign(
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     return df.mapInPandas(
         mapper, schema=f"{in_schema}, {out_col} int, {out_col}_dist double"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int,
+    threshold: float = 0.95,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 50_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): k-means partitions the corpus, then exact
+    pairwise cosine runs ONLY within each cluster — near-duplicate
+    semantics with the all-pairs cost k× reduced (and in practice far
+    more, since near-dups co-locate). Returns one row per KEPT id with
+    its cluster; dropped rows are those with cosine ≥ ``threshold`` to
+    a kept lower-id row in the same cluster (min-id keeper, the
+    dedup_exact convention).
+
+    Scale: the within-cluster pass is ``applyInPandas`` keyed by
+    cluster — quadratic IN THE CLUSTER, which is the documented
+    contract (pick k so clusters stay ~10³-10⁴); ``max_cluster`` hard-
+    fails oversized clusters rather than silently running an O(n²)
+    GEMM, mirroring the dedup hot-band caps' explicit-bound stance.
+    Pairs that cross clusters are NOT examined (the SemDeDup recall
+    tradeoff; raise k for finer partitions at lower recall risk).
+    """
+    cents = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    clustered = kmeans_assign(df, cents, vec_col=vec_col).select(
+        id_col, vec_col, "cluster"
+    )
+
+    def dedup_cluster(pdf):
+        import pandas as pd
+
+        if len(pdf) > max_cluster:
+            raise ValueError(
+                f"cluster of {len(pdf)} rows exceeds max_cluster={max_cluster}; "
+                "raise k or the cap"
+            )
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        xn = x / norms[:, None]
+        cos = xn @ xn.T
+        keep = np.ones(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            if keep[i]:
+                dup = cos[i, i + 1 :] >= threshold
+                keep[i + 1 :][dup] = False
+        out = pdf.loc[keep, [id_col, "cluster"]]
+        return out
+
+    return clustered.groupBy("cluster").applyInPandas(
+        dedup_cluster, schema=f"{id_col} long, cluster int"
     )

@@ -2141,6 +2141,23 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings with injected
+    near-duplicates (vec_id+1M copies scaled 1.0001): cluster-scoped
+    exact cosine, min-id keepers. Rows-only entry; exact model tests in
+    tests/test_cluster.py gate the semantics."""
+    from vectorsearch_spark.operators.cluster import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 1.0001).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(dups), k=8, threshold=0.999, iters=3
+    ).select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
 def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix of the lineitem measures in
     ONE full-scan aggregate (all C(4,2) corr aggregates share the scan
@@ -4669,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_histogram": part_price_histogram,
         "events_interpolated": events_interpolated,
         "embedding_kmeans": embedding_kmeans,
+        "dedup_semantic": dedup_semantic,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
