@@ -366,3 +366,114 @@ def test_bm25_matches_python_model(spark, docs, query):
         for r in bm25_topk(df, " ".join(query), k=10).collect()
     ]
     assert got == model
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.integers(min_value=0, max_value=30),  # ts offset (sec)
+            st.sampled_from(["A", "B", None]),       # attr (nullable)
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    collapse=st.booleans(),
+)
+def test_scd2_matches_python_model(spark, events, collapse):
+    """changelog_to_scd2 vs a trivial per-key Python model, for
+    arbitrary keys, duplicate timestamps (tiebreak = seq), NULL attrs,
+    and both collapse modes."""
+    import datetime as dt
+
+    from vectorsearch_spark.operators.events import changelog_to_scd2
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (seq, k, base + dt.timedelta(seconds=off), a)
+        for seq, (k, off, a) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "seq long, k long, ts timestamp, attr string")
+    import datetime as _dt
+
+    _far = _dt.datetime(2100, 1, 1)
+    got = sorted(
+        (r["k"], r["attr"] or "", r["valid_from"], r["valid_to"] or _far, r["is_current"])
+        for r in changelog_to_scd2(
+            df, on="k", ts="ts", attrs=["attr"], tiebreak="seq", collapse=collapse
+        ).collect()
+    )
+    # model
+    exp = []
+    bykey: dict = {}
+    for seq, k, ts, a in rows:
+        bykey.setdefault(k, []).append((ts, seq, a))
+    for k, evs in bykey.items():
+        evs.sort()
+        kept = []
+        for ts, seq, a in evs:
+            if collapse and kept and kept[-1][2] == a:
+                continue
+            kept.append((ts, seq, a))
+        for i, (ts, seq, a) in enumerate(kept):
+            nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+            exp.append((k, a or "", ts, nxt or _far, nxt is None))
+    assert got == sorted(exp)
+
+
+@settings(**_SETTINGS)
+@given(
+    fact_keys=st.lists(st.integers(min_value=-5, max_value=50), min_size=0, max_size=40),
+    key_set=st.sets(st.integers(min_value=-5, max_value=50), max_size=15),
+    m_bits=st.sampled_from([64, 256, 1 << 14]),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_bloom_semi_join_always_equals_semi_join(spark, fact_keys, key_set, m_bits, k):
+    """bloom_semi_join(exact=True) ≡ plain left-semi for ARBITRARY key
+    sets, including degenerate bitmaps where everything collides."""
+    from vectorsearch_spark.operators.joins import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(fact_keys)] or [(None, 0)],
+        "k long, payload long",
+    )
+    keys = spark.createDataFrame([(v,) for v in key_set] or [(None,)], "k long")
+    got = sorted(
+        (r["k"], r["payload"])
+        for r in bloom_semi_join(fact, keys, on="k", m_bits=m_bits, k=k).collect()
+    )
+    exp = sorted(
+        (r["k"], r["payload"]) for r in fact.join(keys.dropna(), "k", "left_semi").collect()
+    )
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    n_words=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=15),
+)
+def test_chunking_matches_model_for_arbitrary_params(spark, n_words, chunk, stride):
+    from vectorsearch_spark.operators.curate import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        (r["chunk_idx"], r["start_tok"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    )
+    # piece count under BPE_PIECE_RE: "w12" -> ["w", "12"]
+    n = 2 * n_words
+    if n == 0:
+        assert out == []
+        return
+    n_chunks = 1 + -(-max(n - chunk, 0) // stride)
+    exp = [(i, i * stride, min(chunk, n - i * stride)) for i in range(n_chunks)]
+    assert out == exp
+    if stride <= chunk:  # coverage invariant only below sampling mode
+        covered = set()
+        for _, s, ln in out:
+            covered |= set(range(s, s + ln))
+        assert covered == set(range(n))
