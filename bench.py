@@ -87,6 +87,7 @@ HEADLINE = [
     "events_value_outliers",
     "pipeline_chunk_shards",
     "lineitem_corr_matrix",
+    "order_top_line_lateral",
     "embedding_pca",
     "embedding_kmeans",
     "dedup_semantic",

@@ -2125,6 +2125,36 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_top_line_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-1: each order's priciest line — the SQL
+    surface Spark decorrelates into a ranked window/aggregate rather
+    than a per-row subquery loop (verify: no CartesianProduct, plan is
+    join + window over ONE lineitem scan). DuckDB runs its own LATERAL
+    implementation — a genuine cross-engine decorrelation check."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__lat_lineitem")
+    return spark.sql("""
+      SELECT o.o_orderkey, o.o_totalprice, t.l_linenumber,
+             round(t.l_extendedprice, 2) AS top_price
+      FROM __lat_orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM __lat_lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 1) t
+      WHERE o.o_totalprice > 400000
+    """)
+
+
+ORDER_TOP_LINE_LATERAL_SQL = """
+SELECT o.o_orderkey, o.o_totalprice, t.l_linenumber,
+       round(t.l_extendedprice, 2) AS top_price
+FROM orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 1) t
+WHERE o.o_totalprice > 400000
+"""
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means clustering of the embeddings (k=8,
     5 iterations, deterministic first-k init) + assignment. No SQL
@@ -4687,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interpolated": events_interpolated,
         "embedding_kmeans": embedding_kmeans,
         "dedup_semantic": dedup_semantic,
+        "order_top_line_lateral": order_top_line_lateral,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4804,6 +4835,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr_matrix": LINEITEM_CORR_SQL,
         "part_price_histogram": PART_PRICE_HISTOGRAM_SQL,
         "events_interpolated": EVENTS_INTERPOLATED_SQL,
+        "order_top_line_lateral": ORDER_TOP_LINE_LATERAL_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
