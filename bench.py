@@ -88,6 +88,7 @@ HEADLINE = [
     "pipeline_chunk_shards",
     "lineitem_corr_matrix",
     "order_top_line_lateral",
+    "events_type_dow_chisq",
     "embedding_pca",
     "embedding_kmeans",
     "dedup_semantic",

@@ -2106,6 +2106,43 @@ FROM part GROUP BY 1
 """
 
 
+def events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type × day-of-week: the
+    contingency table is ONE groupBy, expected counts come from
+    broadcast 1-row/short marginal aggregates, and the statistic is a
+    single sum — the categorical sibling of lineitem_corr_matrix
+    (feature-association screening before training)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    row_m = obs.groupBy("event_type").agg(F.sum("o").alias("rm"))
+    col_m = obs.groupBy("dow").agg(F.sum("o").alias("cm"))
+    n = obs.agg(F.sum("o").alias("n"))
+    exp = (
+        obs.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("rm") * F.col("cm") / F.col("n"))
+    )
+    return exp.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6).alias("chi2"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+
+
+EVENTS_CHISQ_SQL = """
+WITH ev AS (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+obs AS (SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
+rm AS (SELECT event_type, sum(o) AS rm FROM obs GROUP BY 1),
+cm AS (SELECT dow, sum(o) AS cm FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM obs)
+SELECT round(sum(pow(o - rm * cm / n, 2) / (rm * cm / n)), 6) AS chi2,
+       count(*) AS n_cells
+FROM obs JOIN rm USING (event_type) JOIN cm USING (dow), n
+"""
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -4718,6 +4755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": embedding_kmeans,
         "dedup_semantic": dedup_semantic,
         "order_top_line_lateral": order_top_line_lateral,
+        "events_type_dow_chisq": events_type_dow_chisq,
         "copurchase_triangles": copurchase_triangles,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4836,6 +4874,7 @@ def oracle_sql() -> dict[str, str]:
         "part_price_histogram": PART_PRICE_HISTOGRAM_SQL,
         "events_interpolated": EVENTS_INTERPOLATED_SQL,
         "order_top_line_lateral": ORDER_TOP_LINE_LATERAL_SQL,
+        "events_type_dow_chisq": EVENTS_CHISQ_SQL,
         "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
