@@ -1,12 +1,14 @@
 """Benchmark harness: runs the headline workload queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line LAST:
+{"metric": ..., "value": total_sec, "unit": "sec", "sf": ..., "reps": ...}
+with per-query detail written to BENCH_DETAIL.json (the driver's stdout
+tail buffer is small; the full per-query dict truncated r4's line).
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); "queries"
-reports per-query MEDIANS (machine-noise robust — single-shot timings
-let environment contention masquerade as plan regressions), and
-"queries_min" the per-query minima. "value" is the sum of medians.
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); the detail
+file reports per-query MEDIANS (machine-noise robust — single-shot
+timings let environment contention masquerade as plan regressions) and
+per-query minima. "value" is the sum of medians.
 
 Host-variance caveat: this VM's effective CPU fluctuates — the same
 commit has measured 40s/50s/62s/82s totals across hours, with
@@ -203,16 +205,34 @@ def main() -> None:
         minima[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "workload_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": minima,
+        "reps": reps,
+        "sf": sf,
+    }
+    # Per-query detail goes to a file: the driver's stdout tail buffer is
+    # ~2.2 KB and the full dict (~90 queries x 2) is ~4 KB, which truncated
+    # the head of the JSON line in r4 (BENCH_r04 parsed: null). The LAST
+    # stdout line is the compact machine-parseable summary.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "workload_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": minima,
-                "reps": reps,
                 "sf": sf,
+                "reps": reps,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -161,12 +161,19 @@ def test_stratified_quota_rescue_path(spark):
 
 
 def _chunk_model(n: int, chunk: int, stride: int) -> list[tuple[int, int, int]]:
-    """(chunk_idx, start, length) for a doc of n tokens — trivial Python
-    mirror of the documented chunk rule."""
-    if n <= 0:
-        return []
-    n_chunks = 1 + -(-max(n - chunk, 0) // stride)
-    return [(i, i * stride, min(chunk, n - i * stride)) for i in range(n_chunks)]
+    """(chunk_idx, start, length) for a doc of n tokens — INDEPENDENT
+    rule, not the operator's closed-form count: walk starts while they
+    fall inside the doc, stop once a chunk has reached the end (so no
+    fully-redundant tail, and no phantom past-the-end chunk when
+    stride > chunk)."""
+    out: list[tuple[int, int, int]] = []
+    start = 0
+    while start < n:
+        out.append((len(out), start, min(chunk, n - start)))
+        if start + chunk >= n:
+            break
+        start += stride
+    return out
 
 
 def test_chunk_documents_coverage_and_edges(spark):

@@ -491,6 +491,9 @@ def test_transform_with_state_running_totals(spark, tmp_path_factory):
     rows = [
         (i, 1 + i % 3, base + dt.timedelta(seconds=i), float(i)) for i in range(30)
     ]
+    # NULL values follow the count(value) convention: contribute to
+    # neither n_events nor total (matches rollup_state)
+    rows += [(30 + k, 1 + k, base + dt.timedelta(seconds=30 + k), None) for k in range(2)]
     schema = "event_id long, user_id long, ts timestamp, value double"
     ev = spark.createDataFrame(rows, schema)
     src = str(tmp_path_factory.mktemp("tws_src"))
@@ -532,7 +535,7 @@ def test_transform_with_state_running_totals(spark, tmp_path_factory):
         r["user_id"]: (r["n"], r["t"])
         for r in ev.groupBy("user_id")
         .agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t")
+            F.count("value").alias("n"), F.round(F.sum("value"), 4).alias("t")
         )
         .collect()
     }

@@ -116,3 +116,47 @@ def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
     for flag, es in exact.items():
         for q, e, a in zip([0.5, 0.9, 0.99], es, approx[flag]):
             assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (flag, q, a, e)
+
+
+def test_variant_cast_semantics_pinned_cross_engine(spark):
+    """The EVENTS_VARIANT_SQL oracle hand-mirrors Spark's
+    try_variant_get(v, '$.k', 'int') cast per JSON type. Pin that
+    mapping over an adversarial corpus (JSON null, missing key,
+    truncating double, quoted integral/decimal/garbage strings,
+    booleans, int32 overflow) so either engine drifting breaks HERE,
+    not silently in the hash gate once real data exercises a case."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    corpus = [
+        '{"k": 5}', '{"k": -7}', '{"k": 5.7}', '{"k": -5.7}', '{"k": 5.0}',
+        '{"k": "5"}', '{"k": "-12"}', '{"k": "5.7"}', '{"k": "abc"}',
+        '{"k": null}', '{}', '{"k": true}', '{"k": false}',
+        '{"k": 2147483648}', '{"k": 2147483647}', 'not json', None,
+    ]
+    df = spark.createDataFrame([(p,) for p in corpus], "props string")
+    got = [
+        r["k"]
+        for r in df.select(
+            F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k")
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    case = """
+      CASE json_type(props, '$.k')
+        WHEN 'UBIGINT' THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+        WHEN 'BIGINT'  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+        WHEN 'DOUBLE'  THEN TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INTEGER)
+        WHEN 'VARCHAR' THEN CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                                 THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END
+        WHEN 'BOOLEAN' THEN CASE WHEN json_extract_string(props, '$.k') = 'true' THEN 1 ELSE 0 END
+      END
+    """
+    exp = [
+        con.execute(
+            f"SELECT {case} FROM (SELECT TRY_CAST(? AS JSON) AS props)", [p]
+        ).fetchone()[0]
+        for p in corpus
+    ]
+    assert got == exp, list(zip(corpus, got, exp))

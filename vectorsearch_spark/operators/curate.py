@@ -227,7 +227,12 @@ def chunk_documents(
     coverage: tokens between chunk end and the next start are skipped
     (a cheap way to subsample long documents at a fixed context
     length); the every-token-covered invariant only holds for
-    ``stride <= chunk_tokens``.
+    ``stride <= chunk_tokens``. In sampling mode chunk starts are
+    additionally bounded by the document end (``start < n``), so the
+    chunk count is ``min(1 + ceil(max(n − chunk_tokens, 0) / stride),
+    1 + floor((n − 1) / stride))`` — without the second bound a doc
+    with n=10, chunk=8, stride=16 would emit a phantom chunk_idx 1 at
+    start_tok 16 with negative n_tokens and empty text.
 
     Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_text) where
     ``start_tok`` is the 0-based token offset and ``chunk_text`` the
@@ -255,10 +260,17 @@ def chunk_documents(
         ).alias("__p"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     n = F.size("__p")
-    # integer ceil-div: identical arithmetic is mirrored in the oracle
-    n_chunks = F.lit(1) + F.floor(
-        (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
-    ).cast("int")
+    # integer ceil-div, capped so every chunk start falls inside the doc
+    # (the cap only binds when stride > chunk_tokens); identical
+    # arithmetic is mirrored in the oracle
+    n_chunks = F.least(
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int"),
+        F.lit(1) + F.floor((n - 1) / F.lit(stride)).cast("int"),
+    )
     start = F.col("chunk_idx") * stride
     return (
         base.where(n > 0)

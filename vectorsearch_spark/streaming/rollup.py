@@ -305,7 +305,10 @@ def stream_running_totals(
                 n, total = int(prev[0]), float(prev[1])
             for pdf in rows:
                 vals = pdf[value_col].dropna()
-                n += len(pdf)
+                # non-null count: n_events follows the count(value)
+                # convention of rollup_state (NULL values contribute to
+                # neither count nor sum)
+                n += len(vals)
                 total += float(vals.sum())
             self._state.update((n, total))
             yield pd.DataFrame(

@@ -1786,7 +1786,10 @@ def pipeline_chunk_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = docs.join(keepers, "doc_id", "left_semi")
     chunks = chunk_documents(kept, chunk_tokens=_CHUNK_PIPE_LEN).select(
-        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_uid"),
+        # 1e6 multiplier: collision-free until a single document exceeds
+        # ~32M tokens (chunk_idx >= 1e6 at 32-token chunks); the old 1e4
+        # multiplier collided at ~320k tokens, corrupting packing order
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("chunk_uid"),
         "doc_id",
         "n_tokens",
     )
@@ -1819,7 +1822,7 @@ base AS (
          len(regexp_extract_all(lower(text), '''[a-z]{{1,2}}|[a-z]+|[0-9]{{1,3}}|[^a-z0-9\s]')) AS n
   FROM kept),
 chunks AS (
-  SELECT doc_id * 10000 + chunk_idx AS chunk_uid, doc_id,
+  SELECT doc_id * 1000000 + chunk_idx AS chunk_uid, doc_id,
          least({_CHUNK_PIPE_LEN}, n - chunk_idx * {_CHUNK_PIPE_LEN}) AS n_tokens
   FROM (SELECT doc_id, n,
                unnest(range(0, 1 + (greatest(n - {_CHUNK_PIPE_LEN}, 0) + {_CHUNK_PIPE_LEN - 1}) // {_CHUNK_PIPE_LEN})) AS chunk_idx
@@ -1927,12 +1930,31 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors Spark's try_variant_get(v, '$.k', 'int') cast semantics per
+# JSON type (probed, pinned in tests/test_workload_parity.py):
+#   integer      -> value (NULL on int32 overflow)
+#   double       -> TRUNCATED toward zero (DuckDB's bare CAST rounds)
+#   string       -> value iff a pure integral string, else NULL
+#   boolean      -> 1/0
+#   JSON null / missing / other -> NULL (DuckDB json_extract returns a
+#   non-NULL 'null' JSON scalar, which a bare count() would include)
 EVENTS_VARIANT_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CASE json_type(props, '$.k')
+           WHEN 'UBIGINT' THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           WHEN 'BIGINT'  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           WHEN 'DOUBLE'  THEN TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INTEGER)
+           WHEN 'VARCHAR' THEN CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                                    THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END
+           WHEN 'BOOLEAN' THEN CASE WHEN json_extract_string(props, '$.k') = 'true' THEN 1 ELSE 0 END
+         END AS k
+  FROM events)
 SELECT event_type,
-       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_decile,
+       CAST(floor(k / 10) AS BIGINT) AS k_decile,
        count(*) AS n_events,
-       count(json_extract(props, '$.k')) AS n_with_k
-FROM events
+       count(k) AS n_with_k
+FROM x
 GROUP BY 1, 2
 """
 
@@ -1950,6 +1972,11 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_partkey",
         min_support=_COPURCHASE_SUPPORT,
+        # no drop-cap: the DuckDB oracle has no basket-size filter, and
+        # TPC-H orders are <= 7 lines — the cap stays the API default
+        # for real skewed corpora but would silently diverge the hash
+        # gate if a basket ever exceeded it here
+        max_basket=None,
     ).select("item_a", "item_b", F.col("support").cast("long").alias("support"))
 
 
@@ -1971,7 +1998,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = cooccurrence_pairs(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=1
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=1,
+        max_basket=None,  # oracle has no basket cap (TPC-H <= 7 lines)
     )
     return triangle_count(edges)
 
@@ -2293,7 +2324,11 @@ def part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the same query shape at bounded fan-out (the node-distinct
     # form is the iterative-DataFrame loop, dedup.py duplicate_clusters)
     edges = cooccurrence_pairs(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=2
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket=None,  # oracle has no basket cap (TPC-H <= 7 lines)
     ).select("item_a", "item_b")
     # materialize BEFORE the recursion: UnionLoopExec re-executes the
     # recursive term's subplan every iteration, and a temp VIEW is just
@@ -3549,7 +3584,8 @@ nn AS (
   SELECT doc_id, p, len(p) AS n FROM base WHERE len(p) > 0),
 c AS (
   SELECT doc_id, p, n,
-         unnest(range(0, 1 + (greatest(n - {_CHUNK_LEN}, 0) + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS chunk_idx
+         unnest(range(0, least(1 + (greatest(n - {_CHUNK_LEN}, 0) + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE},
+                               1 + (n - 1) // {_CHUNK_STRIDE}))) AS chunk_idx
   FROM nn)
 SELECT doc_id,
        chunk_idx::BIGINT AS chunk_idx,
@@ -4658,7 +4694,78 @@ FROM pix
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the correctness driver samples the FIRST
+    # 50 entries. Rotated each round so every entry eventually appears
+    # in a driver artifact (r5: entries never driver-checked lead,
+    # then those last checked in r1-r3, then the r4-certified 50).
     return {
+        "index_search_join": index_search_join,
+        "index_search_join_pq": index_search_join_pq,
+        "corpus_splits": corpus_splits,
+        "pipeline_pack_curated": pipeline_pack_curated,
+        "doc_chunking": doc_chunking,
+        "dedup_incremental": dedup_incremental,
+        "bloom_pruned_revenue": bloom_pruned_revenue,
+        "events_scd2_history": events_scd2_history,
+        "customer_balance_ranks": customer_balance_ranks,
+        "documents_profile": documents_profile,
+        "events_incremental_rollup": events_incremental_rollup,
+        "part_zorder_values": part_zorder_values,
+        "part_copurchase_pairs": part_copurchase_pairs,
+        "events_variant_props": events_variant_props,
+        "doc_lm_perplexity": doc_lm_perplexity,
+        "events_value_outliers": events_value_outliers,
+        "pipeline_chunk_shards": pipeline_chunk_shards,
+        "part_reachability": part_reachability,
+        "bpe_merge_table": bpe_merge_table,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
+        "embedding_pca": embedding_pca,
+        "part_price_histogram": part_price_histogram,
+        "events_interpolated": events_interpolated,
+        "embedding_kmeans": embedding_kmeans,
+        "dedup_semantic": dedup_semantic,
+        "order_top_line_lateral": order_top_line_lateral,
+        "events_type_dow_chisq": events_type_dow_chisq,
+        "copurchase_triangles": copurchase_triangles,
+        "customer_fuzzy_pairs": customer_fuzzy_pairs,
+        "customer_name_pagerank": customer_name_pagerank,
+        "mm_image_decode": mm_image_decode,
+        "mm_png_decode": mm_png_decode,
+        "events_next_purchase": events_next_purchase,
+        "vector_norms": vector_norms,
+        "segment_assignment": segment_assignment,
+        "index_search_brute": index_search_brute,
+        "index_search_sealed": index_search_sealed,
+        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
+        "index_search_graph": index_search_graph,
+        "index_search_graph_exhaustive": index_search_graph_exhaustive,
+        "compaction_plan_scores": compaction_plan_scores,
+        "ann_ivf_exhaustive": ann_ivf_exhaustive,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_exhaustive": ann_lsh_exhaustive,
+        "doc_token_stats": doc_token_stats,
+        "doc_token_counts": doc_token_counts,
+        "doc_repetition": doc_repetition,
+        "pii_redaction": pii_redaction,
+        "benchmark_contamination": benchmark_contamination,
+        "lang_id_scores": lang_id_scores,
+        "corpus_curation": corpus_curation,
+        "doc_shard_packing": doc_shard_packing,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
+        "dedup_jaccard_ngram": dedup_jaccard_ngram,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "doc_fingerprints": doc_fingerprints,
+        "mm_media_metadata": mm_media_metadata,
+        "mm_feature_extract": mm_feature_extract,
+        "mm_frame_sample": mm_frame_sample,
+        "stream_window_rollup": stream_window_rollup,
+        "events_session_windows": events_session_windows,
+        "events_asof_attribution": events_asof_attribution,
+        "events_error_sessions": events_error_sessions,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -4709,73 +4816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": label_centroids,
         "corpus_vocab_stats": corpus_vocab_stats,
         "top_tokens_per_lang": top_tokens_per_lang,
-        "vector_norms": vector_norms,
-        "segment_assignment": segment_assignment,
-        "index_search_brute": index_search_brute,
-        "index_search_join": index_search_join,
-        "index_search_join_pq": index_search_join_pq,
-        "index_search_sealed": index_search_sealed,
-        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
-        "index_search_graph": index_search_graph,
-        "index_search_graph_exhaustive": index_search_graph_exhaustive,
-        "compaction_plan_scores": compaction_plan_scores,
-        "ann_ivf_exhaustive": ann_ivf_exhaustive,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_lsh_exhaustive": ann_lsh_exhaustive,
-        "doc_token_stats": doc_token_stats,
-        "doc_token_counts": doc_token_counts,
-        "doc_repetition": doc_repetition,
-        "pii_redaction": pii_redaction,
-        "benchmark_contamination": benchmark_contamination,
-        "lang_id_scores": lang_id_scores,
-        "corpus_curation": corpus_curation,
-        "corpus_splits": corpus_splits,
-        "pipeline_pack_curated": pipeline_pack_curated,
-        "doc_shard_packing": doc_shard_packing,
-        "doc_chunking": doc_chunking,
-        "dedup_incremental": dedup_incremental,
-        "bloom_pruned_revenue": bloom_pruned_revenue,
-        "events_scd2_history": events_scd2_history,
-        "customer_balance_ranks": customer_balance_ranks,
-        "documents_profile": documents_profile,
-        "events_incremental_rollup": events_incremental_rollup,
-        "part_zorder_values": part_zorder_values,
-        "part_copurchase_pairs": part_copurchase_pairs,
-        "events_variant_props": events_variant_props,
-        "doc_lm_perplexity": doc_lm_perplexity,
-        "events_value_outliers": events_value_outliers,
-        "pipeline_chunk_shards": pipeline_chunk_shards,
-        "part_reachability": part_reachability,
-        "bpe_merge_table": bpe_merge_table,
-        "lineitem_corr_matrix": lineitem_corr_matrix,
-        "embedding_pca": embedding_pca,
-        "part_price_histogram": part_price_histogram,
-        "events_interpolated": events_interpolated,
-        "embedding_kmeans": embedding_kmeans,
-        "dedup_semantic": dedup_semantic,
-        "order_top_line_lateral": order_top_line_lateral,
-        "events_type_dow_chisq": events_type_dow_chisq,
-        "copurchase_triangles": copurchase_triangles,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_clusters": dedup_clusters,
-        "dedup_jaccard_ngram": dedup_jaccard_ngram,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "customer_fuzzy_pairs": customer_fuzzy_pairs,
-        "customer_name_pagerank": customer_name_pagerank,
-        "doc_fingerprints": doc_fingerprints,
-        "mm_media_metadata": mm_media_metadata,
-        "mm_feature_extract": mm_feature_extract,
-        "mm_frame_sample": mm_frame_sample,
-        "mm_image_decode": mm_image_decode,
-        "mm_png_decode": mm_png_decode,
-        "stream_window_rollup": stream_window_rollup,
-        "events_session_windows": events_session_windows,
-        "events_asof_attribution": events_asof_attribution,
-        "events_next_purchase": events_next_purchase,
-        "events_error_sessions": events_error_sessions,
     }
 
 
