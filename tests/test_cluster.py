@@ -141,7 +141,7 @@ def test_semantic_dedup_drops_near_duplicates(spark):
             assert i in kept and (i + 60) not in kept
 
 
-def test_semantic_dedup_max_cluster_cap(spark):
+def test_semantic_dedup_max_cluster_cap_strict(spark):
     import pytest as _pytest
 
     from vectorsearch_spark.operators.cluster import semantic_dedup
@@ -151,4 +151,58 @@ def test_semantic_dedup_max_cluster_cap(spark):
         [(i, x[i].tolist()) for i in range(len(x))], "vec_id long, embedding array<double>"
     )
     with _pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(df, k=1, max_cluster=10, strict=True).collect()
+
+
+def test_semantic_dedup_splits_oversized_cluster(spark):
+    """Default (graceful) path: k=1 forces one 70-row cluster over a
+    max_cluster=25 cap; the recursive re-cluster must (a) produce only
+    final clusters within the cap, (b) cover every id exactly once at
+    threshold=2.0 (no dedup), and (c) at a real threshold match the
+    greedy min-id model applied per FINAL cluster (the clustering is
+    deterministic, so two calls see identical partitions)."""
+    from vectorsearch_spark.operators.cluster import semantic_dedup
+
+    rng = np.random.default_rng(44)
+    base = _blobs(n=60, d=6, k=3, seed=44)
+    dups = base[:10] * 1.001 + rng.normal(scale=1e-4, size=(10, 6))
+    x = np.vstack([base, dups])
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(len(x))], "vec_id long, embedding array<double>"
+    )
+    # threshold > 1: nothing dedups -> exposes the full final clustering
+    full = semantic_dedup(df, k=1, threshold=2.0, max_cluster=25).collect()
+    members: dict[int, list[int]] = {}
+    for r in full:
+        members.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert sorted(i for ids in members.values() for i in ids) == list(range(70))
+    assert all(len(ids) <= 25 for ids in members.values()), {
+        c: len(ids) for c, ids in members.items()
+    }
+    assert len(members) >= 3  # 70 rows / cap 25 needs >= 3 clusters
+
+    kept = {r["vec_id"] for r in semantic_dedup(df, k=1, threshold=0.999, max_cluster=25).collect()}
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    exp = set()
+    for ids in members.values():
+        keep: list[int] = []
+        for i in sorted(ids):
+            if all(float(xn[i] @ xn[j]) < 0.999 for j in keep):
+                keep.append(i)
+        exp |= set(keep)
+    assert kept == exp
+
+
+def test_semantic_dedup_identical_vectors_refuse_split(spark):
+    """>max_cluster copies of ONE point cannot be split geometrically:
+    the graceful path must fail loudly (pointing at exact dedup), not
+    loop or silently run the quadratic pass."""
+    import pytest as _pytest
+
+    from vectorsearch_spark.operators.cluster import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="refused to split|identical"):
         semantic_dedup(df, k=1, max_cluster=10).collect()

@@ -748,10 +748,13 @@ def test_search_join_derived_query_df_never_materialized(spark, built_index):
     assert all(top1[qid] == qid % N for qid in range(0, 1000, 97))
 
 
-def test_search_join_rejects_graph_mode(spark, built_index):
+def test_search_join_rejects_graph_mode_with_pq_routing(spark, built_index):
+    """GRAPH on the distributed path is a documented routing decision:
+    the error must name the reason (driver-seeded frontier state) and
+    point at mode='PQ' as the batch-scale equivalent."""
     idx, data, _ = built_index
     qdf = _queries_df(spark, data, [0])
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="driver-seeded.*mode='PQ'"):
         idx.search_join(qdf, k=3, params=SearchParams(mode="GRAPH"))
 
 
@@ -860,3 +863,131 @@ def test_search_join_pq_default_recall(spark, built_index):
         hits += r["gid"] in got[r["query_id"]]
     assert total == 30 * 10
     assert hits / total >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Crash recovery: writer dies mid-maintenance, recover() restores, rerun
+# converges (the batch analog of the reference's idempotent task re-claim,
+# tasks/SegmentBuildWorker.java:49-53)
+# ---------------------------------------------------------------------------
+
+
+def _fresh_idx(spark, tmp_path_factory, n=120):
+    path = str(tmp_path_factory.mktemp("vscrash"))
+    cfg = IndexConfig(
+        name="c", dimension=DIM, max_segment_size=CAP, pq_m=4, pq_k=16,
+        graph_degree=8, graph_build_breadth=16, graph_alpha=1.2, seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, n, DIM, seed=77)
+    idx.add(df, order_col="row_id")
+    idx.build()
+    return idx, data
+
+
+def test_delete_crash_mid_swap_recover_rerun(spark, tmp_path_factory):
+    """Kill the delete between the vectors-partition swap and the
+    registry counter update: the tombstones are already physical (the
+    swap rolls FORWARD), so recover() must RECONCILE the registry
+    counters from disk truth — a bare rerun would see the rows as
+    already-deleted and leave the counters drifted forever (the bug
+    this test originally exposed). After recover + rerun the state is
+    identical to a clean run's."""
+    from vectorsearch_spark import staging
+
+    idx, _ = _fresh_idx(spark, tmp_path_factory)
+    doomed = list(range(10, 40))  # all within seg 0 (CAP=50)
+
+    class Boom(RuntimeError):
+        pass
+
+    def hook(stage, detail):
+        if stage == "swapped":
+            raise Boom(f"injected at {stage}:{detail}")
+
+    staging._FAULT = hook
+    try:
+        with pytest.raises(Boom):
+            idx.delete(doomed)
+    finally:
+        staging._FAULT = None
+
+    # crashed state: tombstones physical, counters stale
+    phys = idx.vectors().filter(F.col("deleted")).count()
+    assert phys == len(doomed)
+    segs = {r["seg_id"]: r for r in idx.segments().collect()}
+    assert sum(r["deleted_count"] for r in segs.values()) == 0
+
+    acts = idx.recover()
+    assert acts["counters_fixed"] == [0]
+    segs = {r["seg_id"]: r for r in idx.segments().collect()}
+    assert segs[0]["deleted_count"] == len(doomed)
+    assert segs[0]["count"] == CAP - len(doomed)
+
+    # rerun is a no-op (tombstones already applied), state == clean run
+    assert idx.delete(doomed) == 0
+    segs = {r["seg_id"]: r for r in idx.segments().collect()}
+    assert sum(r["deleted_count"] for r in segs.values()) == len(doomed)
+    live = idx.vectors().filter(~F.col("deleted")).count()
+    assert live == 120 - len(doomed)
+
+
+def test_compact_crash_before_registry_swap_recover_rerun(spark, tmp_path_factory):
+    """Kill compaction between the data copy/build and the final
+    registry swap: the half-built destination must stay invisible
+    (WRITING), search results must be unchanged, and recover() + rerun
+    must land the identical final state as a clean compaction."""
+    idx, data = _fresh_idx(spark, tmp_path_factory)
+    idx.delete(list(range(0, 20)))
+    idx.vacuum(0, force=True)
+    sources = sorted(idx.registered_seg_ids((SEALED,)))[:2]
+    qdf = _queries_df(spark, data, [50, 90])
+    before = {
+        (r["query_id"], r["gid"]) for r in idx.search(qdf, k=5).collect()
+    }
+
+    real = VectorIndex.update_segment_states
+    class Boom(RuntimeError):
+        pass
+
+    def failing(self, updates):
+        # the final swap is the update containing a SEALED dest +
+        # None-dropped sources — kill exactly there
+        if any(u is None for u in updates.values()):
+            raise Boom("injected before registry swap")
+        return real(self, updates)
+
+    VectorIndex.update_segment_states = failing
+    try:
+        with pytest.raises(Boom):
+            idx.compact(sources)
+    finally:
+        VectorIndex.update_segment_states = real
+
+    # crashed state: sources COMPACTING (searchable), dest WRITING
+    st = {r["seg_id"]: r["state"] for r in idx.segments().collect()}
+    assert [s for s in sources if st[s] == COMPACTING] == sources
+    dest_writing = [s for s, v in st.items() if v == WRITING]
+    assert len(dest_writing) == 1
+    mid = {
+        (r["query_id"], r["gid"]) for r in idx.search(qdf, k=5).collect()
+    }
+    assert mid == before  # WRITING invisible, COMPACTING searchable
+
+    acts = idx.recover()
+    assert acts["writing_dropped"] == dest_writing
+    assert sorted(acts["compacting_reset"]) == sources
+    st = {r["seg_id"]: r["state"] for r in idx.segments().collect()}
+    assert all(st[s] == SEALED for s in sources)
+    # physical GC removed the orphaned dest partition dirs
+    import os as _os
+
+    assert not _os.path.exists(f"{idx.vectors_path}/seg_id={dest_writing[0]}")
+
+    new_seg = idx.compact(sources)
+    st = {r["seg_id"]: r["state"] for r in idx.segments().collect()}
+    assert st[new_seg] == SEALED and all(s not in st for s in sources)
+    after = {
+        (r["query_id"], r["gid"]) for r in idx.search(qdf, k=5).collect()
+    }
+    assert after == before  # gid-stable across the crashed+retried move

@@ -114,3 +114,88 @@ def test_merge_delete_empties_partition(spark, tmp_path_factory):
     got = _content(spark, path)
     assert (4, "de", "vier") not in got
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# Crash-injection: the staged rename-swap protocol (staging.py)
+# ---------------------------------------------------------------------------
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_at(stage_name, nth=1):
+    """A staging._FAULT hook raising on the nth occurrence of stage."""
+    seen = {"n": 0}
+
+    def hook(stage, detail):
+        if stage == stage_name:
+            seen["n"] += 1
+            if seen["n"] >= nth:
+                raise _Boom(f"injected crash at {stage}:{detail}")
+
+    return hook
+
+
+@pytest.mark.parametrize("stage", ["staged", "backed_up", "swapped"])
+def test_merge_upsert_crash_then_recover_then_rerun_converges(
+    spark, tmp_path_factory, stage
+):
+    """Kill the swap at each protocol point; recover_partial_swaps must
+    restore every partition to a readable old-or-new state, and
+    re-running the SAME merge must converge to the clean-run result
+    (upsert by key is idempotent)."""
+    from vectorsearch_spark import staging
+
+    path = str(tmp_path_factory.mktemp("merge_crash"))
+    _write_initial(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "en", "TWO"), (3, "en", "three"), (5, "fr", "cinq")], SCHEMA
+    )
+    expected = {
+        (1, "en", "one"), (2, "en", "TWO"), (3, "en", "three"),
+        (4, "de", "vier"), (5, "fr", "cinq"),
+    }
+
+    staging._FAULT = _crash_at(stage)
+    try:
+        with pytest.raises(_Boom):
+            merge_upsert(spark, path, updates, key_col="doc_id", partition_col="lang")
+    finally:
+        staging._FAULT = None
+
+    staging.recover_partial_swaps(spark, path)
+    # invariant: every partition readable, old or new rows only
+    post = _content(spark, path)
+    allowed = expected | {(2, "en", "two"), (3, "fr", "trois")}
+    assert post <= allowed, post - allowed
+    # no protocol litter
+    names = os.listdir(path)
+    assert not [n for n in names if n.startswith(staging.BACKUP_PREFIX)], names
+    assert not [n for n in names if n.startswith(staging.STAGING_PREFIX)], names
+
+    merge_upsert(spark, path, updates, key_col="doc_id", partition_col="lang")
+    assert _content(spark, path) == expected
+
+
+def test_recover_partial_swaps_restores_missing_live_dir(spark, tmp_path_factory):
+    """Direct protocol check: a backup with NO live dir (crash between
+    backup-rename and staged-rename) rolls BACK; a backup WITH a live
+    dir (crash before backup delete) rolls FORWARD (keeps new)."""
+    import shutil
+
+    from vectorsearch_spark import staging
+
+    path = str(tmp_path_factory.mktemp("swap_recover"))
+    _write_initial(spark, path)
+    before = _content(spark, path)
+    # simulate crash between backup and swap: live dir missing
+    shutil.move(f"{path}/lang=en", f"{path}/{staging.BACKUP_PREFIX}lang=en")
+    acts = staging.recover_partial_swaps(spark, path)
+    assert any(a.startswith("restored:") for a in acts), acts
+    assert _content(spark, path) == before
+    # simulate crash after swap, before backup delete: both dirs exist
+    shutil.copytree(f"{path}/lang=de", f"{path}/{staging.BACKUP_PREFIX}lang=de")
+    acts = staging.recover_partial_swaps(spark, path)
+    assert any(a.startswith("dropped_backup:") for a in acts), acts
+    assert _content(spark, path) == before

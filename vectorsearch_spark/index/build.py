@@ -12,12 +12,14 @@ Spark shape: ONE ``applyInPandas`` task per segment computes all three
 artifacts (train → encode → graph) in a single pass — one shuffle of
 the segment vectors total, the same one-segment-per-worker contract as
 the reference (SegmentBuildService builds a whole segment in one
-worker). The mixed-kind result is persisted (it is codes+graph-sized,
-far smaller than the embeddings) and split into the three artifact
-tables with dynamic-partition-overwrite writes, so rebuilds stay
-idempotent. Rows are sorted by vec_id inside the task, making codebook
-training deterministic under shuffle nondeterminism. All segments
-build in parallel across the cluster in a single job.
+worker). The tagged-union result lands in ONE dynamic-partition-
+overwrite write of the unified artifacts table (partitioned by
+(seg_id, kind) — see VectorIndex.artifacts_path), so a whole build is
+a single Spark job; rebuilds replace exactly the touched (seg_id,
+kind) partitions, staying idempotent. Rows are sorted by vec_id inside
+the task, making codebook training deterministic under shuffle
+nondeterminism. All segments build in parallel across the cluster in a
+single job.
 """
 
 from __future__ import annotations
@@ -32,25 +34,23 @@ from vectorsearch_spark.index.catalog import VectorIndex
 from vectorsearch_spark.operators.graph import build_graph
 from vectorsearch_spark.operators.pq import encode, train_codebook
 
-CODEBOOK_SCHEMA = "seg_id int, m int, k int, sub_dim int, centroids array<double>"
-CODES_SCHEMA = "seg_id int, vec_id int, codes binary"
-ADJ_SCHEMA = "seg_id int, vec_id int, neighbor_ids array<int>"
-
-# one-pass build output: tagged union of the three artifact kinds
-_STAGE_SCHEMA = (
+# the unified artifacts table: tagged union of the three artifact kinds
+# (kind ∈ {cb, code, adj}), partitioned by (seg_id, kind)
+ARTIFACTS_SCHEMA = (
     "seg_id int, kind string, vec_id int, codes binary, "
     "neighbor_ids array<int>, m int, k int, sub_dim int, centroids array<double>"
 )
+_STAGE_SCHEMA = ARTIFACTS_SCHEMA
 
 
 def _dynamic_overwrite(index: VectorIndex, df, path: str) -> None:
-    """Replace only the seg_id partitions present in df (rebuilds are
-    idempotent; untouched segments keep their files)."""
+    """Replace only the (seg_id, kind) partitions present in df
+    (rebuilds are idempotent; untouched segments keep their files)."""
     spark = index.spark
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df.write.mode("overwrite").partitionBy("seg_id").parquet(path)
+        df.write.mode("overwrite").partitionBy("seg_id", "kind").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -103,10 +103,21 @@ def _build_segment_fn(cfg):
     return run
 
 
-def build_segments(index: VectorIndex, seg_ids: list[int] | None = None) -> list[int]:
+def build_segments(
+    index: VectorIndex, seg_ids: list[int] | None = None, seal: bool = True
+) -> list[int]:
     """Build + seal every buildable (PENDING/WRITING) segment; returns
-    the seg_ids sealed. Explicit seg_ids must still be buildable
-    (SegmentBuildService.java:88-99 ignores other states)."""
+    the seg_ids built. Explicit seg_ids must still be buildable
+    (SegmentBuildService.java:88-99 ignores other states).
+
+    ``seal=False`` leaves the segments in their current state after
+    writing artifacts — compaction uses this so its destination stays
+    WRITING (invisible) until the FINAL atomic registry swap flips it
+    to SEALED together with dropping the sources (the reference seals
+    inside that same transaction, MaintenanceService.java:391-414; a
+    premature seal here opened a crash window where dest and sources
+    were simultaneously searchable with duplicate gids — caught by the
+    compaction crash-injection test)."""
     cfg = index.config
     buildable = set(index.registered_seg_ids((PENDING, WRITING)))
     targets = sorted(buildable if seg_ids is None else buildable & set(seg_ids))
@@ -128,37 +139,28 @@ def build_segments(index: VectorIndex, seg_ids: list[int] | None = None) -> list
         .select("seg_id", "vec_id", emb.alias("embedding"))
     )
 
-    # ONE pass: per-segment train+encode+graph (single shuffle of the
-    # vectors); artifacts are codes+graph-sized, so persisting them for
-    # the three split writes is cheap (vs persisting the embeddings)
-    staged = (
-        vec.groupBy("seg_id")
-        .applyInPandas(_build_segment_fn(cfg), _STAGE_SCHEMA)
-        .persist()
-    )
-    present = [
-        r["seg_id"] for r in staged.filter(F.col("kind") == "cb").select("seg_id").collect()
-    ]
-
-    if present:
-        # idempotent rebuild: replace exactly the seg_id partitions
-        # being rebuilt in each artifact table
+    # registry counters are authoritative: segments with live rows are
+    # exactly those with count > 0 — no probe job needed to know whether
+    # the build pass will emit artifacts. Exception: WRITING compaction
+    # destinations carry count=0 until the final registry swap (their
+    # rows are already on disk), so WRITING always builds.
+    rows_by_id = {r["seg_id"]: r for r in index._segment_rows()}
+    if any(
+        rows_by_id[sid]["count"] > 0 or rows_by_id[sid]["state"] == WRITING
+        for sid in targets
+    ):
+        # ONE job: per-segment train+encode+graph (single shuffle of
+        # the vectors) written straight into the unified artifacts
+        # table — idempotent rebuild replaces exactly the touched
+        # (seg_id, kind) partitions
         # (tasks/SegmentBuildServiceIdempotentTest.java behavior)
-        cb_df = staged.filter(F.col("kind") == "cb").select(
-            "seg_id", "m", "k", "sub_dim", "centroids"
+        staged = vec.groupBy("seg_id").applyInPandas(
+            _build_segment_fn(cfg), _STAGE_SCHEMA
         )
-        _dynamic_overwrite(index, cb_df, index.codebooks_path)
-        codes = staged.filter(F.col("kind") == "code").select(
-            "seg_id", "vec_id", "codes"
-        )
-        _dynamic_overwrite(index, codes, index.codes_path)
-        adj = staged.filter(F.col("kind") == "adj").select(
-            "seg_id", "vec_id", "neighbor_ids"
-        )
-        _dynamic_overwrite(index, adj, index.adjacency_path)
+        _dynamic_overwrite(index, staged, index.artifacts_path)
 
-    staged.unpersist()
     # seal — empty segments seal too (zero-codebook fallback,
     # SegmentBuildService.java:346-392: guarantees state transition)
-    index.update_segment_states({sid: {"state": SEALED} for sid in targets})
+    if seal:
+        index.update_segment_states({sid: {"state": SEALED} for sid in targets})
     return targets

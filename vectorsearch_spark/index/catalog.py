@@ -57,6 +57,12 @@ from vectorsearch_spark.config import (
     IndexConfig,
 )
 
+# On-disk layout version, stamped into meta.json at create and checked
+# at open. v2: unified artifacts table (codebooks/codes/adjacency as a
+# tagged union partitioned by (seg_id, kind)) replacing three separate
+# tables — pre-v2 indexes must rebuild.
+LAYOUT_VERSION = 2
+
 SEGMENTS_SCHEMA = T.StructType(
     [
         T.StructField("seg_id", T.IntegerType(), False),
@@ -143,16 +149,17 @@ class VectorIndex:
         return f"{self.path}/vectors"
 
     @property
-    def codebooks_path(self) -> str:
-        return f"{self.path}/codebooks"
-
-    @property
-    def codes_path(self) -> str:
-        return f"{self.path}/codes"
-
-    @property
-    def adjacency_path(self) -> str:
-        return f"{self.path}/adjacency"
+    def artifacts_path(self) -> str:
+        """Unified build-artifact table (codebooks + PQ codes +
+        adjacency as a tagged union), partitioned by (seg_id, kind):
+        ONE write job per build instead of three (measured ~0.3 s of
+        scheduling floor each), one partition-dir delete covers a
+        segment's full artifact set for vacuum/compaction GC, and
+        reads stay pruned — kind is a partition column (dir-level
+        pruning per artifact family) and parquet's columnar layout
+        means a codes scan never touches the adjacency/centroid
+        columns."""
+        return f"{self.path}/artifacts"
 
     # -- lifecycle -----------------------------------------------------
     @classmethod
@@ -161,7 +168,13 @@ class VectorIndex:
         # a create starts from NOTHING: never seed carried-through keys
         # from a stale meta.json at the same path
         idx._meta_cache = {}
-        idx._write_meta(next_gid=0, max_seg_id=-1, active_seg_id=None, active_fill=0)
+        idx._write_meta(
+            next_gid=0,
+            max_seg_id=-1,
+            active_seg_id=None,
+            active_fill=0,
+            layout=LAYOUT_VERSION,
+        )
         idx._overwrite_segments([])
         return idx
 
@@ -185,6 +198,12 @@ class VectorIndex:
         mismatched requested config raises."""
         with open(f"{path.rstrip('/')}/meta.json") as f:
             meta = json.load(f)
+        if meta.get("layout", 1) != LAYOUT_VERSION:
+            raise ValueError(
+                f"index at {path} has on-disk layout "
+                f"v{meta.get('layout', 1)}, this build reads "
+                f"v{LAYOUT_VERSION} — rebuild the index"
+            )
         stored = IndexConfig.from_json(meta["config_json"])
         if config is not None:
             stored.validate_same(config)
@@ -351,19 +370,30 @@ class VectorIndex:
         visible = self.registered_seg_ids(states)
         return df.filter(F.col("seg_id").isin(visible))
 
+    def _artifacts(self) -> DataFrame:
+        from vectorsearch_spark.index.build import ARTIFACTS_SCHEMA
+
+        return self.spark.read.schema(ARTIFACTS_SCHEMA).parquet(self.artifacts_path)
+
     def codes(self, seg_ids: list[int]) -> DataFrame:
-        df = self.spark.read.parquet(self.codes_path)
-        return df.filter(F.col("seg_id").isin(seg_ids))
+        return (
+            self._artifacts()
+            .filter((F.col("kind") == "code") & F.col("seg_id").isin(seg_ids))
+            .select("seg_id", "vec_id", "codes")
+        )
 
     def adjacency(self, seg_ids: list[int]) -> DataFrame:
-        df = self.spark.read.parquet(self.adjacency_path)
-        return df.filter(F.col("seg_id").isin(seg_ids))
+        return (
+            self._artifacts()
+            .filter((F.col("kind") == "adj") & F.col("seg_id").isin(seg_ids))
+            .select("seg_id", "vec_id", "neighbor_ids")
+        )
 
     def codebooks(self, seg_ids: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.parquet(self.codebooks_path)
+        df = self._artifacts().filter(F.col("kind") == "cb")
         if seg_ids is not None:
             df = df.filter(F.col("seg_id").isin(seg_ids))
-        return df
+        return df.select("seg_id", "m", "k", "sub_dim", "centroids")
 
     def codebooks_np(self, seg_ids: list[int]) -> dict[int, "object"]:
         """{seg_id: (m, k, sub_dim) float64 ndarray} for the given
@@ -409,10 +439,10 @@ class VectorIndex:
 
         return add_vectors(self, df, embedding_col, payload_col, order_col, meta_extra)
 
-    def build(self, seg_ids: list[int] | None = None) -> list[int]:
+    def build(self, seg_ids: list[int] | None = None, seal: bool = True) -> list[int]:
         from vectorsearch_spark.index.build import build_segments
 
-        return build_segments(self, seg_ids)
+        return build_segments(self, seg_ids, seal=seal)
 
     def search(
         self, queries: DataFrame, k: int = 10, params: SearchParams | None = None
@@ -454,6 +484,15 @@ class VectorIndex:
         from vectorsearch_spark.index.maintenance import gc
 
         return gc(self)
+
+    def recover(self) -> dict:
+        """Writer-restart crash recovery (see maintenance.recover):
+        restores interrupted partition swaps, rolls back WRITING /
+        COMPACTING registry leftovers, GCs orphaned dirs. Single-writer
+        contract — call before issuing new maintenance ops."""
+        from vectorsearch_spark.index.maintenance import recover
+
+        return recover(self)
 
     # -- stats ---------------------------------------------------------
     def deleted_ratio(self) -> DataFrame:

@@ -33,39 +33,23 @@ from pyspark.sql import functions as F
 
 from vectorsearch_spark.config import COMPACTING, SEALED, WRITING
 from vectorsearch_spark.index.catalog import VECTORS_SCHEMA, VectorIndex
-
-
-def _hadoop_delete(spark, path: str) -> None:
-    """Delete a path through the Hadoop FileSystem API (works for any
-    supported FS, not just local disk)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    if fs.exists(p):
-        fs.delete(p, True)
+from vectorsearch_spark.staging import (
+    hadoop_delete as _hadoop_delete,
+    hadoop_exists,
+    hadoop_list_dirs,
+    recover_partial_swaps,
+    staged_partition_rewrite,
+)
 
 
 def _rewrite_partitions(index: VectorIndex, updated: DataFrame, table_path: str) -> None:
-    """Replace only the seg_id partitions present in ``updated``.
-
-    Parquet can't overwrite a path it is reading, so stage the updated
-    partitions first, then dynamic-partition-overwrite the table from
-    the staging copy. Two bounded writes of the touched partitions —
-    never a full-table rewrite.
-    """
-    spark = index.spark
-    staging = f"{index.path}/_staging_{int(time.time() * 1000)}"
-    updated.write.mode("overwrite").partitionBy("seg_id").parquet(staging)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        spark.read.parquet(staging).write.mode("overwrite").partitionBy("seg_id").parquet(
-            table_path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        _hadoop_delete(spark, staging)
+    """Replace only the seg_id partitions present in ``updated``: one
+    staged write + per-partition rename swap (vectorsearch_spark.staging
+    — crash protocol + single-writer contract documented there). The
+    previous stage-then-dynamic-overwrite form re-encoded the staged
+    copy through a second write job per rewrite (measured ~0.3 s of
+    scheduling floor each across the delete/vacuum/compact path)."""
+    staged_partition_rewrite(index.spark, updated, table_path, "seg_id")
 
 
 # ---------------------------------------------------------------------------
@@ -166,31 +150,41 @@ def vacuum_segment(
             F.col("seg_id") == seg_id
         )
         kept = part.filter(~F.col("deleted"))
-        if seg["count"] == 0 or kept.isEmpty():
+        # registry counters are authoritative (every delete updates them
+        # in the same operation) — count==0 decides the fully-deleted
+        # branch without an isEmpty() probe job
+        if seg["count"] == 0:
             # fully-deleted segment: dynamic partition overwrite writes
             # NOTHING for an empty DataFrame (no partitions present in
             # the written data), leaving the tombstoned files on disk
             # forever — drop the partition directories directly instead
-            for path in (index.vectors_path, index.codes_path, index.adjacency_path):
+            # (one artifacts dir covers codebook+codes+adjacency)
+            for path in (index.vectors_path, index.artifacts_path):
                 _hadoop_delete(spark, f"{path}/seg_id={seg_id}")
             index.update_segment_states(
                 {seg_id: {"deleted_count": 0, "last_vacuum_at_ms": int(time.time() * 1000)}}
             )
             return True
         _rewrite_partitions(index, kept, index.vectors_path)
-        # drop orphaned build artifacts for removed vec_ids
+        # drop orphaned build artifacts for removed vec_ids — ONE
+        # rewrite of the unified artifacts table (codebook rows carry
+        # no vec_id and survive unconditionally)
         kept_ids = F.broadcast(
             spark.read.schema(VECTORS_SCHEMA)
             .parquet(index.vectors_path)
             .filter(F.col("seg_id") == seg_id)
             .select("seg_id", "vec_id")
         )
-        for path in (index.codes_path, index.adjacency_path):
-            try:
-                art = spark.read.parquet(path).filter(F.col("seg_id") == seg_id)
-            except Exception:
-                continue  # artifacts not built yet for this segment
-            _rewrite_partitions(index, art.join(kept_ids, ["seg_id", "vec_id"], "left_semi"), path)
+        if hadoop_exists(spark, f"{index.artifacts_path}/seg_id={seg_id}"):
+            art = index._artifacts().filter(F.col("seg_id") == seg_id)
+            pruned = art.filter(F.col("kind") == "cb").unionByName(
+                art.filter(F.col("kind") != "cb").join(
+                    kept_ids, ["seg_id", "vec_id"], "left_semi"
+                )
+            )
+            staged_partition_rewrite(
+                spark, pruned, index.artifacts_path, ["seg_id", "kind"]
+            )
     index.update_segment_states(
         {seg_id: {"deleted_count": 0, "last_vacuum_at_ms": int(time.time() * 1000)}}
     )
@@ -343,10 +337,21 @@ def compact_segments(index: VectorIndex, seg_ids: list[int]) -> int:
         "deleted",
         "payload",
     )
-    moved.write.mode("append").partitionBy("seg_id").parquet(index.vectors_path)
-    n = moved.count()
+    # the write IS an action: harvest the row count from an Observation
+    # instead of re-executing the windowed plan with a count() job
+    from pyspark.sql import Observation
 
-    index.build([dest])  # WRITING segments are buildable (SegmentBuildService.java:88-99)
+    obs = Observation()
+    moved.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").partitionBy(
+        "seg_id"
+    ).parquet(index.vectors_path)
+    n = int(obs.get["n"])
+
+    # WRITING segments are buildable (SegmentBuildService.java:88-99);
+    # seal=False keeps dest WRITING (invisible) until the atomic swap
+    # below — sealing here would open a window where dest AND sources
+    # are simultaneously searchable with duplicate gids
+    index.build([dest], seal=False)
 
     swap: dict[int, dict | None] = {s: None for s in seg_ids}
     swap[dest] = {"state": SEALED, "count": n, "deleted_count": 0}
@@ -355,35 +360,96 @@ def compact_segments(index: VectorIndex, seg_ids: list[int]) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Crash recovery (single-writer restart)
+# ---------------------------------------------------------------------------
+
+def recover(index: VectorIndex) -> dict:
+    """Restore a consistent state after a writer crash — the batch
+    analog of the reference's task re-claim (a crashed worker's lease
+    expires and the idempotent task re-runs,
+    tasks/SegmentBuildWorker.java:49-53). Call on writer startup,
+    BEFORE issuing new maintenance ops; it must never run concurrently
+    with a live writer (single-writer contract,
+    vectorsearch_spark/staging.py).
+
+    Four passes:
+    1. partition-swap recovery on vectors/artifacts (roll back or
+       roll forward interrupted rename swaps, scrub staging dirs);
+    2. registry rollback: WRITING segments are un-registered and their
+       dirs deleted (a WRITING segment at restart can only be an
+       interrupted compaction destination or build — both rebuildable
+       from their still-registered sources); COMPACTING segments return
+       to SEALED (their data was never mutated — compaction copies);
+    3. physical GC of now-unregistered partitions;
+    4. counter reconciliation: one groupBy(seg_id) aggregate over the
+       vectors of registered segments re-derives (count, deleted_count)
+       from physical truth — a crash between a partition swap and its
+       registry update leaves counters stale, and the normal fast paths
+       deliberately trust counters instead of re-counting (a rerun of
+       the crashed delete would see its tombstones as already-applied
+       and never repair the drift; caught by the delete crash test).
+       This scan job is fine here: recovery is the rare path.
+    """
+    actions: dict = {"swaps": [], "writing_dropped": [], "compacting_reset": []}
+    for path in (index.vectors_path, index.artifacts_path):
+        actions["swaps"] += recover_partial_swaps(index.spark, path)
+    updates: dict[int, dict | None] = {}
+    for r in index._segment_rows():
+        if r["state"] == WRITING:
+            updates[r["seg_id"]] = None
+            actions["writing_dropped"].append(r["seg_id"])
+        elif r["state"] == COMPACTING:
+            updates[r["seg_id"]] = {"state": SEALED}
+            actions["compacting_reset"].append(r["seg_id"])
+    if updates:
+        index.update_segment_states(updates)
+    if actions["writing_dropped"]:
+        actions["gc"] = gc(index)
+    truth = {
+        r["seg_id"]: (r["live"], r["dead"])
+        for r in index.vectors()
+        .groupBy("seg_id")
+        .agg(
+            F.count(F.when(~F.col("deleted"), 1)).alias("live"),
+            F.count(F.when(F.col("deleted"), 1)).alias("dead"),
+        )
+        .collect()
+    }
+    fixes: dict[int, dict] = {}
+    for r in index._segment_rows():
+        live, dead = truth.get(r["seg_id"], (0, 0))
+        if r["count"] != live or r["deleted_count"] != dead:
+            fixes[r["seg_id"]] = {"count": live, "deleted_count": dead}
+    if fixes:
+        index.update_segment_states(fixes)
+    actions["counters_fixed"] = sorted(fixes)
+    return actions
+
+
+# ---------------------------------------------------------------------------
 # GC: physical cleanup of unregistered partitions
 # ---------------------------------------------------------------------------
 
 def gc(index: VectorIndex) -> list[int]:
-    """Delete partition directories (vectors/codes/adjacency) and
-    codebook rows of seg_ids no longer in the registry — the physical
-    half of the reference's source-clear
-    (tasks/MaintenanceService.java:391-414), deferred so readers never
-    race a file delete (registry visibility already hides them)."""
+    """Delete partition directories (vectors + artifacts — one artifacts
+    dir covers a segment's codebook/codes/adjacency) of seg_ids no
+    longer in the registry — the physical half of the reference's
+    source-clear (tasks/MaintenanceService.java:391-414), deferred so
+    readers never race a file delete (registry visibility already hides
+    them). Partition discovery is a filesystem listing (dir names ARE
+    the seg_ids), zero Spark jobs."""
     spark = index.spark
     registered = set(index.registered_seg_ids())
     stale: set[int] = set()
-    for path in (index.vectors_path, index.codes_path, index.adjacency_path):
-        try:
-            on_disk = {
-                r["seg_id"] for r in spark.read.parquet(path).select("seg_id").distinct().collect()
-            }
-        except Exception:
-            continue
-        for sid in on_disk - registered:
-            stale.add(sid)
-            _hadoop_delete(spark, f"{path}/seg_id={sid}")
-    try:
-        cb = spark.read.parquet(index.codebooks_path)
-        keep = cb.filter(F.col("seg_id").isin(list(registered)))
-        staging = f"{index.path}/_cb_staging"
-        keep.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(index.codebooks_path)
-        _hadoop_delete(spark, staging)
-    except Exception:
-        pass
+    for path in (index.vectors_path, index.artifacts_path):
+        for name in hadoop_list_dirs(spark, path):
+            if not name.startswith("seg_id="):
+                continue
+            try:
+                sid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if sid not in registered:
+                stale.add(sid)
+                _hadoop_delete(spark, f"{path}/{name}")
     return sorted(stale)

@@ -586,11 +586,28 @@ def search_join(
       whole segment and the result equals BRUTE — the hash-checkable
       degenerate twin.
 
-    GRAPH stays on ``search``'s collected path (frontier state is
-    driver-seeded). For an approximate cosine variant at huge Q
-    without an index, see ``operators.similarity.ann_lsh_join``.
+    GRAPH is a documented ROUTING DECISION, not a gap: best-first
+    traversal keeps per-query frontier/visited state that is seeded
+    and advanced driver-side (``search``'s collected path) — a
+    distributed version would shuffle the frontier per hop per query
+    (ef × hops × Q rows of coordination), while the PQ cogroup plan
+    reaches the same candidates-then-exact-rerank contract in TWO
+    fixed stages with no per-query driver state. A million-query graph
+    search is therefore spelled ``mode='PQ'`` here (with ef ≥ segment
+    size as the exact degenerate twin); ``mode='GRAPH'`` raises with
+    that guidance. For an approximate cosine variant at huge Q without
+    an index, see ``operators.similarity.ann_lsh_join``.
     """
     params = params or SearchParams()
+    if params.mode == "GRAPH":
+        raise ValueError(
+            "mode='GRAPH' traversal is driver-seeded (per-query frontier "
+            "state) and only available on the collected-batch search(); "
+            "for distributed query batches use mode='PQ' — the PQ scan + "
+            "exact re-rank reaches the same candidates-then-rerank "
+            "contract without per-query driver state (ef >= segment size "
+            "makes it exhaustive-exact)"
+        )
     if params.mode not in ("AUTO", "BRUTE", "PQ"):
         raise ValueError(
             f"search_join supports AUTO/BRUTE (exhaustive) and PQ; "

@@ -133,6 +133,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster: int = 50_000,
+    strict: bool = False,
+    max_split_depth: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): k-means partitions the corpus, then exact
@@ -145,16 +147,102 @@ def semantic_dedup(
 
     Scale: the within-cluster pass is ``applyInPandas`` keyed by
     cluster — quadratic IN THE CLUSTER, which is the documented
-    contract (pick k so clusters stay ~10³-10⁴); ``max_cluster`` hard-
-    fails oversized clusters rather than silently running an O(n²)
-    GEMM, mirroring the dedup hot-band caps' explicit-bound stance.
+    contract (pick k so clusters stay ~10³-10⁴). Clusters larger than
+    ``max_cluster`` are recursively RE-CLUSTERED (k' = max(2,
+    ⌈n/max_cluster⌉) sub-centroids via the same ``kmeans_fit``, labels
+    relabelled to fresh ids) until every final cluster fits — an
+    oversized cluster costs one extra fit over just its rows, never an
+    O(n²) GEMM. ``strict=True`` restores the hard-fail instead (the
+    explicit-bound stance of the dedup hot-band caps: no silent extra
+    work). The split loop raises if a cluster refuses to split
+    (geometrically identical points — run exact dedup first) or
+    ``max_split_depth`` is hit. The graceful path costs one O(k)
+    cluster-size aggregate + a lazy localCheckpoint of the assignment
+    (which the dedup pass would otherwise recompute from lineage);
+    strict mode keeps the original zero-extra-job plan.
     Pairs that cross clusters are NOT examined (the SemDeDup recall
-    tradeoff; raise k for finer partitions at lower recall risk).
+    tradeoff; raise k for finer partitions at lower recall risk); note
+    sub-splitting an oversized cluster widens that tradeoff to pairs
+    crossing its children.
     """
+    import math
+
     cents = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     clustered = kmeans_assign(df, cents, vec_col=vec_col).select(
         id_col, vec_col, "cluster"
     )
+
+    if not strict:
+        from pyspark.sql import functions as F
+
+        clustered = clustered.localCheckpoint(eager=False)
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in clustered.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+        next_label = max(sizes, default=0) + 1
+        over_ids = [c for c, n in sizes.items() if n > max_cluster]
+        # pending items carry their own (already filtered) sub-DataFrame
+        # so multiple oversized clusters split independently
+        pending = [
+            (clustered.where(F.col("cluster") == c).drop("cluster"), sizes[c], 0)
+            for c in over_ids
+        ]
+        parts = [clustered] if not pending else [
+            clustered.where(~F.col("cluster").isin(over_ids))
+        ]
+        while pending:
+            sub, n, depth = pending.pop()
+            if depth >= max_split_depth:
+                raise ValueError(
+                    f"cluster of {n} rows still exceeds max_cluster="
+                    f"{max_cluster} after {max_split_depth} recursive "
+                    "splits; corpus likely contains >max_cluster "
+                    "identical vectors — run exact dedup first"
+                )
+            k2 = max(2, math.ceil(n / max_cluster))
+            sub_cents = kmeans_fit(
+                sub, k=k2, iters=iters, vec_col=vec_col, id_col=id_col
+            )
+            assigned = (
+                kmeans_assign(sub, sub_cents, vec_col=vec_col)
+                .select(
+                    id_col,
+                    vec_col,
+                    (F.col("cluster") + F.lit(next_label)).cast("int").alias("cluster"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            next_label += k2
+            child_sizes = {
+                r["cluster"]: r["n"]
+                for r in assigned.groupBy("cluster")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if max(child_sizes.values()) >= n:
+                raise ValueError(
+                    f"cluster of {n} rows refused to split (all rows at "
+                    "one centroid — identical vectors); run exact dedup "
+                    "first or raise max_cluster"
+                )
+            still_ids = [cc for cc, nn in child_sizes.items() if nn > max_cluster]
+            parts.append(
+                assigned.where(~F.col("cluster").isin(still_ids))
+                if still_ids
+                else assigned
+            )
+            pending.extend(
+                (
+                    assigned.where(F.col("cluster") == cc).drop("cluster"),
+                    child_sizes[cc],
+                    depth + 1,
+                )
+                for cc in still_ids
+            )
+        from functools import reduce
+
+        clustered = reduce(lambda a, b: a.unionByName(b), parts)
 
     def dedup_cluster(pdf):
         import pandas as pd
@@ -163,6 +251,7 @@ def semantic_dedup(
             raise ValueError(
                 f"cluster of {len(pdf)} rows exceeds max_cluster={max_cluster}; "
                 "raise k or the cap"
+                + ("" if strict else " (split-invariant violated — bug)")
             )
         pdf = pdf.sort_values(id_col, ignore_index=True)
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -15,30 +15,25 @@ Scale contract:
 - Survivors are computed with a LEFT ANTI join against the updated
   key set — broadcast when small, AQE otherwise — scanning only the
   touched partitions (partition pruning on the isin filter).
-- The rewrite stages to a side directory first, then
-  dynamic-partition-overwrites the table — parquet cannot overwrite a
-  path it is reading (the index compaction's staged pattern,
-  index/maintenance.py:49-68).  Atomicity is per-partition, the same
-  contract as the reference's per-segment swaps; a table format
-  (Delta/Iceberg) upgrades this to a transactional commit without
-  changing this operator's plan shape.
+- The rewrite is a staged write + per-partition rename swap
+  (vectorsearch_spark/staging.py — parquet cannot overwrite a path it
+  is reading, and the rename swap avoids re-encoding the staged copy
+  through a second write job).  Atomicity is per-partition with a
+  crash-recovery protocol (hidden ``.swap_old_*`` backups restored or
+  dropped by ``staging.recover_partial_swaps``; crash-injection tests
+  in tests/test_merge.py); re-running the SAME merge after a crash
+  converges, because upsert/delete by key are idempotent.  Writes are
+  single-writer by construction — a table format (Delta/Iceberg)
+  upgrades this to a transactional commit with concurrent writers
+  without changing this operator's plan shape.
 """
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _hadoop_delete(spark: SparkSession, path: str) -> None:
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    if fs.exists(p):
-        fs.delete(p, True)
+from vectorsearch_spark.staging import staged_partition_rewrite
 
 
 def _overwrite_touched(
@@ -48,27 +43,14 @@ def _overwrite_touched(
     partition_col: str,
     touched: list,
 ) -> None:
-    """Dynamic-partition-overwrite ``rows`` into the table, then drop
-    the directories of ``touched`` partitions that ended up with ZERO
-    survivor rows — dynamic overwrite writes nothing for an empty
-    group, so a fully-emptied partition's stale files would silently
-    resurrect its rows on the next read."""
-    staging = f"{table_path}/_merge_staging_{int(time.time() * 1000)}"
-    rows.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-    # explicit schema: a fully-emptied rewrite stages zero files and
-    # schema inference would fail on the bare directory
-    staged = spark.read.schema(rows.schema).parquet(staging)
-    nonempty = {r[0] for r in staged.select(partition_col).distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        staged.write.mode("overwrite").partitionBy(partition_col).parquet(table_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        _hadoop_delete(spark, staging)
-    for value in touched:
-        if value not in nonempty:
-            _hadoop_delete(spark, f"{table_path}/{partition_col}={value}")
+    """Swap ``rows``'s partitions into the table; ``touched``
+    partitions for which the staged write produced ZERO survivor rows
+    get their directories dropped (a partitioned write emits nothing
+    for an empty group, so stale files would silently resurrect its
+    rows on the next read)."""
+    staged_partition_rewrite(
+        spark, rows, table_path, partition_col, drop_missing=touched
+    )
 
 
 def merge_upsert(

@@ -4248,9 +4248,14 @@ FROM numbered GROUP BY user_id, sess
 
 def events_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (operators/events.py): each error event matched
-    into its user's containing session window, on the BINNED plan via
-    the default auto bin width (median interval length from one
-    approxQuantile sketch) so the scale path is what the gate checks.
+    into its user's containing session window, on the BINNED plan with
+    an explicit bin width — the session gap (1800 s) bounds typical
+    session length here, and passing it skips the auto mode's
+    approxQuantile sketch ACTION over the right side (a measured
+    ~0.15 s pre-plan job; auto stays the API default for callers who
+    don't know their interval distribution). The binned plan is
+    output-identical to unbinned for ANY bin width (equivalence test
+    in test_events_asof.py), so this is purely a cost choice.
     The operator's end bound is exclusive, so sessions pass end+1µs;
     the oracle independently uses inclusive BETWEEN."""
     from vectorsearch_spark.operators.events import interval_join
@@ -4276,6 +4281,7 @@ def events_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts",
         start="session_start",
         end="session_end_x",
+        bin_seconds=1800,
     )
     return j.select(
         "event_id",
