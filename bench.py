@@ -80,6 +80,7 @@ HEADLINE = [
     "customer_set_ops",
     "event_type_gmean",
     "mm_png_decode",
+    "mm_jpeg_decode",
     "orders_cube",
     "corpus_splits",
     "pipeline_pack_curated",

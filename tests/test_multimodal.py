@@ -296,3 +296,119 @@ def test_decode_media_dispatches_png():
 
     img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
     assert (decode_media(encode_png(img)) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpeg.py — ITU-T T.81 baseline sequential)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_grayscale_constant_blocks_exact():
+    """The exactness contract the hash gate relies on: constant 8x8
+    blocks + all-ones quant table round-trip EXACTLY (single integer
+    DC coefficient per block, AC all zero)."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    dec = decode_jpeg(encode_jpeg(img, quant=1))
+    assert dec.shape == (24, 40, 3)
+    assert (dec == img[..., None]).all()
+
+
+def test_jpeg_gray_rgb_exact_through_color_paths():
+    """Gray-valued RGB is a YCbCr fixed point (Cb=Cr=128): block-
+    constant gray pixels decode exactly through 4:4:4 AND 4:2:0 —
+    including the chroma Huffman tables, MCU interleave, and the box
+    chroma down/up-sample."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+    gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    rgb = np.repeat(gray[..., None], 3, axis=2)
+    for sub in ("4:4:4", "4:2:0"):
+        dec = decode_jpeg(encode_jpeg(rgb, quant=1, subsampling=sub))
+        assert (dec == rgb).all(), sub
+
+
+def test_jpeg_nonmultiple_dims_and_edge_padding():
+    """Dims not multiples of the MCU: encoder pads by edge replication,
+    decoder crops back — padded-region coefficients must not corrupt
+    the visible crop (block-constant input stays exact because edge
+    replication preserves block constancy)."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))[:11, :13]
+    dec = decode_jpeg(encode_jpeg(img, quant=1))
+    assert dec.shape == (11, 13, 3)
+    assert (dec == img[..., None]).all()
+    # 4:2:0 with non-16-multiple dims
+    rgb = np.repeat(np.kron(vals, np.ones((8, 8), dtype=np.uint8))[..., None], 3, axis=2)[:12, :14]
+    dec2 = decode_jpeg(encode_jpeg(rgb, quant=1, subsampling="4:2:0"))
+    assert dec2.shape == (12, 14, 3)
+    assert (dec2 == rgb).all()
+
+
+def test_jpeg_lossy_roundtrip_tolerance():
+    """Arbitrary images are lossy but bounded: q=1 stays within a few
+    code values; the default table stays visually close (the standard
+    JPEG property — this is the documented non-exact path)."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(10)
+    arb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    err = np.abs(
+        decode_jpeg(encode_jpeg(arb, quant=1)).astype(int) - arb.astype(int)
+    ).max()
+    assert err <= 4, err
+    xx, yy = np.meshgrid(np.arange(40), np.arange(32))
+    smooth = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx + yy) % 256, (xx * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    err2 = np.abs(
+        decode_jpeg(encode_jpeg(smooth)).astype(int) - smooth.astype(int)
+    ).max()
+    assert err2 <= 24, err2
+
+
+def test_jpeg_rejects_corruption_and_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from vectorsearch_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    data = encode_jpeg(img, quant=1)
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + data)
+    with _pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(data[:-8])  # chop scan + EOI
+    # progressive (SOF2) must be rejected, not mis-parsed
+    prog = bytearray(data)
+    sof = prog.find(b"\xFF\xC0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(prog))
+
+
+def test_decode_media_dispatches_jpeg():
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import decode_media
+    from vectorsearch_spark.functions.jpeg import encode_jpeg
+
+    img = np.full((8, 16), 123, dtype=np.uint8)
+    out = decode_media(encode_jpeg(img, quant=1))
+    assert (out == 123).all() and out.shape == (8, 16, 3)

@@ -13,6 +13,10 @@ specified without external libraries:
   five scanline filters (None/Sub/Up/Average/Paeth) unfiltered on
   decode, and the encoder can emit any fixed filter type (the deflate
   stream is stdlib ``zlib``).
+- JPEG (ITU-T T.81 baseline sequential, functions/jpeg.py): JFIF,
+  Huffman entropy coding with the Annex K tables, grayscale or YCbCr
+  with 4:4:4 / 4:2:0 subsampling — ``decode_media`` dispatches on the
+  FFD8 magic.
 
 Both decode to ``(height, width, 3)`` uint8 RGB ndarrays — exactly the
 ``bytes -> np.ndarray`` signature the multimodal operators take — and
@@ -265,4 +269,10 @@ def decode_media(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(data)
-    raise ValueError("unrecognized media container (expected BMP, P6 PPM, or PNG)")
+    if data[:2] == b"\xFF\xD8":
+        from vectorsearch_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError(
+        "unrecognized media container (expected BMP, P6 PPM, PNG, or JPEG)"
+    )

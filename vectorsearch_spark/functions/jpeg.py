@@ -1,0 +1,533 @@
+"""Pure-stdlib baseline sequential JPEG (ITU-T T.81 / ISO 10918-1),
+the third real codec of the multimodal tier (after BMP/PPM and PNG,
+functions/codecs.py): JFIF container, 8-bit precision, Huffman entropy
+coding with the standard Annex K tables, grayscale or YCbCr color with
+4:4:4 or 4:2:0 chroma subsampling.
+
+Encoder and decoder are self-contained (struct + numpy): forward /
+inverse 2D DCT-II as explicit float64 matrix products, zigzag +
+differential-DC + magnitude/Huffman coding, 0xFF byte stuffing, box
+chroma down/up-sampling. Restart intervals are not emitted and not
+supported (DRI rejects) — the encoder never writes them.
+
+Exactness contract (what the hash gate checks): JPEG is lossy in
+general, but an image whose 8×8 blocks are each CONSTANT, compressed
+with an all-ones quantization table, round-trips EXACTLY — the DCT of
+a constant block is a single integer DC coefficient (8·(v−128)), AC
+all zero, so quantization's round() is the identity and the IDCT
+reconstructs the constant to within 1e-12 before the final round().
+The mm_jpeg_decode workload query builds such images from document
+bytes (grayscale, and 4:2:0 color with MCU-constant pixels so the box
+chroma average is also exact), decodes them through this decoder, and
+hash-compares a position-weighted checksum that the DuckDB oracle
+recomputes straight from the source bytes. Lossy behavior on arbitrary
+images is covered by pytest round-trip tolerance tests.
+
+No reference analog (the reference's only binary surface is the opaque
+payload column, vectorsearch.proto:123-125).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — the standard ones every baseline codec ships)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# (BITS counts per code length 1..16, HUFFVAL symbol list)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, huffval):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 C.1-C.3."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# DCT-II basis matrix: F = C @ x @ C.T ; inverse x = C.T @ F @ C
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    C[0, :] *= 1 / np.sqrt(2)
+    return C
+
+
+_C = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# Bit IO (with 0xFF byte stuffing)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: truncated entropy-coded data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"JPEG: unexpected marker 0xFF{nxt:02X} in scan"
+                    )
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return val
+
+
+def _decode_huff_symbol(br: _BitReader, table: dict) -> int:
+    """table: {(code, length): symbol} — walk bit by bit (codes ≤ 16)."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Coefficient → (size category, value bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = int(a).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    f = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    return np.round(f / q).astype(np.int64)
+
+
+def _encode_block(bw: _BitWriter, coefs: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    zz = coefs.ravel()[ZIGZAG]
+    diff = int(zz[0]) - pred
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _pad_edge(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    h, w = plane.shape
+    H = (h + bh - 1) // bh * bh
+    W = (w + bw_ - 1) // bw_ * bw_
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: "np.ndarray | int | None" = None,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """Encode ``img`` as baseline JFIF JPEG.
+
+    ``img``: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+    ``quant``: an 8×8 quantization table used for every component, or a
+    scalar filled into all 64 entries (``1`` = the exactness table the
+    hash gate uses), or None for a mid-quality flat table of 16s.
+    ``subsampling``: '4:4:4' or '4:2:0' (color only).
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"encode_jpeg expects (h,w) or (h,w,3), got {img.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if quant is None:
+        quant = 16
+    q = (
+        np.full((8, 8), int(quant), dtype=np.int64)
+        if np.isscalar(quant)
+        else np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    )
+    h, w = img.shape[:2]
+
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (table 0; chroma reuses it)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(q.ravel()[ZIGZAG][i]) for i in range(64)
+    )
+    sub420 = (not gray) and subsampling == "4:2:0"
+    # SOF0
+    ncomp = 1 if gray else 3
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    if gray:
+        out += bytes([1, 0x11, 0])
+    else:
+        luma_hv = 0x22 if sub420 else 0x11
+        out += bytes([1, luma_hv, 0, 2, 0x11, 0, 3, 0x11, 0])
+    # DHT — emit the four standard tables (grayscale only needs two)
+    def _dht(tc_th: int, bits, huffval) -> bytes:
+        payload = bytes([tc_th]) + bytes(bits) + bytes(huffval)
+        return b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += _dht(0x00, *_DC_LUMA) + _dht(0x10, *_AC_LUMA)
+    if not gray:
+        out += _dht(0x01, *_DC_CHROMA) + _dht(0x11, *_AC_CHROMA)
+    # SOS
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    if gray:
+        out += bytes([1, 0x00])
+    else:
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += bytes([0, 63, 0])
+
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+
+    bw = _BitWriter()
+    if gray:
+        plane = _pad_edge(img, 8, 8)
+        pred = 0
+        for by in range(plane.shape[0] // 8):
+            for bx in range(plane.shape[1] // 8):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                pred = _encode_block(bw, _fdct_quant(blk, q), pred, dc_l, ac_l)
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        ys = _pad_edge(ycc[..., 0], 16 if sub420 else 8, 16 if sub420 else 8)
+        if sub420:
+            cb_full = _pad_edge(ycc[..., 1], 16, 16)
+            cr_full = _pad_edge(ycc[..., 2], 16, 16)
+            # box 2×2 average (matches the decoder's box replicate)
+            cb = cb_full.reshape(cb_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            cr = cr_full.reshape(cr_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            cb, cr = np.round(cb), np.round(cr)
+            preds = [0, 0, 0]
+            for my in range(ys.shape[0] // 16):
+                for mx in range(ys.shape[1] // 16):
+                    for sy in range(2):
+                        for sx in range(2):
+                            blk = ys[
+                                my * 16 + sy * 8: my * 16 + sy * 8 + 8,
+                                mx * 16 + sx * 8: mx * 16 + sx * 8 + 8,
+                            ]
+                            preds[0] = _encode_block(
+                                bw, _fdct_quant(blk, q), preds[0], dc_l, ac_l
+                            )
+                    for ci, plane in ((1, cb), (2, cr)):
+                        blk = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                        preds[ci] = _encode_block(
+                            bw, _fdct_quant(blk, q), preds[ci], dc_c, ac_c
+                        )
+        else:
+            planes = [
+                _pad_edge(ycc[..., c], 8, 8) for c in range(3)
+            ]
+            preds = [0, 0, 0]
+            for by in range(planes[0].shape[0] // 8):
+                for bx in range(planes[0].shape[1] // 8):
+                    for ci, plane in enumerate(planes):
+                        blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                        dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                        preds[ci] = _encode_block(
+                            bw, _fdct_quant(blk, q), preds[ci], dc, ac
+                        )
+    out += bw.flush()
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB (grayscale
+    replicates into 3 channels, matching the other codecs' contract).
+    Supports 8-bit baseline sequential, 1 or 3 components, sampling
+    factors 1×1 everywhere or 2×2 luma with 1×1 chroma (4:2:0)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> {(code,len): sym}
+    comps: list[dict] = []
+    h = w = 0
+    scan_order: list[dict] = []
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nval = sum(bits)
+                huffval = list(seg[p + 17:p + 17 + nval])
+                codes = _huff_codes(bits, huffval)
+                htables[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
+                p += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[0:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG: non-baseline SOF 0x{marker:02X} unsupported")
+        elif marker == 0xDD:
+            raise ValueError("JPEG: restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_order = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"], comp["ta"] = tables >> 4, tables & 0x0F
+                scan_order.append(comp)
+            pos += seglen
+            break  # entropy-coded data follows
+        pos += seglen
+    if not scan_order:
+        raise ValueError("JPEG: no SOS found")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not ({(c["h"], c["v"]) for c in comps} <= {(1, 1), (2, 2)}):
+        raise ValueError("JPEG: only 1x1 / 2x2 sampling factors supported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = {
+        c["id"]: np.zeros(
+            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
+        )
+        for c in comps
+    }
+
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in scan_order:
+                dct = htables[(0, c["td"])]
+                act = htables[(1, c["ta"])]
+                q = qtables[c["tq"]]
+                for sy in range(c["v"]):
+                    for sx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _decode_huff_symbol(br, dct)
+                        diff = _extend(br.read(size), size) if size else 0
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff_symbol(br, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG: coefficient overflow")
+                            zz[k] = _extend(br.read(size), size)
+                            k += 1
+                        coefs = np.zeros(64, dtype=np.float64)
+                        coefs[ZIGZAG] = zz * q.ravel()[ZIGZAG]
+                        blk = _C.T @ coefs.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * c["v"] + sy) * 8
+                        x0 = (mx * c["h"] + sx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
+
+    if len(comps) == 1:
+        y = np.clip(np.round(planes[comps[0]["id"]][:h, :w]), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] < hmax:  # box replicate up-sample
+            p = p.repeat(hmax // c["h"], axis=1).repeat(vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    ycc = np.stack(full, axis=-1)
+    ycc = np.clip(np.round(ycc), 0, 255)
+    return _ycbcr_to_rgb(ycc)

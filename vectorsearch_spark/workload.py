@@ -4650,6 +4650,97 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JPEG codec end-to-end (functions/jpeg.py, ITU-T T.81
+    baseline): pixels are GRAY-VALUED (R=G=B) and CONSTANT per 8×8
+    block, derived from each document's bytes — with an all-ones
+    quantization table a constant block is a single integer DC
+    coefficient, so the DCT→quantize→Huffman→IDCT round trip is EXACT;
+    gray pixels are additionally a YCbCr fixed point (Cb=Cr=128), so
+    the COLOR paths are exact too. The coding mode cycles doc_id % 3
+    over grayscale / color 4:4:4 / color 4:2:0 — across the corpus
+    every entropy path (both DC/AC Huffman table pairs, MCU interleave,
+    chroma box down/up-sampling) must reconstruct exactly or the
+    position-weighted checksum hash-fails against the oracle, which
+    recomputes it straight from the source bytes with no JPEG anywhere.
+    Lossy behavior on arbitrary images is pytest-gated (tolerance
+    round-trips in tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import decode_media
+    from vectorsearch_spark.functions.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                bw, bh = 1 + did % 4, 1 + did % 3  # blocks
+                blocks = np.arange(bw * bh)
+                vals = (
+                    b[blocks % len(b)] if len(b) else np.zeros(bw * bh, dtype=np.uint8)
+                ).reshape(bh, bw)
+                gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                mode = did % 3
+                if mode == 0:
+                    data = encode_jpeg(gray, quant=1)
+                else:
+                    rgb = np.repeat(gray[..., None], 3, axis=2)
+                    data = encode_jpeg(
+                        rgb, quant=1, subsampling="4:4:4" if mode == 1 else "4:2:0"
+                    )
+                dec = decode_media(data)  # the real entropy decode
+                flat = dec.astype(np.int64).ravel()
+                rows.append(
+                    (
+                        int(did),
+                        dec.shape[1],
+                        dec.shape[0],
+                        float(flat.sum()) / flat.size,
+                        int(((np.arange(flat.size) + 1) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_px", "checksum"]
+            )
+
+    out = docs.mapInPandas(
+        mapper, "media_id long, width long, height long, mean_px double, checksum long"
+    )
+    return out.select(
+        "media_id", "width", "height", F.round("mean_px", 4).alias("mean_px"), "checksum"
+    )
+
+
+# mode-independent by construction: every coding mode must decode to the
+# same block-constant gray raster the SQL derives from the raw bytes
+MM_JPEG_DECODE_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+  FROM documents),
+pix AS (
+  SELECT media_id, n, bw * 8 AS w, bh * 8 AS h,
+         list_transform(range(0, bw * 8 * bh * 8 * 3),
+           k -> CASE WHEN n = 0 THEN 0 ELSE ascii(text[
+                  CAST((((k // (bw * 8 * 3)) // 8) * bw
+                        + (((k % (bw * 8 * 3)) // 3) // 8)) % n AS BIGINT) + 1
+                ]) END) AS p
+  FROM base)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round(CAST(list_aggregate(p, 'sum') AS DOUBLE) / (w * h * 3), 4) AS mean_px,
+       CAST(list_aggregate(
+         list_transform(range(0, w * h * 3), k -> (k + 1) * p[CAST(k AS BIGINT) + 1]),
+         'sum') AS BIGINT) AS checksum
+FROM pix
+"""
+
+
 MM_PNG_DECODE_SQL = """
 WITH base AS (
   SELECT doc_id AS media_id, text, length(text) AS n,
@@ -4737,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_name_pagerank": customer_name_pagerank,
         "mm_image_decode": mm_image_decode,
         "mm_png_decode": mm_png_decode,
+        "mm_jpeg_decode": mm_jpeg_decode,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
@@ -4936,6 +5028,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": MM_FRAMES_SQL,
         "mm_image_decode": MM_IMAGE_DECODE_SQL,
         "mm_png_decode": MM_PNG_DECODE_SQL,
+        "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
