@@ -65,7 +65,39 @@ PROBES = [
     "part_copurchase_pairs",
     "events_variant_props",
     "customer_balance_ranks",
+    # iterative / clustering tier (driver-orchestrated rounds; the probe
+    # checks the per-round passes stay linear, k and iters fixed).
+    # dedup_semantic is probed separately below with k scaled to the
+    # corpus: its documented contract is "pick k so clusters stay
+    # 10^3-10^4" — running the registry's fixed k=8 on a 100x corpus
+    # would measure a deliberately-misconfigured quadratic, the same
+    # reason dedup_minhash is excluded above.
+    "copurchase_triangles",
+    "embedding_kmeans",
+    "lineitem_corr_matrix",
+    "events_value_outliers",
+    "pipeline_chunk_shards",
+    "mm_jpeg_decode",
 ]
+
+
+def _semantic_dedup_kscaled(k: int):
+    """workload.dedup_semantic with cluster count scaled to the corpus
+    (the documented way to run SemDeDup at growing scale)."""
+
+    def run(spark, sf_dir):
+        from vectorsearch_spark.operators.cluster import semantic_dedup
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100_000_000).alias("vec_id"),
+            F.transform("embedding", lambda v: v * 1.0001).alias("embedding"),
+        )
+        return semantic_dedup(
+            emb.unionByName(dups), k=k, threshold=0.999, iters=3
+        )
+
+    return run
 
 SHIFTS = {
     "events": {"event_id": 10_000_000, "user_id": 100_000},
@@ -123,11 +155,19 @@ def main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale{copies}x"
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     synthesize(spark, copies, out_dir)
-    qs = workload.queries()
+    qs = dict(workload.queries())
+    probes = [(name, qs[name], qs[name]) for name in PROBES]
+    probes.append(
+        (
+            "dedup_semantic_kscaled",
+            _semantic_dedup_kscaled(8),
+            _semantic_dedup_kscaled(8 * copies),
+        )
+    )
     rows = []
-    for name in PROBES:
-        base_s = time_query(qs[name], spark, BASE)
-        big_s = time_query(qs[name], spark, out_dir)
+    for name, base_fn, big_fn in probes:
+        base_s = time_query(base_fn, spark, BASE)
+        big_s = time_query(big_fn, spark, out_dir)
         ratio = big_s / base_s if base_s > 0 else float("nan")
         rows.append({"query": name, "sf01_s": round(base_s, 3),
                      f"x{copies}_s": round(big_s, 3), "ratio": round(ratio, 1)})

@@ -469,9 +469,18 @@ def test_chunking_matches_model_for_arbitrary_params(spark, n_words, chunk, stri
     if n == 0:
         assert out == []
         return
-    n_chunks = 1 + -(-max(n - chunk, 0) // stride)
-    exp = [(i, i * stride, min(chunk, n - i * stride)) for i in range(n_chunks)]
+    # independent walk model (not the operator's closed form): emit
+    # starts while inside the doc, stop once a chunk reaches the end —
+    # stride > chunk must never yield a past-the-end phantom chunk
+    exp = []
+    start = 0
+    while start < n:
+        exp.append((len(exp), start, min(chunk, n - start)))
+        if start + chunk >= n:
+            break
+        start += stride
     assert out == exp
+    assert all(ln > 0 and s < n for _, s, ln in out)
     if stride <= chunk:  # coverage invariant only below sampling mode
         covered = set()
         for _, s, ln in out:
