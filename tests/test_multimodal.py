@@ -412,3 +412,51 @@ def test_decode_media_dispatches_jpeg():
     img = np.full((8, 16), 123, dtype=np.uint8)
     out = decode_media(encode_jpeg(img, quant=1))
     assert (out == 123).all() and out.shape == (8, 16, 3)
+
+
+def test_mjpeg_split_decode_and_sample_frames(spark):
+    """M-JPEG stream: split walks marker segments + entropy data (not a
+    naive FFD9 byte scan), decode stacks frames, and the REAL
+    sample_frames operator runs on it via decoder=decode_mjpeg."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.jpeg import (
+        decode_mjpeg,
+        encode_mjpeg,
+        split_mjpeg,
+    )
+    from vectorsearch_spark.operators.multimodal import sample_frames
+
+    rng = np.random.default_rng(21)
+    frames = [
+        np.kron(rng.integers(0, 256, size=(2, 2), dtype=np.uint8),
+                np.ones((8, 8), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    stream = encode_mjpeg(frames, quant=1)
+    assert len(split_mjpeg(stream)) == 6
+    dec = decode_mjpeg(stream)
+    assert dec.shape == (6, 16, 16, 3)
+    assert all((dec[i] == frames[i][..., None]).all() for i in range(6))
+
+    media = spark.createDataFrame([(1, bytearray(stream))], "media_id long, payload binary")
+    out = sample_frames(media, every_nth=2, max_frames=3, decoder=decode_mjpeg).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in out] == [(1, 0), (1, 2), (1, 4)]
+    for r in out:
+        a = np.frombuffer(bytes(r["payload"]), dtype=np.uint8).reshape(16, 16, 3)
+        assert (a == frames[r["frame_idx"]][..., None]).all()
+
+
+def test_mjpeg_rejects_truncation_and_mixed_dims():
+    import numpy as np
+    import pytest as _pytest
+
+    from vectorsearch_spark.functions.jpeg import decode_mjpeg, encode_mjpeg
+
+    a = np.full((8, 8), 10, dtype=np.uint8)
+    b = np.full((16, 8), 20, dtype=np.uint8)
+    with _pytest.raises(ValueError, match="mixed"):
+        decode_mjpeg(encode_mjpeg([a, b], quant=1))
+    stream = encode_mjpeg([a, a], quant=1)
+    with _pytest.raises(ValueError, match="truncated|EOI"):
+        decode_mjpeg(stream[:-3])

@@ -398,6 +398,71 @@ def encode_jpeg(
 # Decoder
 # ---------------------------------------------------------------------------
 
+def _frame_end(data: bytes, start: int) -> int:
+    """Offset just past the EOI of the JPEG frame starting at ``start``
+    — walks marker segments by length and skips entropy-coded data
+    (stuffed 0xFF00 and RST markers are not frame boundaries)."""
+    if data[start:start + 2] != b"\xFF\xD8":
+        raise ValueError("MJPEG: frame does not start with SOI")
+    pos = start + 2
+    in_scan = False
+    while pos < len(data):
+        if not in_scan:
+            if data[pos] != 0xFF:
+                raise ValueError(f"MJPEG: expected marker at {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                return pos
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+            if marker == 0xDA:
+                in_scan = True
+            pos += seglen
+        else:
+            b = data[pos]
+            pos += 1
+            if b != 0xFF:
+                continue
+            nxt = data[pos] if pos < len(data) else None
+            if nxt == 0x00 or (nxt is not None and 0xD0 <= nxt <= 0xD7):
+                pos += 1  # stuffed byte / restart marker: still in scan
+            elif nxt == 0xD9:
+                return pos + 1
+            else:
+                in_scan = False  # another marker segment (e.g. DNL)
+    raise ValueError("MJPEG: truncated frame (no EOI)")
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG (M-JPEG raw stream) into its frames."""
+    frames = []
+    pos = 0
+    while pos < len(data):
+        end = _frame_end(data, pos)
+        frames.append(data[pos:end])
+        pos = end
+    if not frames:
+        raise ValueError("MJPEG: empty stream")
+    return frames
+
+
+def encode_mjpeg(frames, quant=None, subsampling: str = "4:4:4") -> bytes:
+    """Concatenated-JPEG video stream (the raw M-JPEG form used by
+    MJPEG-over-HTTP and AVI 'MJPG' payloads, minus the container)."""
+    return b"".join(encode_jpeg(f, quant=quant, subsampling=subsampling) for f in frames)
+
+
+def decode_mjpeg(data: bytes) -> np.ndarray:
+    """Decode an M-JPEG stream → (n_frames, h, w, 3) uint8 (all frames
+    must share dimensions, as in any fixed-resolution video)."""
+    frames = [decode_jpeg(f) for f in split_mjpeg(data)]
+    if len({f.shape for f in frames}) != 1:
+        raise ValueError("MJPEG: frames have mixed dimensions")
+    return np.stack(frames)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB (grayscale
     replicates into 3 channels, matching the other codecs' contract).

@@ -6,12 +6,14 @@ BASELINE.json; the reference's only binary surface is the opaque
 ``payload`` column, vectorsearch.proto:123-125).
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested. For the codec step, two REAL pure-stdlib
-codecs ship in ``functions/codecs.py`` (24-bit uncompressed BMP and
-binary PPM, decode+encode; ``codecs.decode_media`` sniffs the magic) —
-plug ``decoder=decode_media`` for actual container parsing, exercised
-end-to-end by the ``mm_image_decode`` workload query. Formats those
-codecs don't cover (JPEG/video/audio) still need an external library:
+shapes — is real and tested. For the codec step, REAL pure-stdlib
+codecs ship in ``functions/codecs.py`` (24-bit BMP, binary PPM, PNG
+with all five scanline filters) and ``functions/jpeg.py`` (baseline
+sequential JPEG incl. 4:2:0, plus M-JPEG streams — ``decode_mjpeg``
+plugs straight into ``sample_frames`` for a real video frame-sampling
+path, exercised end-to-end by the ``mm_mjpeg_frames`` workload query);
+``codecs.decode_media`` sniffs the magic. Formats those codecs don't
+cover (audio, modern video containers) still need an external library:
 
 - ``decoder=None`` (default) raises ``NotImplementedError`` naming the
   shipped codecs and the Pillow/ffmpeg plug-in point;

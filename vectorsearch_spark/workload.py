@@ -4715,6 +4715,100 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path end-to-end: per document an M-JPEG stream
+    (concatenated baseline JPEGs — the raw MJPEG-over-HTTP / AVI 'MJPG'
+    payload form) of 3-6 block-constant gray frames is built by the
+    shipped encoder, then the ACTUAL ``sample_frames`` operator runs
+    with ``decoder=decode_mjpeg`` (frame-boundary walk must skip
+    entropy-coded data — a naive FFD9 scan mis-splits on stuffed
+    bytes), keeping every 2nd frame up to 2; a final narrow pass
+    checksums each sampled frame's raster payload. Same exactness
+    contract as mm_jpeg_decode (constant 8×8 blocks, q=1, gray
+    YCbCr fixed point; coding mode cycles doc_id % 3), so the DuckDB
+    oracle recomputes the per-frame checksums straight from document
+    bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.jpeg import decode_mjpeg, encode_mjpeg
+    from vectorsearch_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                bw, bh = 1 + did % 3, 1 + did % 2
+                nf = 3 + did % 4
+                nb = bw * bh
+                frames = []
+                for f in range(nf):
+                    idx = (f * nb + np.arange(nb)) % len(b) if len(b) else None
+                    vals = (
+                        b[idx] if idx is not None else np.zeros(nb, dtype=np.uint8)
+                    ).reshape(bh, bw)
+                    gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                    mode = did % 3
+                    frames.append(
+                        gray if mode == 0 else np.repeat(gray[..., None], 3, axis=2)
+                    )
+                sub = "4:2:0" if did % 3 == 2 else "4:4:4"
+                rows.append((int(did), encode_mjpeg(frames, quant=1, subsampling=sub)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    sampled = sample_frames(media, every_nth=2, max_frames=2, decoder=decode_mjpeg)
+
+    def checksum(batches):
+        for pdf in batches:
+            rows = []
+            for mid, fi, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (int(mid), int(fi), a.size, int(((np.arange(a.size) + 1) * a).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_bytes", "checksum"]
+            )
+
+    return sampled.mapInPandas(
+        checksum, "media_id long, frame_idx long, n_bytes long, checksum long"
+    )
+
+
+# frames 0 and 2 always exist (n_frames >= 3); raster is (h, w, 3)
+# uint8 regardless of coding mode (grayscale replicates), so n_bytes
+# and the position-weighted checksum are mode-independent
+MM_MJPEG_FRAMES_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+  FROM documents),
+frames AS (
+  SELECT media_id, text, n, bw, bh, unnest([0, 2]) AS frame_idx FROM base),
+pix AS (
+  SELECT media_id, frame_idx, bw * 8 AS w, bh * 8 AS h,
+         list_transform(range(0, bw * 8 * bh * 8 * 3),
+           k -> CASE WHEN n = 0 THEN 0 ELSE ascii(text[
+                  CAST((frame_idx * bw * bh
+                        + ((k // (bw * 8 * 3)) // 8) * bw
+                        + (((k % (bw * 8 * 3)) // 3) // 8)) % n AS BIGINT) + 1
+                ]) END) AS p
+  FROM frames)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w * h * 3 AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(
+         list_transform(range(0, w * h * 3), k -> (k + 1) * p[CAST(k AS BIGINT) + 1]),
+         'sum') AS BIGINT) AS checksum
+FROM pix
+"""
+
+
 # mode-independent by construction: every coding mode must decode to the
 # same block-constant gray raster the SQL derives from the raw bytes
 MM_JPEG_DECODE_SQL = """
@@ -4829,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_decode": mm_image_decode,
         "mm_png_decode": mm_png_decode,
         "mm_jpeg_decode": mm_jpeg_decode,
+        "mm_mjpeg_frames": mm_mjpeg_frames,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
@@ -5029,6 +5124,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_decode": MM_IMAGE_DECODE_SQL,
         "mm_png_decode": MM_PNG_DECODE_SQL,
         "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
+        "mm_mjpeg_frames": MM_MJPEG_FRAMES_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
