@@ -106,3 +106,38 @@ def test_compute_bounds_and_roundtrip(spark):
     out = cluster_by_zorder(df, ["x", "y"], bits=4)
     assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
     assert out.columns == ["id", "x", "y"]
+
+
+def test_bucketed_join_plans_zero_shuffle_exchanges(spark, sf_dir):
+    """Two tables bucketed by the same key into the same bucket count
+    join bucket-to-bucket: the executed JOIN subtree must contain NO
+    shuffle exchange (the one-time-layout-cost-vs-per-query-shuffle
+    trade the operator exists for)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.layout import bucketed_join, write_bucketed
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("okey"), "l_quantity")
+    )
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    )
+    write_bucketed(li, "tbkt_li", "okey", 4, sort_by=["okey"])
+    write_bucketed(od, "tbkt_od", "okey", 4, sort_by=["okey"])
+    try:
+        j = bucketed_join(spark, "tbkt_li", "tbkt_od", "okey")
+        n = j.count()
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # matches the plain join exactly
+        plain = li.join(od, "okey")
+        assert n == plain.count()
+        assert j.groupBy().agg(F.sum("l_quantity")).first()[0] == \
+            plain.groupBy().agg(F.sum("l_quantity")).first()[0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tbkt_li")
+        spark.sql("DROP TABLE IF EXISTS tbkt_od")

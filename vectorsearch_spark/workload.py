@@ -4650,6 +4650,50 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via BUCKETED tables
+    (operators/layout.py write_bucketed): orders and lineitem are
+    persisted once per sf_dir as managed tables hash-bucketed by the
+    join key into the same bucket count, then joined bucket-to-bucket —
+    the executed join plans with ZERO shuffle exchanges (plan guard in
+    tests/test_layout.py); only the final 5-row aggregate exchanges.
+    The one-time layout cost amortizes across every subsequent query on
+    the key — the Hive-bucketing / Iceberg-bucket-transform trade. The
+    oracle is the plain join (bucketing changes layout, never
+    semantics)."""
+    import re as _re
+
+    from vectorsearch_spark.operators.layout import write_bucketed
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if not spark.catalog.tableExists(lt) or not spark.catalog.tableExists(ot):
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+        )
+        od = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        )
+        write_bucketed(li, lt, "okey", 8)
+        write_bucketed(od, ot, "okey", 8)
+    j = spark.table(lt).join(spark.table(ot), "okey")
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+BUCKETED_REVENUE_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JPEG codec end-to-end (functions/jpeg.py, ITU-T T.81
     baseline): pixels are GRAY-VALUED (R=G=B) and CONSTANT per 8×8
@@ -4924,6 +4968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_decode": mm_png_decode,
         "mm_jpeg_decode": mm_jpeg_decode,
         "mm_mjpeg_frames": mm_mjpeg_frames,
+        "bucketed_revenue_join": bucketed_revenue_join,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
@@ -5125,6 +5170,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_png_decode": MM_PNG_DECODE_SQL,
         "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
         "mm_mjpeg_frames": MM_MJPEG_FRAMES_SQL,
+        "bucketed_revenue_join": BUCKETED_REVENUE_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
