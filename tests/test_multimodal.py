@@ -460,3 +460,37 @@ def test_mjpeg_rejects_truncation_and_mixed_dims():
     stream = encode_mjpeg([a, a], quant=1)
     with _pytest.raises(ValueError, match="truncated|EOI"):
         decode_mjpeg(stream[:-3])
+
+
+def test_wav_roundtrip_chunk_walk_and_rejection():
+    """RIFF/WAVE PCM: stereo/mono round-trips bit-exact; the parser
+    walks chunks (skipping unknown, word-aligned) rather than assuming
+    a fixed layout; non-PCM and non-RIFF reject."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vectorsearch_spark.functions.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(31)
+    s = rng.integers(-32768, 32768, size=(321, 2), dtype=np.int16)
+    data = encode_wav(s, 44100)
+    out, rate = decode_wav(data)
+    assert rate == 44100 and (out == s).all()
+
+    # inject an unknown odd-sized chunk before fmt: parser must skip it
+    # (word-aligned) and still find fmt/data
+    junk = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    data2 = data[:12] + junk + data[12:]
+    out2, rate2 = decode_wav(data2)
+    assert rate2 == 44100 and (out2 == s).all()
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"XXXX" + data[4:])
+    # 8-bit PCM flag must reject, not mis-decode
+    bad = bytearray(data)
+    fmt_off = data.find(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off + 14, 8)
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_wav(bytes(bad))

@@ -276,3 +276,52 @@ def decode_media(data: bytes) -> np.ndarray:
     raise ValueError(
         "unrecognized media container (expected BMP, P6 PPM, PNG, or JPEG)"
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio modality's real codec
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 PCM → RIFF/WAVE bytes (fmt chunk
+    audio_format=1 PCM, 16-bit little-endian interleaved data chunk)."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"encode_wav expects (n,) or (n, ch), got {s.shape}")
+    n, ch = s.shape
+    data = s.tobytes()  # row-major == interleaved
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → ((n, channels) int16 ndarray, sample_rate).
+    Walks RIFF chunks (unknown chunks skipped, word-aligned), accepts
+    only PCM 16-bit."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_format, ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"WAV: only PCM 16-bit supported (fmt={audio_format}, bits={bits})")
+    s = np.frombuffer(raw[: len(raw) // (2 * ch) * 2 * ch], dtype="<i2")
+    return s.reshape(-1, ch), rate

@@ -4650,6 +4650,87 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO modality end-to-end with a REAL codec
+    (functions/codecs.py encode_wav/decode_wav — RIFF/WAVE PCM 16-bit,
+    chunk-walking parser): deterministic int16 samples derived from
+    each document's bytes are wrapped in actual WAV containers (mono /
+    stereo cycling by doc_id), parsed back, and reduced to exact
+    integer features — sample count, channel count, energy (sum of
+    squares) and zero-crossing count on channel 0. PCM is lossless, so
+    the DuckDB oracle recomputes every feature straight from the text
+    bytes; a parser bug in chunk walking, interleave, or sign handling
+    hash-fails."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import decode_wav, encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                ch = 1 + did % 2
+                ns = 200 + did % 100
+                k = np.arange(ns * ch)
+                base = b[k % len(b)].astype(np.int32) if len(b) else np.zeros(ns * ch, dtype=np.int32)
+                v = ((base - 128) * 256 + (k % 127)).astype(np.int16)
+                data = encode_wav(v.reshape(ns, ch), sample_rate=8000 + 1000 * (did % 3))
+                dec, rate = decode_wav(data)  # the real RIFF parse
+                c0 = dec[:, 0].astype(np.int64)
+                zc = int(((c0[:-1] * c0[1:]) < 0).sum())
+                rows.append(
+                    (
+                        int(did),
+                        dec.shape[0],
+                        dec.shape[1],
+                        rate,
+                        int((dec.astype(np.int64) ** 2).sum()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "channels", "rate", "energy", "zero_cross"],
+            )
+
+    return docs.mapInPandas(
+        mapper,
+        "media_id long, n_samples long, channels long, rate long, "
+        "energy long, zero_cross long",
+    )
+
+
+MM_WAV_FEATURES_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         1 + doc_id % 2 AS ch, 200 + doc_id % 100 AS ns,
+         8000 + 1000 * (doc_id % 3) AS rate
+  FROM documents),
+samp AS (
+  SELECT media_id, ch, ns, rate,
+         list_transform(range(0, ns * ch),
+           k -> ((CASE WHEN n = 0 THEN 0 ELSE ascii(text[CAST(k % n AS BIGINT) + 1]) END) - 128) * 256
+                + k % 127) AS v
+  FROM base),
+feat AS (
+  SELECT media_id, ns, ch, rate,
+         CAST(list_aggregate(list_transform(v, x -> CAST(x AS BIGINT) * x), 'sum') AS BIGINT) AS energy,
+         CAST(list_aggregate(
+           list_transform(range(1, ns),
+             i -> CASE WHEN CAST(v[CAST((i - 1) * ch AS BIGINT) + 1] AS BIGINT)
+                            * v[CAST(i * ch AS BIGINT) + 1] < 0 THEN 1 ELSE 0 END),
+           'sum') AS BIGINT) AS zero_cross
+  FROM samp)
+SELECT media_id, CAST(ns AS BIGINT) AS n_samples, CAST(ch AS BIGINT) AS channels,
+       CAST(rate AS BIGINT) AS rate, energy, zero_cross
+FROM feat
+"""
+
+
 def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via BUCKETED tables
     (operators/layout.py write_bucketed): orders and lineitem are
@@ -4969,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_decode": mm_jpeg_decode,
         "mm_mjpeg_frames": mm_mjpeg_frames,
         "bucketed_revenue_join": bucketed_revenue_join,
+        "mm_wav_features": mm_wav_features,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
@@ -5171,6 +5253,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
         "mm_mjpeg_frames": MM_MJPEG_FRAMES_SQL,
         "bucketed_revenue_join": BUCKETED_REVENUE_SQL,
+        "mm_wav_features": MM_WAV_FEATURES_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
