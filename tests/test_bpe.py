@@ -77,3 +77,52 @@ def test_bpe_deterministic_across_runs(spark):
         "doc_id long, text string",
     )
     assert learn_bpe_merges(df, 6) == learn_bpe_merges(df, 6)
+
+
+def test_bpe_apply_matches_python_model(spark):
+    """apply_bpe_merges (the encode half): per-word symbol sequences
+    must equal the Python model applying the learned rules in order
+    with the same leftmost-non-overlapping fold; non-alphabetic tokens
+    pass through as single symbols."""
+    from vectorsearch_spark.operators.bpe import apply_bpe_merges
+
+    texts = [
+        "the cat catches the caterpillar",
+        "a banana and a bandana in the cabana",
+        "low lower lowest slow slower 42 !!",
+        "the the the banana cat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, n_merges=10)
+    got = sorted(
+        (r["doc_id"], r["w"], tuple(r["toks"]))
+        for r in apply_bpe_merges(df, merges).collect()
+    )
+
+    rules = [(a, b) for _, a, b, _ in merges]
+
+    def enc(w: str) -> tuple:
+        if not re.fullmatch("[a-z]+", w):
+            return (w,)
+        sym = list(w)
+        for a, b in rules:
+            nxt = []
+            for s in sym:
+                if nxt and nxt[-1] == a and s == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(s)
+            sym = nxt
+        return tuple(sym)
+
+    exp = sorted(
+        (i, w, enc(w))
+        for i, t in enumerate(texts)
+        for w in re.findall(TOKEN_RE, t.lower())
+    )
+    assert got == exp
+    # concatenation invariant: encoding never loses characters
+    for _, w, toks in got:
+        assert "".join(toks) == w

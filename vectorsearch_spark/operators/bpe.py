@@ -106,3 +106,69 @@ def learn_bpe_merges(
         merges.append((r, a, b, c))
         vocab = _apply_merge(vocab, a, b).localCheckpoint()
     return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE with a learned merge table — the tokenizer-application
+    half of the BPE story (learn_bpe_merges ships the table; this is
+    what the pipeline then runs over every document).
+
+    Returns (id_col, w, toks array<string>): one row per word
+    occurrence with its BPE symbol sequence. Alphabetic words are
+    encoded by applying the rules in LEARNED ORDER, each as the same
+    leftmost-non-overlapping fold the learner used (semantics mirrored
+    by the pure-Python model test); non-alphabetic tokens pass through
+    as a single symbol.
+
+    Scale: encoding runs per DISTINCT word (the dictionary), not per
+    occurrence — an Arrow pass over the vocab table costs
+    O(|vocab| · n_merges · word_len) regardless of corpus size, and
+    the result joins back onto the token stream by word (Spark/AQE
+    picks broadcast for small vocabularies). The merge table itself is
+    driver state by contract (it IS the tokenizer artifact, 10⁴-10⁵
+    rules), shipped to executors inside the mapper closure.
+    """
+    from vectorsearch_spark.functions.text import tokens
+    from vectorsearch_spark.operators.text import fan_out
+
+    rules = [(a, b) for _, a, b, _ in merges]
+
+    toks = (
+        fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    )
+    alpha = F.col("w").rlike("^[a-z]+$")
+    vocab = toks.where(alpha).select("w").distinct()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w in pdf["w"]:
+                sym = list(w)
+                for a, b in rules:
+                    nxt: list[str] = []
+                    for s in sym:
+                        if nxt and nxt[-1] == a and s == b:
+                            nxt[-1] = a + b
+                        else:
+                            nxt.append(s)
+                    sym = nxt
+                out.append((w, sym))
+            yield pd.DataFrame(out, columns=["w", "toks"])
+
+    encoded = vocab.mapInPandas(enc, "w string, toks array<string>")
+    return (
+        toks.join(encoded, "w", "left")
+        .select(
+            F.col(id_col),
+            "w",
+            F.coalesce(F.col("toks"), F.array(F.col("w"))).alias("toks"),
+        )
+    )

@@ -2297,10 +2297,44 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate-ANN rows-only entries."""
     from vectorsearch_spark.operators.bpe import learn_bpe_merges
 
-    merges = learn_bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+    merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges or [(-1, "", "", 0)],
         "round int, left string, right string, pair_count long",
+    )
+
+
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    from vectorsearch_spark.operators.bpe import learn_bpe_merges
+
+    if sf_dir not in _BPE_CACHE:
+        _BPE_CACHE[sf_dir] = learn_bpe_merges(
+            _t(spark, sf_dir, "documents"), n_merges=8
+        )
+    return _BPE_CACHE[sf_dir]
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (operators/bpe.py apply_bpe_merges):
+    encode every document with the merge table learned on this corpus
+    (cached per sf_dir — learn once, apply everywhere, the production
+    shape) and roll up per-document token statistics: word count,
+    BPE-token count, and the compression the merges bought
+    (tokens == chars before any merge applies). Rows-only entry — the
+    encode fold is the same iterative semantics as learning; exact
+    pure-Python model equality gates it in tests/test_bpe.py."""
+    from vectorsearch_spark.operators.bpe import apply_bpe_merges
+
+    enc = apply_bpe_merges(
+        _t(spark, sf_dir, "documents"), _bpe_merges(spark, sf_dir)
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
     )
 
 
@@ -5034,6 +5068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunk_shards": pipeline_chunk_shards,
         "part_reachability": part_reachability,
         "bpe_merge_table": bpe_merge_table,
+        "bpe_encode_stats": bpe_encode_stats,
         "lineitem_corr_matrix": lineitem_corr_matrix,
         "embedding_pca": embedding_pca,
         "part_price_histogram": part_price_histogram,
