@@ -81,6 +81,10 @@ HEADLINE = [
     "event_type_gmean",
     "mm_png_decode",
     "mm_jpeg_decode",
+    "mm_mjpeg_frames",
+    "mm_wav_features",
+    "bucketed_revenue_join",
+    "bpe_encode_stats",
     "orders_cube",
     "corpus_splits",
     "pipeline_pack_curated",
