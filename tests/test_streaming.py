@@ -595,3 +595,105 @@ def test_stream_rollup_maintenance_and_crash_replay(spark, tmp_path_factory):
         ev.where("event_id < 0"), last_epoch + 1, state, ["user_id"], "value"
     )
     assert live() == exp
+
+
+def test_stream_scd2_maintain_equals_batch_and_survives_replay(
+    spark, tmp_path_factory
+):
+    """Incremental SCD2 maintenance: fold a changelog in three
+    micro-batches — including LATE cross-batch rows, one of which
+    lands between a collapsed no-op pair (the lossy case a
+    dimension-only fold gets wrong) — and the maintained dimension
+    must equal the batch changelog_to_scd2 over the full input.
+    A replayed epoch is a no-op; a crash between the dim renames
+    restores from .old."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+
+    from vectorsearch_spark.operators.events import changelog_to_scd2
+    from vectorsearch_spark.operators.incremental import fold_scd2_batch
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    schema = "cust_id long, ts timestamp, tier string, row_id long"
+    # key 1: v=gold@0, gold@40 (no-op pair) ... late silver@20 arrives in
+    # batch 3 and must SPLIT the pair into three real versions
+    b1 = [(1, t(0), "gold", 0), (2, t(5), "bronze", 1), (1, t(40), "gold", 2)]
+    b2 = [(2, t(50), "silver", 3), (3, t(55), "gold", 4)]
+    b3 = [(1, t(20), "silver", 5), (2, t(45), "bronze", 6)]
+    state = str(tmp_path_factory.mktemp("scd2_state")) + "/st"
+
+    for i, rows in enumerate([b1, b2, b3]):
+        fold_scd2_batch(
+            spark.createDataFrame(rows, schema), i, state, "cust_id",
+            ts="ts", tiebreak="row_id",
+        )
+
+    def snap(df):
+        return sorted(
+            (r["cust_id"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in df.collect()
+        )
+
+    got = snap(spark.read.parquet(f"{state}/dim").drop("row_id"))
+    full = spark.createDataFrame(b1 + b2 + b3, schema)
+    exp = snap(changelog_to_scd2(full, "cust_id", ts="ts", tiebreak="row_id").drop("row_id"))
+    assert got == exp
+    # the late-row case really exercised the lossy path: key 1 has 3 versions
+    assert sum(1 for r in got if r[0] == 1) == 3
+
+    # replayed epoch: identical state, no error
+    fold_scd2_batch(
+        spark.createDataFrame(b3, schema), 2, state, "cust_id",
+        ts="ts", tiebreak="row_id",
+    )
+    assert snap(spark.read.parquet(f"{state}/dim").drop("row_id")) == exp
+    # epoch dirs are the append-only history (no rewrite of old epochs)
+    assert sorted(os.listdir(f"{state}/changelog")) == [
+        "epoch=0", "epoch=1", "epoch=2"
+    ]
+
+    # crash between renames: dim missing, .old complete -> next fold restores
+    os.rename(f"{state}/dim", f"{state}/dim.old")
+    fold_scd2_batch(
+        spark.createDataFrame([(4, t(90), "gold", 7)], schema), 3, state,
+        "cust_id", ts="ts", tiebreak="row_id",
+    )
+    got2 = snap(spark.read.parquet(f"{state}/dim").drop("row_id"))
+    exp2 = snap(
+        changelog_to_scd2(
+            spark.createDataFrame(b1 + b2 + b3 + [(4, t(90), "gold", 7)], schema),
+            "cust_id", ts="ts", tiebreak="row_id",
+        ).drop("row_id")
+    )
+    assert got2 == exp2
+
+
+def test_stream_scd2_maintain_streaming_query(spark, tmp_path_factory):
+    """The writeStream wrapper end-to-end: two files -> two
+    micro-batches via maxFilesPerTrigger, dimension equals batch."""
+    import datetime as dt
+
+    from vectorsearch_spark.operators.events import changelog_to_scd2
+    from vectorsearch_spark.operators.incremental import stream_scd2_maintain
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    schema = "cust_id long, ts timestamp, tier string, row_id long"
+    rows = [(i % 5, t(i), ["a", "b", "c"][i % 3], i) for i in range(30)]
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path_factory.mktemp("scd2_src"))
+    df.where("row_id < 15").coalesce(1).write.mode("overwrite").parquet(src)
+    df.where("row_id >= 15").coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path_factory.mktemp("scd2_state2")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("scd2_ckpt"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_scd2_maintain(stream, state, "cust_id", ckpt, ts="ts", tiebreak="row_id")
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(f"{state}/dim").collect()))
+    exp = sorted(
+        map(tuple, changelog_to_scd2(df, "cust_id", ts="ts", tiebreak="row_id").collect())
+    )
+    assert got == exp

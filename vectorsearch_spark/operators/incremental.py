@@ -174,3 +174,107 @@ def fold_rollup_batch(
         os.rename(state_path, old)
     os.rename(tmp, state_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 dimension maintenance from a streaming changelog
+# ---------------------------------------------------------------------------
+
+def fold_scd2_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    on: str,
+    ts: str = "ts",
+    tiebreak: "str | None" = None,
+) -> None:
+    """One micro-batch fold of a changelog into a persistent SCD2
+    dimension (the foreachBatch body, exposed for crash-injection
+    tests).
+
+    The state dir holds BOTH the accumulated raw changelog
+    (``changelog/epoch=<id>/`` — one APPEND-ONLY dir per applied
+    micro-batch, so a fold writes O(batch), never a history rewrite)
+    and the materialized dimension (``dim/``). Keeping the raw history
+    is what makes the fold EXACT under arbitrarily late, out-of-order
+    rows: a collapsed dimension alone is lossy (a no-op update dropped
+    by collapse can become a real version once a late row lands
+    between it and its predecessor), so each fold recomputes
+    ``changelog_to_scd2`` over the FULL history of only the TOUCHED
+    keys — O(batch keys × their history) — and splices it with the
+    untouched keys' existing dimension rows. The dimension rewrite
+    itself is O(dimension) per fold; a huge dimension would partition
+    ``dim/`` by key bucket and rewrite touched buckets only (the
+    merge_upsert shape) without changing these semantics.
+
+    Exactly-once: the applied-epoch marker rides inside the staged
+    ``dim`` dir, swapped by the same atomic rename as the content (a
+    replayed foreachBatch epoch is detected and skipped BEFORE any
+    write; a crash after the changelog-epoch write but before the dim
+    swap replays into an idempotent overwrite of the same epoch dir);
+    a crash between the two renames restores from ``.old`` — the
+    ``fold_rollup_batch`` discipline.
+    """
+    import json
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    from vectorsearch_spark.operators.events import changelog_to_scd2
+
+    dim_path = os.path.join(state_path, "dim")
+    old = dim_path + ".old"
+    if not os.path.exists(dim_path) and os.path.exists(old):
+        os.rename(old, dim_path)
+    marker = os.path.join(dim_path, "_last_epoch.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if json.load(fh)["epoch"] >= epoch_id:
+                return  # replayed epoch: already folded in
+    batch = batch_df.localCheckpoint()  # stream sources are single-pass
+    clog_root = os.path.join(state_path, "changelog")
+    epoch_dir = os.path.join(clog_root, f"epoch={int(epoch_id)}")
+    batch.write.mode("overwrite").parquet(epoch_dir)  # idempotent on replay
+    have_dim = os.path.exists(os.path.join(dim_path, "_SUCCESS"))
+    touched = batch.select(on).distinct()
+    full_clog = spark.read.schema(batch.schema).parquet(f"{clog_root}/epoch=*")
+    if have_dim:
+        hist = full_clog.join(F.broadcast(touched), on, "left_semi")
+        scd_new = changelog_to_scd2(hist, on, ts=ts, tiebreak=tiebreak)
+        prev = spark.read.parquet(dim_path)
+        untouched = prev.join(F.broadcast(touched), on, "left_anti")
+        scd_out = untouched.unionByName(scd_new.select(*prev.columns))
+    else:
+        scd_out = changelog_to_scd2(full_clog, on, ts=ts, tiebreak=tiebreak)
+    tmp = dim_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    scd_out.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_last_epoch.json"), "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dim_path):
+        os.rename(dim_path, old)
+    os.rename(tmp, dim_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def stream_scd2_maintain(
+    changelog: DataFrame,
+    state_path: str,
+    on: str,
+    checkpoint: str,
+    ts: str = "ts",
+    tiebreak: "str | None" = None,
+):
+    """Keep a persistent SCD2 dimension current from a streaming
+    changelog (see ``fold_scd2_batch``). Returns the StreamingQuery;
+    read the live dimension any time from ``{state_path}/dim``."""
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_scd2_batch(batch_df, epoch_id, state_path, on, ts=ts, tiebreak=tiebreak)
+
+    return (
+        changelog.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

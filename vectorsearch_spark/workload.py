@@ -2906,6 +2906,77 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF vectors, top-3 weighted terms each — the
+    classic sparse document representation (retrieval features, topic
+    drift monitoring, cheap clustering input). One tokenize pass feeds
+    BOTH the per-(doc, token) tf aggregate and (via a distinct-token
+    re-aggregate of the same grouped result — no second scan) the df
+    table; N broadcasts from a 1-row count, idf joins back on token
+    (broadcast-sized: vocabulary), l2 normalization is a per-doc window
+    sum, and the top-3 rank runs over the (doc, token) AGGREGATE, never
+    raw occurrences. Weight = tf · (ln(N/(1+df)) + 1), l2-normalized;
+    ties break token-ascending."""
+    from vectorsearch_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    df_tbl = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("token", (F.log(F.col("__n") / (1.0 + F.col("df"))) + 1.0).alias("idf"))
+    )
+    from pyspark.sql import Window
+
+    w = tf.join(df_tbl, "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norm = Window.partitionBy("doc_id")
+    rank = Window.partitionBy("doc_id").orderBy(F.col("wn").desc(), F.col("token").asc())
+    return (
+        w.withColumn("wn", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm)))
+        .withColumn("rnk", F.row_number().over(rank))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "token",
+            F.round("wn", 6).alias("weight"),
+        )
+    )
+
+
+DOC_TFIDF_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+  FROM documents),
+tfa AS (
+  SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfa AS (
+  SELECT token, count(*) AS df FROM tfa GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT t.doc_id, t.token, t.tf * (ln(n.n / (1.0 + d.df)) + 1.0) AS w
+  FROM tfa t JOIN dfa d USING (token), n),
+wn AS (
+  SELECT doc_id, token,
+         w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS wn
+  FROM w)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, round(wn, 6) AS weight
+FROM (SELECT doc_id, token, wn,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wn DESC, token ASC) AS rnk
+      FROM wn)
+WHERE rnk <= 3
+"""
+
+
 CORPUS_VOCAB_SQL = r"""
 WITH tok AS (
   SELECT unnest(list_distinct(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS token
@@ -5086,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mjpeg_frames": mm_mjpeg_frames,
         "bucketed_revenue_join": bucketed_revenue_join,
         "mm_wav_features": mm_wav_features,
+        "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
@@ -5289,6 +5361,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_mjpeg_frames": MM_MJPEG_FRAMES_SQL,
         "bucketed_revenue_join": BUCKETED_REVENUE_SQL,
         "mm_wav_features": MM_WAV_FEATURES_SQL,
+        "doc_tfidf_top_terms": DOC_TFIDF_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
