@@ -85,6 +85,9 @@ HEADLINE = [
     "mm_wav_features",
     "bucketed_revenue_join",
     "bpe_encode_stats",
+    "doc_tfidf_top_terms",
+    "orders_validation",
+    "lineitem_price_drift",
     "orders_cube",
     "corpus_splits",
     "pipeline_pack_curated",

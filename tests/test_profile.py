@@ -151,3 +151,76 @@ def test_incremental_distinct_merge_identical_to_single_pass(spark):
     for g, est in merged.items():
         true = df.where(f"g = {g}").select("v").distinct().count()
         assert abs(est - true) / true < 0.05, (g, est, true)
+
+
+def test_validate_rules_single_pass_and_null_semantics(spark):
+    """Rules evaluate in ONE aggregate job; NULL predicate results
+    count as violations (an unevaluable check did not pass)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.profile import validate_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -1.0, None), (3, None, "c"), (4, 5.0, "d")],
+        "id long, amount double, tag string",
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["pass_rate"])
+        for r in validate_rules(
+            df,
+            {
+                "amount_pos": F.col("amount") > 0,      # NULL amount -> violation
+                "tag_present": F.col("tag").isNotNull(),
+                "id_unique_ish": F.col("id") <= 4,
+            },
+        ).collect()
+    }
+    assert out["amount_pos"] == (4, 2, 0.5)
+    assert out["tag_present"] == (4, 1, 0.75)
+    assert out["id_unique_ish"] == (4, 0, 1.0)
+    # plan shape: one aggregate, no per-rule scan loop
+    plan = validate_rules(df, {"a": F.col("id") > 0})._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_rules(df, {})
+
+
+def test_psi_drift_model_and_empty_side(spark):
+    """PSI terms vs a NumPy model; identical distributions give ~0;
+    an empty side degrades to the eps floor (finite, maximal) instead
+    of a divide-by-zero."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.profile import psi_drift
+
+    rng = np.random.default_rng(13)
+    a = rng.uniform(0, 100, 3000)
+    b = np.concatenate([rng.uniform(0, 100, 1500), rng.uniform(50, 100, 1500)])
+    dfa = spark.createDataFrame([(float(x),) for x in a], "v double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "v double")
+    rows = psi_drift(dfa, dfb, "v", 0.0, 100.0, bins=5).collect()
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3, 4]
+
+    def model(x, y):
+        eps = 1e-6
+        ca = np.histogram(np.clip(x, 0, 99.999), bins=5, range=(0, 100))[0]
+        cb = np.histogram(np.clip(y, 0, 99.999), bins=5, range=(0, 100))[0]
+        pa, pb = ca / ca.sum() + eps, cb / cb.sum() + eps
+        return (pa - pb) * np.log(pa / pb)
+
+    exp = model(a, b)
+    for r, e in zip(rows, exp):
+        assert abs(r["psi_term"] - e) < 1e-5, (r, e)
+    assert sum(r["psi_term"] for r in rows) > 0.1  # drift injected
+
+    same = psi_drift(dfa, dfa, "v", 0.0, 100.0, bins=5).collect()
+    assert all(abs(r["psi_term"]) < 1e-9 for r in same)
+
+    empty = spark.createDataFrame([], "v double")
+    er = psi_drift(dfa, empty, "v", 0.0, 100.0, bins=5).collect()
+    assert all(r["n_b"] == 0 for r in er)
+    assert all(np.isfinite(r["psi_term"]) for r in er)

@@ -60,3 +60,119 @@ def profile_table(
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def validate_rules(df: DataFrame, rules: "dict[str, F.Column]") -> DataFrame:
+    """Data-quality rule validation (the deequ/dbt-test shape): every
+    rule is a boolean Column evaluated in ONE full-scan aggregate —
+    (rule, n_rows, n_violations, pass_rate) per rule, no per-rule job
+    loop. NULL rule results count as violations (a predicate that
+    cannot be evaluated did not pass). Referential checks (key exists
+    in dim) are expressible by joining the dim in BEFORE calling this
+    (left join + IS NOT NULL rule) so they ride the same single pass.
+    """
+    if not rules:
+        raise ValueError("validate_rules needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{name}").cast("long").alias("n_violations"),
+            )
+            for name in rules
+        ]
+    )
+    return (
+        row.select(F.col("__n").cast("long").alias("n_rows"), F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            "n_rows",
+            F.col("r.n_violations").alias("n_violations"),
+            F.round(
+                (F.col("n_rows") - F.col("r.n_violations")) / F.col("n_rows"), 6
+            ).alias("pass_rate"),
+        )
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard training-data drift monitor (PSI < 0.1
+    stable, > 0.25 shifted). Explicit [lo, hi) bounds with fixed-width
+    bins keep the binning a pure per-row function (engine-mirrorable
+    and rerun-stable, the zorder quantize contract); values outside
+    clamp to the edge bins, NULLs are excluded. One aggregate per side
+    (map-side combinable), a |bins|-sized join, per-bin PSI terms with
+    ``eps`` smoothing — returns (bin, n_a, n_b, p_a, p_b, psi_term);
+    sum(psi_term) is the index.
+    """
+    if bins < 2 or not (hi > lo):
+        raise ValueError("psi_drift needs bins >= 2 and hi > lo")
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor(
+            (F.col(col).cast("double") - F.lit(float(lo)))
+            / F.lit((float(hi) - float(lo)))
+            * F.lit(bins)
+        ).cast("long")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        return (
+            df.where(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    spark = df_a.sparkSession
+    spine = spark.range(bins).select(F.col("id").alias("bin"))
+    j = (
+        spine.join(binned(df_a, "n_a"), "bin", "left")
+        .join(binned(df_b, "n_b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_a").cast("double").alias("ta"), F.sum("n_b").cast("double").alias("tb")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            # try_divide: an EMPTY side (total 0) degrades to the eps
+            # floor in every bin instead of an ANSI divide-by-zero —
+            # PSI against an empty snapshot is then finite and maximal,
+            # which is the honest reading of "everything drifted"
+            (F.coalesce(F.try_divide("n_a", "ta"), F.lit(0.0)) + F.lit(eps)).alias("__pa"),
+            (F.coalesce(F.try_divide("n_b", "tb"), F.lit(0.0)) + F.lit(eps)).alias("__pb"),
+        )
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round("__pa", 6).alias("p_a"),
+            F.round("__pb", 6).alias("p_b"),
+            F.round(
+                (F.col("__pa") - F.col("__pb")) * F.log(F.col("__pa") / F.col("__pb")),
+                6,
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

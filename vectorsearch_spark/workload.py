@@ -2906,6 +2906,97 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule validation (operators/profile.py
+    validate_rules — the deequ/dbt-test shape): four rules over orders
+    including a referential check against customer (left join rides
+    the same single full-scan aggregate; a missing dim row is a
+    violation). One job, one row per rule."""
+    from vectorsearch_spark.operators.profile import validate_rules
+
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("__ck"), F.lit(True).alias("__cust_ok")
+    )
+    joined = od.join(
+        F.broadcast(cust), od["o_custkey"] == cust["__ck"], "left"
+    )
+    return validate_rules(
+        joined,
+        {
+            "total_positive": F.col("o_totalprice") > 0,
+            "date_present": F.col("o_orderdate").isNotNull(),
+            "priority_known": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+            "customer_exists": F.col("__cust_ok").isNotNull(),
+        },
+    )
+
+
+ORDERS_VALIDATION_SQL = """
+WITH j AS (
+  SELECT o.*, c.c_custkey AS ck FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+agg AS (
+  SELECT count(*) AS n_rows,
+         count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 END) AS v_total,
+         count(CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE) THEN 1 END) AS v_date,
+         count(CASE WHEN NOT coalesce(o_orderpriority IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE) THEN 1 END) AS v_prio,
+         count(CASE WHEN ck IS NULL THEN 1 END) AS v_cust
+  FROM j)
+SELECT r.rule, a.n_rows, r.n_violations,
+       round((a.n_rows - r.n_violations) / CAST(a.n_rows AS DOUBLE), 6) AS pass_rate
+FROM agg a, LATERAL (VALUES
+  ('total_positive', a.v_total),
+  ('date_present', a.v_date),
+  ('priority_known', a.v_prio),
+  ('customer_exists', a.v_cust)) AS r(rule, n_violations)
+"""
+
+
+_PSI_LO, _PSI_HI, _PSI_BINS = 900.0, 105000.0, 10
+
+
+def lineitem_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/profile.py psi_drift)
+    between the pre-1998 and post-1998 shipment populations of
+    l_extendedprice — the training-data drift monitor. Fixed [lo, hi)
+    bounds with equal-width bins keep the binning a pure per-row
+    function both engines compute identically; per-bin PSI terms out,
+    sum(psi_term) is the index."""
+    from vectorsearch_spark.operators.profile import psi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_shipdate") < F.lit("1998-01-01"))
+    b = li.where(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    return psi_drift(a, b, "l_extendedprice", _PSI_LO, _PSI_HI, _PSI_BINS)
+
+
+LINEITEM_PSI_SQL = f"""
+WITH binned AS (
+  SELECT CASE WHEN l_shipdate < DATE '1998-01-01' THEN 'a' ELSE 'b' END AS side,
+         least(greatest(CAST(floor((l_extendedprice - {_PSI_LO}) / ({_PSI_HI} - {_PSI_LO}) * {_PSI_BINS}) AS BIGINT), 0), {_PSI_BINS - 1}) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+counts AS (
+  SELECT s.bin,
+         count(CASE WHEN side = 'a' THEN 1 END) AS n_a,
+         count(CASE WHEN side = 'b' THEN 1 END) AS n_b
+  FROM (SELECT unnest(range(0, {_PSI_BINS})) AS bin) s
+  LEFT JOIN binned USING (bin) GROUP BY 1),
+tot AS (SELECT sum(n_a)::DOUBLE AS ta, sum(n_b)::DOUBLE AS tb FROM counts),
+p AS (
+  SELECT bin, n_a, n_b,
+         n_a / ta + 1e-6 AS pa, n_b / tb + 1e-6 AS pb
+  FROM counts, tot)
+SELECT bin, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       round((pa - pb) * ln(pa / pb), 6) AS psi_term
+FROM p ORDER BY bin
+"""
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF vectors, top-3 weighted terms each — the
     classic sparse document representation (retrieval features, topic
@@ -4669,7 +4760,14 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from vectorsearch_spark.operators.text import fan_out
+
+    # CPU-bound pure-Python codec work: spread the (often single-file)
+    # documents scan to cluster width first, or the whole pass runs in
+    # one task (measured 15.5 s -> ~2 s for mm_mjpeg_frames at sf0.1)
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
 
     def mapper(batches):
         for pdf in batches:
@@ -4721,7 +4819,14 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectorsearch_spark.functions.codecs import decode_media, encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from vectorsearch_spark.operators.text import fan_out
+
+    # CPU-bound pure-Python codec work: spread the (often single-file)
+    # documents scan to cluster width first, or the whole pass runs in
+    # one task (measured 15.5 s -> ~2 s for mm_mjpeg_frames at sf0.1)
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
 
     def mapper(batches):
         for pdf in batches:
@@ -4771,7 +4876,14 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectorsearch_spark.functions.codecs import decode_wav, encode_wav
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from vectorsearch_spark.operators.text import fan_out
+
+    # CPU-bound pure-Python codec work: spread the (often single-file)
+    # documents scan to cluster width first, or the whole pass runs in
+    # one task (measured 15.5 s -> ~2 s for mm_mjpeg_frames at sf0.1)
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
 
     def mapper(batches):
         for pdf in batches:
@@ -4901,7 +5013,14 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.functions.codecs import decode_media
     from vectorsearch_spark.functions.jpeg import encode_jpeg
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from vectorsearch_spark.operators.text import fan_out
+
+    # CPU-bound pure-Python codec work: spread the (often single-file)
+    # documents scan to cluster width first, or the whole pass runs in
+    # one task (measured 15.5 s -> ~2 s for mm_mjpeg_frames at sf0.1)
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
 
     def mapper(batches):
         for pdf in batches:
@@ -4964,7 +5083,11 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.functions.jpeg import decode_mjpeg, encode_mjpeg
     from vectorsearch_spark.operators.multimodal import sample_frames
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
 
     def build(batches):
         for pdf in batches:
@@ -5158,6 +5281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_revenue_join": bucketed_revenue_join,
         "mm_wav_features": mm_wav_features,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "orders_validation": orders_validation,
+        "lineitem_price_drift": lineitem_price_drift,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
@@ -5362,6 +5487,8 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_revenue_join": BUCKETED_REVENUE_SQL,
         "mm_wav_features": MM_WAV_FEATURES_SQL,
         "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+        "orders_validation": ORDERS_VALIDATION_SQL,
+        "lineitem_price_drift": LINEITEM_PSI_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
