@@ -748,14 +748,48 @@ def test_search_join_derived_query_df_never_materialized(spark, built_index):
     assert all(top1[qid] == qid % N for qid in range(0, 1000, 97))
 
 
-def test_search_join_rejects_graph_mode_with_pq_routing(spark, built_index):
-    """GRAPH on the distributed path is a documented routing decision:
-    the error must name the reason (driver-seeded frontier state) and
-    point at mode='PQ' as the batch-scale equivalent."""
+def test_search_join_graph_exhaustive_twin_equals_brute(spark, built_index):
+    """Distributed GRAPH mode with pivots ≥ segment size and ef ≥
+    segment size: every node is a seed, the best list keeps everything,
+    so the traversal degenerates to the full ranking and the exact
+    re-rank must equal the exhaustive plan — the cogroup traversal's
+    artifact reassembly (codes+adjacency from one kind-split scan),
+    distance path, and the shared re-rank tail are all exact-checked."""
     idx, data, _ = built_index
-    qdf = _queries_df(spark, data, [0])
-    with pytest.raises(ValueError, match="driver-seeded.*mode='PQ'"):
-        idx.search_join(qdf, k=3, params=SearchParams(mode="GRAPH"))
+    qids = list(range(0, N, 5))
+    qdf = _queries_df(spark, data, qids)
+    g = idx.search_join(
+        qdf, k=5, params=SearchParams(mode="GRAPH", ef=CAP, pivots=10**6)
+    )
+    brute = idx.search_join(qdf, k=5, params=SearchParams(mode="BRUTE"))
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["gid"], round(r["distance"], 9), r["rank"]) for r in rows
+        )
+
+    assert key(g.collect()) == key(brute.collect())
+
+
+def test_search_join_graph_default_recall(spark, built_index):
+    """Distributed GRAPH at real approximate settings (pivots=8,
+    default ef, best-first stop rule): recall@10 ≥ 0.9 against exact,
+    the reference's functional gate (api/VectorIndexTest.java:211-258),
+    and the query DF is never collected (transformation-built)."""
+    idx, data, _ = built_index
+    qids = list(range(0, N, N // 30))[:30]
+    qdf = _queries_df(spark, data, qids)
+    approx = idx.search_join(qdf, k=10, params=SearchParams(mode="GRAPH"))
+    exact = idx.search_join(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in got.get(r["query_id"], set())
+    assert total == 30 * 10
+    assert hits / total >= 0.9, hits / total
 
 
 def test_search_join_pq_exhaustive_twin_equals_brute(spark, built_index):

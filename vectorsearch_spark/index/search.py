@@ -586,32 +586,25 @@ def search_join(
       whole segment and the result equals BRUTE — the hash-checkable
       degenerate twin.
 
-    GRAPH is a documented ROUTING DECISION, not a gap: best-first
-    traversal keeps per-query frontier/visited state that is seeded
-    and advanced driver-side (``search``'s collected path) — a
-    distributed version would shuffle the frontier per hop per query
-    (ef × hops × Q rows of coordination), while the PQ cogroup plan
-    reaches the same candidates-then-exact-rerank contract in TWO
-    fixed stages with no per-query driver state. A million-query graph
-    search is therefore spelled ``mode='PQ'`` here (with ef ≥ segment
-    size as the exact degenerate twin); ``mode='GRAPH'`` raises with
-    that guidance. For an approximate cosine variant at huge Q without
-    an index, see ``operators.similarity.ann_lsh_join``.
+    - ``GRAPH`` — distributed best-first traversal: the unified
+      artifacts scan (codes + adjacency in ONE relation, split by the
+      kind column in-task) cogroups with the replicated query DF; each
+      task runs the actual ef-search loop in NumPy per (query,
+      segment) — deterministic RANDOM_PIVOTS entry points, lazy LUT
+      distances only for expanded nodes (never the whole segment), the
+      best-first stop rule — then the shared exact re-rank. ``pivots ≥
+      segment size`` makes it exhaustive-exact (the hash-checkable
+      twin). Unlike ``search``'s collected path (driver-seeded
+      iterative joins — better when the traversal touches a tiny
+      fraction of huge segments and Q is small), the frontier state
+      here lives inside the task, so a million-query batch stays
+      distributed end-to-end.
     """
     params = params or SearchParams()
-    if params.mode == "GRAPH":
+    if params.mode not in ("AUTO", "BRUTE", "PQ", "GRAPH"):
         raise ValueError(
-            "mode='GRAPH' traversal is driver-seeded (per-query frontier "
-            "state) and only available on the collected-batch search(); "
-            "for distributed query batches use mode='PQ' — the PQ scan + "
-            "exact re-rank reaches the same candidates-then-rerank "
-            "contract without per-query driver state (ef >= segment size "
-            "makes it exhaustive-exact)"
-        )
-    if params.mode not in ("AUTO", "BRUTE", "PQ"):
-        raise ValueError(
-            f"search_join supports AUTO/BRUTE (exhaustive) and PQ; "
-            f"mode={params.mode!r} requires the collected-batch search()"
+            f"search_join supports AUTO/BRUTE (exhaustive), PQ, and GRAPH; "
+            f"got mode={params.mode!r}"
         )
     metric = Metric(index.config.metric)
     cfg = index.config
@@ -679,7 +672,12 @@ def search_join(
         ef_by_seg = {
             s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs
         }
-        cand = _pq_cogroup_candidates(index, q, sealed_segs, ef_by_seg, metric)
+        if params.mode == "GRAPH":
+            cand = _graph_cogroup_candidates(
+                index, q, sealed_segs, ef_by_seg, metric, params.pivots
+            )
+        else:
+            cand = _pq_cogroup_candidates(index, q, sealed_segs, ef_by_seg, metric)
         # exact re-rank: candidates are ≤ Q×S×ef (seg_id, vec_id)
         # triples — join raw vectors on the composite key, then attach
         # the query vector and rescore with the true metric. NO
@@ -721,6 +719,163 @@ def search_join(
     for p in parts[1:]:
         merged = merged.unionByName(p)
     return _merge_and_attach(index, merged, k, metric)
+
+
+def _graph_cogroup_candidates(
+    index: VectorIndex,
+    q: DataFrame,
+    sealed_segs: list[int],
+    ef_by_seg: dict[int, int],
+    metric: Metric,
+    pivots: int,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Distributed GRAPH (best-first) candidate generation with a
+    DataFrame query side — the cogroup re-expression of BEST_FIRST
+    (fdb/FdbVectorIndex.java:911-968) that keeps a million-query batch
+    distributed end-to-end.
+
+    Same fragment-and-replicate shape as ``_pq_cogroup_candidates``,
+    with ONE scan feeding both inputs: the unified artifacts table
+    serves codes AND adjacency rows (kind ∈ {code, adj}) bucketed by
+    hash(seg_id), so no extra join materializes the (codes ⋈ adjacency)
+    pair — the task reassembles them from the kind column. Task memory
+    is one bucket's codes (N·m bytes) + neighbor lists (N·degree ints),
+    within the segment-bounded build-task contract.
+
+    Per (segment, query) the task runs the ACTUAL best-first loop in
+    NumPy: deterministic RANDOM_PIVOTS entry points (seeded by seg_id —
+    this mode exists to AVOID the full-codes scan, so PQ-top-beam
+    seeding is out of scope by construction; it belongs to mode=PQ,
+    which subsumes it at batch scale), LUT-approximate distances
+    computed lazily per expanded frontier (never for the whole
+    segment), an ef-bounded best list, and the stop rule "nearest
+    unexpanded candidate is worse than the ef-th best". ``pivots ≥
+    segment size`` seeds every node and the result degenerates to the
+    exact full ranking — the hash-checkable twin, mirroring the PQ
+    mode's ef=cap twin. Neighbors whose artifacts were vacuumed away
+    are skipped (the join-drop semantics of the driver-path traversal);
+    tombstoned-but-unvacuumed nodes are filtered at the exact re-rank
+    (F1), exactly as in mode=PQ.
+    """
+    spark = index.spark
+    B = n_buckets or min(max(len(sealed_segs), 1), 256)
+    cbs_bc = spark.sparkContext.broadcast(index.codebooks_np(sealed_segs))
+    seed = index.config.seed
+
+    art = (
+        index._artifacts()
+        .filter(F.col("kind").isin("code", "adj") & F.col("seg_id").isin(sealed_segs))
+        .select("seg_id", "kind", "vec_id", "codes", "neighbor_ids")
+        .withColumn("__b", F.pmod(F.hash("seg_id"), F.lit(B)))
+    )
+    q_rep = q.withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+
+    def fn(art_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        import heapq
+
+        empty = pd.DataFrame(
+            {"query_id": [], "seg_id": [], "vec_id": [], "approx": []}
+        ).astype(
+            {"query_id": "int64", "seg_id": "int32", "vec_id": "int32", "approx": "float64"}
+        )
+        if len(art_pdf) == 0 or len(q_pdf) == 0:
+            return empty
+        cb_map = cbs_bc.value
+        qids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+        qvecs = [np.asarray(v, dtype=np.float64) for v in q_pdf["__qvec"]]
+        if metric == Metric.COSINE:
+            qvecs = [
+                (v / n if (n := np.linalg.norm(v)) > 0.0 else v) for v in qvecs
+            ]
+        out = []
+        for seg_id, grp in art_pdf.groupby("seg_id"):
+            seg_id = int(seg_id)
+            cb = cb_map.get(seg_id)
+            if cb is None:
+                continue
+            m = cb.shape[0]
+            # sort by vec_id: row order (and thus heap tiebreaks) must
+            # not depend on partition read order
+            crows = grp[grp["kind"] == "code"].sort_values("vec_id")
+            arows = grp[grp["kind"] == "adj"]
+            if len(crows) == 0:
+                continue
+            vec_ids = crows["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.frombuffer(
+                b"".join(crows["codes"].to_numpy()), dtype=np.uint8
+            ).reshape(len(crows), m)
+            pos = {int(v): i for i, v in enumerate(vec_ids)}
+            nbrs: dict[int, np.ndarray] = {}
+            for v, nb in zip(arows["vec_id"], arows["neighbor_ids"]):
+                idx = [pos[int(x)] for x in nb if int(x) in pos]
+                nbrs[pos[int(v)]] = np.asarray(idx, dtype=np.int64)
+            n = len(vec_ids)
+            ef = min(ef_by_seg[seg_id], n)
+            # deterministic entry points: seeded by (index seed, seg_id),
+            # drawn over the row space — rerun/partitioning-stable
+            rng = np.random.default_rng((seed << 16) ^ seg_id)
+            n_seeds = min(max(pivots, 1), n)
+            seeds = (
+                np.arange(n)
+                if n_seeds >= n
+                else rng.choice(n, size=n_seeds, replace=False)
+            )
+            cols = np.arange(m)
+            for qid, qv in zip(qids, qvecs):
+                lut = build_lut(cb, qv)
+                dist = np.full(n, np.inf)
+                dist[seeds] = lut[cols[None, :], mat[seeds]].sum(axis=1)
+                visited = np.zeros(n, dtype=bool)
+                visited[seeds] = True
+                # best list = max-heap of (-d, row); cand = min-heap
+                cand = [(dist[i], int(i)) for i in seeds]
+                heapq.heapify(cand)
+                best = [(-dist[i], int(i)) for i in seeds]
+                heapq.heapify(best)
+                while len(best) > ef:
+                    heapq.heappop(best)
+                while cand:
+                    d, v = heapq.heappop(cand)
+                    if len(best) >= ef and d > -best[0][0]:
+                        break  # nearest unexpanded worse than ef-th best
+                    new = nbrs.get(v)
+                    if new is None or not len(new):
+                        continue
+                    new = new[~visited[new]]
+                    if not len(new):
+                        continue
+                    visited[new] = True
+                    dist[new] = lut[cols[None, :], mat[new]].sum(axis=1)
+                    for i in new:
+                        di = float(dist[i])
+                        if len(best) < ef or di < -best[0][0]:
+                            heapq.heappush(cand, (di, int(i)))
+                            heapq.heappush(best, (-di, int(i)))
+                            while len(best) > ef:
+                                heapq.heappop(best)
+                take = sorted(((-nd, vec_ids[i]) for nd, i in best))
+                kk = len(take)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, qid, dtype=np.int64),
+                            "seg_id": np.full(kk, seg_id, dtype=np.int32),
+                            "vec_id": np.asarray([t[1] for t in take], dtype=np.int32),
+                            "approx": np.asarray([t[0] for t in take]),
+                        }
+                    )
+                )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        art.groupBy("__b")
+        .cogroup(q_rep.groupBy("__b"))
+        .applyInPandas(fn, _CAND_SCHEMA)
+        .select("query_id", "seg_id", "vec_id")
+    )
 
 
 def _pq_cogroup_candidates(

@@ -3277,6 +3277,30 @@ def index_search_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def index_search_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GRAPH (best-first) search with a DataFrame query
+    side: one kind-split artifacts scan cogroups codes+adjacency with
+    the replicated queries, the ef-search loop runs in-task per
+    (query, segment). pivots ≥ segment size seeds every node, so the
+    traversal degenerates to the exact full ranking and the whole
+    distributed path hash-checks against the brute oracle; default-
+    pivot recall is gated in tests/test_index_lifecycle.py."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search_join(
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        params=SearchParams(
+            mode="GRAPH", ef=idx.config.max_segment_size, pivots=10**6
+        ),
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def index_search_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ approx → exact re-rank search (approximate: no SQL
     oracle; recall ≥ 0.9 is asserted in tests/test_index_lifecycle.py)."""
@@ -5245,6 +5269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_search_join": index_search_join,
         "index_search_join_pq": index_search_join_pq,
+        "index_search_join_graph": index_search_join_graph,
         "corpus_splits": corpus_splits,
         "pipeline_pack_curated": pipeline_pack_curated,
         "doc_chunking": doc_chunking,
@@ -5428,6 +5453,7 @@ def oracle_sql() -> dict[str, str]:
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
         "index_search_join": INDEX_SEARCH_BRUTE_SQL,
         "index_search_join_pq": INDEX_SEARCH_BRUTE_SQL,
+        "index_search_join_graph": INDEX_SEARCH_BRUTE_SQL,
         # index_search_sealed / index_search_graph / ann_ivf_topk /
         # ann_lsh_topk: approximate → rows-only by design, recall ≥ 0.9
         # enforced in tests; each has a degenerate-exact *_exhaustive
