@@ -3191,8 +3191,11 @@ def _ensure_index(spark: SparkSession, sf_dir: str):
     if path in _INDEX_CACHE:
         return _INDEX_CACHE[path]
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
+    # one job for both facts (count + dim) instead of count() + first()
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("dim")
+    ).first()
+    n, dim = stats["n"], stats["dim"]
     cfg = IndexConfig(
         name=f"wk_{tag}", dimension=dim, max_segment_size=200, pq_m=8, pq_k=16,
         graph_degree=16, graph_build_breadth=32, graph_alpha=1.2, oversample=4, seed=42,
