@@ -114,6 +114,16 @@ def write_bucketed(
     clustering make. ``sort_by`` additionally sorts within buckets so
     sort-merge joins skip their sort too.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an in-memory catalog forgets tables across sessions but their
+    # managed LOCATION survives in the warehouse dir — saveAsTable then
+    # fails LOCATION_ALREADY_EXISTS; scrub the orphaned dir (harmless
+    # when a metastore is present: DROP TABLE already removed it)
+    from vectorsearch_spark.staging import hadoop_delete
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    hadoop_delete(spark, f"{wh.rstrip('/')}/{table.lower()}")
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
         w = w.sortBy(*sort_by)
