@@ -2997,6 +2997,129 @@ FROM p ORDER BY bin
 """
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection for curation: per-label
+    centroids (the label_centroids partial-sum shape — the shuffle
+    carries (label, dim) sums, never vectors), broadcast back as
+    arrays, exact L2 distance to own-label centroid in codegen, keep
+    rows beyond mean + 2σ of their label's distance distribution (two
+    narrow aggregate passes over the distance column, no sort). The
+    embedding-quality gate before training — mislabeled / degenerate
+    vectors surface here."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "__x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("__x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("__s"))
+        .select("label", F.transform("__s", lambda s: s["c"]).alias("__cent"))
+    )
+    d = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding", "__cent", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("dist"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
+    )
+    return (
+        d.join(F.broadcast(stats), "label")
+        .where(F.col("dist") > F.col("mu") + 2 * F.col("sd"))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round("dist", 6).alias("dist"),
+            F.round(F.col("mu") + 2 * F.col("sd"), 6).alias("threshold"),
+        )
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = """
+WITH flat AS (
+  SELECT label, u.dim, u.x FROM embeddings,
+  LATERAL (SELECT unnest(range(0, len(embedding))) AS dim,
+                  unnest(embedding)::DOUBLE AS x) u),
+cent AS (
+  SELECT label, dim, avg(x) AS c FROM flat GROUP BY 1, 2),
+d AS (
+  SELECT e.vec_id, e.label,
+         sqrt(sum((e.embedding[CAST(c.dim AS BIGINT) + 1]::DOUBLE - c.c) ^ 2)) AS dist
+  FROM embeddings e JOIN cent c USING (label)
+  GROUP BY 1, 2),
+st AS (
+  SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sd FROM d GROUP BY 1)
+SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+       round(d.dist, 6) AS dist, round(st.mu + 2 * st.sd, 6) AS threshold
+FROM d JOIN st USING (label)
+WHERE d.dist > st.mu + 2 * st.sd
+"""
+
+
+def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal: distinct-bigram ratio per
+    document (distinct word bigrams / total bigrams — low means
+    templated/repetitive text; the cheap cousin of doc_repetition's
+    top-gram share). One tokenize pass, bigrams via transform over the
+    token array (codegen), distinct counted with array_distinct —
+    per-row arrays only, no explode shuffle at all."""
+    from vectorsearch_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.slice(t, 1, F.size(t) - 1),
+            lambda w, i: F.concat_ws("\x01", w, F.element_at(t, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.size(bi).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bi)).cast("long").alias("n_distinct"),
+        F.round(
+            F.when(F.size(bi) > 0, F.size(F.array_distinct(bi)) / F.size(bi)).otherwise(
+                F.lit(None)
+            ),
+            6,
+        ).alias("diversity"),
+    )
+
+
+DOC_NGRAM_DIVERSITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+  FROM documents),
+bi AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                                  i -> t[i] || chr(1) || t[i + 1])
+              ELSE [] END AS b
+  FROM tok)
+SELECT doc_id,
+       len(b)::BIGINT AS n_bigrams,
+       len(list_distinct(b))::BIGINT AS n_distinct,
+       CASE WHEN len(b) > 0
+            THEN round(len(list_distinct(b)) / CAST(len(b) AS DOUBLE), 6) END AS diversity
+FROM bi
+"""
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF vectors, top-3 weighted terms each — the
     classic sparse document representation (retrieval features, topic
@@ -5311,6 +5434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "orders_validation": orders_validation,
         "lineitem_price_drift": lineitem_price_drift,
+        "embedding_outliers": embedding_outliers,
+        "doc_ngram_diversity": doc_ngram_diversity,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
         "segment_assignment": segment_assignment,
@@ -5518,6 +5643,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top_terms": DOC_TFIDF_SQL,
         "orders_validation": ORDERS_VALIDATION_SQL,
         "lineitem_price_drift": LINEITEM_PSI_SQL,
+        "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
+        "doc_ngram_diversity": DOC_NGRAM_DIVERSITY_SQL,
         "stream_window_rollup": STREAM_ROLLUP_SQL,
         "events_session_windows": SESSION_WINDOWS_SQL,
         "events_asof_attribution": EVENTS_ASOF_SQL,
