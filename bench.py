@@ -88,6 +88,11 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "orders_validation",
     "lineitem_price_drift",
+    "embedding_outliers",
+    "doc_ngram_diversity",
+    "mm_resize_pipeline",
+    "mm_audio_spectral",
+    "index_search_join_graph",
     "orders_cube",
     "corpus_splits",
     "pipeline_pack_curated",

@@ -494,3 +494,39 @@ def test_wav_roundtrip_chunk_walk_and_rejection():
     struct.pack_into("<H", bad, fmt_off + 14, 8)
     with _pytest.raises(ValueError, match="16-bit"):
         decode_wav(bytes(bad))
+
+
+def test_extract_audio_features_matches_numpy_model(spark):
+    """extract_audio_features ≡ straight NumPy on the same samples:
+    duration, RMS, zero-crossing rate, FFT spectral centroid — exact
+    (same arithmetic, same rounding), incl. a stereo clip (features
+    use channel 0) and a silent clip (centroid 0 guard)."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import encode_wav
+    from vectorsearch_spark.operators.multimodal import extract_audio_features
+
+    rng = np.random.default_rng(41)
+    clips = {
+        1: (rng.integers(-30000, 30000, size=(400, 1), dtype=np.int16), 16000),
+        2: (rng.integers(-30000, 30000, size=(333, 2), dtype=np.int16), 8000),
+        3: (np.zeros((100, 1), dtype=np.int16), 22050),
+    }
+    media = spark.createDataFrame(
+        [(mid, bytearray(encode_wav(s, r))) for mid, (s, r) in clips.items()],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    for mid, (s, rate) in clips.items():
+        c0 = s[:, 0].astype(np.float64)
+        n = len(c0)
+        mag = np.abs(np.fft.rfft(c0))
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        cent = float((freqs * mag).sum() / mag.sum()) if mag.sum() > 0 else 0.0
+        r = got[mid]
+        assert r["n_samples"] == n
+        assert r["duration_s"] == round(n / rate, 6)
+        assert r["rms"] == round(float(np.sqrt((c0 ** 2).mean())), 4)
+        assert r["zcr"] == round(float(((c0[:-1] * c0[1:]) < 0).mean()), 6)
+        assert r["spectral_centroid"] == round(cent, 4)
+    assert got[3]["spectral_centroid"] == 0.0 and got[3]["rms"] == 0.0

@@ -5098,6 +5098,43 @@ FROM feat
 """
 
 
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio features (operators/multimodal.py
+    extract_audio_features): the same deterministic WAV corpus as
+    mm_wav_features through the real RIFF codec, reduced to duration /
+    RMS / zero-crossing rate / FFT spectral centroid. Rows-only entry —
+    the DFT has no tractable SQL form; an exact NumPy-model equality
+    test gates it (tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import encode_wav
+    from vectorsearch_spark.operators.multimodal import extract_audio_features
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                ch = 1 + did % 2
+                ns = 200 + did % 100
+                k = np.arange(ns * ch)
+                base = b[k % len(b)].astype(np.int32) if len(b) else np.zeros(ns * ch, dtype=np.int32)
+                v = ((base - 128) * 256 + (k % 127)).astype(np.int16)
+                rows.append(
+                    (int(did), encode_wav(v.reshape(ns, ch), sample_rate=8000 + 1000 * (did % 3)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return extract_audio_features(media)
+
+
 def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via BUCKETED tables
     (operators/layout.py write_bucketed): orders and lineitem are
@@ -5139,6 +5176,76 @@ SELECT o_orderpriority,
        count(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
+"""
+
+
+def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image pipeline chain with REAL codecs at every stage:
+    deterministic pixels → encode_bmp → the ACTUAL resize_images
+    operator (decode_media → nearest-neighbor resample to 8×6 →
+    encode_bmp) → decode_media again → position-weighted checksum.
+    Nearest-neighbor sampling is pure integer arithmetic
+    (src_y = y·h_in // 6, src_x = x·w_in // 8), so the DuckDB oracle
+    recomputes the resized raster straight from the text bytes — any
+    container bug OR resample off-by-one hash-fails."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
+    from vectorsearch_spark.operators.multimodal import resize_images
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w, h = 5 + did % 12, 4 + did % 9
+                k = np.arange(w * h * 3)
+                pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
+                rows.append((int(did), encode_bmp(pix.reshape(h, w, 3))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    resized = resize_images(
+        media, out_width=8, out_height=6, decoder=decode_media, encoder=encode_bmp
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = decode_media(bytes(payload)).astype(np.int64).ravel()
+                rows.append((int(mid), int(((np.arange(a.size) + 1) * a).sum())))
+            yield pd.DataFrame(rows, columns=["media_id", "checksum"])
+
+    return resized.mapInPandas(checksum, "media_id long, checksum long").select(
+        "media_id", "checksum"
+    )
+
+
+MM_RESIZE_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+  FROM documents),
+pix AS (
+  SELECT media_id, n, w, h,
+         list_transform(range(0, 8 * 6 * 3),
+           k -> CASE WHEN n = 0 THEN 0 ELSE ascii(text[
+                  CAST(((((k // 24) * h // 6) * w
+                         + (((k % 24) // 3) * w // 8)) * 3 + k % 3) % n AS BIGINT) + 1
+                ]) END) AS p
+  FROM base)
+SELECT media_id,
+       CAST(list_aggregate(
+         list_transform(range(0, 8 * 6 * 3), k -> (k + 1) * p[CAST(k AS BIGINT) + 1]),
+         'sum') AS BIGINT) AS checksum
+FROM pix
 """
 
 
@@ -5428,9 +5535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_decode": mm_image_decode,
         "mm_png_decode": mm_png_decode,
         "mm_jpeg_decode": mm_jpeg_decode,
+        "mm_resize_pipeline": mm_resize_pipeline,
         "mm_mjpeg_frames": mm_mjpeg_frames,
         "bucketed_revenue_join": bucketed_revenue_join,
         "mm_wav_features": mm_wav_features,
+        "mm_audio_spectral": mm_audio_spectral,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "orders_validation": orders_validation,
         "lineitem_price_drift": lineitem_price_drift,
@@ -5637,6 +5746,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_decode": MM_IMAGE_DECODE_SQL,
         "mm_png_decode": MM_PNG_DECODE_SQL,
         "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
+        "mm_resize_pipeline": MM_RESIZE_SQL,
         "mm_mjpeg_frames": MM_MJPEG_FRAMES_SQL,
         "bucketed_revenue_join": BUCKETED_REVENUE_SQL,
         "mm_wav_features": MM_WAV_FEATURES_SQL,
