@@ -697,3 +697,108 @@ def test_stream_scd2_maintain_streaming_query(spark, tmp_path_factory):
         map(tuple, changelog_to_scd2(df, "cust_id", ts="ts", tiebreak="row_id").collect())
     )
     assert got == exp
+
+
+def test_stream_dedup_ingest_folds_replay_and_crash(spark, tmp_path_factory):
+    """Streaming dedup ingest: 3 micro-batches with (a) verbatim
+    duplicates of EARLIER-batch docs (must drop against the persisted
+    corpus buckets, never re-shingling corpus text), (b) within-batch
+    duplicates (min-id keeper), (c) fresh docs (must survive). The
+    folded state must equal a driver-side reference loop running the
+    same batch operators sequentially; a replayed epoch is a no-op; a
+    crash BEFORE the marker commit replays into identical state (the
+    batch cannot collide with its own partial epoch dirs)."""
+    import os
+
+    from vectorsearch_spark.operators.dedup import (
+        fold_dedup_ingest_batch,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away tonight",
+        "pack my box with five dozen liquor jugs before the morning train leaves",
+        "sphinx of black quartz judge my vow while the river flows gently north",
+        "a completely different document about distributed query engines and joins",
+    ]
+    b1 = [(i, base[i]) for i in range(4)]
+    b2 = [
+        (10, base[0]),                       # dup of corpus doc 0 -> drop
+        (11, "totally new text about parquet row groups and column pruning at scale"),
+        (12, base[1] + " extra"),            # near-dup of corpus doc 1 -> drop
+    ]
+    b3 = [
+        (20, "another novel unique document mentioning adaptive query execution"),
+        (21, "another novel unique document mentioning adaptive query execution!"),  # in-batch dup -> drop (21 > 20)
+        (22, base[3]),                       # dup of corpus doc 3 -> drop
+    ]
+    schema = "doc_id long, text string"
+    state = str(tmp_path_factory.mktemp("dedup_state")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    kw = dict(shingle_n=2, num_hashes=16, bands=8, threshold=0.5)
+
+    for i, rows in enumerate([b1, b2, b3]):
+        fold_dedup_ingest_batch(spark.createDataFrame(rows, schema), i, state, **kw)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    )
+
+    # reference loop: the same batch-level operators applied sequentially
+    ref_corpus = []
+    for rows in [b1, b2, b3]:
+        bdf = spark.createDataFrame(rows, schema)
+        drop = set()
+        if ref_corpus:
+            cdf = spark.createDataFrame(ref_corpus, schema)
+            for r in incremental_minhash_pairs(bdf, cdf, **kw).collect():
+                drop.add(r["batch_id"])
+        for r in minhash_lsh_pairs(bdf, **kw).collect():
+            drop.add(r["doc_b"])
+        ref_corpus += [row for row in rows if row[0] not in drop]
+    assert got == sorted(i for i, _ in ref_corpus)
+    assert 10 not in got and 12 not in got and 21 not in got and 22 not in got
+    assert {0, 1, 2, 3, 11, 20} <= set(got)
+
+    # replayed epoch: no state change, no self-collision
+    fold_dedup_ingest_batch(spark.createDataFrame(b3, schema), 2, state, **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    ) == got
+
+    # crash before marker: wipe the marker back to epoch 1 and replay
+    # epoch 2 — its own (already written) epoch dirs must be invisible
+    # to the replay, landing identical state
+    import json
+
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 1}, fh)
+    fold_dedup_ingest_batch(spark.createDataFrame(b3, schema), 2, state, **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    ) == got
+
+
+def test_stream_dedup_ingest_streaming_query(spark, tmp_path_factory):
+    """The writeStream wrapper end-to-end: duplicate docs across two
+    micro-batches collapse to the first-accepted copy."""
+    from vectorsearch_spark.operators.dedup import stream_dedup_ingest
+
+    rows1 = [(1, "some unique document text about spark shuffles and partitions here")]
+    rows2 = [
+        (2, "some unique document text about spark shuffles and partitions here"),
+        (3, "an unrelated fresh document describing bloom filters and semi joins"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path_factory.mktemp("ded_src"))
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path_factory.mktemp("ded_state")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("ded_ckpt"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_dedup_ingest(stream, state, ckpt, shingle_n=2, threshold=0.5)
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect())
+    assert got == [1, 3]

@@ -671,3 +671,166 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= 1)
         .select("key_a", "key_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup ingest: exactly-once corpus maintenance
+# ---------------------------------------------------------------------------
+
+def fold_dedup_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_band_freq: int | None = MAX_BAND_FREQ_DEFAULT,
+) -> None:
+    """One micro-batch fold of the streaming dedup ingest (the
+    foreachBatch body, exposed for crash-injection tests): check the
+    batch against everything already ACCEPTED, drop near-duplicates,
+    append the survivors — the per-ingest production dedup shape, made
+    exactly-once.
+
+    State layout (all three append one ``epoch=<id>/`` dir per applied
+    batch — O(batch) writes per fold, never a history rewrite):
+
+    - ``accepted/`` — surviving (id, text) rows, the corpus;
+    - ``buckets/`` — their (doc_id, band_key) LSH buckets;
+    - ``shingles/`` — their shingle sets (the verify side).
+
+    Persisted buckets+shingles are what make the per-batch cost
+    O(|batch| tokens + matched buckets) INDEPENDENT of corpus size —
+    the corpus text is never re-shingled (the contract documented on
+    ``incremental_minhash_pairs``). Batch rows are dropped when they
+    LSH-match an accepted corpus doc at ≥ threshold, or a SMALLER-id
+    doc within the same batch (the min-id keeper convention).
+
+    Exactly-once: corpus reads filter to ``epoch < epoch_id``, so a
+    crashed attempt's own partial epoch dirs are invisible to its
+    replay (a batch can never collide with itself); the per-epoch dirs
+    rewrite idempotently (mode=overwrite, deterministic content); the
+    applied-epoch marker commits last via atomic rename. A replay
+    after the marker committed is skipped outright.
+    """
+    import json
+    import os
+    import tempfile
+
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if json.load(fh)["epoch"] >= epoch_id:
+                return  # replayed epoch: already folded in
+    batch = batch_df.localCheckpoint()  # stream sources are single-pass
+
+    sh_b = _shingle_df(batch, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    bk_b = _cap_band_freq(_minhash_buckets(sh_b, num_hashes, bands), max_band_freq)
+
+    def _epochs(sub: str) -> list[str]:
+        root = os.path.join(state_path, sub)
+        if not os.path.isdir(root):
+            return []
+        return [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+
+    drop = None
+    bdirs, sdirs = _epochs("buckets"), _epochs("shingles")
+    if bdirs:
+        bk_c = spark.read.schema("doc_id long, band_key string").parquet(*bdirs)
+        sh_c = spark.read.schema("doc_id long, shingles array<string>").parquet(*sdirs)
+        cand = (
+            bk_b.select(F.col("doc_id").alias("batch_id"), "band_key")
+            .join(
+                _cap_band_freq(bk_c, max_band_freq).select(
+                    F.col("doc_id").alias("corpus_id"), "band_key"
+                ),
+                "band_key",
+            )
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                sh_b.select(F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_a")),
+                "batch_id",
+            )
+            .join(
+                sh_c.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")),
+                "corpus_id",
+            )
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        drop = verified.select(F.col("batch_id").alias(id_col)).distinct()
+    # within-batch self dedup: drop the larger id of every verified pair
+    self_pairs = minhash_lsh_pairs(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_band_freq=max_band_freq,
+    )
+    self_drop = self_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    drop = self_drop if drop is None else drop.unionByName(self_drop).distinct()
+
+    accepted = batch.join(drop, id_col, "left_anti").localCheckpoint(eager=False)
+    sh_a = _shingle_df(accepted, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    bk_a = _minhash_buckets(sh_a, num_hashes, bands)
+
+    ep = f"epoch={int(epoch_id)}"
+    accepted.select(F.col(id_col).cast("long").alias("doc_id"), text_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_path, "accepted", ep))
+    bk_a.select(F.col("doc_id").cast("long"), "band_key").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_path, "buckets", ep))
+    sh_a.select(F.col("doc_id").cast("long"), "shingles").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_path, "shingles", ep))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def stream_dedup_ingest(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Keep a deduplicated corpus current from a document stream (see
+    ``fold_dedup_ingest_batch``). Returns the StreamingQuery; the
+    accepted corpus is ``spark.read.parquet(f"{state_path}/accepted")``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_dedup_ingest_batch(batch_df, epoch_id, state_path, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
