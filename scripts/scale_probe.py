@@ -78,6 +78,16 @@ PROBES = [
     "events_value_outliers",
     "pipeline_chunk_shards",
     "mm_jpeg_decode",
+    # round-5 additions
+    "mm_mjpeg_frames",
+    "mm_wav_features",
+    "mm_resize_pipeline",
+    "doc_tfidf_top_terms",
+    "doc_ngram_diversity",
+    "orders_validation",
+    "lineitem_price_drift",
+    "embedding_outliers",
+    "bucketed_revenue_join",
 ]
 
 
