@@ -132,6 +132,7 @@ HEADLINE = [
     "mm_feature_extract",
     "mm_image_decode",
     "index_search_join",
+    "index_search_join_graph_default",
 ]
 
 def _index_build(spark, sf_dir):
@@ -191,6 +192,68 @@ EXTRA: dict = {
 }
 
 
+def _micro_kernels(spark) -> dict:
+    """Kernel-level micro-bench (parity with the reference's
+    DistanceAndPqBenchmark.java:30-123): per-dim throughput of the
+    HOF-expression distance path (JVM codegen — the per-row scoring
+    used in re-rank/filters) vs the NumPy/GEMM batch path (the bulk
+    KNN kernel), plus PQ encode + LUT build. Reported in BENCH_DETAIL
+    under "micro" so codegen regressions are visible independent of
+    query noise; excluded from the headline total."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.functions.distances import l2_squared
+    from vectorsearch_spark.operators.pq import build_lut, encode, train_codebook
+
+    out: dict[str, float] = {}
+    n = 50_000
+    for d in (128, 768):
+        base = (
+            spark.range(n)
+            .select(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(d)),
+                    lambda i: (F.col("id") * 31 + i.cast("long")) % 997 / 997.0,
+                ).alias("a"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(d)),
+                    lambda i: (F.col("id") * 17 + i.cast("long")) % 991 / 991.0,
+                ).alias("b"),
+            )
+            .localCheckpoint()  # time the kernel, not the generator
+        )
+        t0 = time.time()
+        base.select(F.sum(l2_squared("a", "b")).alias("s")).collect()
+        hof = time.time() - t0
+        out[f"dist_hof_d{d}_mrows_s"] = round(n / hof / 1e6, 3)
+
+        rng = np.random.default_rng(42)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        q = rng.normal(size=(256, d)).astype(np.float32)
+        t0 = time.time()
+        # ‖x−q‖² = ‖x‖² + ‖q‖² − 2x·qᵀ — the knn.py GEMM identity
+        xn = (x * x).sum(axis=1)
+        qn = (q * q).sum(axis=1)
+        d2 = xn[:, None] + qn[None, :] - 2.0 * (x @ q.T)
+        d2.min(axis=1)
+        gemm = time.time() - t0
+        out[f"dist_gemm_d{d}_mpairs_s"] = round(n * len(q) / gemm / 1e6, 1)
+
+    x = np.random.default_rng(7).normal(size=(20_000, 64)).astype(np.float32)
+    cb = train_codebook(x, 8, 16, 3, 42)
+    t0 = time.time()
+    codes = encode(x, cb)
+    out["pq_encode_kvecs_s"] = round(len(x) / (time.time() - t0) / 1e3, 1)
+    q = x[0]
+    t0 = time.time()
+    for _ in range(1000):
+        build_lut(cb, q)
+    out["pq_lut_us_op"] = round((time.time() - t0) / 1000 * 1e6, 1)
+    assert codes.shape[0] == len(x)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -224,6 +287,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": minima,
+        "micro": _micro_kernels(spark),
         "reps": reps,
         "sf": sf,
     }

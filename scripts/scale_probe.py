@@ -81,6 +81,7 @@ PROBES = [
     # round-5 additions
     "mm_mjpeg_frames",
     "mm_wav_features",
+    "mm_audio_spectral",
     "mm_resize_pipeline",
     "doc_tfidf_top_terms",
     "doc_ngram_diversity",

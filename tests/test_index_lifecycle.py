@@ -1025,3 +1025,35 @@ def test_compact_crash_before_registry_swap_recover_rerun(spark, tmp_path_factor
         (r["query_id"], r["gid"]) for r in idx.search(qdf, k=5).collect()
     }
     assert after == before  # gid-stable across the crashed+retried move
+
+
+def test_search_join_graph_default_ef_recall_8_segments(spark, tmp_path_factory):
+    """Best-first COGROUP path at DEFAULT ef over ≥ 8 sealed segments
+    (the non-degenerate config: small per-segment graphs, real beam
+    pruning). Gate: recall@10 ≥ 0.9 vs the exact search_join — keeps
+    the distributed graph traversal honest as segment count grows
+    (fdb/FdbVectorIndex.java:686-694 semantics, batch re-expression)."""
+    path = str(tmp_path_factory.mktemp("vsg8"))
+    cfg = IndexConfig(
+        name="g8", dimension=DIM, max_segment_size=125, pq_m=4, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, graph_alpha=1.2,
+        oversample=4, seed=42,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df, data = _gaussian_df(spark, 1000, DIM, seed=77)
+    idx.add(df, order_col="row_id")
+    built = idx.build()
+    assert len(built) == 8, built
+    qids = list(range(0, 1000, 40))  # 25 self-queries
+    qdf = _queries_df(spark, data, qids)
+    approx = idx.search_join(qdf, k=10, params=SearchParams(mode="GRAPH"))
+    exact = idx.search_join(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in got.get(r["query_id"], set())
+    assert total == 25 * 10
+    assert hits / total >= 0.9, hits / total

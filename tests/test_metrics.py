@@ -42,3 +42,43 @@ def test_session_registry_attached(spark):
     reg = get_metrics(spark)
     assert isinstance(reg, Metrics)
     assert get_metrics(spark) is reg  # stable per session
+
+
+def test_phase_timers_cover_build_vacuum_compact(spark, tmp_path_factory):
+    """Per-phase maintenance histograms (the util/Metrics.java:20-45
+    analog): a full build → delete → vacuum → compact lifecycle must
+    record a wall_ms + calls pair for every phase, so a regression
+    like r5's index_build slowdown localizes to a phase in-round."""
+    import numpy as np
+
+    from vectorsearch_spark.config import IndexConfig
+    from vectorsearch_spark.index import VectorIndex
+
+    path = str(tmp_path_factory.mktemp("phm")) + "/idx"
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cfg = IndexConfig(
+        name="phm", dimension=8, max_segment_size=20, pq_m=4, pq_k=4,
+        graph_degree=4, graph_build_breadth=8, oversample=2, seed=1,
+    )
+    reg = get_metrics(spark)
+    reg.reset()
+    idx = VectorIndex.create(spark, path, cfg)
+    idx.add(df, order_col="vec_id")
+    idx.build()
+    idx.delete(list(range(0, 15)))
+    idx.vacuum(0, force=True)
+    idx.compact(sorted(idx.registered_seg_ids(("SEALED",)))[:2])
+    snap = reg.snapshot()
+    for ph in (
+        "index.build.write",
+        "index.build.seal",
+        "index.vacuum.vectors_rewrite",
+        "index.vacuum.artifacts_rewrite",
+        "index.compact.copy",
+        "index.compact.rebuild",
+        "index.compact.swap",
+    ):
+        assert snap.get(f"{ph}.calls", 0) >= 1, f"missing phase {ph}: {snap}"
+        assert f"{ph}.wall_ms" in snap, f"missing timer {ph}"

@@ -530,3 +530,30 @@ def test_extract_audio_features_matches_numpy_model(spark):
         assert r["zcr"] == round(float(((c0[:-1] * c0[1:]) < 0).mean()), 6)
         assert r["spectral_centroid"] == round(cent, 4)
     assert got[3]["spectral_centroid"] == 0.0 and got[3]["rms"] == 0.0
+
+
+def test_mjpeg_split_handles_in_scan_marker_segment():
+    """A legal non-RST marker segment INSIDE a scan (e.g. DNL, 0xFFDC)
+    must hand control back to the segment walker at the 0xFF byte —
+    the r5 walker left pos past the 0xFF and raised 'expected marker'
+    on any foreign M-JPEG stream carrying one."""
+    import struct
+
+    import numpy as np
+
+    from vectorsearch_spark.functions.jpeg import encode_jpeg, split_mjpeg
+
+    frame = np.kron(
+        np.arange(4, dtype=np.uint8).reshape(2, 2) * 60,
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    jpg = encode_jpeg(frame, quant=1)
+    assert jpg[-2:] == b"\xFF\xD9"
+    # splice a DNL segment (marker 0xDC, 4-byte payload len incl. the
+    # length field) between the scan data and the EOI
+    dnl = b"\xFF\xDC" + struct.pack(">H", 4) + struct.pack(">H", 16)
+    doctored = jpg[:-2] + dnl + b"\xFF\xD9"
+    stream = doctored + jpg  # two frames: doctored then clean
+    frames = split_mjpeg(stream)
+    assert len(frames) == 2
+    assert frames[0] == doctored and frames[1] == jpg

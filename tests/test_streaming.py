@@ -802,3 +802,50 @@ def test_stream_dedup_ingest_streaming_query(spark, tmp_path_factory):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect())
     assert got == [1, 3]
+
+
+def test_epoch_regression_fails_loudly(spark, tmp_path_factory):
+    """A fresh checkpoint dir restarts epoch ids at 0; folding epoch 0
+    against state already at epoch 2 must RAISE (silently treating it
+    as a replay would drop every future batch), for all three
+    epoch-marked folds (dedup ingest, rollup maintenance, SCD2)."""
+    import json
+    import os
+
+    import pytest
+
+    from vectorsearch_spark.operators.dedup import fold_dedup_ingest_batch
+    from vectorsearch_spark.operators.incremental import (
+        fold_rollup_batch,
+        fold_scd2_batch,
+    )
+
+    schema = "doc_id long, text string"
+    rows = [(1, "one document about columnar storage formats and encodings")]
+
+    state = str(tmp_path_factory.mktemp("epochreg")) + "/dedup"
+    os.makedirs(state, exist_ok=True)
+    kw = dict(shingle_n=2, num_hashes=16, bands=8, threshold=0.5)
+    fold_dedup_ingest_batch(spark.createDataFrame(rows, schema), 0, state, **kw)
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 2}, fh)
+    # exact replay of the committed epoch: silent no-op
+    fold_dedup_ingest_batch(spark.createDataFrame(rows, schema), 2, state, **kw)
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_dedup_ingest_batch(spark.createDataFrame(rows, schema), 0, state, **kw)
+
+    rstate = str(tmp_path_factory.mktemp("epochreg")) + "/rollup"
+    ev = spark.createDataFrame([(1, "a", 2.0)], "k long, g string, v double")
+    fold_rollup_batch(ev, 0, rstate, ["g"], "v")
+    with open(f"{rstate}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 2}, fh)
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_rollup_batch(ev, 1, rstate, ["g"], "v")
+
+    sstate = str(tmp_path_factory.mktemp("epochreg")) + "/scd2"
+    ch = spark.createDataFrame([(1, "x", 10)], "id long, attr string, ts long")
+    fold_scd2_batch(ch, 0, sstate, "id", ts="ts")
+    with open(f"{sstate}/dim/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 2}, fh)
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_scd2_batch(ch, 1, sstate, "id", ts="ts")

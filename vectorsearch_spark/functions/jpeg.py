@@ -431,7 +431,11 @@ def _frame_end(data: bytes, start: int) -> int:
             elif nxt == 0xD9:
                 return pos + 1
             else:
-                in_scan = False  # another marker segment (e.g. DNL)
+                # another marker segment inside the scan (e.g. DNL):
+                # rewind to the 0xFF so the segment walker re-parses
+                # the full marker (pos already sits ON the marker byte)
+                pos -= 1
+                in_scan = False
     raise ValueError("MJPEG: truncated frame (no EOI)")
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from vectorsearch_spark.config import COMPACTING, SEALED, WRITING
 from vectorsearch_spark.index.catalog import VECTORS_SCHEMA, VectorIndex
+from vectorsearch_spark.metrics import get_metrics
 from vectorsearch_spark.staging import (
     hadoop_delete as _hadoop_delete,
     hadoop_exists,
@@ -165,7 +166,8 @@ def vacuum_segment(
                 {seg_id: {"deleted_count": 0, "last_vacuum_at_ms": int(time.time() * 1000)}}
             )
             return True
-        _rewrite_partitions(index, kept, index.vectors_path)
+        with get_metrics(spark).phase("index.vacuum.vectors_rewrite"):
+            _rewrite_partitions(index, kept, index.vectors_path)
         # drop orphaned build artifacts for removed vec_ids — ONE
         # rewrite of the unified artifacts table (codebook rows carry
         # no vec_id and survive unconditionally)
@@ -182,9 +184,10 @@ def vacuum_segment(
                     kept_ids, ["seg_id", "vec_id"], "left_semi"
                 )
             )
-            staged_partition_rewrite(
-                spark, pruned, index.artifacts_path, ["seg_id", "kind"]
-            )
+            with get_metrics(spark).phase("index.vacuum.artifacts_rewrite"):
+                staged_partition_rewrite(
+                    spark, pruned, index.artifacts_path, ["seg_id", "kind"]
+                )
     index.update_segment_states(
         {seg_id: {"deleted_count": 0, "last_vacuum_at_ms": int(time.time() * 1000)}}
     )
@@ -342,20 +345,23 @@ def compact_segments(index: VectorIndex, seg_ids: list[int]) -> int:
     from pyspark.sql import Observation
 
     obs = Observation()
-    moved.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").partitionBy(
-        "seg_id"
-    ).parquet(index.vectors_path)
-    n = int(obs.get["n"])
+    with get_metrics(index.spark).phase("index.compact.copy"):
+        moved.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).partitionBy("seg_id").parquet(index.vectors_path)
+        n = int(obs.get["n"])
 
     # WRITING segments are buildable (SegmentBuildService.java:88-99);
     # seal=False keeps dest WRITING (invisible) until the atomic swap
     # below — sealing here would open a window where dest AND sources
     # are simultaneously searchable with duplicate gids
-    index.build([dest], seal=False)
+    with get_metrics(index.spark).phase("index.compact.rebuild"):
+        index.build([dest], seal=False)
 
     swap: dict[int, dict | None] = {s: None for s in seg_ids}
     swap[dest] = {"state": SEALED, "count": n, "deleted_count": 0}
-    index.update_segment_states(swap)
+    with get_metrics(index.spark).phase("index.compact.swap"):
+        index.update_segment_states(swap)
     return dest
 
 

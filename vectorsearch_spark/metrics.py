@@ -85,6 +85,28 @@ class Metrics:
     def reset(self) -> None:
         self._counters.clear()
 
+    # -- phase instrumentation ----------------------------------------
+    def phase(self, name: str):
+        """Context manager timing one maintenance/build PHASE — the
+        analog of the reference's per-phase histograms
+        (util/Metrics.java:20-45: build/vacuum/compact phases each
+        record a timer). Records ``<name>.wall_ms`` (cumulative) and
+        ``<name>.calls`` so a regression localizes to a phase in-round
+        instead of needing an ad-hoc probe (the r5 index_build lesson).
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _timer():
+            t0 = time.time()
+            try:
+                yield self
+            finally:
+                self.inc(f"{name}.wall_ms", int((time.time() - t0) * 1000))
+                self.inc(f"{name}.calls")
+
+        return _timer()
+
     # -- query instrumentation ----------------------------------------
     def observe(self, name: str, df: DataFrame) -> list:
         """Collect ``df``, then record its executed-plan SQLMetrics

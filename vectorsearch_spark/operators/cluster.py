@@ -267,6 +267,15 @@ def semantic_dedup(
         out = pdf.loc[keep, [id_col, "cluster"]]
         return out
 
-    return clustered.groupBy("cluster").applyInPandas(
-        dedup_cluster, schema=f"{id_col} long, cluster int"
+    # Explicit-count repartition: the cluster shuffle is small in BYTES
+    # but quadratic in CPU per group, so AQE's size-based coalescing
+    # would fold all clusters into one partition and serialize the
+    # O(n²) passes in a single Python worker (the index/build.py:128
+    # lesson). REPARTITION_BY_NUM is AQE-exempt and satisfies
+    # applyInPandas's distribution, so exactly one exchange remains.
+    sc = clustered.sparkSession.sparkContext
+    return (
+        clustered.repartition(2 * sc.defaultParallelism, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(dedup_cluster, schema=f"{id_col} long, cluster int")
     )

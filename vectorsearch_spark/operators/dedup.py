@@ -724,8 +724,21 @@ def fold_dedup_ingest_batch(
     marker = os.path.join(state_path, "_last_epoch.json")
     if os.path.exists(marker):
         with open(marker) as fh:
-            if json.load(fh)["epoch"] >= epoch_id:
-                return  # replayed epoch: already folded in
+            last = json.load(fh)["epoch"]
+        if last == epoch_id:
+            return  # replayed epoch: already folded in
+        if epoch_id < last:
+            # A fresh checkpoint dir restarts epoch ids at 0; treating
+            # those as replays would silently drop every batch against
+            # an existing state_path. Checkpoint and state lifetimes
+            # are coupled — fail loudly instead (a genuine replay is
+            # only ever the LAST committed epoch, handled above).
+            raise ValueError(
+                f"epoch regression: batch epoch {epoch_id} < committed "
+                f"epoch {last} at {state_path} — the stream checkpoint "
+                "was reset against existing dedup state; clear "
+                "state_path or restore the original checkpoint dir"
+            )
     batch = batch_df.localCheckpoint()  # stream sources are single-pass
 
     sh_b = _shingle_df(batch, id_col, text_col, shingle_n).localCheckpoint(

@@ -26,6 +26,31 @@ from pyspark.sql import functions as F
 STATE_COLS = ("n_rows", "total", "vmin", "vmax")
 
 
+def _epoch_already_applied(marker: str, epoch_id: int, state_desc: str) -> bool:
+    """True iff ``epoch_id`` is the already-committed last epoch (a
+    foreachBatch replay — skip it). Raises on epoch REGRESSION: a fresh
+    checkpoint dir restarts epoch ids at 0, and treating those as
+    replays would silently drop every batch against existing state
+    (checkpoint and state lifetimes are coupled — fail loudly)."""
+    import json
+    import os
+
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        last = json.load(fh)["epoch"]
+    if last == epoch_id:
+        return True
+    if epoch_id < last:
+        raise ValueError(
+            f"epoch regression: batch epoch {epoch_id} < committed epoch "
+            f"{last} at {state_desc} — the stream checkpoint was reset "
+            "against existing state; clear the state dir or restore the "
+            "original checkpoint dir"
+        )
+    return False
+
+
 def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Aggregate a batch into mergeable per-group state:
     (keys…, n_rows, total, vmin, vmax) over ``value_col`` (NULL values
@@ -150,10 +175,8 @@ def fold_rollup_batch(
     if not os.path.exists(state_path) and os.path.exists(old):
         os.rename(old, state_path)
     marker = os.path.join(state_path, "_last_epoch.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if json.load(fh)["epoch"] >= epoch_id:
-                return  # replayed epoch: already folded in
+    if _epoch_already_applied(marker, epoch_id, state_path):
+        return  # replayed epoch: already folded in
     delta = rollup_state(batch_df, keys, value_col)
     if os.path.exists(os.path.join(state_path, "_SUCCESS")):
         prev = spark.read.parquet(state_path)
@@ -227,10 +250,8 @@ def fold_scd2_batch(
     if not os.path.exists(dim_path) and os.path.exists(old):
         os.rename(old, dim_path)
     marker = os.path.join(dim_path, "_last_epoch.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if json.load(fh)["epoch"] >= epoch_id:
-                return  # replayed epoch: already folded in
+    if _epoch_already_applied(marker, epoch_id, dim_path):
+        return  # replayed epoch: already folded in
     batch = batch_df.localCheckpoint()  # stream sources are single-pass
     clog_root = os.path.join(state_path, "changelog")
     epoch_dir = os.path.join(clog_root, f"epoch={int(epoch_id)}")

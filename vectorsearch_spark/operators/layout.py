@@ -122,8 +122,12 @@ def write_bucketed(
     # when a metastore is present: DROP TABLE already removed it)
     from vectorsearch_spark.staging import hadoop_delete
 
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    hadoop_delete(spark, f"{wh.rstrip('/')}/{table.lower()}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    # managed layout: default-db tables live at {wh}/{tbl}; qualified
+    # db.tbl lives at {wh}/{db}.db/{tbl}
+    parts = table.lower().split(".")
+    loc = f"{wh}/{parts[-1]}" if len(parts) == 1 else f"{wh}/{parts[-2]}.db/{parts[-1]}"
+    hadoop_delete(spark, loc)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
         w = w.sortBy(*sort_by)

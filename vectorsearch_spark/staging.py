@@ -137,10 +137,17 @@ def staged_partition_rewrite(
             if fs.exists(backup):  # stale backup from a completed swap
                 fs.delete(backup, True)
             if fs.exists(live):
-                fs.rename(live, backup)
+                # Hadoop FileSystem.rename signals failure by returning
+                # FALSE (dest exists, parent missing, FS quirk) — not by
+                # raising. An unchecked false here would proceed to the
+                # finally-block staging delete with the live partition
+                # never replaced, silently losing the rewrite.
+                if not fs.rename(live, backup):
+                    raise IOError(f"backup rename failed: {name} -> {BACKUP_PREFIX}{name}")
                 if _FAULT:
                     _FAULT("backed_up", name)
-            fs.rename(_hpath(jvm, f"{staging}/{name}"), live)
+            if not fs.rename(_hpath(jvm, f"{staging}/{name}"), live):
+                raise IOError(f"swap rename failed: {staging}/{name} -> {name}")
             if _FAULT:
                 _FAULT("swapped", name)
             if fs.exists(backup):
@@ -179,7 +186,8 @@ def recover_partial_swaps(spark: SparkSession, table_path: str) -> list[str]:
                 fs.delete(st.getPath(), True)
                 actions.append(f"dropped_backup:{live_name}")
             else:
-                fs.rename(st.getPath(), live)
+                if not fs.rename(st.getPath(), live):
+                    raise IOError(f"recovery rename failed: {name} -> {live_name}")
                 actions.append(f"restored:{live_name}")
         elif name.startswith(STAGING_PREFIX) or name.startswith("_staging_") or name.startswith("_merge_staging_"):
             fs.delete(st.getPath(), True)

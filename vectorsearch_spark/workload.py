@@ -2187,9 +2187,17 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = pca_project(emb, k=8, dim=64)
+    # Driver-canonicalizable shape: the harness sorts every column to
+    # canonicalize, and an array<double> column is unsortable there
+    # (r5's one red row: "unhashable type: 'list'").  Project the 8
+    # components to scalar pc1..pc8 doubles instead; |value| rounded
+    # because eigenvector SIGN is arbitrary across LAPACK builds.
     return out.select(
         "vec_id",
-        F.transform("pca", lambda v: F.round(v, 6)).alias("pca"),
+        *[
+            F.round(F.abs(F.element_at(F.col("pca"), i + 1)), 6).alias(f"pc{i + 1}")
+            for i in range(8)
+        ],
     )
 
 
@@ -3035,9 +3043,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.groupBy("label").agg(
         F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
     )
+    # gate on ROUNDED quantities: centroid/mean/stddev each sum in
+    # nondeterministic order in Spark vs DuckDB, so a row at the raw
+    # threshold within float noise could appear in one engine only —
+    # a 6-decimal-rounded predicate (mirrored in the oracle SQL) is
+    # ulp-stable
     return (
         d.join(F.broadcast(stats), "label")
-        .where(F.col("dist") > F.col("mu") + 2 * F.col("sd"))
+        .where(F.round("dist", 6) > F.round(F.col("mu") + 2 * F.col("sd"), 6))
         .select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
@@ -3064,7 +3077,7 @@ st AS (
 SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
        round(d.dist, 6) AS dist, round(st.mu + 2 * st.sd, 6) AS threshold
 FROM d JOIN st USING (label)
-WHERE d.dist > st.mu + 2 * st.sd
+WHERE round(d.dist, 6) > round(st.mu + 2 * st.sd, 6)
 """
 
 
@@ -3072,21 +3085,31 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity quality signal: distinct-bigram ratio per
     document (distinct word bigrams / total bigrams — low means
     templated/repetitive text; the cheap cousin of doc_repetition's
-    top-gram share). One tokenize pass, bigrams via transform over the
-    token array (codegen), distinct counted with array_distinct —
-    per-row arrays only, no explode shuffle at all."""
+    top-gram share). Tokenize-once barrier (the curate.py:57 pattern):
+    the token array materializes below a repartition and crosses the
+    exchange as DATA — the r5 inline form put ``element_at(tokens, …)``
+    INSIDE the transform lambda, and Catalyst re-ran the tokenizer
+    regex once per array ELEMENT (O(tokens²) per doc, 17.96 s at
+    sf0.1). Bigrams are ``zip_with`` of two ``slice``s of the
+    materialized column (pure codegen array ops, no lambda indexing),
+    distinct counted with array_distinct — per-row arrays only, no
+    explode shuffle at all. 17.96 s → sub-second at sf0.1."""
     from vectorsearch_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    t = tokens("text")
+    base = docs.select("doc_id", tokens("text").alias("__toks")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    t = F.col("__toks")
     bi = F.when(
         F.size(t) >= 2,
-        F.transform(
+        F.zip_with(
             F.slice(t, 1, F.size(t) - 1),
-            lambda w, i: F.concat_ws("\x01", w, F.element_at(t, i + 2)),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws("\x01", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    return base.select(
         "doc_id",
         F.size(bi).cast("long").alias("n_bigrams"),
         F.size(F.array_distinct(bi)).cast("long").alias("n_distinct"),
@@ -3420,6 +3443,25 @@ def index_search_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         params=SearchParams(
             mode="GRAPH", ef=idx.config.max_segment_size, pivots=10**6
         ),
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def index_search_join_graph_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GRAPH search at DEFAULT ef/beam/pivots over the
+    10-sealed-segment sf index — the non-degenerate best-first cogroup
+    (real beam pruning, PQ-seeded entry points). Approximate → rows-
+    only driver check; recall ≥ 0.9 at 8 segments is gated in
+    tests/test_index_lifecycle.py::
+    test_search_join_graph_default_ef_recall_8_segments."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search_join(
+        _emb_queries(spark, sf_dir), k=_KNN_K, params=SearchParams(mode="GRAPH")
     )
     return res.select(
         "query_id", "gid", F.round("distance", 4).alias("distance"),
@@ -5497,21 +5539,70 @@ FROM pix
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver samples the FIRST
     # 50 entries. Rotated each round so every entry eventually appears
-    # in a driver artifact (r5: entries never driver-checked lead,
-    # then those last checked in r1-r3, then the r4-certified 50).
+    # in a driver artifact (r6: entries TOUCHED this round lead —
+    # pca/ngram-diversity/outliers fixes, the build-parallelism change
+    # behind every index_search_*, the jpeg scan-marker fix behind the
+    # mm_* frame ops, the cluster partitioner behind dedup_semantic/
+    # clusters — then the r3-last-checked tail, then headline KNN/SQL).
     return {
+        "embedding_pca": embedding_pca,
+        "doc_ngram_diversity": doc_ngram_diversity,
+        "embedding_outliers": embedding_outliers,
+        "stream_window_rollup": stream_window_rollup,
+        "doc_repetition": doc_repetition,
+        "dedup_semantic": dedup_semantic,
+        "dedup_clusters": dedup_clusters,
         "index_search_join": index_search_join,
         "index_search_join_pq": index_search_join_pq,
         "index_search_join_graph": index_search_join_graph,
+        "index_search_join_graph_default": index_search_join_graph_default,
+        "index_search_brute": index_search_brute,
+        "index_search_sealed": index_search_sealed,
+        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
+        "index_search_graph": index_search_graph,
+        "index_search_graph_exhaustive": index_search_graph_exhaustive,
+        "mm_mjpeg_frames": mm_mjpeg_frames,
+        "mm_frame_sample": mm_frame_sample,
+        "bucketed_revenue_join": bucketed_revenue_join,
+        "events_incremental_rollup": events_incremental_rollup,
+        "events_scd2_history": events_scd2_history,
+        "segment_assignment": segment_assignment,
+        "compaction_plan_scores": compaction_plan_scores,
+        "ann_ivf_exhaustive": ann_ivf_exhaustive,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_lsh_exhaustive": ann_lsh_exhaustive,
+        "ann_lsh_topk": ann_lsh_topk,
+        "benchmark_contamination": benchmark_contamination,
+        "corpus_curation": corpus_curation,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard_ngram": dedup_jaccard_ngram,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_shard_packing": doc_shard_packing,
+        "doc_token_counts": doc_token_counts,
+        "doc_token_stats": doc_token_stats,
+        "events_asof_attribution": events_asof_attribution,
+        "events_error_sessions": events_error_sessions,
+        "events_session_windows": events_session_windows,
+        "lang_id_scores": lang_id_scores,
+        "mm_feature_extract": mm_feature_extract,
+        "mm_media_metadata": mm_media_metadata,
+        "pii_redaction": pii_redaction,
+        "knn_l2_batch": knn_l2_batch,
+        "sql_knn_topk": sql_knn_topk,
+        "hybrid_search_rrf": hybrid_search_rrf,
+        "text_search_bm25": text_search_bm25,
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_rollup": revenue_rollup,
         "corpus_splits": corpus_splits,
         "pipeline_pack_curated": pipeline_pack_curated,
         "doc_chunking": doc_chunking,
         "dedup_incremental": dedup_incremental,
         "bloom_pruned_revenue": bloom_pruned_revenue,
-        "events_scd2_history": events_scd2_history,
         "customer_balance_ranks": customer_balance_ranks,
         "documents_profile": documents_profile,
-        "events_incremental_rollup": events_incremental_rollup,
         "part_zorder_values": part_zorder_values,
         "part_copurchase_pairs": part_copurchase_pairs,
         "events_variant_props": events_variant_props,
@@ -5522,11 +5613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": bpe_merge_table,
         "bpe_encode_stats": bpe_encode_stats,
         "lineitem_corr_matrix": lineitem_corr_matrix,
-        "embedding_pca": embedding_pca,
         "part_price_histogram": part_price_histogram,
         "events_interpolated": events_interpolated,
         "embedding_kmeans": embedding_kmeans,
-        "dedup_semantic": dedup_semantic,
         "order_top_line_lateral": order_top_line_lateral,
         "events_type_dow_chisq": events_type_dow_chisq,
         "copurchase_triangles": copurchase_triangles,
@@ -5536,51 +5625,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_decode": mm_png_decode,
         "mm_jpeg_decode": mm_jpeg_decode,
         "mm_resize_pipeline": mm_resize_pipeline,
-        "mm_mjpeg_frames": mm_mjpeg_frames,
-        "bucketed_revenue_join": bucketed_revenue_join,
         "mm_wav_features": mm_wav_features,
         "mm_audio_spectral": mm_audio_spectral,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "orders_validation": orders_validation,
         "lineitem_price_drift": lineitem_price_drift,
-        "embedding_outliers": embedding_outliers,
-        "doc_ngram_diversity": doc_ngram_diversity,
         "events_next_purchase": events_next_purchase,
         "vector_norms": vector_norms,
-        "segment_assignment": segment_assignment,
-        "index_search_brute": index_search_brute,
-        "index_search_sealed": index_search_sealed,
-        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
-        "index_search_graph": index_search_graph,
-        "index_search_graph_exhaustive": index_search_graph_exhaustive,
-        "compaction_plan_scores": compaction_plan_scores,
-        "ann_ivf_exhaustive": ann_ivf_exhaustive,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_lsh_exhaustive": ann_lsh_exhaustive,
-        "doc_token_stats": doc_token_stats,
-        "doc_token_counts": doc_token_counts,
-        "doc_repetition": doc_repetition,
-        "pii_redaction": pii_redaction,
-        "benchmark_contamination": benchmark_contamination,
-        "lang_id_scores": lang_id_scores,
-        "corpus_curation": corpus_curation,
-        "doc_shard_packing": doc_shard_packing,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_clusters": dedup_clusters,
-        "dedup_jaccard_ngram": dedup_jaccard_ngram,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "doc_fingerprints": doc_fingerprints,
-        "mm_media_metadata": mm_media_metadata,
-        "mm_feature_extract": mm_feature_extract,
-        "mm_frame_sample": mm_frame_sample,
-        "stream_window_rollup": stream_window_rollup,
-        "events_session_windows": events_session_windows,
-        "events_asof_attribution": events_asof_attribution,
-        "events_error_sessions": events_error_sessions,
-        "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "q6_revenue_change": q6_revenue_change,
@@ -5601,10 +5652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "q9_product_profit": q9_product_profit,
         "q11_important_parts": q11_important_parts,
-        "revenue_rollup": revenue_rollup,
         "revenue_grouping_sets": revenue_grouping_sets,
         "orders_cube": orders_cube,
-        "sql_knn_topk": sql_knn_topk,
         "events_hourly_rollup": events_hourly_rollup,
         "events_moving_avg": events_moving_avg,
         "events_sliding_windows": events_sliding_windows,
@@ -5621,9 +5670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
         "top_customers_per_nation": top_customers_per_nation,
-        "text_search_bm25": text_search_bm25,
-        "hybrid_search_rrf": hybrid_search_rrf,
-        "knn_l2_batch": knn_l2_batch,
         "knn_cosine_batch": knn_cosine_batch,
         "knn_filtered_batch": knn_filtered_batch,
         "knn_topk_single": knn_topk_single,
