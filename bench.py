@@ -133,6 +133,8 @@ HEADLINE = [
     "mm_image_decode",
     "index_search_join",
     "index_search_join_graph_default",
+    "passage_dedup",
+    "corpus_token_mix",
 ]
 
 def _index_build(spark, sf_dir):

@@ -167,14 +167,19 @@ def main() -> None:
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     synthesize(spark, copies, out_dir)
     qs = dict(workload.queries())
-    probes = [(name, qs[name], qs[name]) for name in PROBES]
-    probes.append(
-        (
-            "dedup_semantic_kscaled",
-            _semantic_dedup_kscaled(8),
-            _semantic_dedup_kscaled(8 * copies),
+    # SCALE_PROBE_ONLY=a,b,c restricts the run (fast re-probe of
+    # new/changed operators without re-timing the whole list)
+    only = os.environ.get("SCALE_PROBE_ONLY")
+    names = [n for n in PROBES if not only or n in only.split(",")]
+    probes = [(name, qs[name], qs[name]) for name in names]
+    if not only or "dedup_semantic_kscaled" in only:
+        probes.append(
+            (
+                "dedup_semantic_kscaled",
+                _semantic_dedup_kscaled(8),
+                _semantic_dedup_kscaled(8 * copies),
+            )
         )
-    )
     rows = []
     for name, base_fn, big_fn in probes:
         base_s = time_query(base_fn, spark, BASE)

@@ -232,3 +232,74 @@ def test_chunk_documents_sampling_stride(spark):
         for r in chunk_documents(df, chunk_tokens=8, stride=16).collect()
     )
     assert out == [(0, 0, 8), (1, 16, 8), (2, 32, 8)]
+
+
+def test_passage_dedup_keeps_first_occurrence_and_reassembles(spark):
+    """Global passage dedup: whole-copy docs collapse entirely, a doc
+    repeating another doc's passage loses exactly that chunk, and the
+    kept_hash witnesses the reassembled text (md5 of the space-joined
+    surviving chunks in order)."""
+    import hashlib
+
+    from vectorsearch_spark.operators.curate import passage_dedup
+
+    # 4-token chunks; words are single BPE pieces
+    d0 = "alpha beta gamma delta epsilon zeta eta theta"          # 2 chunks
+    d1 = d0                                                        # full copy
+    d2 = "alpha beta gamma delta iota kappa lam mu"                # chunk0 dups d0's chunk0
+    rows = [(0, d0), (1, d1), (2, d2)]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            chunk_tokens=4,
+        ).collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 0
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0]["kept_hash"] == md5(d0)
+    assert out[1]["kept_hash"] == md5("")
+    assert out[2]["kept_hash"] == md5("iota kappa lam mu")
+
+
+def test_token_budget_mix_exactness_and_margin_guard(spark):
+    """The margin-prefiltered mixing sampler: equals the naive
+    full-sort cumulative cut, keeps everything when a source's corpus
+    fits its budget, drops unbudgeted sources, and RAISES (not
+    silently under-fills) when the margin prefix cannot cover a
+    budget."""
+    import hashlib
+
+    import pytest
+
+    from vectorsearch_spark.operators.curate import token_budget_mix
+
+    rows = [
+        (i, "src_a" if i % 2 == 0 else "src_b", "tok " * (5 + i % 7))
+        for i in range(40)
+    ] + [(100 + i, "src_zzz", "unbudgeted text") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_mix(df, {"src_a": 60, "src_b": 10_000}).collect()
+    # naive model: hash order, cumulative cut (first overshoot kept)
+    sel = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1_000_000
+    toks = {i: 5 + i % 7 for i in range(40)}
+    kept_model = {}
+    for src, budget in (("src_a", 60), ("src_b", 10_000)):
+        ids = sorted(
+            (i for i in range(40) if (i % 2 == 0) == (src == "src_a")),
+            key=lambda i: (sel(i), i),
+        )
+        cum = 0
+        for i in ids:
+            if cum < budget:
+                cum += toks[i]
+                kept_model[i] = (src, cum)
+    got = {r["doc_id"]: (r["source"], r["cum_tokens"]) for r in out}
+    assert got == kept_model
+    assert all(src != "src_zzz" for src, _ in got.values())
+    # src_b fits entirely -> all 20 docs kept
+    assert sum(1 for s, _ in got.values() if s == "src_b") == 20
+    with pytest.raises(ValueError, match="margin.*too small"):
+        token_budget_mix(df, {"src_a": 60}, margin=0.01)

@@ -293,6 +293,163 @@ def chunk_documents(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-global passage-level deduplication (the C4/RefinedWeb
+    "remove repeated spans across documents" pass, at chunk
+    granularity): split every document into NON-overlapping
+    ``chunk_tokens``-token chunks (``chunk_documents`` with stride =
+    chunk), keep only the globally FIRST occurrence of each distinct
+    chunk text (ordered by (doc_id, chunk_idx) — deterministic
+    min-position keeper), and reassemble each document from its
+    surviving chunks in order.
+
+    Returns (doc_id, n_chunks, n_kept, kept_hash) where ``kept_hash``
+    is md5 of the space-joined surviving chunk text — a compact,
+    engine-portable witness of the reassembled document (returning
+    full deduped text at 100 TB would make the RESULT the bottleneck;
+    callers wanting text swap the final select).
+
+    Scale: one chunking pass (tokenize-once barrier inside
+    chunk_documents), ONE shuffle keyed by chunk_text for the
+    keep-first window (the text travels anyway for reassembly, and
+    keying on the text itself — not a hash of it — makes a hash
+    collision marking a unique chunk as duplicate impossible) —
+    linear in chunks; boilerplate-heavy corpora
+    concentrate identical chunks onto hot hash keys, but each group
+    reduces to a single row_number pass over its occurrences (the skew
+    is the duplicates themselves — exactly the rows being removed),
+    and the reassembly groupBy is doc-keyed (naturally balanced).
+    """
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, stride=chunk_tokens,
+        id_col=id_col, text_col=text_col,
+    )
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    kept = chunks.withColumn("__rn", F.row_number().over(w))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__rn") == 1,
+                                    F.struct("chunk_idx", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                )
+            ).alias("kept_hash"),
+        )
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: "dict[str, int]",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    margin: float = 4.0,
+) -> DataFrame:
+    """Data-mixing sampler: select documents per SOURCE until that
+    source's TOKEN budget is met — the pass that turns raw corpora +
+    a mixing recipe ("30 B tokens web, 5 B code, …") into the actual
+    training set. Selection order is the deterministic md5 hash
+    selector (``hash_rate_col``), so the sample is stable across
+    reruns and adding a source never changes another source's picks.
+    A document is kept iff the tokens of all earlier-hash docs of its
+    source are still under budget (the first overshooting doc is
+    included — guarantees progress past book-length docs); sources
+    absent from ``budgets`` are dropped.
+
+    Returns (doc_id, source, n_tokens, cum_tokens) for kept docs,
+    ``cum_tokens`` the inclusive running total within the source.
+
+    Scale: the naive form is a per-source global sort + running sum —
+    a total order over 100 TB. Instead: (1) one aggregate computes
+    per-source token totals (|sources| rows to the driver — the same
+    bounded-collect contract as k-means centroids); (2) only docs with
+    selector < margin·budget/total are candidates (a pushed-down scan
+    filter — the expected candidate prefix is ``margin×`` the budget,
+    NOT the corpus); (3) the exact cumulative cut runs on that
+    bounded candidate set. Exactness: candidates are a hash-PREFIX
+    superset of the final pick by construction; if a source's
+    candidate tokens fall short of budget while its corpus total does
+    not, the margin was too small and the op RAISES rather than
+    silently under-filling (retry with a larger margin).
+    """
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    spark = df.sparkSession
+    sized = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        hash_rate_col(id_col).alias("__sel"),
+    ).filter(F.col("source").isin(list(budgets)))
+    totals = {
+        r["source"]: r["t"]
+        for r in sized.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    cutoff = {
+        s: (
+            _RATE_MOD
+            if totals.get(s, 0) <= budgets[s]
+            else min(_RATE_MOD, int(margin * budgets[s] / totals[s] * _RATE_MOD) + 1)
+        )
+        for s in budgets
+    }
+    rate = F.lit(_RATE_MOD)
+    for s, c in sorted(cutoff.items()):
+        rate = F.when(F.col("source") == s, F.lit(c)).otherwise(rate)
+    cand = sized.filter(F.col("__sel") < rate)
+    # margin check: each still-capped source's candidate prefix must
+    # cover its budget (bounded collect again — |sources| rows)
+    cand_tot = {
+        r["source"]: r["t"]
+        for r in cand.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    for s, c in cutoff.items():
+        if c < _RATE_MOD and cand_tot.get(s, 0) < budgets[s]:
+            raise ValueError(
+                f"token_budget_mix: margin={margin} too small for source "
+                f"{s!r} (candidate tokens {cand_tot.get(s, 0)} < budget "
+                f"{budgets[s]}); retry with a larger margin"
+            )
+    budget = F.lit(0).cast("long")
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col("source") == s, F.lit(int(b))).otherwise(budget)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__sel", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cand.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(id_col, "source", "n_tokens", "cum_tokens")
+    )
+
+
 def stratified_quota(
     df: DataFrame,
     group_col: str,

@@ -4008,6 +4008,81 @@ _DEDUP_CORPUS_SQL = """
 """
 
 
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global passage dedup (operators/curate.py passage_dedup):
+    non-overlapping 64-token chunks, globally-first occurrence kept,
+    documents reassembled from survivors — run on the duplicate-
+    injected corpus so whole-copy docs collapse to n_kept=0 and
+    near-dup docs keep only their divergent tail chunk."""
+    from vectorsearch_spark.operators.curate import passage_dedup as pdedup
+
+    return pdedup(_dedup_corpus(spark, sf_dir), chunk_tokens=64)
+
+
+PASSAGE_DEDUP_SQL = r"""
+WITH corpus AS (__CORPUS__),
+base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS p
+  FROM corpus),
+nn AS (SELECT doc_id, p, len(p) AS n FROM base WHERE len(p) > 0),
+c AS (
+  SELECT doc_id, p, n,
+         unnest(range(0, least(1 + (greatest(n - 64, 0) + 63) // 64,
+                               1 + (n - 1) // 64))) AS chunk_idx
+  FROM nn),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(list_slice(p, chunk_idx * 64 + 1, chunk_idx * 64 + 64), ' ') AS chunk_text
+  FROM c),
+k AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx), '')) AS kept_hash
+FROM k GROUP BY doc_id
+""".replace("__CORPUS__", _DEDUP_CORPUS_SQL)
+
+
+_MIX_BUDGETS = {f"src{i}": (700 if i < 10 else 400) for i in range(20)}
+
+
+def corpus_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sampler (operators/curate.py token_budget_mix):
+    per-source token budgets filled in deterministic hash order — the
+    recipe-to-training-set pass. Budgets are set so every source is
+    truncated at sf0.01 (partial selection is the interesting path);
+    the oracle is the naive full-sort cumulative cut, which the
+    margin-prefiltered implementation must equal exactly."""
+    from vectorsearch_spark.operators.curate import token_budget_mix
+
+    return token_budget_mix(_t(spark, sf_dir, "documents"), _MIX_BUDGETS)
+
+
+def _mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_BUDGETS.items())
+    )
+    return rf"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '''[a-z]{{1,2}}|[a-z]+|[0-9]{{1,3}}|[^a-z0-9\s]'))::BIGINT AS n_tokens,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS sel,
+         CASE source {cases} ELSE NULL END AS budget
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens, budget,
+         (sum(n_tokens) OVER (PARTITION BY source ORDER BY sel, doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+  FROM sized WHERE budget IS NOT NULL)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget
+"""
+
+
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count estimators (whitespace / BPE-ish pieces / subword
     estimate) — the sizing pass before sampling/packing."""
@@ -5546,6 +5621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clusters — then the r3-last-checked tail, then headline KNN/SQL).
     return {
         "embedding_pca": embedding_pca,
+        "passage_dedup": passage_dedup,
+        "corpus_token_mix": corpus_token_mix,
         "doc_ngram_diversity": doc_ngram_diversity,
         "embedding_outliers": embedding_outliers,
         "stream_window_rollup": stream_window_rollup,
@@ -5758,6 +5835,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pack_curated": PIPELINE_PACK_SQL,
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "doc_chunking": DOC_CHUNKING_SQL,
+        "passage_dedup": PASSAGE_DEDUP_SQL,
+        "corpus_token_mix": _mix_sql(),
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "bloom_pruned_revenue": BLOOM_PRUNED_REVENUE_SQL,
         "events_scd2_history": EVENTS_SCD2_SQL,
