@@ -4117,11 +4117,11 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.operators.text import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
-    from vectorsearch_spark.functions.text import tokens as _toks
-
-    return repetition_stats(
-        docs.where(F.size(_toks("text")) >= 3), ns=(2, 3)
-    )
+    # ≥3-token gate applied on the mapper's own n_tokens output — a
+    # pre-filter on size(tokens(text)) would run the tokenizer regex a
+    # second full time JVM-side just to count (the r5 form; this shape
+    # tokenizes once, inside the Arrow pass)
+    return repetition_stats(docs, ns=(2, 3)).where(F.col("n_tokens") >= 3)
 
 
 DOC_REPETITION_SQL = f"""
