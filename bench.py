@@ -135,6 +135,7 @@ HEADLINE = [
     "index_search_join_graph_default",
     "passage_dedup",
     "corpus_token_mix",
+    "knn_mmr_rerank",
 ]
 
 def _index_build(spark, sf_dir):

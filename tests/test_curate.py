@@ -303,3 +303,29 @@ def test_token_budget_mix_exactness_and_margin_guard(spark):
     assert sum(1 for s, _ in got.values() if s == "src_b") == 20
     with pytest.raises(ValueError, match="margin.*too small"):
         token_budget_mix(df, {"src_a": 60}, margin=0.01)
+
+
+def test_passage_dedup_global_invariants(spark):
+    """Corpus-level invariants on randomized docs: Σ n_kept == number
+    of DISTINCT chunk texts in the corpus (each survives exactly
+    once), and per-doc n_chunks equals chunk_documents' count."""
+    import random
+
+    from vectorsearch_spark.operators.curate import chunk_documents, passage_dedup
+
+    rng = random.Random(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 17))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=4, stride=4).collect()
+    n_by_doc = {}
+    texts = set()
+    for r in chunks:
+        n_by_doc[r["doc_id"]] = n_by_doc.get(r["doc_id"], 0) + 1
+        texts.add(r["chunk_text"])
+    out = passage_dedup(df, chunk_tokens=4).collect()
+    assert {r["doc_id"]: r["n_chunks"] for r in out} == n_by_doc
+    assert sum(r["n_kept"] for r in out) == len(texts)

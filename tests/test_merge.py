@@ -199,3 +199,61 @@ def test_recover_partial_swaps_restores_missing_live_dir(spark, tmp_path_factory
     acts = staging.recover_partial_swaps(spark, path)
     assert any(a.startswith("dropped_backup:") for a in acts), acts
     assert _content(spark, path) == before
+
+
+def test_swap_rename_returning_false_aborts_loudly(spark, tmp_path_factory):
+    """Hadoop FileSystem.rename signals failure by returning FALSE, not
+    raising. A false return during the swap must raise IOError (before
+    the fix it proceeded silently: the finally-block deleted the
+    staging dir while the live partition was never replaced, losing
+    the rewrite while reporting the partition touched); recovery +
+    rerun must then converge."""
+    import pytest
+
+    from vectorsearch_spark import staging
+
+    path = str(tmp_path_factory.mktemp("merge_false"))
+    _write_initial(spark, path)
+    updates = spark.createDataFrame([(2, "en", "TWO")], SCHEMA)
+
+    real_fs = staging._fs
+
+    class _FsProxy:
+        def __init__(self, fs):
+            self._fs = fs
+            self.fired = False
+
+        def rename(self, src, dst):
+            # fail the staging->live swap rename exactly once
+            if not self.fired and staging.STAGING_PREFIX in str(src.toString()):
+                self.fired = True
+                return False
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    proxies = []
+
+    def patched(spark_, p):
+        fs, jvm = real_fs(spark_, p)
+        proxy = _FsProxy(fs)
+        proxies.append(proxy)
+        return proxy, jvm
+
+    staging._fs = patched
+    try:
+        with pytest.raises(IOError, match="swap rename failed"):
+            merge_upsert(spark, path, updates, key_col="doc_id", partition_col="lang")
+    finally:
+        staging._fs = real_fs
+    assert any(p.fired for p in proxies)
+
+    staging.recover_partial_swaps(spark, path)
+    post = _content(spark, path)
+    old = {(1, "en", "one"), (2, "en", "two"), (3, "fr", "trois"), (4, "de", "vier")}
+    new = {(1, "en", "one"), (2, "en", "TWO"), (3, "fr", "trois"), (4, "de", "vier")}
+    assert post in (old, new), post
+
+    merge_upsert(spark, path, updates, key_col="doc_id", partition_col="lang")
+    assert _content(spark, path) == new

@@ -140,3 +140,57 @@ def test_lsh_self_match_and_ordering(spark, emb, queries):
         assert rows[0]["id"] == qid and rows[0]["distance"] < 1e-6
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         assert all(rows[i]["distance"] <= rows[i + 1]["distance"] + 1e-12 for i in range(len(rows) - 1))
+
+
+def test_mmr_rerank_equals_greedy_model(spark):
+    """Distributed MMR ≡ the sequential greedy reference: per query,
+    pick argmax of (lam·rel − (1−lam)·max-cos-sim-to-picked), ties by
+    (score desc, id asc) then lowest index — exact score and order
+    equality, multiple queries in one job."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.default_rng(11)
+    lam, k, n_cand = 0.7, 4, 12
+    rows = []
+    model = {}
+    for q in range(3):
+        x = rng.normal(size=(n_cand, 8)).astype(np.float64)
+        # duplicate candidate 0 as candidate 1: MMR must push the copy out
+        x[1] = x[0]
+        rel = np.round(rng.uniform(0.1, 1.0, size=n_cand), 3)
+        rel[1] = rel[0] - 0.001
+        for i in range(n_cand):
+            rows.append((q, 100 + i, [float(v) for v in x[i]], float(rel[i])))
+        # sequential reference
+        order = sorted(range(n_cand), key=lambda i: (-rel[i], 100 + i))
+        xs = x[order]
+        rs = rel[order]
+        xn = xs / np.linalg.norm(xs, axis=1)[:, None]
+        picked, scores, max_sim = [], [], np.zeros(n_cand)
+        avail = np.ones(n_cand, dtype=bool)
+        for step in range(k):
+            mmr = rs if step == 0 else lam * rs - (1 - lam) * max_sim
+            mmr = np.where(avail, mmr, -np.inf)
+            b = int(np.argmax(mmr))
+            picked.append(100 + order[b]); scores.append(round(float(mmr[b]), 6))
+            avail[b] = False
+            max_sim = np.maximum(max_sim, xn @ xn[b])
+        model[q] = list(zip(picked, scores, range(1, k + 1)))
+
+    df = spark.createDataFrame(
+        rows, "query_id long, id long, embedding array<double>, score double"
+    )
+    got = {}
+    for r in mmr_rerank(df, k=k, lam=lam).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["id"], round(r["mmr_score"], 6), r["rank"])
+        )
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert got == model
+    # the near-duplicate of the top pick must not appear in any result
+    for q, picks in got.items():
+        ids = [p for p, _, _ in picks]
+        assert not (100 in ids and 101 in ids), picks

@@ -361,3 +361,76 @@ def ann_lsh_join(
         .withColumn("score", score_from_distance(F.col("distance"), metric))
         .select("query_id", F.col(id_col).alias("id"), "distance", "score", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank (Carbonell &
+    Goldstein, SIGIR'98): from each query's candidate set, greedily
+    pick k items maximizing ``lam·relevance − (1−lam)·max cosine
+    similarity to the already-picked set`` — the standard RAG/retrieval
+    post-pass that stops near-duplicate passages from crowding a
+    result list. Ties break on candidate id (deterministic).
+
+    Input: one row per (query, candidate) with the candidate vector
+    and a relevance score (higher = better), e.g. the output of a KNN
+    top-n join widened with vectors. Output: (query_id, id, mmr_score,
+    rank) for the k picks in selection order.
+
+    Scale: greedy MMR is inherently sequential IN k, so it runs
+    in-task per query over the ALREADY-PRUNED candidate list (top-n
+    from KNN/ANN, n ~ tens) — an ``applyInPandas`` group per query:
+    O(n·k·d) NumPy per group, no shuffle beyond the group exchange,
+    never the corpus. The explicit-count repartition guards the
+    CPU-dense/byte-light shuffle from AQE single-task coalescing (the
+    index/build.py:128 lesson).
+    """
+    import pandas as pd
+
+    spark = candidates.sparkSession
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([score_col, id_col], ascending=[False, True],
+                              ignore_index=True)
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        xn = x / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)
+        avail = np.ones(n, dtype=bool)
+        for step in range(min(k, n)):
+            # first pick is pure relevance; later picks trade relevance
+            # against similarity to the closest already-picked item
+            mmr = rel if step == 0 else lam * rel - (1.0 - lam) * max_sim
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr_masked))  # ties: lowest index = best (score, id)
+            picked.append(best)
+            scores.append(float(mmr_masked[best]))
+            avail[best] = False
+            max_sim = np.maximum(max_sim, xn @ xn[best])
+        out = pdf.iloc[picked][[query_id_col, id_col]].copy()
+        out["mmr_score"] = [round(s, 6) for s in scores]
+        out["rank"] = range(1, len(picked) + 1)
+        return out
+
+    rep = candidates.repartition(
+        2 * spark.sparkContext.defaultParallelism, query_id_col
+    )
+    return (
+        rep.groupBy(query_id_col)
+        .applyInPandas(
+            pick,
+            schema=f"{query_id_col} long, {id_col} long, mmr_score double, rank int",
+        )
+    )

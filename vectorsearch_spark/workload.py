@@ -2687,6 +2687,32 @@ def knn_l2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_batch(spark, sf_dir, Metric.L2)
 
 
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/similarity.py mmr_rerank):
+    cosine top-20 per query, then greedy λ=0.7 Maximal Marginal
+    Relevance picks 5 — the RAG post-pass that keeps near-duplicate
+    passages from crowding a result list. Greedy selection is
+    sequential in k → no SQL form → rows-only driver check; exact
+    greedy-model equality is gated in tests/test_similarity.py."""
+    from vectorsearch_spark.operators.knn import knn_join
+    from vectorsearch_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = knn_join(
+        emb, _emb_queries(spark, sf_dir), k=20, metric=Metric.COSINE, id_col="vec_id"
+    ).select(
+        "query_id", "id", (F.lit(1.0) - F.col("distance")).alias("score")
+    )
+    cand = top.join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    out = mmr_rerank(cand, k=5, lam=0.7)
+    return out.select(
+        "query_id", "id", F.round("mmr_score", 4).alias("mmr_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def knn_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search (an extension — the reference's
     SearchParams has traversal knobs only, api/SearchParams.java:18-29):
@@ -5623,6 +5649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": embedding_pca,
         "passage_dedup": passage_dedup,
         "corpus_token_mix": corpus_token_mix,
+        "knn_mmr_rerank": knn_mmr_rerank,
         "doc_ngram_diversity": doc_ngram_diversity,
         "embedding_outliers": embedding_outliers,
         "stream_window_rollup": stream_window_rollup,
