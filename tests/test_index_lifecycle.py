@@ -1057,3 +1057,34 @@ def test_search_join_graph_default_ef_recall_8_segments(spark, tmp_path_factory)
         hits += r["gid"] in got.get(r["query_id"], set())
     assert total == 25 * 10
     assert hits / total >= 0.9, hits / total
+
+
+def test_cosine_search_join_matches_brute_search(spark, cosine_index):
+    """The DataFrame-query-side search under METRIC=COSINE: search_join
+    must equal the collected-batch BRUTE search row-for-row (gid, rank,
+    distance, score) — exercises the normalize-on-build + exact-re-rank
+    interplay on the distributed path, previously only L2-covered."""
+    idx, data, _ = cosine_index
+    qdf = _queries_df(spark, data, [0, 5, 9, 44])
+    a = sorted(
+        (r["query_id"], r["rank"], r["gid"], round(r["distance"], 9),
+         round(r["score"], 9))
+        for r in idx.search_join(qdf, k=5).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["gid"], round(r["distance"], 9),
+         round(r["score"], 9))
+        for r in idx.search(qdf, k=5, params=SearchParams(mode="BRUTE")).collect()
+    )
+    assert a == b
+    # GRAPH default on the distributed path holds the recall gate too
+    qids = list(range(0, N, N // 15))[:15]
+    g = idx.search_join(
+        _queries_df(spark, data, qids), k=10, params=SearchParams(mode="GRAPH")
+    ).collect()
+    exact = idx.search(
+        _queries_df(spark, data, qids), k=10, params=SearchParams(mode="BRUTE")
+    ).collect()
+    hits, total = _recall(g, exact)
+    assert total == 15 * 10
+    assert hits / total >= 0.9
