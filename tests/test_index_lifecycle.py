@@ -1088,3 +1088,58 @@ def test_cosine_search_join_matches_brute_search(spark, cosine_index):
     hits, total = _recall(g, exact)
     assert total == 15 * 10
     assert hits / total >= 0.9
+
+
+def test_beam_mode_degenerate_exact_warns_and_recall(spark, built_index):
+    """Deprecated BEAM traversal (fdb/FdbVectorIndex.java
+    diskannExpand:841-903): (a) emits the reference's WARN-once
+    deprecation nudge; (b) pivots ≥ segment size + ef = cap
+    short-circuits to the exact full ranking on BOTH the collected and
+    DataFrame-query-side paths; (c) default params hold recall ≥ 0.9;
+    (d) min_hops/max_explore knobs run and stay subset-valid."""
+    import warnings
+
+    from vectorsearch_spark.index import search as S
+
+    idx, data, _ = built_index
+    qids = [0, 30, 77, 123]
+    qdf = _queries_df(spark, data, qids)
+    cap = idx.config.max_segment_size
+
+    S._BEAM_WARNED = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        beam_j = idx.search_join(
+            qdf, k=5, params=SearchParams(mode="BEAM", pivots=10**6, ef=cap)
+        ).collect()
+        beam_c = idx.search(
+            qdf, k=5, params=SearchParams(mode="BEAM", pivots=10**6, ef=cap)
+        ).collect()
+    assert sum("BEAM is deprecated" in str(x.message) for x in w) == 1  # once
+    brute = idx.search(qdf, k=5, params=SearchParams(mode="BRUTE")).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["gid"], round(r["distance"], 9)) for r in rows
+    )
+    assert key(beam_j) == key(brute)
+    assert key(beam_c) == key(brute)
+
+    qids = list(range(0, N, N // 25))[:25]
+    beam_def = idx.search_join(
+        _queries_df(spark, data, qids), k=10, params=SearchParams(mode="BEAM")
+    ).collect()
+    exact = idx.search(
+        _queries_df(spark, data, qids), k=10, params=SearchParams(mode="BRUTE")
+    ).collect()
+    hits, total = _recall(beam_def, exact)
+    assert total == 25 * 10
+    assert hits / total >= 0.9, hits / total
+
+    knobs = idx.search_join(
+        _queries_df(spark, data, [5]),
+        k=3,
+        params=SearchParams(
+            mode="BEAM", beam=4, max_iters=2, min_hops=2, max_explore=64,
+            refine_frontier=False,
+        ),
+    ).collect()
+    assert knobs and len({r["gid"] for r in knobs}) == len(knobs)

@@ -105,7 +105,11 @@ class SearchParams:
 
     ef: int | None = None          # candidate pool for sealed path; None → auto
     per_seg_limit: int | None = None  # None → max(k, k*oversample) (SearchParams.java:73-82)
-    mode: str = "AUTO"             # AUTO | BRUTE (exact everywhere) | GRAPH (traversal)
+    # AUTO | BRUTE (exact everywhere) | GRAPH (best-first traversal) |
+    # BEAM (deprecated in the reference — WARN-once parity,
+    # fdb/FdbVectorIndex.java:369-372 — but still served: a migrating
+    # user's mode=BEAM queries keep working)
+    mode: str = "AUTO"
     normalize_on_read: bool = False
     beam: int | None = None        # GRAPH seed beam width; None → max(k, ef // 4)
     max_iters: int = 6             # GRAPH frontier-expansion rounds (maxIters)
@@ -116,6 +120,9 @@ class SearchParams:
     max_explore: int | None = None  # cap on scored nodes per (query, segment) (maxExplore)
     pivots: int = 8                # entry points per segment for RANDOM_PIVOTS
     seed_strategy: str = PQ_SEED_ONLY  # PQ_SEED_ONLY | RANDOM_PIVOTS
+    # BEAM: pick the next frontier from newly∪frontier (True, the
+    # reference default) or newly alone (SearchParams.java:25,45)
+    refine_frontier: bool = True
 
 
 class VectorIndex:

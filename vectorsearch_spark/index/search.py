@@ -132,6 +132,26 @@ def _pq_scan_fn(
     return scan
 
 
+_BEAM_WARNED = False
+
+
+def _warn_beam_once() -> None:
+    """WARN-once parity with the reference's deprecated BEAM mode
+    (fdb/FdbVectorIndex.java:369-372 + BeamWarn): the mode keeps
+    working — a migrating user's queries run unchanged — but logs the
+    same deprecation nudge, exactly once per process."""
+    global _BEAM_WARNED
+    if not _BEAM_WARNED:
+        _BEAM_WARNED = True
+        import warnings
+
+        warnings.warn(
+            "Search mode BEAM is deprecated; prefer GRAPH (best-first).",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+
+
 def _graph_traverse_candidates(
     index: VectorIndex,
     sealed_segs: list[int],
@@ -304,6 +324,8 @@ def search(
     """Batch KNN: (query_id, embedding) → (query_id, gid, distance,
     score, payload, rank) with exactly ≤k rows per query."""
     params = params or SearchParams()
+    if params.mode == "BEAM":
+        _warn_beam_once()
     cfg = index.config
     spark = index.spark
     metric = Metric(cfg.metric)
@@ -445,6 +467,28 @@ def search(
                 max_iters=params.max_iters,
                 min_hops=params.min_hops,
                 max_explore=params.max_explore,
+            ).select("query_id", "seg_id", "vec_id")
+        elif params.mode == "BEAM":
+            # deprecated beam expansion (WARN-once above) — served via
+            # the in-task cogroup searcher; the collected query batch
+            # just becomes its DataFrame query side
+            q_beam = spark.createDataFrame(
+                [(qid, v) for qid, v in qlist], "query_id long, __qvec array<float>"
+            )
+            cand = _graph_cogroup_candidates(
+                index,
+                q_beam,
+                sealed_segs,
+                ef_by_seg,
+                metric,
+                params.pivots,
+                mode="BEAM",
+                k=k,
+                beam=params.beam,
+                max_iters=params.max_iters,
+                min_hops=params.min_hops,
+                max_explore=params.max_explore,
+                refine_frontier=params.refine_frontier,
             ).select("query_id", "seg_id", "vec_id")
         emb = F.col("embedding")
         if params.normalize_on_read:
@@ -601,11 +645,13 @@ def search_join(
       distributed end-to-end.
     """
     params = params or SearchParams()
-    if params.mode not in ("AUTO", "BRUTE", "PQ", "GRAPH"):
+    if params.mode not in ("AUTO", "BRUTE", "PQ", "GRAPH", "BEAM"):
         raise ValueError(
-            f"search_join supports AUTO/BRUTE (exhaustive), PQ, and GRAPH; "
-            f"got mode={params.mode!r}"
+            f"search_join supports AUTO/BRUTE (exhaustive), PQ, GRAPH, and "
+            f"BEAM (deprecated); got mode={params.mode!r}"
         )
+    if params.mode == "BEAM":
+        _warn_beam_once()
     metric = Metric(index.config.metric)
     cfg = index.config
     q = queries.select(
@@ -672,9 +718,21 @@ def search_join(
         ef_by_seg = {
             s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs
         }
-        if params.mode == "GRAPH":
+        if params.mode in ("GRAPH", "BEAM"):
             cand = _graph_cogroup_candidates(
-                index, q, sealed_segs, ef_by_seg, metric, params.pivots
+                index,
+                q,
+                sealed_segs,
+                ef_by_seg,
+                metric,
+                params.pivots,
+                mode=params.mode,
+                k=k,
+                beam=params.beam,
+                max_iters=params.max_iters,
+                min_hops=params.min_hops,
+                max_explore=params.max_explore,
+                refine_frontier=params.refine_frontier,
             )
         else:
             cand = _pq_cogroup_candidates(index, q, sealed_segs, ef_by_seg, metric)
@@ -729,6 +787,13 @@ def _graph_cogroup_candidates(
     metric: Metric,
     pivots: int,
     n_buckets: int | None = None,
+    mode: str = "GRAPH",
+    k: int = 10,
+    beam: int | None = None,
+    max_iters: int = 6,
+    min_hops: int = 0,
+    max_explore: int | None = None,
+    refine_frontier: bool = True,
 ) -> DataFrame:
     """Distributed GRAPH (best-first) candidate generation with a
     DataFrame query side — the cogroup re-expression of BEST_FIRST
@@ -757,6 +822,18 @@ def _graph_cogroup_candidates(
     are skipped (the join-drop semantics of the driver-path traversal);
     tombstoned-but-unvacuumed nodes are filtered at the exact re-rank
     (F1), exactly as in mode=PQ.
+
+    ``mode="BEAM"`` runs the reference's deprecated beam expansion
+    instead (fdb/FdbVectorIndex.java diskannExpand:841-903) with its
+    exact loop semantics: per hop, score the UNVISITED neighbors of
+    the whole frontier (additions capped so the expanded list never
+    exceeds ef/maxExplore, in frontier-then-neighbor order), sort
+    newly by approx distance, next frontier = top ``beam`` of newly
+    (or of newly ∪ frontier when ``refine_frontier``), ONLY the chosen
+    beam joins the expanded candidate list; empty-newly hops repeat
+    the frontier until ``min_hops``. ``pivots ≥ segment size`` seeds
+    (and caps at ef ≥ n) every node → degenerate-exact, the same
+    hash-checkable-twin pattern as GRAPH.
     """
     spark = index.spark
     B = n_buckets or min(max(len(sealed_segs), 1), 256)
@@ -822,12 +899,80 @@ def _graph_cogroup_candidates(
                 else rng.choice(n, size=n_seeds, replace=False)
             )
             cols = np.arange(m)
+            beam_w = beam or max(k, ef // 4)
+            max_expl = max_explore if max_explore is not None else float("inf")
             for qid, qv in zip(qids, qvecs):
                 lut = build_lut(cb, qv)
                 dist = np.full(n, np.inf)
                 dist[seeds] = lut[cols[None, :], mat[seeds]].sum(axis=1)
                 visited = np.zeros(n, dtype=bool)
                 visited[seeds] = True
+                if mode == "BEAM":
+                    # diskannExpand loop, batch-faithful: expanded
+                    # starts as the seeds (sorted by approx for
+                    # deterministic cap order)
+                    frontier = sorted(
+                        ((float(dist[i]), int(i)) for i in seeds)
+                    )
+                    expanded = list(frontier)
+                    for hop in range(max_iters):
+                        if (
+                            not frontier
+                            or len(expanded) >= ef
+                            or len(expanded) >= max_expl
+                        ):
+                            break
+                        newly = []
+                        for _, a in frontier:
+                            for nb in nbrs.get(a, ()):
+                                nb = int(nb)
+                                if (
+                                    len(expanded) + len(newly) >= ef
+                                    or len(expanded) + len(newly) >= max_expl
+                                ):
+                                    break
+                                if visited[nb]:
+                                    continue
+                                visited[nb] = True
+                                d = float(lut[cols, mat[nb]].sum())
+                                dist[nb] = d
+                                newly.append((d, nb))
+                        newly.sort()
+                        if not newly:
+                            if hop + 1 < min_hops:
+                                continue  # force minimum hops
+                            break
+                        if refine_frontier:
+                            union = sorted(newly + frontier)
+                            nxt = union[: min(beam_w, len(union))]
+                        else:
+                            nxt = newly[: min(beam_w, len(newly))]
+                        expanded.extend(nxt)
+                        frontier = nxt
+                    # dedupe (refine can re-pick frontier members) and
+                    # keep the candidate pool ef-bounded like the
+                    # reference's expanded list
+                    seen: dict[int, float] = {}
+                    for d, i in expanded:
+                        if i not in seen:
+                            seen[i] = d
+                    take = sorted(
+                        ((d, vec_ids[i]) for i, d in seen.items())
+                    )[:ef]
+                    kk = len(take)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(kk, qid, dtype=np.int64),
+                                "seg_id": np.full(kk, seg_id, dtype=np.int32),
+                                "vec_id": np.asarray(
+                                    [t[1] for t in take], dtype=np.int32
+                                ),
+                                "approx": np.asarray([t[0] for t in take]),
+                            }
+                        )
+                    )
+                    continue
                 # best list = max-heap of (-d, row); cand = min-heap
                 cand = [(dist[i], int(i)) for i in seeds]
                 heapq.heapify(cand)

@@ -3495,6 +3495,29 @@ def index_search_join_graph_default(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def index_search_join_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deprecated BEAM traversal (G4 — fdb/FdbVectorIndex.java
+    diskannExpand:841-903, WARN-once parity at 369-372), served so a
+    migrating user's mode=BEAM queries keep working. pivots ≥ segment
+    size + ef = cap seeds every node and the expansion short-circuits
+    to the exact full ranking — hash-checked against the brute oracle;
+    default-param behavior is gated in tests/test_index_lifecycle.py."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    res = idx.search_join(
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        params=SearchParams(
+            mode="BEAM", pivots=10**6, ef=idx.config.max_segment_size
+        ),
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def index_search_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ approx → exact re-rank search (approximate: no SQL
     oracle; recall ≥ 0.9 is asserted in tests/test_index_lifecycle.py)."""
@@ -5660,6 +5683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_join_pq": index_search_join_pq,
         "index_search_join_graph": index_search_join_graph,
         "index_search_join_graph_default": index_search_join_graph_default,
+        "index_search_join_beam": index_search_join_beam,
         "index_search_brute": index_search_brute,
         "index_search_sealed": index_search_sealed,
         "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
@@ -5841,6 +5865,7 @@ def oracle_sql() -> dict[str, str]:
         "index_search_join": INDEX_SEARCH_BRUTE_SQL,
         "index_search_join_pq": INDEX_SEARCH_BRUTE_SQL,
         "index_search_join_graph": INDEX_SEARCH_BRUTE_SQL,
+        "index_search_join_beam": INDEX_SEARCH_BRUTE_SQL,
         # index_search_sealed / index_search_graph / ann_ivf_topk /
         # ann_lsh_topk: approximate → rows-only by design, recall ≥ 0.9
         # enforced in tests; each has a degenerate-exact *_exhaustive
