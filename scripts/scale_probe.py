@@ -89,6 +89,10 @@ PROBES = [
     "lineitem_price_drift",
     "embedding_outliers",
     "bucketed_revenue_join",
+    # round-6 additions
+    "passage_dedup",
+    "corpus_token_mix",
+    "knn_mmr_rerank",
 ]
 
 
