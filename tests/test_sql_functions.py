@@ -54,3 +54,42 @@ def test_zero_norm_cosine_is_zero(spark, vdf):
 def test_registration_idempotent(spark, vdf):
     names = register_sql_functions(spark)
     assert "vs_l2" in names and len(names) == 6
+
+
+def test_floatpack_roundtrip_bitexact(spark):
+    """C11 FloatPacker (util/FloatPacker.java:22-40): pack → unpack is
+    the float32 identity (bit-exact, incl. negatives/inf/denormals and
+    NULL passthrough) through a real Spark plan."""
+    import math
+
+    import numpy as np
+
+    from vectorsearch_spark.functions.floatpack import pack_floats, unpack_floats
+
+    rng = np.random.default_rng(4)
+    vals = [
+        rng.normal(size=16).astype(np.float32),
+        np.array([0.0, -0.0, np.inf, -np.inf, 1e-42, -1e-42, 3.14, -2.5e8],
+                 dtype=np.float32),
+    ]
+    rows = [(i, v.tolist()) for i, v in enumerate(vals)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    back = {
+        r["id"]: r["back"]
+        for r in df.select(
+            "id", unpack_floats(pack_floats("embedding")).alias("back")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        got = np.asarray(back[i], dtype=np.float32)
+        assert got.tobytes() == v.tobytes()  # bit-exact, NaN-safe compare
+    assert back[99] is None
+    assert math.isinf(back[1][2])
+    # packed bytes are the exact LE-float32 layout (wire-compatible
+    # with the reference's FloatPacker output)
+    raw = {
+        r["id"]: bytes(r["p"])
+        for r in df.where("id < 2").select("id", pack_floats("embedding").alias("p")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert raw[i] == v.astype("<f4").tobytes()

@@ -3314,6 +3314,28 @@ FROM embeddings
 """
 
 
+def embedding_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 FloatPacker round-trip as a layout pass (functions/
+    floatpack.py): embeddings → packed LE-float32 binary → unpacked →
+    the vector_norms projection. Hash-equality against the DIRECT
+    norms oracle proves the codec is bit-exact end-to-end through a
+    real plan (pack and unpack both execute — Catalyst cannot elide
+    opaque pandas_udfs)."""
+    from vectorsearch_spark.functions.distances import dot
+    from vectorsearch_spark.functions.floatpack import pack_floats, unpack_floats
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", pack_floats("embedding").alias("packed")
+    )
+    back = emb.select("vec_id", unpack_floats("packed").alias("embedding"))
+    return back.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(dot("embedding", "embedding")), 4).alias("l2_norm"),
+        F.round(dot("embedding", "embedding"), 4).alias("self_dot"),
+    )
+
+
 def segment_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest math (S6): strict-cap segment rotation as deterministic
     partition assignment — seg_id = floor(gid / max_segment_size), last
@@ -5684,6 +5706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_join_graph": index_search_join_graph,
         "index_search_join_graph_default": index_search_join_graph_default,
         "index_search_join_beam": index_search_join_beam,
+        "embedding_pack_roundtrip": embedding_pack_roundtrip,
         "index_search_brute": index_search_brute,
         "index_search_sealed": index_search_sealed,
         "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
@@ -5860,6 +5883,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab_stats": CORPUS_VOCAB_SQL,
         "top_tokens_per_lang": TOP_TOKENS_SQL,
         "vector_norms": VECTOR_NORMS_SQL,
+        "embedding_pack_roundtrip": VECTOR_NORMS_SQL,
         "segment_assignment": SEGMENT_ASSIGNMENT_SQL,
         "index_search_brute": INDEX_SEARCH_BRUTE_SQL,
         "index_search_join": INDEX_SEARCH_BRUTE_SQL,
