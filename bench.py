@@ -136,6 +136,8 @@ HEADLINE = [
     "passage_dedup",
     "corpus_token_mix",
     "knn_mmr_rerank",
+    "index_search_join_beam",
+    "embedding_pack_roundtrip",
 ]
 
 def _index_build(spark, sf_dir):
