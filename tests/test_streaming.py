@@ -849,3 +849,98 @@ def test_epoch_regression_fails_loudly(spark, tmp_path_factory):
         json.dump({"epoch": 2}, fh)
     with pytest.raises(ValueError, match="epoch regression"):
         fold_scd2_batch(ch, 1, sstate, "id", ts="ts")
+
+
+def test_stream_passage_dedup_folds_equal_batch_operator(spark, tmp_path_factory):
+    """Streaming passage dedup: 3 micro-batches with cross-batch
+    repeated passages — the folded accepted state must be ROW-IDENTICAL
+    to running curate.passage_dedup on the concatenated corpus
+    (monotone doc_ids make the keep-first orders coincide); a replayed
+    epoch is a no-op; a crash before the marker replays into identical
+    state; an epoch regression raises; the writeStream wrapper works
+    end-to-end."""
+    import json
+    import os
+
+    import pytest
+
+    from vectorsearch_spark.operators.curate import passage_dedup
+    from vectorsearch_spark.operators.dedup import (
+        fold_passage_dedup_batch,
+        stream_passage_dedup,
+    )
+
+    CHUNK = 4
+    d = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "iota kappa lam mu nu xi omicron pi",
+        2: "alpha beta gamma delta rho sigma tau upsilon",   # chunk0 dups doc0
+        3: "iota kappa lam mu nu xi omicron pi",             # full copy of doc1
+        4: "phi chi psi omega alef bet gimel dalet",
+        5: "phi chi psi omega rho sigma tau upsilon",        # dups doc4 c0 + doc2 c1
+    }
+    batches = [[0, 1], [2, 3], [4, 5]]
+    schema = "doc_id long, text string"
+    state = str(tmp_path_factory.mktemp("pdstate")) + "/st"
+    os.makedirs(state, exist_ok=True)
+
+    for i, ids in enumerate(batches):
+        fold_passage_dedup_batch(
+            spark.createDataFrame([(j, d[j]) for j in ids], schema),
+            i, state, chunk_tokens=CHUNK,
+        )
+    cols = ["doc_id", "n_chunks", "n_kept", "kept_hash"]
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/accepted").select(cols).collect()
+    )
+    full = spark.createDataFrame(sorted(d.items()), schema)
+    ref = sorted(
+        tuple(r) for r in passage_dedup(full, chunk_tokens=CHUNK).collect()
+    )
+    assert got == ref
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][2] == 0          # full copy: nothing kept
+    assert by_id[5][2] == 0          # both chunks dup earlier docs
+
+    # replayed epoch: no-op
+    fold_passage_dedup_batch(
+        spark.createDataFrame([(j, d[j]) for j in batches[2]], schema),
+        2, state, chunk_tokens=CHUNK,
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/accepted").select(cols).collect()
+    ) == ref
+
+    # crash before marker: rewind to epoch 1, replay epoch 2 — its own
+    # partial dirs must be invisible to the replay
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 1}, fh)
+    fold_passage_dedup_batch(
+        spark.createDataFrame([(j, d[j]) for j in batches[2]], schema),
+        2, state, chunk_tokens=CHUNK,
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/accepted").select(cols).collect()
+    ) == ref
+
+    # epoch regression: fresh checkpoint against old state fails loudly
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_passage_dedup_batch(
+            spark.createDataFrame([(9, "anything at all here")], schema),
+            0, state, chunk_tokens=CHUNK,
+        )
+
+    # writeStream wrapper end-to-end on a fresh state
+    src_dir = str(tmp_path_factory.mktemp("pdsrc")) + "/docs"
+    state2 = str(tmp_path_factory.mktemp("pdstate2")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("pdckpt"))
+    full.write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_passage_dedup(stream, state2, ckpt, chunk_tokens=CHUNK)
+    q.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: r["n_kept"]
+        for r in spark.read.parquet(f"{state2}/accepted").collect()
+    }
+    # single-batch availableNow load ≡ the batch operator too
+    assert got2 == {r[0]: r[2] for r in ref}

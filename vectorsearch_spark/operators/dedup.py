@@ -847,3 +847,145 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_passage_dedup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    chunk_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch fold of the streaming PASSAGE-dedup ingest (the
+    foreachBatch body, exposed for crash-injection tests): chunk the
+    batch's documents, drop every chunk whose text already survived in
+    an earlier batch (or earlier in THIS batch — keep-first by
+    (doc_id, chunk_idx)), and append the per-doc survivor stats plus
+    the surviving chunk texts to the state. The streaming counterpart
+    of ``curate.passage_dedup``: with monotonically increasing doc_ids
+    across batches the folded state is row-identical to running the
+    batch operator on the concatenated corpus (gated in tests).
+
+    State layout (O(batch) writes per fold, never a history rewrite):
+
+    - ``accepted/epoch=<id>/`` — (doc_id, n_chunks, n_kept, kept_hash)
+      rows, the passage_dedup output shape;
+    - ``chunks/epoch=<id>/``  — the batch's SURVIVING chunk texts (the
+      full text, not a hash: a hash collision in dedup state would
+      silently drop a unique passage forever — same exactness stance
+      as the batch operator's partition-by-text window).
+
+    Per-batch cost is O(|batch| chunks + matched corpus chunks): the
+    corpus check is a left-anti join keyed on chunk_text against the
+    persisted chunk dirs — corpus TEXT is never re-chunked.
+
+    Exactly-once: corpus reads filter ``epoch < epoch_id`` so a crashed
+    attempt's own partial dirs are invisible to its replay; epoch dirs
+    rewrite idempotently (deterministic content, mode=overwrite); the
+    applied-epoch marker commits last via atomic rename, an exact
+    replay is skipped, and an epoch REGRESSION (fresh checkpoint
+    against old state) raises (the r6 guard shared with the doc-level
+    ingest above).
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.curate import chunk_documents
+    from vectorsearch_spark.operators.incremental import _epoch_already_applied
+
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if _epoch_already_applied(marker, epoch_id, state_path):
+        return  # replayed epoch: already folded in
+    batch = batch_df.localCheckpoint()  # stream sources are single-pass
+
+    chunks = chunk_documents(
+        batch, chunk_tokens=chunk_tokens, stride=chunk_tokens,
+        id_col=id_col, text_col=text_col,
+    )
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    ch = chunks.withColumn("__rn", F.row_number().over(w))
+
+    root = os.path.join(state_path, "chunks")
+    dirs = (
+        [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    if dirs:
+        corpus_ch = spark.read.schema("chunk_text string").parquet(*dirs)
+        ch = ch.join(corpus_ch, "chunk_text", "left_anti").unionByName(
+            # corpus-matched chunks stay in the per-doc accounting as
+            # non-survivors (n_chunks counts them; n_kept does not)
+            ch.join(corpus_ch, "chunk_text", "left_semi").withColumn(
+                "__rn", F.lit(0)  # 0 = dropped-against-corpus sentinel
+            ),
+            allowMissingColumns=False,
+        )
+    # ch feeds BOTH epoch writes (accepted stats + surviving chunks);
+    # the lazy checkpoint materializes the chunk+window pass once
+    ch = ch.localCheckpoint(eager=False)
+    kept_flag = F.col("__rn") == 1
+    out = (
+        ch.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(kept_flag.cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    kept_flag, F.struct("chunk_idx", "chunk_text")
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                )
+            ).alias("kept_hash"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    surviving = ch.filter(kept_flag).select("chunk_text")
+
+    ep = f"epoch={int(epoch_id)}"
+    out.write.mode("overwrite").parquet(os.path.join(state_path, "accepted", ep))
+    surviving.write.mode("overwrite").parquet(os.path.join(state_path, "chunks", ep))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def stream_passage_dedup(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Keep a passage-deduped corpus current from a document stream
+    (see ``fold_passage_dedup_batch``). Returns the StreamingQuery;
+    the accepted per-doc stats are
+    ``spark.read.parquet(f"{state_path}/accepted")``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_passage_dedup_batch(batch_df, epoch_id, state_path, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
