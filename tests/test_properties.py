@@ -486,3 +486,56 @@ def test_chunking_matches_model_for_arbitrary_params(spark, n_words, chunk, stri
         for _, s, ln in out:
             covered |= set(range(s, s + ln))
         assert covered == set(range(n))
+
+
+@settings(**_SETTINGS)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    budget_a=st.integers(min_value=1, max_value=200),
+    budget_b=st.integers(min_value=1, max_value=200),
+    margin=st.sampled_from([2.0, 4.0, 8.0]),
+)
+def test_token_budget_mix_always_equals_naive_model(
+    spark, lens, budget_a, budget_b, margin
+):
+    """Property: the margin-prefiltered sampler is EXACTLY the naive
+    full-sort cumulative cut for every corpus/budget/margin where the
+    margin suffices — and when the margin prefix cannot cover a budget
+    it raises instead of silently under-filling. Randomized doc sizes,
+    two sources, budgets spanning fits-entirely through tiny."""
+    import hashlib
+
+    from vectorsearch_spark.operators.curate import token_budget_mix
+
+    rows = [
+        (i, "src_a" if i % 2 == 0 else "src_b", "tok " * lens[i])
+        for i in range(len(lens))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"src_a": budget_a, "src_b": budget_b}
+
+    sel = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1_000_000
+    model = {}
+    for src, budget in budgets.items():
+        ids = sorted(
+            (i for i in range(len(lens)) if (i % 2 == 0) == (src == "src_a")),
+            key=lambda i: (sel(i), i),
+        )
+        cum = 0
+        for i in ids:
+            if lens[i] == 0:
+                # zero-token doc: never consumes budget; kept iff the
+                # budget is not already exhausted (cum < budget)
+                if cum < budget:
+                    model[i] = (src, cum)
+                continue
+            if cum < budget:
+                cum += lens[i]
+                model[i] = (src, cum)
+    try:
+        out = token_budget_mix(df, budgets, margin=margin).collect()
+    except ValueError as e:
+        assert "margin" in str(e)
+        return  # legitimate margin shortfall: raising IS the contract
+    got = {r["doc_id"]: (r["source"], r["cum_tokens"]) for r in out}
+    assert got == model
