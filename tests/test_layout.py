@@ -141,3 +141,34 @@ def test_bucketed_join_plans_zero_shuffle_exchanges(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS tbkt_li")
         spark.sql("DROP TABLE IF EXISTS tbkt_od")
+
+
+def test_write_bucketed_scrubs_catalog_location_not_convention(spark, tmp_path):
+    """A pre-existing table at a CUSTOM location (external / non-default
+    layout): write_bucketed must ask the catalog for the real location
+    and scrub THAT — not blindly derive {wh}/{tbl} — so the custom dir
+    leaves no leftovers and unrelated convention-path data survives
+    (ADVICE r6)."""
+    import os
+
+    from vectorsearch_spark.operators.layout import write_bucketed
+
+    custom = tmp_path / "custom_loc"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df.write.mode("overwrite").parquet(str(custom))
+    spark.sql("DROP TABLE IF EXISTS tbkt_custom")
+    spark.sql(
+        f"CREATE TABLE tbkt_custom (k long, v string) USING parquet "
+        f"LOCATION '{custom}'"
+    )
+    assert spark.table("tbkt_custom").count() == 2
+    try:
+        write_bucketed(df, "tbkt_custom", "k", 2)
+        # the rewritten table reads back, bucketed
+        assert spark.table("tbkt_custom").count() == 2
+        # old custom-location leftovers were cleaned via the catalog path
+        assert not os.path.exists(str(custom)) or not any(
+            f.endswith(".parquet") for f in os.listdir(str(custom))
+        ), "custom LOCATION left stale files behind"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tbkt_custom")

@@ -462,6 +462,23 @@ def test_mjpeg_rejects_truncation_and_mixed_dims():
         decode_mjpeg(stream[:-3])
 
 
+def test_mjpeg_scan_ending_in_bare_ff_raises_truncated():
+    """Scan data cut right after a 0xFF byte must raise the
+    truncated-frame ValueError — the in-scan marker rewind used to
+    re-enter the marker walker at the last byte and IndexError on
+    the missing marker id (ADVICE r6)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectorsearch_spark.functions.jpeg import encode_jpeg, split_mjpeg
+
+    frame = encode_jpeg(np.full((8, 8), 10, dtype=np.uint8), quant=1)
+    assert frame[-2:] == b"\xFF\xD9"
+    cut = frame[:-2] + b"\xFF"  # drop EOI, end mid-scan on a bare 0xFF
+    with _pytest.raises(ValueError, match="truncated"):
+        split_mjpeg(cut)
+
+
 def test_wav_roundtrip_chunk_walk_and_rejection():
     """RIFF/WAVE PCM: stereo/mono round-trips bit-exact; the parser
     walks chunks (skipping unknown, word-aligned) rather than assuming

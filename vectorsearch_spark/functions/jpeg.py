@@ -426,7 +426,12 @@ def _frame_end(data: bytes, start: int) -> int:
             if b != 0xFF:
                 continue
             nxt = data[pos] if pos < len(data) else None
-            if nxt == 0x00 or (nxt is not None and 0xD0 <= nxt <= 0xD7):
+            if nxt is None:
+                # scan data ends in a bare trailing 0xFF: the stream was
+                # cut mid-frame (rewinding would re-enter the marker
+                # walker one byte short and read past the buffer)
+                raise ValueError("MJPEG: truncated frame (no EOI)")
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 pos += 1  # stuffed byte / restart marker: still in scan
             elif nxt == 0xD9:
                 return pos + 1

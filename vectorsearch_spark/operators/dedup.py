@@ -720,25 +720,12 @@ def fold_dedup_ingest_batch(
     import os
     import tempfile
 
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
     spark = batch_df.sparkSession
     marker = os.path.join(state_path, "_last_epoch.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            last = json.load(fh)["epoch"]
-        if last == epoch_id:
-            return  # replayed epoch: already folded in
-        if epoch_id < last:
-            # A fresh checkpoint dir restarts epoch ids at 0; treating
-            # those as replays would silently drop every batch against
-            # an existing state_path. Checkpoint and state lifetimes
-            # are coupled — fail loudly instead (a genuine replay is
-            # only ever the LAST committed epoch, handled above).
-            raise ValueError(
-                f"epoch regression: batch epoch {epoch_id} < committed "
-                f"epoch {last} at {state_path} — the stream checkpoint "
-                "was reset against existing dedup state; clear "
-                "state_path or restore the original checkpoint dir"
-            )
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return  # replayed epoch: already folded in
     batch = batch_df.localCheckpoint()  # stream sources are single-pass
 
     sh_b = _shingle_df(batch, id_col, text_col, shingle_n).localCheckpoint(
@@ -893,11 +880,11 @@ def fold_passage_dedup_batch(
     import tempfile
 
     from vectorsearch_spark.operators.curate import chunk_documents
-    from vectorsearch_spark.operators.incremental import _epoch_already_applied
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
 
     spark = batch_df.sparkSession
     marker = os.path.join(state_path, "_last_epoch.json")
-    if _epoch_already_applied(marker, epoch_id, state_path):
+    if epoch_already_applied(marker, epoch_id, state_path):
         return  # replayed epoch: already folded in
     batch = batch_df.localCheckpoint()  # stream sources are single-pass
 

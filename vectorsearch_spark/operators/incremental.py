@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 STATE_COLS = ("n_rows", "total", "vmin", "vmax")
 
 
-def _epoch_already_applied(marker: str, epoch_id: int, state_desc: str) -> bool:
+def epoch_already_applied(marker: str, epoch_id: int, state_desc: str) -> bool:
     """True iff ``epoch_id`` is the already-committed last epoch (a
     foreachBatch replay — skip it). Raises on epoch REGRESSION: a fresh
     checkpoint dir restarts epoch ids at 0, and treating those as
@@ -175,7 +175,7 @@ def fold_rollup_batch(
     if not os.path.exists(state_path) and os.path.exists(old):
         os.rename(old, state_path)
     marker = os.path.join(state_path, "_last_epoch.json")
-    if _epoch_already_applied(marker, epoch_id, state_path):
+    if epoch_already_applied(marker, epoch_id, state_path):
         return  # replayed epoch: already folded in
     delta = rollup_state(batch_df, keys, value_col)
     if os.path.exists(os.path.join(state_path, "_SUCCESS")):
@@ -250,7 +250,7 @@ def fold_scd2_batch(
     if not os.path.exists(dim_path) and os.path.exists(old):
         os.rename(old, dim_path)
     marker = os.path.join(dim_path, "_last_epoch.json")
-    if _epoch_already_applied(marker, epoch_id, dim_path):
+    if epoch_already_applied(marker, epoch_id, dim_path):
         return  # replayed epoch: already folded in
     batch = batch_df.localCheckpoint()  # stream sources are single-pass
     clog_root = os.path.join(state_path, "changelog")

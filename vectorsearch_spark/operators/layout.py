@@ -115,18 +115,33 @@ def write_bucketed(
     sort-merge joins skip their sort too.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     # an in-memory catalog forgets tables across sessions but their
     # managed LOCATION survives in the warehouse dir — saveAsTable then
-    # fails LOCATION_ALREADY_EXISTS; scrub the orphaned dir (harmless
-    # when a metastore is present: DROP TABLE already removed it)
+    # fails LOCATION_ALREADY_EXISTS; scrub the stale dir (harmless
+    # when a metastore is present: DROP TABLE already removed it).
+    # When the table IS in the catalog, ask the catalog for its real
+    # location — a custom LOCATION or non-default warehouse layout
+    # must not have the convention-derived path deleted instead.
     from vectorsearch_spark.staging import hadoop_delete
 
-    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    # managed layout: default-db tables live at {wh}/{tbl}; qualified
-    # db.tbl lives at {wh}/{db}.db/{tbl}
-    parts = table.lower().split(".")
-    loc = f"{wh}/{parts[-1]}" if len(parts) == 1 else f"{wh}/{parts[-2]}.db/{parts[-1]}"
+    loc = None
+    if spark.catalog.tableExists(table):
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r["col_name"] == "Location":
+                loc = r["data_type"]
+                break
+    if loc is None:
+        # table absent from the catalog: only the managed-layout
+        # convention path can be orphaned ({wh}/{tbl}; qualified
+        # db.tbl at {wh}/{db}.db/{tbl})
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        parts = table.lower().split(".")
+        loc = (
+            f"{wh}/{parts[-1]}"
+            if len(parts) == 1
+            else f"{wh}/{parts[-2]}.db/{parts[-1]}"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     hadoop_delete(spark, loc)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
