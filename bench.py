@@ -138,6 +138,7 @@ HEADLINE = [
     "knn_mmr_rerank",
     "index_search_join_beam",
     "embedding_pack_roundtrip",
+    "dedup_repeated_spans",
 ]
 
 def _index_build(spark, sf_dir):

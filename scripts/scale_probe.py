@@ -93,6 +93,11 @@ PROBES = [
     "passage_dedup",
     "corpus_token_mix",
     "knn_mmr_rerank",
+    # round-7 additions. dedup_repeated_spans IS probed (unlike
+    # dedup_minhash): it emits positions, not pairs, so verbatim-copy
+    # growth deepens md5-window groups linearly (each reduces to one
+    # row_number pass) instead of blowing up quadratically.
+    "dedup_repeated_spans",
 ]
 
 

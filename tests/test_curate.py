@@ -329,3 +329,90 @@ def test_passage_dedup_global_invariants(spark):
     out = passage_dedup(df, chunk_tokens=4).collect()
     assert {r["doc_id"]: r["n_chunks"] for r in out} == n_by_doc
     assert sum(r["n_kept"] for r in out) == len(texts)
+
+
+def test_repeated_spans_unaligned_copy_and_self_repeat(spark):
+    """Duplicated-span detection at arbitrary offsets: an unaligned
+    copied run is recovered as ONE merged span with the exact token
+    count, a self-repeating doc marks everything past the first
+    window, unique docs and docs shorter than the window report zero."""
+    from vectorsearch_spark.operators.curate import repeated_spans
+
+    words = [f"w{i}" for i in range(60)]          # each -> 2 BPE pieces
+    d1 = " ".join(words)                          # 120 tokens, original
+    d2 = "unique lead tokens here " + " ".join(words[7:45]) + " trailing bits"
+    d3 = " ".join(f"zq{i}" for i in range(30))    # unique
+    d4 = " ".join(["rep"] * 50)                   # period-1 self repeat
+    d5 = "short doc"                              # < span_tokens
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4), (5, d5)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_spans(df, span_tokens=20).collect()}
+    # doc 1 is the globally-first occurrence: nothing marked
+    assert out[1]["dup_spans"] == 0 and out[1]["dup_tokens"] == 0
+    # doc 2: the 38-word (76-token) copied run -> one span of 76 tokens
+    assert out[2]["dup_spans"] == 1 and out[2]["dup_tokens"] == 76
+    assert out[2]["dup_ratio"] == round(76 / out[2]["n_tokens"], 6)
+    assert out[3]["dup_spans"] == 0
+    # doc 4: windows at pos 1..30 all duplicate pos 0 -> [1, 50)
+    assert out[4]["dup_spans"] == 1 and out[4]["dup_tokens"] == 49
+    assert out[5]["n_tokens"] == 2 and out[5]["dup_spans"] == 0
+
+
+def test_repeated_spans_matches_python_model(spark):
+    """Seeded random corpus with injected cross-doc and within-doc
+    repeats: the Spark op equals a direct Python reference (dict of
+    gram -> first (doc, pos), then interval merge) row for row."""
+    import random
+    import re
+
+    from vectorsearch_spark.operators.curate import repeated_spans
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = {}
+    for d in range(30):
+        docs[d] = [rng.choice(vocab) for _ in range(rng.randint(3, 80))]
+    # inject: doc 30 embeds a run of doc 3; doc 31 = full copy of doc 5
+    docs[30] = [rng.choice(vocab) for _ in range(9)] + docs[3][2:40] + ["x"]
+    docs[31] = list(docs[5])
+    rows = [(d, " ".join(t)) for d, t in sorted(docs.items())]
+    span = 8
+    pat = re.compile(BPE_PIECE_RE)
+    toks = {d: pat.findall(t.lower()) for d, t in rows}
+    first: dict = {}
+    occs: dict = {}
+    for d in sorted(toks):
+        p = toks[d]
+        for i in range(len(p) - span + 1):
+            g = " ".join(p[i : i + span])
+            occs.setdefault(g, []).append((d, i))
+    exp = {d: [] for d in toks}
+    for g, os_ in occs.items():
+        if len(os_) > 1:
+            for d, i in os_[1:]:
+                exp[d].append((i, i + span))
+    model = {}
+    for d, iv in exp.items():
+        iv.sort()
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        model[d] = (
+            len(toks[d]),
+            len(merged),
+            sum(e - s for s, e in merged),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"])
+        for r in repeated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            span_tokens=span,
+        ).collect()
+    }
+    assert got == model

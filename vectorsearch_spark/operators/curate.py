@@ -356,6 +356,131 @@ def passage_dedup(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN detection at arbitrary token boundaries —
+    the "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022, arXiv:2107.06499) ExactSubstr pass, re-expressed
+    for Spark: instead of a corpus-global suffix array (inherently
+    sequential to build), slide a ``span_tokens`` window one token at a
+    time and mark every window whose text occurs anywhere else in the
+    corpus, keeping only the globally-first occurrence (ordered by
+    (doc_id, pos)). Consecutive marked positions merge into maximal
+    intervals, so any repeated substring of length ≥ ``span_tokens``
+    is recovered as ONE span, at n-gram granularity (the edges may
+    overhang by < span_tokens — the standard approximation; a doc
+    repeating a token forever marks everything past the first window,
+    including positions overlapping the kept first occurrence).
+
+    Differs from ``passage_dedup``: that pass is chunk-ALIGNED (a
+    duplicated paragraph straddling a 64-token boundary is missed);
+    this one catches repeats at ANY offset, the reason Lee et al.
+    found ~2× more duplicate text than chunk-level methods.
+
+    Returns (doc_id, n_tokens, dup_spans, dup_tokens, dup_ratio) per
+    document — the span map, not rewritten text (at 100 TB the result
+    must stay narrow; cutting is a ``slice``-by-intervals follow-up).
+
+    Scale: one tokenize-once barrier; the slide is
+    ``explode(sequence)`` + ``slice`` in a single codegen stage — the
+    span TEXT never shuffles, only (doc_id, pos, md5) rows, O(tokens)
+    × 48 bytes. One window shuffle keyed by the 128-bit md5 (collision
+    marking a unique span duplicate: p ≈ n²/2¹²⁹ — the same documented
+    stance as the near-dup LSH miss probability; keying on text would
+    ship span_tokens× the corpus). Duplicate-heavy keys ARE the
+    duplicates being removed (each group is one row_number pass); the
+    interval merge windows on doc_id — naturally balanced.
+    """
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be ≥ 2")
+    base = (
+        df.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+            ).alias("__p"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        # barrier: __p is referenced by the slide AND the final token
+        # count; un-checkpointed, Catalyst substitutes the regex into
+        # both subtrees (the doc_ngram_diversity r5 lesson)
+        .localCheckpoint(eager=False)
+    )
+    counts = base.select(F.col(id_col), F.size("__p").cast("long").alias("n_tokens"))
+    pos = F.col("pos")
+    grams = (
+        base.where(F.size("__p") >= span_tokens)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.size("__p") - span_tokens)
+            ).alias("pos"),
+            F.col("__p"),
+        )
+        .select(
+            F.col(id_col),
+            pos,
+            F.md5(F.concat_ws(" ", F.slice("__p", pos + 1, span_tokens))).alias("__h"),
+        )
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "pos")
+    dup = (
+        grams.select(
+            F.col(id_col),
+            "pos",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("__h").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("__cnt"),
+        )
+        .where((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + span_tokens).cast("long").alias("e"),
+        )
+    )
+    # classic SQL interval merge: a row starts a new span iff its start
+    # exceeds the running max end of all earlier intervals in the doc
+    wd = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        dup.withColumn(
+            "__new", (prev_end.isNull() | (F.col("s") > prev_end)).cast("long")
+        )
+        .withColumn("__grp", F.sum("__new").over(wd))
+        .groupBy(id_col, "__grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+        )
+    )
+    return (
+        counts.join(merged, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def token_budget_mix(
     df: DataFrame,
     budgets: "dict[str, int]",

@@ -4118,6 +4118,59 @@ FROM k GROUP BY doc_id
 """.replace("__CORPUS__", _DEDUP_CORPUS_SQL)
 
 
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection at arbitrary token offsets
+    (operators/curate.py repeated_spans — the Lee et al. ExactSubstr
+    pass at 20-gram granularity): run on the duplicate-injected corpus
+    so whole-copy docs mark end-to-end (dup_ratio 1) and near-dup docs
+    mark everything but the divergent tail window."""
+    from vectorsearch_spark.operators.curate import repeated_spans
+
+    return repeated_spans(_dedup_corpus(spark, sf_dir), span_tokens=20)
+
+
+DEDUP_REPEATED_SPANS_SQL = r"""
+WITH corpus AS (__CORPUS__),
+base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS p
+  FROM corpus),
+nn AS (SELECT doc_id, p, len(p) AS n FROM base),
+g AS (
+  SELECT doc_id, p, unnest(range(0, n - 20 + 1)) AS pos
+  FROM nn WHERE n >= 20),
+h AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(p, pos + 1, pos + 20), ' ')) AS h
+  FROM g),
+k AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM h),
+iv AS (SELECT doc_id, pos AS s, pos + 20 AS e FROM k WHERE c > 1 AND rn > 1),
+m AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM iv),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g
+  FROM m),
+mg AS (SELECT doc_id, g, min(s) AS s, max(e) AS e FROM grp GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_spans, sum(e - s)::BIGINT AS dup_tokens
+  FROM mg GROUP BY 1)
+SELECT nn.doc_id, nn.n::BIGINT AS n_tokens,
+       coalesce(pd.dup_spans, 0)::BIGINT AS dup_spans,
+       coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(coalesce(pd.dup_tokens, 0) / greatest(nn.n, 1), 6) AS dup_ratio
+FROM nn LEFT JOIN pd USING (doc_id)
+""".replace("__CORPUS__", _DEDUP_CORPUS_SQL)
+
+
 _MIX_BUDGETS = {f"src{i}": (700 if i < 10 else 400) for i in range(20)}
 
 
@@ -5691,6 +5744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mm_* frame ops, the cluster partitioner behind dedup_semantic/
     # clusters — then the r3-last-checked tail, then headline KNN/SQL).
     return {
+        "dedup_repeated_spans": dedup_repeated_spans,
         "embedding_pca": embedding_pca,
         "passage_dedup": passage_dedup,
         "corpus_token_mix": corpus_token_mix,
@@ -5911,6 +5965,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pack_curated": PIPELINE_PACK_SQL,
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "doc_chunking": DOC_CHUNKING_SQL,
+        "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "corpus_token_mix": _mix_sql(),
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
