@@ -139,6 +139,7 @@ HEADLINE = [
     "index_search_join_beam",
     "embedding_pack_roundtrip",
     "dedup_repeated_spans",
+    "corpus_importance_sample",
 ]
 
 def _index_build(spark, sf_dir):

@@ -98,6 +98,7 @@ PROBES = [
     # growth deepens md5-window groups linearly (each reduces to one
     # row_number pass) instead of blowing up quadratically.
     "dedup_repeated_spans",
+    "corpus_importance_sample",
 ]
 
 

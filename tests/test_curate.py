@@ -416,3 +416,59 @@ def test_repeated_spans_matches_python_model(spark):
         ).collect()
     }
     assert got == model
+
+
+def test_importance_sample_matches_python_model_and_prefers_target(spark):
+    """DSIR selection: the Spark op equals a direct Python reference
+    (hashed-unigram LMs, add-one smoothing, deterministic Gumbel keys)
+    and ranks target-styled docs above off-distribution ones."""
+    import hashlib
+    import math
+    import re
+
+    from vectorsearch_spark.operators.curate import importance_sample
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    B = 64
+    # two disjoint vocabularies: "science" (target) vs "spam"
+    sci = "quantum electron lattice spectrum boson fermion orbit decay"
+    spam = "buy cheap now click winner prize offer deal"
+    rows = []
+    for i in range(10):
+        rows.append((i, sci + f" sample {i}", "wiki"))          # target
+    for i in range(10, 20):
+        rows.append((i, sci + f" note {i}", "web"))             # raw, sci-like
+    for i in range(20, 30):
+        rows.append((i, spam + f" blast {i}", "web"))           # raw, spam
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = importance_sample(df, ["wiki"], k=12, n_buckets=B).collect()
+
+    pat = re.compile(BPE_PIECE_RE)
+    md5i = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    pd_counts, tgt, raw = {}, {}, {}
+    for d, t, src in rows:
+        cc = {}
+        for tok in pat.findall(t.lower()):
+            b = md5i(tok) % B
+            cc[b] = cc.get(b, 0) + 1
+        pd_counts[d] = (src, cc)
+        for b, c in cc.items():
+            raw[b] = raw.get(b, 0) + c
+            if src == "wiki":
+                tgt[b] = tgt.get(b, 0) + c
+    tt, tr = sum(tgt.values()), sum(raw.values())
+    keys = {}
+    for d, (src, cc) in pd_counts.items():
+        lw = sum(
+            c * (math.log((tgt.get(b, 0) + 1) / (tt + B))
+                 - math.log((raw[b] + 1) / (tr + B)))
+            for b, c in cc.items()
+        )
+        u = (md5i(str(d)) % 1_000_000 + 0.5) / 1_000_000
+        keys[d] = (round(lw, 6), round(lw + -math.log(-math.log(u)), 6))
+    exp = sorted(keys.items(), key=lambda kv: (-kv[1][1], kv[0]))[:12]
+    assert [(r["doc_id"], r["logw"], r["key"]) for r in out] == [
+        (d, lw, ky) for d, (lw, ky) in exp
+    ]
+    # distribution preference: every selected doc is sci-styled
+    assert all(r["doc_id"] < 20 for r in out)

@@ -647,6 +647,91 @@ def stratified_quota(
     )
 
 
+def importance_sample(
+    df: DataFrame,
+    target_sources: "list[str]",
+    k: int,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169): pick the ``k`` raw documents that look
+    most like a TARGET distribution (here: the docs whose source is in
+    ``target_sources``), under hashed bag-of-tokens unigram LMs with
+    add-one smoothing. Per doc the log importance weight is
+    Σ_tokens log(p_target(bucket)/p_raw(bucket)); selection is DSIR's
+    Gumbel-top-k (sampling without replacement ∝ weight), with the
+    Gumbel noise derived from md5(doc_id) — deterministic, rerun- and
+    engine-stable, unlike rand()-seeded draws.
+
+    Returns the k selected rows as (doc_id, source, logw, key), key =
+    logw + gumbel rounded to 6 decimals (the selection rank order).
+
+    Scale: tokens are hashed straight to ``n_buckets`` counts per doc
+    (one tokenize pass; the (doc, bucket, count) frame is checkpointed
+    and reused, so text is read once). Both LMs are bounded
+    aggregates — ≤ n_buckets rows each — broadcast back onto the
+    per-doc counts; the scoring join is a BroadcastHashJoin, the
+    per-doc sum a doc-keyed agg, and the final top-k a
+    TakeOrderedAndProject (no global sort shuffle). Nothing in the
+    plan grows with corpus size except the two linear passes.
+    """
+    spark = df.sparkSession
+    toks_ = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("'[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]"), F.lit(0)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    )
+    per_doc = (
+        df.select(
+            F.col(id_col), F.col(source_col).alias("source"),
+            F.explode(toks_).alias("tok"),
+        )
+        .select(F.col(id_col), "source", bucket.alias("b"))
+        .groupBy(id_col, "source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tgt = per_doc.filter(F.col("source").isin(list(target_sources)))
+    tgt_counts = tgt.groupBy("b").agg(F.sum("c").alias("ct"))
+    raw_counts = per_doc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tot_t = tgt.agg(F.sum("c").alias("tt"))
+    tot_r = per_doc.agg(F.sum("c").alias("tr"))
+    # smoothed log-ratio per bucket present in the corpus (absent
+    # buckets have no tokens to score); ≤ n_buckets rows, broadcast
+    ratio = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1) / (F.col("tt") + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    u = (hash_rate_col(id_col) + 0.5) / _RATE_MOD
+    gumbel = -F.log(-F.log(u))
+    return (
+        per_doc.join(F.broadcast(ratio), "b")
+        .groupBy(id_col, "source")
+        .agg(F.sum(F.col("c") * F.col("lr")).alias("__lw"))
+        .select(
+            F.col(id_col),
+            "source",
+            F.round("__lw", 6).alias("logw"),
+            F.round(F.col("__lw") + gumbel, 6).alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
 def write_packed_shards(
     df: DataFrame,
     path: str,

@@ -4171,6 +4171,52 @@ FROM nn LEFT JOIN pd USING (doc_id)
 """.replace("__CORPUS__", _DEDUP_CORPUS_SQL)
 
 
+_DSIR_TARGETS = ["src0", "src1", "src2"]
+
+
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/curate.py importance_sample):
+    Gumbel-top-150 of the documents by hashed-unigram log importance
+    weight toward the src0-src2 target mix — the distribution-matching
+    selection pass between dedup and training."""
+    from vectorsearch_spark.operators.curate import importance_sample
+
+    return importance_sample(
+        _t(spark, sf_dir, "documents"), _DSIR_TARGETS, k=150
+    )
+
+
+CORPUS_IMPORTANCE_SAMPLE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]')) AS tok
+  FROM documents),
+pd AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 4096 AS b,
+         count(*) AS c
+  FROM base GROUP BY 1, 2, 3),
+tgt AS (SELECT b, sum(c) AS ct FROM pd
+        WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+raw AS (SELECT b, sum(c) AS cr FROM pd GROUP BY 1),
+tt AS (SELECT sum(c) AS t FROM pd WHERE source IN ('src0', 'src1', 'src2')),
+tr AS (SELECT sum(c) AS t FROM pd),
+ratio AS (
+  SELECT raw.b,
+         ln((coalesce(ct, 0) + 1) / (tt.t + 4096))
+         - ln((cr + 1) / (tr.t + 4096)) AS lr
+  FROM raw LEFT JOIN tgt USING (b), tt, tr),
+sc AS (
+  SELECT doc_id, source, sum(c * lr) AS lw
+  FROM pd JOIN ratio USING (b) GROUP BY 1, 2)
+SELECT doc_id, source, round(lw, 6) AS logw,
+       round(lw + -ln(-ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)), 6) AS key
+FROM sc
+ORDER BY key DESC, doc_id
+LIMIT 150
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (700 if i < 10 else 400) for i in range(20)}
 
 
@@ -5745,6 +5791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clusters — then the r3-last-checked tail, then headline KNN/SQL).
     return {
         "dedup_repeated_spans": dedup_repeated_spans,
+        "corpus_importance_sample": corpus_importance_sample,
         "embedding_pca": embedding_pca,
         "passage_dedup": passage_dedup,
         "corpus_token_mix": corpus_token_mix,
@@ -5966,6 +6013,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "doc_chunking": DOC_CHUNKING_SQL,
         "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
+        "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "corpus_token_mix": _mix_sql(),
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
