@@ -140,6 +140,7 @@ HEADLINE = [
     "embedding_pack_roundtrip",
     "dedup_repeated_spans",
     "corpus_importance_sample",
+    "quality_classifier_scores",
 ]
 
 def _index_build(spark, sf_dir):

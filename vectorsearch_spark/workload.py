@@ -4217,6 +4217,59 @@ LIMIT 150
 """
 
 
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/classify.py): logistic
+    regression trained distributedly on labels from an upstream
+    heuristic gate (quality_score >= 0.6 — the CCNet bootstrap: a
+    rule or reference corpus labels, the model learns the smooth
+    scorer), then scored as a pure codegen projection. The fit must
+    recover the gate through the least/cap nonlinearities from the
+    raw stats — the synthetic corpus has no text/metadata correlation,
+    so a metadata label would only measure the base rate. Iterative
+    float fit — no SQL oracle (rows-only); the fit is
+    NumPy-model-gated in tests/test_classify.py."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.functions.text import tokens
+    from vectorsearch_spark.operators.classify import logistic_fit, logistic_score
+    from vectorsearch_spark.operators.text import doc_stats_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", tokens("text").alias("__toks")
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    feats = [
+        "n_tokens",
+        "n_distinct_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+    ]
+    # narrow (id, label, stats) rows checkpoint BEFORE the iterative
+    # fit: each GD pass re-reads this frame — un-truncated, every
+    # iteration would re-run the tokenizer over the corpus. Coalesced
+    # to a few partitions: each pass is a handful of numbers per
+    # partition, and 32 tasks × iters of scheduling floor would
+    # dominate (at real scale the stats frame is still tiny relative
+    # to text — partition count follows the STATS size, not the corpus)
+    labeled = (
+        base.select("doc_id", *doc_stats_cols("text", toks=F.col("__toks")))
+        .select(
+            "doc_id",
+            (F.col("quality_score") >= 0.6).cast("double").alias("label"),
+            *feats,
+        )
+        .coalesce(8)
+        .localCheckpoint(eager=False)
+    )
+    w = logistic_fit(labeled, feats, "label", iters=8, lr=2.0, l2=1e-4)
+    return logistic_score(labeled, w, feats, out_col="score").select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 _MIX_BUDGETS = {f"src{i}": (700 if i < 10 else 400) for i in range(20)}
 
 
@@ -5792,6 +5845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_repeated_spans": dedup_repeated_spans,
         "corpus_importance_sample": corpus_importance_sample,
+        "quality_classifier_scores": quality_classifier_scores,
         "embedding_pca": embedding_pca,
         "passage_dedup": passage_dedup,
         "corpus_token_mix": corpus_token_mix,
