@@ -141,6 +141,8 @@ HEADLINE = [
     "dedup_repeated_spans",
     "corpus_importance_sample",
     "quality_classifier_scores",
+    "corpus_ngram_lm",
+    "training_shuffle_shards",
 ]
 
 def _index_build(spark, sf_dir):

@@ -100,6 +100,8 @@ PROBES = [
     "dedup_repeated_spans",
     "corpus_importance_sample",
     "quality_classifier_scores",
+    "corpus_ngram_lm",
+    "training_shuffle_shards",
 ]
 
 

@@ -472,3 +472,24 @@ def test_importance_sample_matches_python_model_and_prefers_target(spark):
     ]
     # distribution preference: every selected doc is sci-styled
     assert all(r["doc_id"] < 20 for r in out)
+
+
+def test_shuffle_shards_is_deterministic_partition(spark):
+    """Seeded shuffle-sharding: every row lands in exactly one shard,
+    pos_in_shard is contiguous from 1, the deal is identical across
+    reruns, and a different seed yields a different permutation."""
+    from vectorsearch_spark.operators.curate import shuffle_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, n_shards=8, seed=0).collect()
+    b = shuffle_shards(df, n_shards=8, seed=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(r["doc_id"] for r in a) == list(range(500))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    c = shuffle_shards(df, n_shards=8, seed=1).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))

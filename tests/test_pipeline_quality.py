@@ -85,3 +85,40 @@ def test_benchmark_overlap_is_broadcast_no_corpus_shuffle(spark):
     # once per task); the exploded corpus grams must never sort-merge
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_lm_counts_model_and_pruning(spark):
+    """Corpus trigram counts: equals a direct Python count, prunes
+    below min_count, and unigram mode (n=1) counts every piece."""
+    import re
+    from collections import Counter
+
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE, ngram_lm_counts
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "a dog ran fast"),
+        (4, "xy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pat = re.compile(BPE_PIECE_RE)
+    model = Counter()
+    for _, t in rows:
+        p = pat.findall(t.lower())
+        for i in range(len(p) - 2):
+            model[" ".join(p[i : i + 3])] += 1
+    got = {
+        r["ngram"]: r["n_occurrences"]
+        for r in ngram_lm_counts(df, n=3, min_count=2).collect()
+    }
+    assert got == {g: c for g, c in model.items() if c >= 2}
+    assert "the cat sat" in got and got["the cat sat"] == 2
+    uni = {
+        r["ngram"]: r["n_occurrences"]
+        for r in ngram_lm_counts(df, n=1, min_count=1).collect()
+    }
+    flat = Counter()
+    for _, t in rows:
+        flat.update(pat.findall(t.lower()))
+    assert uni == dict(flat)

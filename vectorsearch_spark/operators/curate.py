@@ -732,6 +732,43 @@ def importance_sample(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training shuffle: permute the corpus by a
+    seeded hash and deal it into ``n_shards`` shards with a stable
+    within-shard order — the final pass before writing training data,
+    where sample order must be (a) effectively random w.r.t. every
+    upstream key (source, time, quality band), (b) reproducible from
+    (seed, ids) alone across reruns/engines (``orderBy(rand())``
+    re-deals under retries), and (c) resumable (shard, pos) addressing.
+
+    Returns (doc_id, shard_id, pos_in_shard).
+
+    Scale: no global sort — ONE shuffle keyed by shard_id and a
+    within-shard row_number. Training sharding uses n_shards in the
+    thousands (shard ≈ file), so the window parallelism is the shard
+    count, and hash-dealing keeps shard sizes balanced to O(√) noise.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hexsel = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    hsel = F.conv(F.substring(hexsel, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard_id").orderBy("__hex", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            (hsel % n_shards).alias("shard_id"),
+            hexsel.alias("__hex"),
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard_id", "pos_in_shard")
+    )
+
+
 def write_packed_shards(
     df: DataFrame,
     path: str,

@@ -365,6 +365,51 @@ def token_counts(
     )
 
 
+def ngram_lm_counts(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-GLOBAL n-gram counts with threshold pruning — the
+    count-collection pass of KenLM-style n-gram LM estimation (and the
+    vocabulary/statistics input to contamination checks and heuristic
+    LMs like ``lm_perplexity``). Returns (ngram, n_occurrences) for
+    every ``n``-gram of BPE pieces occurring ≥ ``min_count`` times.
+
+    Scale: one tokenize pass; the slide is ``explode(sequence)`` +
+    ``slice`` over a barrier-materialized token array (no HOF-lambda
+    array indexing — the doc_ngram_diversity r5 lesson), all in one
+    codegen stage. The count is a groupBy with MAP-SIDE COMBINE:
+    boilerplate-heavy corpora collapse their repeats partition-locally
+    before the shuffle, so shuffle volume tracks the DISTINCT-gram
+    count per partition, not token count; ``min_count`` prunes the
+    long singleton tail after the merge (KenLM's adjusted-count
+    pruning analog).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+        ).alias("__p"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    pos = F.col("pos")
+    return (
+        base.where(F.size("__p") >= n)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.size("__p") - n)).alias("pos"),
+            F.col("__p"),
+        )
+        .select(F.concat_ws(" ", F.slice("__p", pos + 1, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

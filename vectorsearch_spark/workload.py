@@ -4270,6 +4270,49 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global trigram counts with threshold pruning
+    (operators/text.py ngram_lm_counts) — KenLM-style LM count
+    collection; map-side combine collapses repeats pre-shuffle."""
+    from vectorsearch_spark.operators.text import ngram_lm_counts
+
+    return ngram_lm_counts(_t(spark, sf_dir, "documents"), n=3, min_count=5)
+
+
+CORPUS_NGRAM_LM_SQL = r"""
+WITH base AS (
+  SELECT regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS p
+  FROM documents),
+g AS (
+  SELECT array_to_string(list_slice(p, pos + 1, pos + 3), ' ') AS ngram
+  FROM (SELECT p, unnest(range(0, len(p) - 3 + 1)) AS pos
+        FROM base WHERE len(p) >= 3))
+SELECT ngram, count(*)::BIGINT AS n_occurrences
+FROM g GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle into 16 shards (operators/curate.py
+    shuffle_shards): the reproducible order-randomization pass before
+    writing training shards."""
+    from vectorsearch_spark.operators.curate import shuffle_shards
+
+    return shuffle_shards(_t(spark, sf_dir, "documents"), n_shards=16, seed=0)
+
+
+TRAINING_SHUFFLE_SHARDS_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         md5(concat('0|', CAST(doc_id AS VARCHAR))) AS hex,
+         CAST(concat('0x', substring(md5(concat('0|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 16 AS shard_id
+  FROM documents)
+SELECT doc_id, shard_id,
+       (row_number() OVER (PARTITION BY shard_id ORDER BY hex, doc_id))::BIGINT AS pos_in_shard
+FROM s
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (700 if i < 10 else 400) for i in range(20)}
 
 
@@ -5846,6 +5889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": dedup_repeated_spans,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
+        "corpus_ngram_lm": corpus_ngram_lm,
+        "training_shuffle_shards": training_shuffle_shards,
         "embedding_pca": embedding_pca,
         "passage_dedup": passage_dedup,
         "corpus_token_mix": corpus_token_mix,
@@ -6068,6 +6113,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": DOC_CHUNKING_SQL,
         "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
         "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
+        "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
+        "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "corpus_token_mix": _mix_sql(),
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
