@@ -539,3 +539,51 @@ def test_token_budget_mix_always_equals_naive_model(
         return  # legitimate margin shortfall: raising IS the contract
     got = {r["doc_id"]: (r["source"], r["cum_tokens"]) for r in out}
     assert got == model
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    span=st.integers(min_value=2, max_value=5),
+)
+def test_repeated_spans_matches_interval_model(spark, docs, span):
+    """repeated_spans equals the direct Python reference (gram ->
+    global first occurrence, mark the rest, merge intervals) for
+    ARBITRARY tiny-alphabet corpora — small alphabets maximize
+    accidental repeats, self-overlaps, and cross-doc collisions."""
+    from vectorsearch_spark.operators.curate import repeated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    toks = {i: t for i, (_, txt) in enumerate(rows) for t in [txt.split()] }
+    occs: dict = {}
+    for d in sorted(toks):
+        p = toks[d]
+        for i in range(len(p) - span + 1):
+            occs.setdefault(" ".join(p[i : i + span]), []).append((d, i))
+    model = {}
+    for d, p in toks.items():
+        iv = sorted(
+            (i, i + span)
+            for g, os_ in occs.items()
+            for dd, i in os_[1:]
+            if dd == d and len(os_) > 1
+        )
+        merged: list = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        model[d] = (len(p), len(merged), sum(e - s for s, e in merged))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"])
+        for r in repeated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            span_tokens=span,
+        ).collect()
+    }
+    assert got == model
