@@ -139,6 +139,7 @@ HEADLINE = [
     "index_search_join_beam",
     "embedding_pack_roundtrip",
     "dedup_repeated_spans",
+    "dedup_span_cut",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

@@ -98,6 +98,7 @@ PROBES = [
     # growth deepens md5-window groups linearly (each reduces to one
     # row_number pass) instead of blowing up quadratically.
     "dedup_repeated_spans",
+    "dedup_span_cut",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

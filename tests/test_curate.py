@@ -493,3 +493,48 @@ def test_shuffle_shards_is_deterministic_partition(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     c = shuffle_shards(df, n_shards=8, seed=1).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_cut_repeated_spans_rewrites_and_passthrough(spark):
+    """Span-cut application: survivors are exactly the tokens outside
+    the merged duplicate intervals (n_kept = n_tokens - dup_tokens),
+    whole-copy docs collapse, unique docs pass through with the exact
+    original token-stream hash."""
+    import hashlib
+    import re
+
+    from vectorsearch_spark.operators.curate import (
+        cut_repeated_spans,
+        repeated_spans,
+    )
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    words = [f"w{i}" for i in range(60)]
+    d1 = " ".join(words)
+    d2 = "unique lead tokens here " + " ".join(words[7:45]) + " trailing bits"
+    d3 = " ".join(f"zq{i}" for i in range(30))
+    d4 = d1  # whole copy
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    cut = {r["doc_id"]: r for r in cut_repeated_spans(df, span_tokens=20).collect()}
+    spans = {r["doc_id"]: r for r in repeated_spans(df, span_tokens=20).collect()}
+    for d in (1, 2, 3, 4):
+        assert (
+            cut[d]["n_kept_tokens"]
+            == cut[d]["n_tokens"] - spans[d]["dup_tokens"]
+        )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    pat = re.compile(BPE_PIECE_RE)
+    assert cut[1]["kept_hash"] == md5(" ".join(pat.findall(d1.lower())))
+    assert cut[3]["kept_hash"] == md5(" ".join(pat.findall(d3.lower())))
+    assert cut[4]["n_kept_tokens"] == 0 and cut[4]["kept_hash"] == md5("")
+    # doc2 survivors: tokens outside the covered range, in order — the
+    # 4-token lead ("unique lead tokens here"), then the copied run
+    # (2 pieces per wN word) is cut, then the 2-token tail
+    toks2 = pat.findall(d2.lower())
+    iv_start = 4
+    iv_end = iv_start + spans[2]["dup_tokens"]
+    survivors = toks2[:iv_start] + toks2[iv_end:]
+    assert cut[2]["n_kept_tokens"] == len(survivors)
+    assert cut[2]["kept_hash"] == md5(" ".join(survivors))

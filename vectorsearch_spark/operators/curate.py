@@ -356,45 +356,15 @@ def passage_dedup(
     )
 
 
-def repeated_spans(
-    df: DataFrame,
-    span_tokens: int = 20,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Exact duplicated-SPAN detection at arbitrary token boundaries —
-    the "Deduplicating Training Data Makes Language Models Better"
-    (Lee et al. 2022, arXiv:2107.06499) ExactSubstr pass, re-expressed
-    for Spark: instead of a corpus-global suffix array (inherently
-    sequential to build), slide a ``span_tokens`` window one token at a
-    time and mark every window whose text occurs anywhere else in the
-    corpus, keeping only the globally-first occurrence (ordered by
-    (doc_id, pos)). Consecutive marked positions merge into maximal
-    intervals, so any repeated substring of length ≥ ``span_tokens``
-    is recovered as ONE span, at n-gram granularity (the edges may
-    overhang by < span_tokens — the standard approximation; a doc
-    repeating a token forever marks everything past the first window,
-    including positions overlapping the kept first occurrence).
-
-    Differs from ``passage_dedup``: that pass is chunk-ALIGNED (a
-    duplicated paragraph straddling a 64-token boundary is missed);
-    this one catches repeats at ANY offset, the reason Lee et al.
-    found ~2× more duplicate text than chunk-level methods.
-
-    Returns (doc_id, n_tokens, dup_spans, dup_tokens, dup_ratio) per
-    document — the span map, not rewritten text (at 100 TB the result
-    must stay narrow; cutting is a ``slice``-by-intervals follow-up).
-
-    Scale: one tokenize-once barrier; the slide is
-    ``explode(sequence)`` + ``slice`` in a single codegen stage — the
-    span TEXT never shuffles, only (doc_id, pos, md5) rows, O(tokens)
-    × 48 bytes. One window shuffle keyed by the 128-bit md5 (collision
-    marking a unique span duplicate: p ≈ n²/2¹²⁹ — the same documented
-    stance as the near-dup LSH miss probability; keying on text would
-    ship span_tokens× the corpus). Duplicate-heavy keys ARE the
-    duplicates being removed (each group is one row_number pass); the
-    interval merge windows on doc_id — naturally balanced.
-    """
+def _span_base_and_intervals(
+    df: DataFrame, span_tokens: int, id_col: str, text_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared core of ``repeated_spans``/``cut_repeated_spans``:
+    returns (base, intervals) — base = (id, __p token array) behind a
+    checkpoint barrier; intervals = (id, s, e) MERGED duplicate spans
+    (all-but-first occurrences of every repeated ``span_tokens``-gram,
+    consecutive marks coalesced). See ``repeated_spans`` for the
+    algorithm, semantics, and scale notes."""
     from vectorsearch_spark.operators.text import BPE_PIECE_RE
 
     if span_tokens < 2:
@@ -412,7 +382,6 @@ def repeated_spans(
         # both subtrees (the doc_ngram_diversity r5 lesson)
         .localCheckpoint(eager=False)
     )
-    counts = base.select(F.col(id_col), F.size("__p").cast("long").alias("n_tokens"))
     pos = F.col("pos")
     grams = (
         base.where(F.size("__p") >= span_tokens)
@@ -452,18 +421,62 @@ def repeated_spans(
     # exceeds the running max end of all earlier intervals in the doc
     wd = Window.partitionBy(id_col).orderBy("s")
     prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    merged = (
+    intervals = (
         dup.withColumn(
             "__new", (prev_end.isNull() | (F.col("s") > prev_end)).cast("long")
         )
         .withColumn("__grp", F.sum("__new").over(wd))
         .groupBy(id_col, "__grp")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("dup_spans"),
-            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
-        )
+        .drop("__grp")
+    )
+    return base, intervals
+
+
+def repeated_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN detection at arbitrary token boundaries —
+    the "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022, arXiv:2107.06499) ExactSubstr pass, re-expressed
+    for Spark: instead of a corpus-global suffix array (inherently
+    sequential to build), slide a ``span_tokens`` window one token at a
+    time and mark every window whose text occurs anywhere else in the
+    corpus, keeping only the globally-first occurrence (ordered by
+    (doc_id, pos)). Consecutive marked positions merge into maximal
+    intervals, so any repeated substring of length ≥ ``span_tokens``
+    is recovered as ONE span, at n-gram granularity (the edges may
+    overhang by < span_tokens — the standard approximation; a doc
+    repeating a token forever marks everything past the first window,
+    including positions overlapping the kept first occurrence).
+
+    Differs from ``passage_dedup``: that pass is chunk-ALIGNED (a
+    duplicated paragraph straddling a 64-token boundary is missed);
+    this one catches repeats at ANY offset, the reason Lee et al.
+    found ~2× more duplicate text than chunk-level methods.
+
+    Returns (doc_id, n_tokens, dup_spans, dup_tokens, dup_ratio) per
+    document — the span map, not rewritten text (at 100 TB the result
+    must stay narrow; cutting is a ``slice``-by-intervals follow-up).
+
+    Scale: one tokenize-once barrier; the slide is
+    ``explode(sequence)`` + ``slice`` in a single codegen stage — the
+    span TEXT never shuffles, only (doc_id, pos, md5) rows, O(tokens)
+    × 48 bytes. One window shuffle keyed by the 128-bit md5 (collision
+    marking a unique span duplicate: p ≈ n²/2¹²⁹ — the same documented
+    stance as the near-dup LSH miss probability; keying on text would
+    ship span_tokens× the corpus). Duplicate-heavy keys ARE the
+    duplicates being removed (each group is one row_number pass); the
+    interval merge windows on doc_id — naturally balanced.
+    """
+    base, intervals = _span_base_and_intervals(df, span_tokens, id_col, text_col)
+    counts = base.select(F.col(id_col), F.size("__p").cast("long").alias("n_tokens"))
+    merged = intervals.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
     )
     return (
         counts.join(merged, id_col, "left")
@@ -478,6 +491,64 @@ def repeated_spans(
                 6,
             ).alias("dup_ratio"),
         )
+    )
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the ``repeated_spans`` span map: REWRITE each document by
+    cutting every duplicated span (all-but-first occurrences), the
+    second half of the Lee et al. ExactSubstr pass. A whole-copy doc
+    collapses to (at most) its first window's overhang; unique docs
+    pass through byte-identical.
+
+    Returns (doc_id, n_tokens, n_kept_tokens, kept_hash) — kept_hash =
+    md5 of the space-joined surviving tokens in order, the same
+    compact engine-portable witness shape as ``passage_dedup`` (callers
+    wanting rewritten text swap the final select; shipping 100 TB of
+    text through the RESULT would make the result the bottleneck).
+
+    Scale: everything in ``repeated_spans`` plus ONE doc-keyed join of
+    the merged intervals (collected to an array per doc — bounded by
+    intervals, not tokens) back onto the token arrays, then a codegen
+    filter-by-coverage over (token, index) pairs. The per-token
+    coverage test is O(intervals) per token with both arrays
+    MATERIALIZED attributes (no HOF re-evaluation of the tokenizer —
+    the r5 lesson); merged intervals per doc are few by construction.
+    """
+    base, intervals = _span_base_and_intervals(df, span_tokens, id_col, text_col)
+    iv = intervals.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("__iv")
+    )
+    joined = base.join(iv, id_col, "left").select(
+        F.col(id_col),
+        F.col("__p"),
+        F.coalesce("__iv", F.array()).alias("__iv"),
+    )
+    # (token, 0-based index) pairs; keep those no interval covers
+    kept = F.filter(
+        F.transform(
+            "__p",
+            lambda tok, i: F.struct(
+                tok.alias("t"),
+                F.exists(
+                    "__iv", lambda v: (v["s"] <= i) & (i < v["e"])
+                ).alias("c"),
+            ),
+        ),
+        lambda s: ~s["c"],
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__p").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))).alias(
+            "kept_hash"
+        ),
     )
 
 

@@ -4171,6 +4171,65 @@ FROM nn LEFT JOIN pd USING (doc_id)
 """.replace("__CORPUS__", _DEDUP_CORPUS_SQL)
 
 
+def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the repeated-span map (operators/curate.py
+    cut_repeated_spans): rewrite every document with its duplicated
+    spans removed — whole copies collapse to nothing, near-dups keep
+    their divergent head/tail; kept_hash witnesses the rewritten
+    token stream."""
+    from vectorsearch_spark.operators.curate import cut_repeated_spans
+
+    return cut_repeated_spans(_dedup_corpus(spark, sf_dir), span_tokens=20)
+
+
+DEDUP_SPAN_CUT_SQL = r"""
+WITH corpus AS (__CORPUS__),
+base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS p
+  FROM corpus),
+nn AS (SELECT doc_id, p, len(p) AS n FROM base),
+g AS (
+  SELECT doc_id, p, unnest(range(0, n - 20 + 1)) AS pos
+  FROM nn WHERE n >= 20),
+h AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(p, pos + 1, pos + 20), ' ')) AS h
+  FROM g),
+k AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM h),
+iv AS (SELECT doc_id, pos AS s, pos + 20 AS e FROM k WHERE c > 1 AND rn > 1),
+m AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM iv),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g
+  FROM m),
+mg AS (SELECT doc_id, g, min(s) AS s, max(e) AS e FROM grp GROUP BY 1, 2),
+pos AS (SELECT doc_id, p, unnest(range(0, n)) AS i FROM nn WHERE n > 0),
+kept AS (
+  SELECT pos.doc_id, i, p[CAST(i AS BIGINT) + 1] AS tok
+  FROM pos LEFT JOIN mg
+    ON pos.doc_id = mg.doc_id AND i >= mg.s AND i < mg.e
+  WHERE mg.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS nk,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS kh
+  FROM kept GROUP BY 1)
+SELECT nn.doc_id, nn.n::BIGINT AS n_tokens,
+       coalesce(agg.nk, 0)::BIGINT AS n_kept_tokens,
+       coalesce(agg.kh, md5('')) AS kept_hash
+FROM nn LEFT JOIN agg USING (doc_id)
+""".replace("__CORPUS__", _DEDUP_CORPUS_SQL)
+
+
 _DSIR_TARGETS = ["src0", "src1", "src2"]
 
 
@@ -5888,6 +5947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2/r3).
     return {
         "dedup_repeated_spans": dedup_repeated_spans,
+        "dedup_span_cut": dedup_span_cut,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
@@ -6113,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_shard_packing": DOC_SHARD_PACKING_SQL,
         "doc_chunking": DOC_CHUNKING_SQL,
         "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
+        "dedup_span_cut": DEDUP_SPAN_CUT_SQL,
         "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
         "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
