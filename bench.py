@@ -140,6 +140,7 @@ HEADLINE = [
     "embedding_pack_roundtrip",
     "dedup_repeated_spans",
     "dedup_span_cut",
+    "source_overlap_matrix",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

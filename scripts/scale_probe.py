@@ -99,6 +99,7 @@ PROBES = [
     # row_number pass) instead of blowing up quadratically.
     "dedup_repeated_spans",
     "dedup_span_cut",
+    "source_overlap_matrix",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

@@ -122,3 +122,40 @@ def test_ngram_lm_counts_model_and_pruning(spark):
     for _, t in rows:
         flat.update(pat.findall(t.lower()))
     assert uni == dict(flat)
+
+
+def test_source_overlap_counts_distinct_shared_ngrams(spark):
+    """Overlap matrix equals a direct Python set-intersection model:
+    within-source repeats collapse (DISTINCT grams), pairs are
+    ordered src_a < src_b, disjoint sources are absent."""
+    import re
+    from itertools import combinations
+
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE, source_overlap
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "s1"),
+        (2, "alpha beta gamma delta zeta", "s2"),       # shares a 4-gram run
+        (3, "alpha beta gamma delta epsilon", "s2"),    # repeat within s2
+        (4, "totally different words entirely here", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    n = 3
+    pat = re.compile(BPE_PIECE_RE)
+    grams = {}
+    for _, t, s in rows:
+        p = pat.findall(t.lower())
+        grams.setdefault(s, set()).update(
+            " ".join(p[i : i + n]) for i in range(len(p) - n + 1)
+        )
+    model = {
+        (a, b): len(grams[a] & grams[b])
+        for a, b in combinations(sorted(grams), 2)
+        if grams[a] & grams[b]
+    }
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_ngrams"]
+        for r in source_overlap(df, n=n).collect()
+    }
+    assert got == model
+    assert ("s1", "s2") in got and not any("s3" in k for k in got)

@@ -410,6 +410,54 @@ def ngram_lm_counts(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    n: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, the
+    number of DISTINCT ``n``-grams occurring in both — the profiling
+    pass behind mixing decisions (two sources sharing most of their
+    n-grams are near-mirrors; budgeting both double-counts) and
+    leakage checks between "independent" crawls.
+
+    Returns (src_a, src_b, n_shared_ngrams) with src_a < src_b.
+
+    Scale: one tokenize pass → (ngram, source) DISTINCT (an aggregate
+    with map-side combine: within-source repeats collapse before the
+    shuffle) → a gram-keyed self-join whose per-key group is bounded
+    by |sources| (≤ |sources|²/2 pair rows per gram, NOT document
+    fan-out) → a |sources|²-row count. Output is bounded by the
+    source-pair count regardless of corpus size.
+    """
+    base = df.select(
+        F.col(source_col).alias("src"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+        ).alias("__p"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    pos = F.col("pos")
+    grams = (
+        base.where(F.size("__p") >= n)
+        .select(
+            "src",
+            F.explode(F.sequence(F.lit(0), F.size("__p") - n)).alias("pos"),
+            F.col("__p"),
+        )
+        .select("src", F.concat_ws(" ", F.slice("__p", pos + 1, n)).alias("ngram"))
+        .distinct()
+    )
+    a = grams.select(F.col("src").alias("src_a"), "ngram")
+    b = grams.select(F.col("src").alias("src_b"), "ngram")
+    return (
+        a.join(b, "ngram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4230,6 +4230,31 @@ FROM nn LEFT JOIN agg USING (doc_id)
 """.replace("__CORPUS__", _DEDUP_CORPUS_SQL)
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram overlap matrix (operators/text.py
+    source_overlap) — the near-mirror / leakage profiling pass that
+    informs per-source budgets before mixing."""
+    from vectorsearch_spark.operators.text import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), n=8)
+
+
+SOURCE_OVERLAP_MATRIX_SQL = r"""
+WITH base AS (
+  SELECT source AS src,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS p
+  FROM documents),
+g AS (
+  SELECT DISTINCT src,
+         array_to_string(list_slice(p, pos + 1, pos + 8), ' ') AS ngram
+  FROM (SELECT src, p, unnest(range(0, len(p) - 8 + 1)) AS pos
+        FROM base WHERE len(p) >= 8))
+SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared_ngrams
+FROM g a JOIN g b ON a.ngram = b.ngram AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
 _DSIR_TARGETS = ["src0", "src1", "src2"]
 
 
@@ -5948,6 +5973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_repeated_spans": dedup_repeated_spans,
         "dedup_span_cut": dedup_span_cut,
+        "source_overlap_matrix": source_overlap_matrix,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
@@ -6174,6 +6200,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": DOC_CHUNKING_SQL,
         "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
         "dedup_span_cut": DEDUP_SPAN_CUT_SQL,
+        "source_overlap_matrix": SOURCE_OVERLAP_MATRIX_SQL,
         "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
         "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
