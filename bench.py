@@ -141,6 +141,7 @@ HEADLINE = [
     "dedup_repeated_spans",
     "dedup_span_cut",
     "source_overlap_matrix",
+    "embedding_opq_quality",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

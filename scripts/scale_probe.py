@@ -104,6 +104,7 @@ PROBES = [
     "quality_classifier_scores",
     "corpus_ngram_lm",
     "training_shuffle_shards",
+    "embedding_opq_quality",
 ]
 
 

@@ -114,6 +114,49 @@ def approx_distances(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
     return lut[np.arange(m)[:, None], codes.T].sum(axis=0)
 
 
+def opq_train(
+    vectors: np.ndarray,
+    m: int,
+    k: int,
+    iters: int = 8,
+    pq_iters: int = 5,
+    seed: int = 42,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Optimized Product Quantization (non-parametric OPQ — Ge et al.,
+    CVPR 2013): learn an ORTHOGONAL rotation R that re-mixes dimensions
+    before the subspace split, so PQ's independent-subspace assumption
+    fits the data. Alternates (a) PQ codebook training + encoding on
+    the rotated vectors, (b) the orthogonal-Procrustes update
+    R = U·Vᵀ from SVD(Xᵀ·X̂) — each step monotonically reduces
+    ‖X·R − X̂‖² (the paper's convergence argument). Plain PQ is the
+    R = I special case; on correlated (anisotropic) embeddings the
+    rotation strictly reduces reconstruction error, which is the whole
+    quantization-quality lever.
+
+    Returns (R (d×d orthogonal), codebook (m, k, sub)); encode rotated
+    data with ``encode(x @ R, codebook)``. Deterministic per
+    (data, seed). Training input is the same bounded driver-side
+    sample contract as ``train_codebook`` (the reference trains per
+    segment; OPQ trains once and broadcasts R like a codebook — O(d²)
+    state, the index's per-segment builds apply it Arrow-side).
+    """
+    x = np.asarray(vectors, dtype=np.float64)
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"pq_m={m} must divide dim={d}")
+    r = np.eye(d)
+    codebook = None
+    for _ in range(iters):
+        xr = x @ r
+        codebook = train_codebook(xr, m, k, pq_iters, seed)
+        xhat = decode(encode(xr, codebook), codebook)
+        u, _, vt = np.linalg.svd(x.T @ xhat)
+        r = u @ vt
+    # final codebook consistent with the final rotation
+    codebook = train_codebook(x @ r, m, k, pq_iters, seed)
+    return r, codebook
+
+
 def decode(codes: np.ndarray, codebook: np.ndarray) -> np.ndarray:
     """Reconstruct (n, dim) approximations from codes — used by tests to
     bound quantization error."""

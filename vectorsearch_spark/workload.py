@@ -4255,6 +4255,53 @@ GROUP BY 1, 2
 """
 
 
+def embedding_opq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ vs plain PQ quantization quality (operators/pq.py
+    opq_train — Ge et al. CVPR 2013): train both on a bounded
+    driver-side sample (the codebook contract), broadcast (R,
+    codebooks) into one Arrow pass, and emit per-vector reconstruction
+    errors for both coders. Iterative SVD/k-means fit — no SQL oracle
+    (rows-only); the improvement claim itself is gated in
+    tests/test_pq.py on correlated data."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.pq import (
+        decode,
+        encode,
+        opq_train,
+        train_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(2000).collect()],
+        dtype=np.float64,
+    )
+    m, k = 8, 16
+    cb_p = train_codebook(sample, m, k, iters=5, seed=42)
+    rot, cb_o = opq_train(sample, m, k, iters=6, seed=42)
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ep = ((x - decode(encode(x, cb_p), cb_p)) ** 2).sum(axis=1)
+            xr = x @ rot
+            eo = ((xr - decode(encode(xr, cb_o), cb_o)) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "err_pq": np.round(ep, 6),
+                    "err_opq": np.round(eo, 6),
+                }
+            )
+
+    return emb.mapInPandas(mapper, schema="vec_id long, err_pq double, err_opq double")
+
+
 _DSIR_TARGETS = ["src0", "src1", "src2"]
 
 
@@ -5974,6 +6021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": dedup_repeated_spans,
         "dedup_span_cut": dedup_span_cut,
         "source_overlap_matrix": source_overlap_matrix,
+        "embedding_opq_quality": embedding_opq_quality,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
