@@ -587,3 +587,79 @@ def test_repeated_spans_matches_interval_model(spark, docs, span):
         ).collect()
     }
     assert got == model
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+    mc=st.integers(min_value=1, max_value=3),
+)
+def test_ngram_lm_counts_matches_counter(spark, docs, n, mc):
+    """ngram_lm_counts equals a Python Counter with threshold pruning
+    for arbitrary tiny-alphabet corpora and any (n, min_count)."""
+    from collections import Counter
+
+    from vectorsearch_spark.operators.text import ngram_lm_counts
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    model = Counter()
+    for _, txt in rows:
+        p = txt.split()
+        for i in range(len(p) - n + 1):
+            model[" ".join(p[i : i + n])] += 1
+    exp = {g: c for g, c in model.items() if c >= mc}
+    got = {
+        r["ngram"]: r["n_occurrences"]
+        for r in ngram_lm_counts(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            n=n,
+            min_count=mc,
+        ).collect()
+    }
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcd"), min_size=0, max_size=15),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_source_overlap_matches_set_intersections(spark, docs, n):
+    """source_overlap equals pairwise distinct-gram set intersections
+    for arbitrary corpora/source assignments."""
+    from itertools import combinations
+
+    from vectorsearch_spark.operators.text import source_overlap
+
+    rows = [(i, " ".join(t), s) for i, (t, s) in enumerate(docs)]
+    grams: dict = {}
+    for _, txt, s in rows:
+        p = txt.split()
+        grams.setdefault(s, set()).update(
+            " ".join(p[i : i + n]) for i in range(len(p) - n + 1)
+        )
+    exp = {
+        (a, b): len(grams[a] & grams[b])
+        for a, b in combinations(sorted(grams), 2)
+        if grams[a] & grams[b]
+    }
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_ngrams"]
+        for r in source_overlap(
+            spark.createDataFrame(rows, "doc_id long, text string, source string"),
+            n=n,
+        ).collect()
+    }
+    assert got == exp
