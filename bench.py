@@ -142,6 +142,7 @@ HEADLINE = [
     "dedup_span_cut",
     "source_overlap_matrix",
     "embedding_opq_quality",
+    "embedding_sq8_roundtrip",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

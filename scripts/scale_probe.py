@@ -105,6 +105,7 @@ PROBES = [
     "corpus_ngram_lm",
     "training_shuffle_shards",
     "embedding_opq_quality",
+    "embedding_sq8_roundtrip",
 ]
 
 

@@ -70,3 +70,41 @@ def test_pca_reconstruction_error_decreases_with_k(spark):
         errs.append(float(((x - recon) ** 2).sum()))
     assert errs[0] > errs[1] > errs[2]
     assert errs[2] < 1e-18  # k = d reconstructs exactly
+
+
+def test_sq8_roundtrip_error_bound_and_model(spark):
+    """SQ8: per-dim round-trip error is bounded by range/510 for
+    in-range data, constant dims reconstruct exactly (range guard),
+    and the codegen path equals a NumPy reference elementwise."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.projection import (
+        sq8_min_max,
+        sq8_roundtrip_error,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    x[:, 3] = 2.5  # constant dimension
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mins, maxs = sq8_min_max(df)
+    assert mins == [float(x[:, j].min()) for j in range(8)]
+    assert maxs == [float(x[:, j].max()) for j in range(8)]
+    out = {r["vec_id"]: r for r in sq8_roundtrip_error(df, mins, maxs).collect()}
+
+    xd = x.astype(np.float64)
+    mn = np.array(mins); mx = np.array(maxs)
+    r = np.where(mx > mn, mx - mn, 1.0)
+    codes = np.clip(np.round((xd - mn) / r * 255), 0, 255)
+    xhat = mn + codes / 255.0 * r
+    err = np.abs(xd - xhat)
+    bound = r / 510.0 + 1e-12
+    assert (err <= bound[None, :] + 1e-9).all()
+    assert (err[:, 3] == 0).all()  # constant dim: exact
+    for i in range(len(x)):
+        assert out[i]["max_abs_err"] == round(float(err[i].max()), 6)
+        assert out[i]["mean_abs_err"] == round(float(err[i].mean()), 6)
+    # codegen check: no Python eval nodes in the plan
+    plan = sq8_roundtrip_error(df, mins, maxs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -112,3 +112,76 @@ def pca_project(
 
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     return df.mapInPandas(mapper, schema=f"{in_schema}, {out_col} array<double>")
+
+
+def sq8_min_max(df: DataFrame, vec_col: str = "embedding") -> "tuple[list, list]":
+    """Per-dimension (min, max) over the corpus — the SQ8 trainer state
+    (FAISS ScalarQuantizer analog; public technique). posexplode +
+    per-dim min/max: MAP-SIDE COMBINE collapses each partition to d
+    rows before the shuffle, so the pass is linear with O(d) driver
+    state (the codebook-collect contract)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def sq8_roundtrip_error(
+    df: DataFrame,
+    mins: "list[float]",
+    maxs: "list[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Quantize each vector to uint8 codes against per-dim (min, max)
+    and report the round-trip error — entirely CODEGEN column
+    expressions (zip_with/transform over literal min/range arrays; no
+    UDF, no Python): code = round((x−min)/range·255) clamped, x̂ =
+    min + code/255·range. Returns (id, max_abs_err, mean_abs_err)
+    rounded to 6 decimals; the per-dim error bound is range/510 for
+    in-range inputs, asserted in tests.
+
+    At 100 TB: SQ8 is the 4× cheaper, lower-accuracy sibling of PQ —
+    the encode is a narrow projection Catalyst pushes to the scan, the
+    trainer state is O(d), and the codes column (d bytes/vector) is
+    what an index layout would persist.
+    """
+    from pyspark.sql import functions as F
+
+    d = len(mins)
+    minarr = F.array(*[F.lit(float(v)) for v in mins])
+    rngarr = F.array(
+        *[F.lit(float(mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
+    )
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    norm = F.zip_with(
+        F.zip_with(x, minarr, lambda v, mn: v - mn),
+        rngarr,
+        lambda y, r: y / r,
+    )
+    codes = F.transform(
+        norm,
+        lambda y: F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.round(y * 255))
+        ),
+    )
+    xhat = F.zip_with(
+        F.zip_with(codes, rngarr, lambda c, r: c / F.lit(255.0) * r),
+        minarr,
+        lambda y, mn: y + mn,
+    )
+    err = F.zip_with(x, xhat, lambda a, b: F.abs(a - b))
+    return df.select(
+        F.col(id_col),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.lit(float(d)),
+            6,
+        ).alias("mean_abs_err"),
+    )

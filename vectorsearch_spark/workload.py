@@ -4302,6 +4302,43 @@ def embedding_opq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(mapper, schema="vec_id long, err_pq double, err_opq double")
 
 
+def embedding_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization round-trip (operators/projection.py):
+    per-dim min/max trainer (posexplode + map-side-combine, O(d)
+    driver state), then a pure-codegen quantize/decode error report —
+    the 4x-cheaper sibling of PQ, fully SQL-mirrored (linear
+    arithmetic, unlike the iterative coders)."""
+    from vectorsearch_spark.operators.projection import (
+        sq8_min_max,
+        sq8_roundtrip_error,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mins, maxs = sq8_min_max(emb)
+    return sq8_roundtrip_error(emb, mins, maxs)
+
+
+EMBEDDING_SQ8_ROUNDTRIP_SQL = r"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pos AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding AS emb
+  FROM e),
+vals AS (SELECT vec_id, i, CAST(emb[CAST(i AS BIGINT)] AS DOUBLE) AS v FROM pos),
+dim AS (SELECT i, min(v) AS mn, max(v) AS mx FROM vals GROUP BY 1),
+rt AS (
+  SELECT vec_id, v, mn,
+         CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END AS r
+  FROM vals JOIN dim USING (i)),
+err AS (
+  SELECT vec_id,
+         abs(v - (mn + least(255.0, greatest(0.0, round((v - mn) / r * 255))) / 255.0 * r)) AS e
+  FROM rt)
+SELECT vec_id, round(max(e), 6) AS max_abs_err,
+       round(sum(e) / count(*), 6) AS mean_abs_err
+FROM err GROUP BY vec_id
+"""
+
+
 _DSIR_TARGETS = ["src0", "src1", "src2"]
 
 
@@ -6022,6 +6059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_cut": dedup_span_cut,
         "source_overlap_matrix": source_overlap_matrix,
         "embedding_opq_quality": embedding_opq_quality,
+        "embedding_sq8_roundtrip": embedding_sq8_roundtrip,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
@@ -6249,6 +6287,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
         "dedup_span_cut": DEDUP_SPAN_CUT_SQL,
         "source_overlap_matrix": SOURCE_OVERLAP_MATRIX_SQL,
+        "embedding_sq8_roundtrip": EMBEDDING_SQ8_ROUNDTRIP_SQL,
         "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
         "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
