@@ -1143,3 +1143,72 @@ def test_beam_mode_degenerate_exact_warns_and_recall(spark, built_index):
         ),
     ).collect()
     assert knobs and len({r["gid"] for r in knobs}) == len(knobs)
+
+
+def test_opq_index_end_to_end(spark, tmp_path_factory):
+    """use_opq=True (OPQ extension): stored rotations are orthogonal,
+    stored codes equal the NumPy OPQ pipeline bit-exactly (encode in
+    rotated space against the stored rotation), PQ-mode search recall
+    holds on CORRELATED data (where OPQ matters), and exact self-query
+    top-1 still resolves — the re-rank path is rotation-free."""
+    from vectorsearch_spark.operators.pq import encode as pq_encode
+    from vectorsearch_spark.operators.pq import opq_train
+
+    path = str(tmp_path_factory.mktemp("vsidx_opq"))
+    dim, cap, n = 16, 50, 200
+    rng = np.random.default_rng(9)
+    mix = rng.normal(size=(dim, dim)) @ np.diag(np.linspace(2.0, 0.2, dim))
+    data = (rng.normal(size=(n, dim)) @ mix).astype(np.float32)
+    cfg = IndexConfig(
+        name="opq", dimension=dim, max_segment_size=cap, pq_m=4, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, oversample=4, seed=42,
+        use_opq=True, opq_iters=4,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "row_id long, embedding array<float>",
+    )
+    idx.add(df.repartition(4), order_col="row_id")
+    sealed = idx.build()
+    assert sealed == [0, 1, 2, 3]
+
+    # artifact wiring: per segment, rotation orthogonal + codes == model
+    cb_rows = {r["seg_id"]: r for r in idx.codebooks().collect()}
+    code_rows = idx.codes(sealed).collect()
+    codes_by_seg: dict = {}
+    for r in code_rows:
+        codes_by_seg.setdefault(r["seg_id"], {})[r["vec_id"]] = bytes(r["codes"])
+    for sid in sealed:
+        r = cb_rows[sid]
+        assert r["rotation"] is not None
+        rot = np.array(r["rotation"], dtype=np.float64).reshape(dim, dim)
+        assert np.allclose(rot @ rot.T, np.eye(dim), atol=1e-10)
+        x = data[sid * cap : (sid + 1) * cap].astype(np.float64)
+        rot_m, cb_m = opq_train(x, 4, 16, iters=4, pq_iters=cfg.pq_iters, seed=42)
+        assert np.array_equal(rot, rot_m)
+        model_codes = pq_encode(x @ rot_m, cb_m)
+        for v in range(cap):
+            assert codes_by_seg[sid][v] == model_codes[v].tobytes()
+
+    # rotations_np serves the cached rotation map
+    rots = idx.rotations_np(sealed)
+    assert all(rots[s] is not None for s in sealed)
+
+    # search: PQ-mode recall vs BRUTE on the correlated corpus
+    qids = list(range(0, n, n // 25))[:25]
+    qdf = spark.createDataFrame(
+        [(int(i), data[i].tolist()) for i in qids], "query_id long, embedding array<float>"
+    )
+    approx = idx.search(qdf, k=10)
+    exact = idx.search(qdf, k=10, params=SearchParams(mode="BRUTE"))
+    got: dict = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        hits += r["gid"] in got[r["query_id"]]
+    assert total == 25 * 10 and hits / total >= 0.9
+    top1 = {r["query_id"]: r["gid"] for r in idx.search(qdf, k=1).collect()}
+    assert top1 == {i: i for i in qids}

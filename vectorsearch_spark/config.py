@@ -35,6 +35,13 @@ class IndexConfig:
     oversample: int = 4
     seed: int = 42
     normalize_on_read: bool = False  # SearchParams.normalizeOnRead (api/SearchParams.java:16)
+    # OPQ (Ge et al. CVPR 2013) — EXTENSION, not in the reference: learn
+    # a per-segment orthogonal rotation before the subspace split so PQ's
+    # independence assumption fits the data (lower quantization error at
+    # the same code budget). Opt-in; rotation is stored with the codebook
+    # and applied to queries at LUT build, exact re-rank is unaffected.
+    use_opq: bool = False
+    opq_iters: int = 4
 
     def __post_init__(self) -> None:
         if self.dimension <= 0:

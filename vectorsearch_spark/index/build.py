@@ -33,13 +33,14 @@ from vectorsearch_spark.functions.distances import normalize
 from vectorsearch_spark.index.catalog import VectorIndex
 from vectorsearch_spark.metrics import get_metrics
 from vectorsearch_spark.operators.graph import build_graph
-from vectorsearch_spark.operators.pq import encode, train_codebook
+from vectorsearch_spark.operators.pq import encode, opq_train, train_codebook
 
 # the unified artifacts table: tagged union of the three artifact kinds
 # (kind ∈ {cb, code, adj}), partitioned by (seg_id, kind)
 ARTIFACTS_SCHEMA = (
     "seg_id int, kind string, vec_id int, codes binary, "
-    "neighbor_ids array<int>, m int, k int, sub_dim int, centroids array<double>"
+    "neighbor_ids array<int>, m int, k int, sub_dim int, centroids array<double>, "
+    "rotation array<double>"  # OPQ rotation (d*d flat), NULL when use_opq off
 )
 _STAGE_SCHEMA = ARTIFACTS_SCHEMA
 
@@ -59,6 +60,7 @@ def _dynamic_overwrite(index: VectorIndex, df, path: str) -> None:
 def _build_segment_fn(cfg):
     """Train + encode + graph for ONE segment, emitted as tagged rows."""
     m, kk, iters, seed = cfg.pq_m, cfg.pq_k, cfg.pq_iters, cfg.seed
+    use_opq, opq_iters = cfg.use_opq, cfg.opq_iters
     degree, l_build, alpha = cfg.graph_degree, cfg.graph_build_breadth, cfg.graph_alpha
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -71,8 +73,16 @@ def _build_segment_fn(cfg):
         vec_ids = pdf["vec_id"].to_numpy(dtype=np.int32)
         n = len(pdf)
 
-        cb = train_codebook(x, m, kk, iters, seed)
-        codes = encode(x, cb)
+        if use_opq and n >= 2:
+            # per-segment OPQ: rotate so the subspace split matches the
+            # segment's correlation structure; the graph stays on raw x
+            # (an orthogonal rotation preserves every pairwise distance)
+            rot, cb = opq_train(x, m, kk, iters=opq_iters, pq_iters=iters, seed=seed)
+            codes = encode(x @ rot, cb)
+        else:
+            rot = None
+            cb = train_codebook(x, m, kk, iters, seed)
+            codes = encode(x, cb)
         adj = build_graph(x, degree, l_build, alpha, seed)
 
         cb_row = pd.DataFrame(
@@ -81,6 +91,7 @@ def _build_segment_fn(cfg):
                 "codes": [None], "neighbor_ids": [None],
                 "m": [m], "k": [kk], "sub_dim": [cb.shape[2]],
                 "centroids": [cb.ravel().tolist()],
+                "rotation": [rot.ravel().tolist() if rot is not None else None],
             }
         )
         code_rows = pd.DataFrame(
@@ -88,7 +99,7 @@ def _build_segment_fn(cfg):
                 "seg_id": np.full(n, seg_id, dtype=np.int32), "kind": "code",
                 "vec_id": vec_ids, "codes": [c.tobytes() for c in codes],
                 "neighbor_ids": None, "m": None, "k": None, "sub_dim": None,
-                "centroids": None,
+                "centroids": None, "rotation": None,
             }
         )
         adj_rows = pd.DataFrame(
@@ -97,6 +108,7 @@ def _build_segment_fn(cfg):
                 "vec_id": vec_ids, "codes": None,
                 "neighbor_ids": [vec_ids[a].tolist() for a in adj],
                 "m": None, "k": None, "sub_dim": None, "centroids": None,
+                "rotation": None,
             }
         )
         return pd.concat([cb_row, code_rows, adj_rows], ignore_index=True)

@@ -141,6 +141,8 @@ class VectorIndex:
         # compact, vacuum, delete all route through
         # update_segment_states). Bounded O(#segments × m·k·sub_dim).
         self._codebook_np_cache: dict[int, "object"] = {}
+        # OPQ rotations ride the same cache lifecycle (None = plain PQ)
+        self._rotation_np_cache: dict[int, "object"] = {}
 
     # -- paths ---------------------------------------------------------
     @property
@@ -326,6 +328,7 @@ class VectorIndex:
         # streaming crash recovery's snapshot restore) invalidates the
         # codebook cache here, not just update_segment_states
         self._codebook_np_cache.clear()
+        self._rotation_np_cache.clear()
 
     def _segment_rows(self) -> list[dict]:
         if self._segments_cache is None:
@@ -400,7 +403,7 @@ class VectorIndex:
         df = self._artifacts().filter(F.col("kind") == "cb")
         if seg_ids is not None:
             df = df.filter(F.col("seg_id").isin(seg_ids))
-        return df.select("seg_id", "m", "k", "sub_dim", "centroids")
+        return df.select("seg_id", "m", "k", "sub_dim", "centroids", "rotation")
 
     def codebooks_np(self, seg_ids: list[int]) -> dict[int, "object"]:
         """{seg_id: (m, k, sub_dim) float64 ndarray} for the given
@@ -411,11 +414,28 @@ class VectorIndex:
         missing = [s for s in seg_ids if s not in self._codebook_np_cache]
         if missing:
             for r in self.codebooks(missing).collect():
-                self._codebook_np_cache[int(r["seg_id"])] = np.array(
+                sid = int(r["seg_id"])
+                self._codebook_np_cache[sid] = np.array(
                     r["centroids"], dtype=np.float64
                 ).reshape(r["m"], r["k"], r["sub_dim"])
+                d = r["m"] * r["sub_dim"]
+                self._rotation_np_cache[sid] = (
+                    np.array(r["rotation"], dtype=np.float64).reshape(d, d)
+                    if r["rotation"] is not None
+                    else None
+                )
         return {
             s: self._codebook_np_cache[s]
+            for s in seg_ids
+            if s in self._codebook_np_cache
+        }
+
+    def rotations_np(self, seg_ids: list[int]) -> dict[int, "object"]:
+        """{seg_id: (d, d) OPQ rotation or None} — populated by the
+        same collect (and cache lifecycle) as ``codebooks_np``."""
+        self.codebooks_np(seg_ids)
+        return {
+            s: self._rotation_np_cache.get(s)
             for s in seg_ids
             if s in self._codebook_np_cache
         }

@@ -72,6 +72,7 @@ def tuned_ef(ef_base: int, k: int, n_codes: int) -> int:
 def _pq_scan_fn(
     codebooks, queries: list[tuple[int, list[float]]],
     ef_by_seg: dict[int, int], metric: Metric = Metric.L2,
+    rotations=None,
 ):
     """``codebooks``: {seg_id: (m,k,sub) ndarray} dict, or a Spark
     Broadcast of one — broadcast ships it once per executor instead of
@@ -79,6 +80,9 @@ def _pq_scan_fn(
     the driver + one copy per executor)."""
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cb_map = codebooks.value if hasattr(codebooks, "value") else codebooks
+        rot_map = (
+            rotations.value if hasattr(rotations, "value") else (rotations or {})
+        )
         luts: dict[tuple[int, int], np.ndarray] = {}
         qvecs = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
         if metric == Metric.COSINE:
@@ -109,7 +113,10 @@ def _pq_scan_fn(
                 for qid, qv in qvecs.items():
                     key = (qid, seg_id)
                     if key not in luts:
-                        luts[key] = build_lut(cb, qv)
+                        # OPQ: codes were encoded in rotated space, so
+                        # the LUT is built from the rotated query
+                        rot = rot_map.get(seg_id)
+                        luts[key] = build_lut(cb, qv @ rot if rot is not None else qv)
                     d = approx_distances(codes, luts[key])
                     head = (
                         np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
@@ -370,11 +377,13 @@ def search(
         # dict is O(#segments × m·k·sub_dim) — shipped once per executor
         # as a broadcast instead of serialized into every task
         cbs_bc = spark.sparkContext.broadcast(cbs)
+        rots_bc = spark.sparkContext.broadcast(index.rotations_np(sealed_segs))
         ef_base = params.ef or default_ef(k, cfg.oversample)
         ef_by_seg = {s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs}
         # phase a: approx scan over codes only (embeddings not read here)
         cand = index.codes(sealed_segs).mapInPandas(
-            _pq_scan_fn(cbs_bc, qlist, ef_by_seg, metric), _CAND_SCHEMA
+            _pq_scan_fn(cbs_bc, qlist, ef_by_seg, metric, rotations=rots_bc),
+            _CAND_SCHEMA,
         )
         # merge per-partition partial top-ef into per-(query,segment) top-ef
         w_seg = Window.partitionBy("query_id", "seg_id").orderBy(
@@ -838,6 +847,7 @@ def _graph_cogroup_candidates(
     spark = index.spark
     B = n_buckets or min(max(len(sealed_segs), 1), 256)
     cbs_bc = spark.sparkContext.broadcast(index.codebooks_np(sealed_segs))
+    rots_bc = spark.sparkContext.broadcast(index.rotations_np(sealed_segs))
     seed = index.config.seed
 
     art = (
@@ -901,8 +911,9 @@ def _graph_cogroup_candidates(
             cols = np.arange(m)
             beam_w = beam or max(k, ef // 4)
             max_expl = max_explore if max_explore is not None else float("inf")
+            seg_rot = rots_bc.value.get(seg_id)
             for qid, qv in zip(qids, qvecs):
-                lut = build_lut(cb, qv)
+                lut = build_lut(cb, qv @ seg_rot if seg_rot is not None else qv)
                 dist = np.full(n, np.inf)
                 dist[seeds] = lut[cols[None, :], mat[seeds]].sum(axis=1)
                 visited = np.zeros(n, dtype=bool)
@@ -1051,6 +1062,7 @@ def _pq_cogroup_candidates(
     spark = index.spark
     B = n_buckets or min(max(len(sealed_segs), 1), 256)
     cbs_bc = spark.sparkContext.broadcast(index.codebooks_np(sealed_segs))
+    rots_bc = spark.sparkContext.broadcast(index.rotations_np(sealed_segs))
 
     codes = index.codes(sealed_segs).withColumn(
         "__b", F.pmod(F.hash("seg_id"), F.lit(B))
@@ -1085,8 +1097,9 @@ def _pq_cogroup_candidates(
             vec_ids = grp["vec_id"].to_numpy(dtype=np.int64)
             ef = ef_by_seg[seg_id]
             kk = min(ef, len(vec_ids))
+            seg_rot = rots_bc.value.get(seg_id)
             for qid, qv in zip(qids, qvecs):
-                lut = build_lut(cb, qv)
+                lut = build_lut(cb, qv @ seg_rot if seg_rot is not None else qv)
                 d = approx_distances(mat, lut)
                 head = (
                     np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
