@@ -143,6 +143,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "embedding_opq_quality",
     "embedding_sq8_roundtrip",
+    "index_search_opq",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

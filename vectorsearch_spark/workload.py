@@ -3410,6 +3410,76 @@ def _ensure_index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+def _ensure_opq_index(spark: SparkSession, sf_dir: str):
+    """OPQ-enabled twin of ``_ensure_index`` (use_opq=True): per-segment
+    learned rotations stored with the codebooks, queries rotated at LUT
+    build — the extension path exercised end-to-end by the
+    index_search_opq* entries."""
+    import shutil
+
+    from vectorsearch_spark.config import IndexConfig
+    from vectorsearch_spark.index import VectorIndex
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/vsidx_opq_{tag}"
+    if path in _INDEX_CACHE:
+        return _INDEX_CACHE[path]
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("dim")
+    ).first()
+    n, dim = stats["n"], stats["dim"]
+    cfg = IndexConfig(
+        name=f"wkopq_{tag}", dimension=dim, max_segment_size=200, pq_m=8, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, graph_alpha=1.2, oversample=4,
+        seed=42, use_opq=True, opq_iters=4,
+    )
+    idx = None
+    try:
+        idx = VectorIndex.open(spark, path, cfg)
+        if idx.next_gid != n:
+            idx = None
+    except Exception:
+        idx = None
+    if idx is None:
+        shutil.rmtree(path, ignore_errors=True)
+        idx = VectorIndex.create(spark, path, cfg)
+        idx.add(emb.select("vec_id", "embedding"), order_col="vec_id")
+        idx.build()
+    _INDEX_CACHE[path] = idx
+    return idx
+
+
+def index_search_opq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-exact twin on the OPQ-enabled index: ef ≥ segment
+    size makes the rotated-LUT candidate pool the whole segment, so
+    the exact re-rank restores brute-force results — the whole OPQ
+    path (rotation storage, rotated LUT, re-rank) is hash-checked
+    against the same brute oracle."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_opq_index(spark, sf_dir)
+    cap = idx.config.max_segment_size
+    res = idx.search(
+        _emb_queries(spark, sf_dir), k=_KNN_K, params=SearchParams(ef=cap)
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def index_search_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-ef PQ-mode search on the OPQ-enabled index (approximate
+    — rows-only; recall gated in tests/test_index_lifecycle.py)."""
+    idx = _ensure_opq_index(spark, sf_dir)
+    res = idx.search(_emb_queries(spark, sf_dir), k=_KNN_K)
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def index_search_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact search through the segmented index (ingest with gid=vec_id,
     state dispatch, tombstone filter, global merge) — SQL-checkable
@@ -6060,6 +6130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": source_overlap_matrix,
         "embedding_opq_quality": embedding_opq_quality,
         "embedding_sq8_roundtrip": embedding_sq8_roundtrip,
+        "index_search_opq_exhaustive": index_search_opq_exhaustive,
+        "index_search_opq": index_search_opq,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
@@ -6269,6 +6341,7 @@ def oracle_sql() -> dict[str, str]:
         # twin below whose config makes the SAME code path exact, so
         # every operator is hash-checked.
         "index_search_sealed_exhaustive": INDEX_SEARCH_BRUTE_SQL,
+        "index_search_opq_exhaustive": INDEX_SEARCH_BRUTE_SQL,
         "index_search_graph_exhaustive": INDEX_SEARCH_BRUTE_SQL,
         "compaction_plan_scores": COMPACTION_PLAN_SQL,
         "ann_ivf_exhaustive": _knn_sql(Metric.L2),
