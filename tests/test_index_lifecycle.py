@@ -1212,3 +1212,46 @@ def test_opq_index_end_to_end(spark, tmp_path_factory):
     assert total == 25 * 10 and hits / total >= 0.9
     top1 = {r["query_id"]: r["gid"] for r in idx.search(qdf, k=1).collect()}
     assert top1 == {i: i for i in qids}
+
+
+def test_opq_index_compaction_preserves_results(spark, tmp_path_factory):
+    """Maintenance on an OPQ index: compacting two segments retrains
+    the destination's rotation inside the rebuild, the new cb row
+    carries a fresh orthogonal rotation, and exhaustive search results
+    are identical before/after (gids stable, exact re-rank intact)."""
+    path = str(tmp_path_factory.mktemp("vsidx_opqc"))
+    dim, cap, n = 16, 50, 150
+    rng = np.random.default_rng(13)
+    mix = rng.normal(size=(dim, dim)) @ np.diag(np.linspace(2.0, 0.2, dim))
+    data = (rng.normal(size=(n, dim)) @ mix).astype(np.float32)
+    cfg = IndexConfig(
+        name="opqc", dimension=dim, max_segment_size=cap, pq_m=4, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, oversample=4, seed=42,
+        use_opq=True, opq_iters=3,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "row_id long, embedding array<float>",
+    )
+    idx.add(df, order_col="row_id")
+    idx.build()
+    qdf = spark.createDataFrame(
+        [(int(i), data[i].tolist()) for i in (3, 77, 120)],
+        "query_id long, embedding array<float>",
+    )
+    exhaustive = SearchParams(ef=cap)
+    before = {
+        (r["query_id"], r["rank"]): r["gid"]
+        for r in idx.search(qdf, k=5, params=exhaustive).collect()
+    }
+    dest = idx.compact([0, 1])
+    rot_row = {r["seg_id"]: r for r in idx.codebooks([dest]).collect()}[dest]
+    assert rot_row["rotation"] is not None
+    rot = np.array(rot_row["rotation"], dtype=np.float64).reshape(dim, dim)
+    assert np.allclose(rot @ rot.T, np.eye(dim), atol=1e-10)
+    after = {
+        (r["query_id"], r["rank"]): r["gid"]
+        for r in idx.search(qdf, k=5, params=exhaustive).collect()
+    }
+    assert before == after
