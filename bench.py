@@ -144,6 +144,7 @@ HEADLINE = [
     "embedding_opq_quality",
     "embedding_sq8_roundtrip",
     "index_search_opq",
+    "doc_span_corruption",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

@@ -106,6 +106,7 @@ PROBES = [
     "training_shuffle_shards",
     "embedding_opq_quality",
     "embedding_sq8_roundtrip",
+    "doc_span_corruption",
 ]
 
 

@@ -538,3 +538,51 @@ def test_cut_repeated_spans_rewrites_and_passthrough(spark):
     survivors = toks2[:iv_start] + toks2[iv_end:]
     assert cut[2]["n_kept_tokens"] == len(survivors)
     assert cut[2]["kept_hash"] == md5(" ".join(survivors))
+
+
+def test_span_corruption_matches_python_model(spark):
+    """T5 span corruption: deterministic hash mask equals the direct
+    Python model (spans, sentinel numbering, input/target hashes);
+    empty docs emit md5('') witnesses; the masked fraction tracks the
+    rate on a large doc."""
+    import hashlib
+    import re
+
+    from vectorsearch_spark.operators.curate import span_corruption_pairs
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, ""),
+        (3, "single"),
+        (4, " ".join(f"tok{i}" for i in range(600))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption_pairs(df, mask_rate=0.3).collect()}
+
+    pat = re.compile(BPE_PIECE_RE)
+    MOD = 1_000_000
+    md5i = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    for d, t in docs:
+        p = pat.findall(t.lower())
+        m = [md5i(f"{d}|{i}") % MOD < round(0.3 * MOD) for i in range(len(p))]
+        inp, tgt, span = [], [], -1
+        for i, (tok, mm) in enumerate(zip(p, m)):
+            if mm:
+                if i == 0 or not m[i - 1]:
+                    span += 1
+                    inp.append(f"<extra_id_{span}>")
+                    tgt.append(f"<extra_id_{span}> {tok}")
+                else:
+                    tgt.append(tok)
+            else:
+                inp.append(tok)
+        r = out[d]
+        assert (
+            r["n_tokens"], r["n_masked"], r["n_spans"],
+            r["input_hash"], r["target_hash"],
+        ) == (len(p), sum(m), span + 1, md5(" ".join(inp)), md5(" ".join(tgt)))
+    big = out[4]
+    assert abs(big["n_masked"] / big["n_tokens"] - 0.3) < 0.05

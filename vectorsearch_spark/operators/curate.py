@@ -803,6 +803,131 @@ def importance_sample(
     )
 
 
+def span_corruption_pairs(
+    df: DataFrame,
+    mask_rate: float = 0.15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683
+    §3.1.4): mask a deterministic ~``mask_rate`` of each document's
+    tokens, merge adjacent masks into spans, and emit the denoising
+    pair — inputs with each span replaced by a ``<extra_id_k>``
+    sentinel, targets as the sentinel-prefixed masked spans. The mask
+    decision is the md5 hash selector over (doc_id, pos), so the
+    corruption is a pure function of (data, rate): reruns, retries,
+    and engines produce byte-identical pairs (a ``rand()`` mask
+    re-deals under retries and can never be oracle-checked).
+
+    Returns (doc_id, n_tokens, n_masked, n_spans, input_hash,
+    target_hash) — md5 witnesses of the space-joined pair text (the
+    compact result contract of ``passage_dedup``/``cut_repeated_spans``;
+    callers wanting text swap the final aggregation).
+
+    Scale: one tokenize pass → explode positions → per-doc windows
+    (span starts = masked positions whose predecessor is unmasked;
+    span ids = running sum) → one doc-keyed aggregation rebuilding
+    both strings ordered by position. Everything shuffles on doc_id —
+    linear, naturally balanced, no HOF-lambda array indexing.
+    """
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    if not 0.0 < mask_rate < 1.0:
+        raise ValueError("mask_rate must be in (0, 1)")
+    thr = int(round(mask_rate * _RATE_MOD))
+    base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+        ).alias("__p"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = base.select(
+        F.col(id_col),
+        F.posexplode("__p").alias("pos", "tok"),
+    )
+    sel = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"), F.col("pos").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % _RATE_MOD
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    marked = toks.withColumn("__m", (sel < thr).cast("int"))
+    # span starts: masked with an unmasked (or absent) predecessor;
+    # span id = running count of starts among masked rows
+    prev_m = F.lag("__m", 1, 0).over(wd)
+    spans = marked.withColumn(
+        "__start", ((F.col("__m") == 1) & (prev_m == 0)).cast("int")
+    ).withColumn(
+        "__span",
+        F.sum("__start").over(wd.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    sent = F.concat(F.lit("<extra_id_"), F.col("__span").cast("string"), F.lit(">"))
+    # inputs: unmasked tokens verbatim; ONE sentinel at each span start
+    in_piece = F.when(F.col("__m") == 0, F.col("tok")).when(
+        F.col("__start") == 1, sent
+    )
+    # targets: masked tokens, sentinel-prefixed at span starts
+    tgt_piece = F.when(
+        (F.col("__m") == 1) & (F.col("__start") == 1),
+        F.concat(sent, F.lit(" "), F.col("tok")),
+    ).when(F.col("__m") == 1, F.col("tok"))
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("__m").cast("long").alias("n_masked"),
+        F.sum("__start").cast("long").alias("n_spans"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                in_piece.isNotNull(),
+                                F.struct(F.col("pos"), in_piece.alias("t")),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            )
+        ).alias("input_hash"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                tgt_piece.isNotNull(),
+                                F.struct(F.col("pos"), tgt_piece.alias("t")),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            )
+        ).alias("target_hash"),
+    )
+    # empty docs still appear, with md5('') witnesses
+    ids = base.select(F.col(id_col))
+    return (
+        ids.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("input_hash", F.md5(F.lit(""))).alias("input_hash"),
+            F.coalesce("target_hash", F.md5(F.lit(""))).alias("target_hash"),
+        )
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

@@ -4409,6 +4409,57 @@ FROM err GROUP BY vec_id
 """
 
 
+def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising-pair generation (operators/curate.py
+    span_corruption_pairs): deterministic hash-masked spans, sentinel
+    inputs/targets witnessed by md5 — the objective-construction pass
+    after curation."""
+    from vectorsearch_spark.operators.curate import span_corruption_pairs
+
+    return span_corruption_pairs(_t(spark, sf_dir, "documents"), mask_rate=0.15)
+
+
+DOC_SPAN_CORRUPTION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS p
+  FROM documents),
+pos AS (SELECT doc_id, unnest(range(0, len(p))) AS pos, p FROM base WHERE len(p) > 0),
+tk AS (
+  SELECT doc_id, pos, p[CAST(pos AS BIGINT) + 1] AS tok,
+         CASE WHEN CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|', CAST(pos AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 < 150000
+              THEN 1 ELSE 0 END AS m
+  FROM pos),
+sp AS (
+  SELECT doc_id, pos, tok, m,
+         CASE WHEN m = 1 AND coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS st
+  FROM tk),
+sp2 AS (
+  SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) - 1 AS span
+  FROM sp),
+pieces AS (
+  SELECT doc_id, pos, m, st,
+         CASE WHEN m = 0 THEN tok
+              WHEN st = 1 THEN concat('<extra_id_', CAST(span AS VARCHAR), '>') END AS ip,
+         CASE WHEN m = 1 AND st = 1 THEN concat('<extra_id_', CAST(span AS VARCHAR), '> ', tok)
+              WHEN m = 1 THEN tok END AS tp
+  FROM sp2),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(m) AS n_masked, sum(st) AS n_spans,
+         md5(coalesce(string_agg(ip, ' ' ORDER BY pos), '')) AS input_hash,
+         md5(coalesce(string_agg(tp, ' ' ORDER BY pos), '')) AS target_hash
+  FROM pieces GROUP BY 1)
+SELECT base.doc_id,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(n_masked, 0)::BIGINT AS n_masked,
+       coalesce(n_spans, 0)::BIGINT AS n_spans,
+       coalesce(input_hash, md5('')) AS input_hash,
+       coalesce(target_hash, md5('')) AS target_hash
+FROM base LEFT JOIN agg USING (doc_id)
+"""
+
+
 _DSIR_TARGETS = ["src0", "src1", "src2"]
 
 
@@ -6132,6 +6183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sq8_roundtrip": embedding_sq8_roundtrip,
         "index_search_opq_exhaustive": index_search_opq_exhaustive,
         "index_search_opq": index_search_opq,
+        "doc_span_corruption": doc_span_corruption,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
@@ -6361,6 +6413,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_cut": DEDUP_SPAN_CUT_SQL,
         "source_overlap_matrix": SOURCE_OVERLAP_MATRIX_SQL,
         "embedding_sq8_roundtrip": EMBEDDING_SQ8_ROUNDTRIP_SQL,
+        "doc_span_corruption": DOC_SPAN_CORRUPTION_SQL,
         "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
         "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
