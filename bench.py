@@ -145,6 +145,7 @@ HEADLINE = [
     "embedding_sq8_roundtrip",
     "index_search_opq",
     "doc_span_corruption",
+    "doc_fim_transform",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

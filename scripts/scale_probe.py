@@ -107,6 +107,7 @@ PROBES = [
     "embedding_opq_quality",
     "embedding_sq8_roundtrip",
     "doc_span_corruption",
+    "doc_fim_transform",
 ]
 
 

@@ -586,3 +586,32 @@ def test_span_corruption_matches_python_model(spark):
         ) == (len(p), sum(m), span + 1, md5(" ".join(inp)), md5(" ".join(tgt)))
     big = out[4]
     assert abs(big["n_masked"] / big["n_tokens"] - 0.3) < 0.05
+
+
+def test_fim_transform_matches_python_model(spark):
+    """FIM: deterministic split points and PSM hashes equal the Python
+    model; empty docs yield the sentinel-only stream; invariants
+    0 <= a <= b <= n hold."""
+    import hashlib
+    import re
+
+    from vectorsearch_spark.operators.curate import fim_transform
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    docs = [(i, " ".join(f"w{j}" for j in range(i % 9))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    pat = re.compile(BPE_PIECE_RE)
+    md5i = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for d, t in docs:
+        p = pat.findall(t.lower())
+        n = len(p)
+        a = md5i(f"{d}|fim_a") % (n + 1)
+        b = a + md5i(f"{d}|fim_b") % (n - a + 1)
+        psm = ["<PRE>"] + p[:a] + ["<SUF>"] + p[b:] + ["<MID>"] + p[a:b]
+        r = out[d]
+        assert 0 <= r["split_a"] <= r["split_b"] <= r["n_tokens"]
+        assert (r["n_tokens"], r["split_a"], r["split_b"], r["psm_hash"]) == (
+            n, a, b, md5(" ".join(psm))
+        )

@@ -928,6 +928,75 @@ def span_corruption_pairs(
     )
 
 
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    arXiv:2207.14255): split each document's token stream at two
+    deterministic hash-drawn points into (prefix, middle, suffix) and
+    emit the PSM reordering ``<PRE> prefix <SUF> suffix <MID> middle``
+    — the data transform behind infilling-capable code/text models.
+    Split points are md5-derived from (doc_id), so the transform is a
+    pure function of the data (rerun/engine-stable, oracle-checkable).
+
+    Returns (doc_id, n_tokens, split_a, split_b, psm_hash) with
+    0 ≤ split_a ≤ split_b ≤ n_tokens and psm_hash = md5 of the
+    space-joined PSM token stream (sentinels included) — the compact
+    witness contract.
+
+    Scale: a pure per-row codegen projection — tokenize-once barrier,
+    two hash draws, three ``slice``s and a ``concat``; no explode, no
+    shuffle beyond the barrier repartition. The cheapest possible
+    shape for a 100 TB transform pass.
+    """
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+        ).alias("__p"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    n = F.size("__p")
+
+    def draw(tag: str, mod: F.Column) -> F.Column:
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit(tag))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+        )
+        return h % mod
+
+    a = draw("|fim_a", n + 1)
+    b = a + draw("|fim_b", n - a + 1)
+    split = base.select(
+        F.col(id_col),
+        F.col("__p"),
+        a.cast("int").alias("__a"),
+        b.cast("int").alias("__b"),
+    )
+    psm = F.concat(
+        F.array(F.lit("<PRE>")),
+        F.expr("slice(__p, 1, __a)"),
+        F.array(F.lit("<SUF>")),
+        F.expr("slice(__p, __b + 1, size(__p) - __b)"),
+        F.array(F.lit("<MID>")),
+        F.expr("slice(__p, __a + 1, __b - __a)"),
+    )
+    return split.select(
+        F.col(id_col),
+        F.size("__p").cast("long").alias("n_tokens"),
+        F.col("__a").cast("long").alias("split_a"),
+        F.col("__b").cast("long").alias("split_b"),
+        F.md5(F.concat_ws(" ", psm)).alias("psm_hash"),
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

@@ -4460,6 +4460,36 @@ FROM base LEFT JOIN agg USING (doc_id)
 """
 
 
+def doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM prefix/suffix/middle reordering (operators/curate.py
+    fim_transform): deterministic hash-drawn split points, PSM stream
+    witnessed by md5 — a pure per-row codegen transform pass."""
+    from vectorsearch_spark.operators.curate import fim_transform
+
+    return fim_transform(_t(spark, sf_dir, "documents"))
+
+
+DOC_FIM_TRANSFORM_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS p
+  FROM documents),
+s AS (
+  SELECT doc_id, p, len(p) AS n,
+         CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|fim_a')), 1, 15)) AS BIGINT) % (len(p) + 1) AS a
+  FROM base),
+s2 AS (
+  SELECT doc_id, p, n, a,
+         a + CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|fim_b')), 1, 15)) AS BIGINT) % (n - a + 1) AS b
+  FROM s)
+SELECT doc_id, n::BIGINT AS n_tokens, a::BIGINT AS split_a, b::BIGINT AS split_b,
+       md5(array_to_string(
+           ['<PRE>'] || list_slice(p, 1, a) || ['<SUF>'] || list_slice(p, b + 1, n)
+           || ['<MID>'] || list_slice(p, a + 1, b), ' ')) AS psm_hash
+FROM s2
+"""
+
+
 _DSIR_TARGETS = ["src0", "src1", "src2"]
 
 
@@ -6184,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_opq_exhaustive": index_search_opq_exhaustive,
         "index_search_opq": index_search_opq,
         "doc_span_corruption": doc_span_corruption,
+        "doc_fim_transform": doc_fim_transform,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
@@ -6414,6 +6445,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": SOURCE_OVERLAP_MATRIX_SQL,
         "embedding_sq8_roundtrip": EMBEDDING_SQ8_ROUNDTRIP_SQL,
         "doc_span_corruption": DOC_SPAN_CORRUPTION_SQL,
+        "doc_fim_transform": DOC_FIM_TRANSFORM_SQL,
         "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
         "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
