@@ -1255,3 +1255,40 @@ def test_opq_index_compaction_preserves_results(spark, tmp_path_factory):
         for r in idx.search(qdf, k=5, params=exhaustive).collect()
     }
     assert before == after
+
+
+def test_opq_index_vacuum_rebuilds_rotation(spark, tmp_path_factory):
+    """Vacuum on an OPQ segment: the physical rewrite retrains
+    codebook + rotation on the survivors, deleted gids disappear, and
+    exhaustive search over the remaining rows stays exact."""
+    path = str(tmp_path_factory.mktemp("vsidx_opqv"))
+    dim, cap, n = 16, 50, 100
+    rng = np.random.default_rng(17)
+    mix = rng.normal(size=(dim, dim)) @ np.diag(np.linspace(2.0, 0.2, dim))
+    data = (rng.normal(size=(n, dim)) @ mix).astype(np.float32)
+    cfg = IndexConfig(
+        name="opqv", dimension=dim, max_segment_size=cap, pq_m=4, pq_k=16,
+        graph_degree=16, graph_build_breadth=32, oversample=4, seed=42,
+        use_opq=True, opq_iters=3,
+    )
+    idx = VectorIndex.create(spark, path, cfg)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "row_id long, embedding array<float>",
+    )
+    idx.add(df, order_col="row_id")
+    idx.build()
+    idx.delete(list(range(0, 20)))
+    idx.vacuum(0, force=True)
+    rot_row = {r["seg_id"]: r for r in idx.codebooks([0]).collect()}[0]
+    assert rot_row["rotation"] is not None
+    rot = np.array(rot_row["rotation"], dtype=np.float64).reshape(dim, dim)
+    assert np.allclose(rot @ rot.T, np.eye(dim), atol=1e-10)
+    qdf = spark.createDataFrame(
+        [(25, data[25].tolist()), (70, data[70].tolist())],
+        "query_id long, embedding array<float>",
+    )
+    res = idx.search(qdf, k=3, params=SearchParams(ef=cap)).collect()
+    got = {r["query_id"]: r["gid"] for r in res if r["rank"] == 1}
+    assert got == {25: 25, 70: 70}
+    assert all(r["gid"] >= 20 for r in res)  # vacuumed gids are gone
