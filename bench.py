@@ -146,6 +146,7 @@ HEADLINE = [
     "index_search_opq",
     "doc_span_corruption",
     "doc_fim_transform",
+    "ann_lsh_multiprobe",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

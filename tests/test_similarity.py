@@ -194,3 +194,51 @@ def test_mmr_rerank_equals_greedy_model(spark):
     for q, picks in got.items():
         ids = [p for p, _, _ in picks]
         assert not (100 in ids and 101 in ids), picks
+
+
+def test_lsh_multi_probe_superset_and_recall(spark):
+    """Multi-probe LSH: mp=0 equals the plain signature path, probing
+    only ADDS candidate pairs (superset invariant — the Lv et al.
+    guarantee), and recall@k against brute force is monotone ≥ the
+    single-probe recall under a deliberately lossy config."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.knn import knn_join
+    from vectorsearch_spark.operators.similarity import (
+        ann_lsh_join,
+        lsh_probe_signatures,
+        lsh_signatures,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, n = 16, 400
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(data)], "id long, embedding array<float>"
+    )
+    qs = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(0, 40)], "query_id long, embedding array<float>"
+    )
+    # mp=0 ≡ plain signatures
+    a = sorted(map(tuple, lsh_signatures(qs, dim, 2, 10, id_col="query_id").select("query_id", "band_key").collect()))
+    b = sorted(map(tuple, lsh_probe_signatures(qs, dim, 2, 10, multi_probe=0, id_col="query_id").select("query_id", "band_key").collect()))
+    assert a == b
+    # probe keys are a superset of home keys
+    c = {tuple(r) for r in lsh_probe_signatures(qs, dim, 2, 10, multi_probe=3, id_col="query_id").select("query_id", "band_key").collect()}
+    assert set(a) <= c and len(c) == len(a) * 4  # home + 3 distinct flips
+
+    def recall(mp):
+        got = ann_lsh_join(vecs, qs, k=5, n_tables=2, n_bits=10, multi_probe=mp)
+        pairs = {(r["query_id"], r["id"]) for r in got.collect()}
+        exact = {
+            (r["query_id"], r["id"])
+            for r in knn_join(vecs, qs, k=5, metric="cosine").collect()
+        }
+        return len(pairs & exact) / len(exact), pairs
+
+    r0, p0 = recall(0)
+    r3, p3 = recall(3)
+    assert r3 >= r0
+    assert len(p3) >= len(p0)
+    # the lossy config must actually leave room: probing found new pairs
+    assert r0 < 1.0 and r3 > r0

@@ -3786,6 +3786,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_project(res, Metric.COSINE)
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. VLDB 2007): a LOSSIER table config
+    (2 tables × 6 bits) recovered by probing 3 Hamming-1 neighbor
+    buckets per table — higher recall at fixed index size; rows-only
+    (superset + recall-monotone gates in tests/test_similarity.py)."""
+    from vectorsearch_spark.operators.similarity import ann_lsh_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ann_lsh_join(
+        emb,
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        n_tables=2,
+        n_bits=6,
+        metric=Metric.COSINE,
+        id_col="vec_id",
+        multi_probe=3,
+    )
+    return _ann_project(res, Metric.COSINE)
+
+
 def ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-exact twin of ``ann_lsh_topk``: one table with zero
     sign bits puts every row in a single bucket, so the band join, the
@@ -6215,6 +6236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_opq": index_search_opq,
         "doc_span_corruption": doc_span_corruption,
         "doc_fim_transform": doc_fim_transform,
+        "ann_lsh_multiprobe": ann_lsh_multiprobe,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
