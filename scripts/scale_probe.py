@@ -108,6 +108,7 @@ PROBES = [
     "embedding_sq8_roundtrip",
     "doc_span_corruption",
     "doc_fim_transform",
+    "ann_lsh_multiprobe",
 ]
 
 
