@@ -147,6 +147,7 @@ HEADLINE = [
     "doc_span_corruption",
     "doc_fim_transform",
     "ann_lsh_multiprobe",
+    "corpus_temperature_mix",
     "corpus_importance_sample",
     "quality_classifier_scores",
     "corpus_ngram_lm",

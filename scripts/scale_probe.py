@@ -109,6 +109,7 @@ PROBES = [
     "doc_span_corruption",
     "doc_fim_transform",
     "ann_lsh_multiprobe",
+    "corpus_temperature_mix",
 ]
 
 

@@ -615,3 +615,52 @@ def test_fim_transform_matches_python_model(spark):
         assert (r["n_tokens"], r["split_a"], r["split_b"], r["psm_hash"]) == (
             n, a, b, md5(" ".join(psm))
         )
+
+
+def test_temperature_budget_mix_model_and_flattening(spark):
+    """α-sampling: budgets follow size^α normalized to the target
+    (Python model equality on the selected set), α=1 reproduces the
+    natural proportions, α=0 splits the target uniformly, and
+    low-resource sources gain share as α drops."""
+    import hashlib
+    import re
+
+    from vectorsearch_spark.operators.curate import (
+        temperature_budget_mix,
+        token_budget_mix,
+    )
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    rows = []
+    i = 0
+    for src, n_docs, words in [("big", 60, 30), ("mid", 20, 20), ("small", 5, 10)]:
+        for _ in range(n_docs):
+            rows.append((i, " ".join(f"w{j}" for j in range(words)), src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pat = re.compile(BPE_PIECE_RE)
+    sizes = {}
+    for _, t, s in rows:
+        sizes[s] = sizes.get(s, 0) + len(pat.findall(t.lower()))
+
+    def budgets(alpha, total):
+        den = sum(float(t) ** alpha for _, t in sorted(sizes.items()))
+        return {
+            s: max(1, int(round(float(t) ** alpha / den * total)))
+            for s, t in sizes.items()
+        }
+
+    for alpha in (0.0, 0.5, 1.0):
+        got = sorted(
+            map(tuple, temperature_budget_mix(df, alpha, 1500).collect())
+        )
+        exp = sorted(
+            map(tuple, token_budget_mix(df, budgets(alpha, 1500)).collect())
+        )
+        assert got == exp, alpha
+    b1, b0 = budgets(1.0, 1500), budgets(0.0, 1500)
+    assert b0["small"] == b0["big"]            # α=0: uniform
+    assert b1["small"] < b0["small"]           # flattening lifts the tail
+    assert b1["big"] > b0["big"]
+    total1 = sum(b1.values())
+    assert abs(b1["big"] / total1 - sizes["big"] / sum(sizes.values())) < 0.01

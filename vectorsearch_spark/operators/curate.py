@@ -646,6 +646,71 @@ def token_budget_mix(
     )
 
 
+def temperature_budget_mix(
+    df: DataFrame,
+    alpha: float,
+    total_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    margin: float = 4.0,
+) -> DataFrame:
+    """Temperature-based data mixing (the multilingual α-sampling of
+    mBERT/XLM-R, Conneau et al. 2020, arXiv:1911.02116): per-source
+    budgets ∝ size^α normalized to ``total_tokens`` — α = 1 keeps the
+    natural distribution, α → 0 flattens toward uniform, upweighting
+    low-resource sources. The derived budgets feed
+    ``token_budget_mix`` (deterministic hash-order selection), so the
+    whole pass stays rerun/engine-stable and oracle-checkable.
+
+    Returns ``token_budget_mix``'s (doc_id, source, n_tokens,
+    cum_tokens) for the selected docs.
+
+    Scale: ONE extra bounded aggregate (|sources| rows collected — the
+    codebook contract) computes sizes; everything else is
+    ``token_budget_mix``'s margin-prefiltered plan. Budgets exceeding
+    a source's actual size just keep the whole source (the documented
+    token_budget_mix behavior), which is exactly α-sampling's
+    oversample-the-tail effect.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    sizes = {
+        r["source"]: r["t"]
+        for r in df.select(
+            F.col(source_col).alias("source"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+                )
+            ).alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+        if r["t"] and r["t"] > 0
+    }
+    if not sizes:
+        raise ValueError("temperature_budget_mix: no non-empty sources")
+    # summed in sorted-source order: reruns and the SQL oracle agree
+    # bit-for-bit on the normalizer
+    denom = sum(float(t) ** alpha for _, t in sorted(sizes.items()))
+    budgets = {
+        s: max(1, int(round(float(t) ** alpha / denom * total_tokens)))
+        for s, t in sizes.items()
+    }
+    return token_budget_mix(
+        df,
+        budgets,
+        source_col=source_col,
+        id_col=id_col,
+        text_col=text_col,
+        margin=margin,
+    )
+
+
 def stratified_quota(
     df: DataFrame,
     group_col: str,

@@ -4511,6 +4511,38 @@ FROM s2
 """
 
 
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-sampling data mix (operators/curate.py temperature_budget_mix,
+    α=0.3, 15k-token target): per-source budgets ∝ size^α feed the
+    deterministic hash-order cut — the multilingual rebalance pass."""
+    from vectorsearch_spark.operators.curate import temperature_budget_mix
+
+    return temperature_budget_mix(
+        _t(spark, sf_dir, "documents"), alpha=0.3, total_tokens=15_000
+    )
+
+
+CORPUS_TEMPERATURE_MIX_SQL = r"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]'))::BIGINT AS n_tokens,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS sel
+  FROM documents),
+src AS (SELECT source, sum(n_tokens) AS t FROM sized GROUP BY 1 HAVING sum(n_tokens) > 0),
+bud AS (
+  SELECT source,
+         greatest(1, CAST(round(pow(t, 0.3) / (SELECT sum(pow(t, 0.3)) FROM src) * 15000) AS BIGINT)) AS budget
+  FROM src),
+c AS (
+  SELECT s.doc_id, s.source, s.n_tokens, b.budget,
+         (sum(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.sel, s.doc_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+  FROM sized s JOIN bud b USING (source))
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget
+"""
+
+
 _DSIR_TARGETS = ["src0", "src1", "src2"]
 
 
@@ -6237,6 +6269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_corruption": doc_span_corruption,
         "doc_fim_transform": doc_fim_transform,
         "ann_lsh_multiprobe": ann_lsh_multiprobe,
+        "corpus_temperature_mix": corpus_temperature_mix,
         "corpus_importance_sample": corpus_importance_sample,
         "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
@@ -6468,6 +6501,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_sq8_roundtrip": EMBEDDING_SQ8_ROUNDTRIP_SQL,
         "doc_span_corruption": DOC_SPAN_CORRUPTION_SQL,
         "doc_fim_transform": DOC_FIM_TRANSFORM_SQL,
+        "corpus_temperature_mix": CORPUS_TEMPERATURE_MIX_SQL,
         "corpus_importance_sample": CORPUS_IMPORTANCE_SAMPLE_SQL,
         "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
