@@ -644,9 +644,11 @@ def test_temperature_budget_mix_model_and_flattening(spark):
         sizes[s] = sizes.get(s, 0) + len(pat.findall(t.lower()))
 
     def budgets(alpha, total):
+        import math
+
         den = sum(float(t) ** alpha for _, t in sorted(sizes.items()))
         return {
-            s: max(1, int(round(float(t) ** alpha / den * total)))
+            s: max(1, int(math.floor(float(t) ** alpha / den * total + 0.5)))
             for s, t in sizes.items()
         }
 

@@ -559,6 +559,7 @@ def token_budget_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     margin: float = 4.0,
+    totals: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Data-mixing sampler: select documents per SOURCE until that
     source's TOKEN budget is met — the pass that turns raw corpora +
@@ -602,10 +603,13 @@ def token_budget_mix(
         .alias("n_tokens"),
         hash_rate_col(id_col).alias("__sel"),
     ).filter(F.col("source").isin(list(budgets)))
-    totals = {
-        r["source"]: r["t"]
-        for r in sized.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
-    }
+    if totals is None:
+        # callers that already sized the corpus (temperature_budget_mix)
+        # pass totals in — the aggregate below is a full tokenize pass
+        totals = {
+            r["source"]: r["t"]
+            for r in sized.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
     cutoff = {
         s: (
             _RATE_MOD
@@ -694,11 +698,18 @@ def temperature_budget_mix(
     }
     if not sizes:
         raise ValueError("temperature_budget_mix: no non-empty sources")
-    # summed in sorted-source order: reruns and the SQL oracle agree
-    # bit-for-bit on the normalizer
+    import math
+
+    # summed in sorted-source order so RERUNS are deterministic; the
+    # SQL oracle's unordered sum can differ in the last ulp — budget
+    # divergence needs round(p·T) to sit within that ulp of a .5
+    # boundary (~1e-9 absolute), accepted like the other float oracles
     denom = sum(float(t) ** alpha for _, t in sorted(sizes.items()))
+    # floor(x+0.5) = round-half-UP, matching DuckDB's round(); Python's
+    # built-in round() is banker's (half-to-even) and would disagree on
+    # exact .5 boundaries
     budgets = {
-        s: max(1, int(round(float(t) ** alpha / denom * total_tokens)))
+        s: max(1, int(math.floor(float(t) ** alpha / denom * total_tokens + 0.5)))
         for s, t in sizes.items()
     }
     return token_budget_mix(
@@ -708,6 +719,7 @@ def temperature_budget_mix(
         id_col=id_col,
         text_col=text_col,
         margin=margin,
+        totals=sizes,  # already computed: skip a second tokenize pass
     )
 
 
@@ -814,9 +826,11 @@ def importance_sample(
     TakeOrderedAndProject (no global sort shuffle). Nothing in the
     plan grows with corpus size except the two linear passes.
     """
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
     spark = df.sparkSession
     toks_ = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit("'[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]"), F.lit(0)
+        F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")

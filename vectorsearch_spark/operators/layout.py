@@ -130,19 +130,23 @@ def write_bucketed(
             if r["col_name"] == "Location":
                 loc = r["data_type"]
                 break
-    if loc is None:
-        # table absent from the catalog: only the managed-layout
-        # convention path can be orphaned ({wh}/{tbl}; qualified
-        # db.tbl at {wh}/{db}.db/{tbl})
-        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        parts = table.lower().split(".")
-        loc = (
-            f"{wh}/{parts[-1]}"
-            if len(parts) == 1
-            else f"{wh}/{parts[-2]}.db/{parts[-1]}"
-        )
+    # the managed-layout convention path ({wh}/{tbl}; qualified db.tbl
+    # at {wh}/{db}.db/{tbl}) can hold an orphan even when the CURRENT
+    # catalog entry lives elsewhere (a prior session's managed table
+    # whose entry an in-memory catalog forgot) — saveAsTable always
+    # targets it, so it must be scrubbed in addition to the catalog
+    # location
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    parts = table.lower().split(".")
+    conv = (
+        f"{wh}/{parts[-1]}"
+        if len(parts) == 1
+        else f"{wh}/{parts[-2]}.db/{parts[-1]}"
+    )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    hadoop_delete(spark, loc)
+    if loc is not None and loc.rstrip("/") != f"file:{conv}" and loc.rstrip("/") != conv:
+        hadoop_delete(spark, loc)
+    hadoop_delete(spark, conv)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
         w = w.sortBy(*sort_by)

@@ -154,7 +154,7 @@ def sq8_roundtrip_error(
     """
     from pyspark.sql import functions as F
 
-    d = len(mins)
+
     minarr = F.array(*[F.lit(float(v)) for v in mins])
     rngarr = F.array(
         *[F.lit(float(mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
@@ -176,12 +176,19 @@ def sq8_roundtrip_error(
         minarr,
         lambda y, mn: y + mn,
     )
-    err = F.zip_with(x, xhat, lambda a, b: F.abs(a - b))
+    # zip_with null-pads when a vector's length differs from the
+    # trained dimension d; dropping the pads makes both stats cover
+    # exactly the dims where vector AND trainer are defined — the same
+    # min(len, d) span the DuckDB oracle's dim-stat join covers
+    err = F.filter(
+        F.zip_with(x, xhat, lambda a, b: F.abs(a - b)), lambda e: e.isNotNull()
+    )
     return df.select(
         F.col(id_col),
         F.round(F.array_max(err), 6).alias("max_abs_err"),
         F.round(
-            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.lit(float(d)),
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e)
+            / F.greatest(F.size(err), F.lit(1)),
             6,
         ).alias("mean_abs_err"),
     )

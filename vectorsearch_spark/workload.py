@@ -3374,14 +3374,15 @@ FROM seg
 _INDEX_CACHE: dict[str, object] = {}
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str):
+def _ensure_index(spark: SparkSession, sf_dir: str, use_opq: bool = False):
     import shutil
 
     from vectorsearch_spark.config import IndexConfig
     from vectorsearch_spark.index import VectorIndex
 
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/vsidx_{tag}"
+    prefix = "vsidx_opq" if use_opq else "vsidx"
+    path = f"/tmp/{prefix}_{tag}"
     if path in _INDEX_CACHE:
         return _INDEX_CACHE[path]
     emb = _t(spark, sf_dir, "embeddings")
@@ -3390,9 +3391,12 @@ def _ensure_index(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("dim")
     ).first()
     n, dim = stats["n"], stats["dim"]
+    extra = {"use_opq": True, "opq_iters": 4} if use_opq else {}
     cfg = IndexConfig(
-        name=f"wk_{tag}", dimension=dim, max_segment_size=200, pq_m=8, pq_k=16,
-        graph_degree=16, graph_build_breadth=32, graph_alpha=1.2, oversample=4, seed=42,
+        name=f"wk{'opq' if use_opq else ''}_{tag}", dimension=dim,
+        max_segment_size=200, pq_m=8, pq_k=16, graph_degree=16,
+        graph_build_breadth=32, graph_alpha=1.2, oversample=4, seed=42,
+        **extra,
     )
     idx = None
     try:  # reuse a previously built index if it matches this dataset
@@ -3415,39 +3419,7 @@ def _ensure_opq_index(spark: SparkSession, sf_dir: str):
     learned rotations stored with the codebooks, queries rotated at LUT
     build — the extension path exercised end-to-end by the
     index_search_opq* entries."""
-    import shutil
-
-    from vectorsearch_spark.config import IndexConfig
-    from vectorsearch_spark.index import VectorIndex
-
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/vsidx_opq_{tag}"
-    if path in _INDEX_CACHE:
-        return _INDEX_CACHE[path]
-    emb = _t(spark, sf_dir, "embeddings")
-    stats = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("dim")
-    ).first()
-    n, dim = stats["n"], stats["dim"]
-    cfg = IndexConfig(
-        name=f"wkopq_{tag}", dimension=dim, max_segment_size=200, pq_m=8, pq_k=16,
-        graph_degree=16, graph_build_breadth=32, graph_alpha=1.2, oversample=4,
-        seed=42, use_opq=True, opq_iters=4,
-    )
-    idx = None
-    try:
-        idx = VectorIndex.open(spark, path, cfg)
-        if idx.next_gid != n:
-            idx = None
-    except Exception:
-        idx = None
-    if idx is None:
-        shutil.rmtree(path, ignore_errors=True)
-        idx = VectorIndex.create(spark, path, cfg)
-        idx.add(emb.select("vec_id", "embedding"), order_col="vec_id")
-        idx.build()
-    _INDEX_CACHE[path] = idx
-    return idx
+    return _ensure_index(spark, sf_dir, use_opq=True)
 
 
 def index_search_opq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
