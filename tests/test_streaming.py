@@ -944,3 +944,95 @@ def test_stream_passage_dedup_folds_equal_batch_operator(spark, tmp_path_factory
     }
     # single-batch availableNow load ≡ the batch operator too
     assert got2 == {r[0]: r[2] for r in ref}
+
+
+def test_stream_repeated_spans_folds_equal_batch_operator(spark, tmp_path_factory):
+    """Streaming repeated-span dedup: 3 micro-batches with cross-batch
+    repeats at ARBITRARY offsets — the folded span state must be
+    ROW-IDENTICAL to curate.repeated_spans on the concatenated corpus
+    (monotone doc_ids align the keep-first orders); replayed epoch is a
+    no-op; crash-before-marker replays into identical state; epoch
+    regression raises; the writeStream wrapper works end-to-end."""
+    import json
+    import os
+
+    import pytest
+
+    from vectorsearch_spark.operators.curate import repeated_spans
+    from vectorsearch_spark.operators.dedup import (
+        fold_repeated_spans_batch,
+        stream_repeated_spans,
+    )
+
+    SPAN = 6
+    words = [f"w{i}" for i in range(30)]
+    d = {
+        0: " ".join(words),                                   # original
+        1: " ".join(f"q{i}" for i in range(12)),              # unique
+        2: "lead in " + " ".join(words[5:20]) + " tail out",  # unaligned copy of doc0
+        3: " ".join(words),                                   # full copy of doc0
+        4: " ".join(f"z{i}" for i in range(14)),              # unique
+        5: " ".join(f"q{i}" for i in range(12)),              # full copy of doc1
+    }
+    batches = [[0, 1], [2, 3], [4, 5]]
+    schema = "doc_id long, text string"
+    state = str(tmp_path_factory.mktemp("rsstate")) + "/st"
+    os.makedirs(state, exist_ok=True)
+
+    for i, ids in enumerate(batches):
+        fold_repeated_spans_batch(
+            spark.createDataFrame([(j, d[j]) for j in ids], schema),
+            i, state, span_tokens=SPAN,
+        )
+    cols = ["doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_ratio"]
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/spans").select(cols).collect()
+    )
+    full = spark.createDataFrame(sorted(d.items()), schema)
+    ref = sorted(tuple(r) for r in repeated_spans(full, span_tokens=SPAN).collect())
+    assert got == ref
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][3] == by_id[3][1]      # full copy: everything marked
+    assert by_id[2][2] == 1 and by_id[2][3] > 0   # unaligned run: one span
+    assert by_id[4][3] == 0                # unique doc untouched
+
+    # replayed epoch: no-op
+    fold_repeated_spans_batch(
+        spark.createDataFrame([(j, d[j]) for j in batches[2]], schema),
+        2, state, span_tokens=SPAN,
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/spans").select(cols).collect()
+    ) == ref
+
+    # crash before marker: rewind to epoch 1, replay epoch 2
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 1}, fh)
+    fold_repeated_spans_batch(
+        spark.createDataFrame([(j, d[j]) for j in batches[2]], schema),
+        2, state, span_tokens=SPAN,
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/spans").select(cols).collect()
+    ) == ref
+
+    # epoch regression raises
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_repeated_spans_batch(
+            spark.createDataFrame([(9, "anything at all here")], schema),
+            0, state, span_tokens=SPAN,
+        )
+
+    # writeStream wrapper end-to-end on a fresh state
+    src_dir = str(tmp_path_factory.mktemp("rssrc")) + "/docs"
+    state2 = str(tmp_path_factory.mktemp("rsstate2")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("rsckpt"))
+    full.write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_repeated_spans(stream, state2, ckpt, span_tokens=SPAN)
+    q.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in spark.read.parquet(f"{state2}/spans").collect()
+    }
+    assert got2 == {r[0]: r[3] for r in ref}

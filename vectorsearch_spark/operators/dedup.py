@@ -980,3 +980,187 @@ def stream_passage_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_repeated_spans_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch fold of streaming REPEATED-SPAN dedup (the
+    foreachBatch body, exposed for crash-injection tests): slide the
+    batch's ``span_tokens`` windows, mark every window whose md5
+    already exists in the persisted gram state (an earlier batch) or
+    earlier in THIS batch, merge marks into maximal spans, and append
+    the per-doc span maps plus the batch's NEW gram hashes. The
+    streaming counterpart of ``curate.repeated_spans``: with
+    monotonically increasing doc_ids across batches the folded state
+    is row-identical to the batch operator on the concatenated corpus
+    (gated in tests) — the arbitrary-offset analog of
+    ``fold_passage_dedup_batch``.
+
+    State layout (O(batch) writes per fold, never a history rewrite):
+
+    - ``spans/epoch=<id>/`` — (doc_id, n_tokens, dup_spans,
+      dup_tokens, dup_ratio), the repeated_spans output shape;
+    - ``grams/epoch=<id>/`` — the batch's DISTINCT gram md5s not
+      already in state (state growth = new grams only; dups are
+      already present). Hashes, not text: the batch operator itself
+      keys spans by md5 with documented collision odds, so state
+      inherits the same stance — and gram TEXT would be
+      span_tokens× the corpus.
+
+    Per-batch cost: O(|batch| tokens) for the slide + one columnar
+    scan/shuffle of the persisted gram hashes (32 B each — the hash
+    column only, never corpus text) for the membership join.
+
+    Exactly-once: state reads filter ``epoch < epoch_id`` (a crashed
+    attempt's own partial dirs are invisible to its replay), epoch
+    dirs rewrite idempotently, the applied-epoch marker commits last
+    via atomic rename, and an epoch REGRESSION raises (the shared
+    guard).
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be ≥ 2")
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return  # replayed epoch: already folded in
+    batch = batch_df.localCheckpoint()  # stream sources are single-pass
+
+    base = (
+        batch.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
+            ).alias("__p"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    counts = base.select(F.col(id_col), F.size("__p").cast("long").alias("n_tokens"))
+    pos = F.col("pos")
+    grams = (
+        base.where(F.size("__p") >= span_tokens)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.size("__p") - span_tokens)).alias("pos"),
+            F.col("__p"),
+        )
+        .select(
+            F.col(id_col),
+            pos,
+            F.md5(F.concat_ws(" ", F.slice("__p", pos + 1, span_tokens))).alias("__h"),
+        )
+    )
+
+    root = os.path.join(state_path, "grams")
+    dirs = (
+        [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "pos")
+    marked = grams.select(
+        F.col(id_col),
+        "pos",
+        "__h",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("__h").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__cnt"),
+    )
+    if dirs:
+        corpus = spark.read.schema("__h string").parquet(*dirs).withColumn(
+            "__in_state", F.lit(True)
+        )
+        marked = marked.join(corpus, "__h", "left")
+    else:
+        marked = marked.withColumn("__in_state", F.lit(None).cast("boolean"))
+    # marked+gram pass feeds BOTH the span map and the new-gram write
+    marked = marked.localCheckpoint(eager=False)
+
+    dup = marked.where(
+        (F.col("__in_state") == True)  # noqa: E712 — tri-state null
+        | ((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + span_tokens).cast("long").alias("e"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        dup.withColumn(
+            "__new", (prev_end.isNull() | (F.col("s") > prev_end)).cast("long")
+        )
+        .withColumn("__grp", F.sum("__new").over(wd))
+        .groupBy(id_col, "__grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+        )
+    )
+    out = counts.join(merged, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+    new_grams = (
+        marked.where(F.col("__in_state").isNull()).select("__h").distinct()
+    )
+
+    ep = f"epoch={int(epoch_id)}"
+    out.write.mode("overwrite").parquet(os.path.join(state_path, "spans", ep))
+    new_grams.write.mode("overwrite").parquet(os.path.join(state_path, "grams", ep))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def stream_repeated_spans(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Keep an arbitrary-offset span-dedup map current from a document
+    stream (see ``fold_repeated_spans_batch``). Returns the
+    StreamingQuery; the per-doc span maps are
+    ``spark.read.parquet(f"{state_path}/spans")``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_repeated_spans_batch(batch_df, epoch_id, state_path, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
