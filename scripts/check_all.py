@@ -19,7 +19,7 @@ spec.loader.exec_module(mod)
 import duckdb
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm(df):

@@ -84,3 +84,30 @@ def test_logistic_fit_empty_and_degenerate(spark):
     )
     w = logistic_fit(const, ["fa"], "y", iters=5)
     assert np.all(np.isfinite(w))
+
+
+def test_logistic_fit_raises_on_null_and_nan_features(spark):
+    """Dirty feature/label values must be a loud ValueError, not NaN
+    weights: nulls/NaNs would flow through the standardizer sums and
+    the per-partition gradients silently."""
+    from vectorsearch_spark.operators.classify import logistic_fit
+
+    with_null = spark.createDataFrame(
+        [(1.0, 2.0, 1.0), (None, 1.0, 0.0), (0.5, 3.0, 1.0)],
+        "fa double, fb double, y double",
+    )
+    with pytest.raises(ValueError, match=r"null/NaN.*\['fa'\]"):
+        logistic_fit(with_null, ["fa", "fb"], "y", iters=1)
+
+    with_nan = spark.createDataFrame(
+        [(1.0, 2.0, 1.0), (float("nan"), 1.0, 0.0), (0.5, 3.0, 1.0)],
+        "fa double, fb double, y double",
+    )
+    with pytest.raises(ValueError, match="fa"):
+        logistic_fit(with_nan, ["fa", "fb"], "y", iters=1)
+
+    bad_label = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, None), (0.5, 0.0)], "fa double, y double"
+    )
+    with pytest.raises(ValueError, match="y"):
+        logistic_fit(bad_label, ["fa"], "y", iters=1)

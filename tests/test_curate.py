@@ -474,6 +474,22 @@ def test_importance_sample_matches_python_model_and_prefers_target(spark):
     assert all(r["doc_id"] < 20 for r in out)
 
 
+def test_importance_sample_empty_target_raises(spark):
+    """A target filter matching no rows (e.g. a typo'd source name)
+    must raise — left in the plan it NULLs every log-ratio and the
+    orderBy silently returns the first k docs by id."""
+    import pytest
+
+    from vectorsearch_spark.operators.curate import importance_sample
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "web"), (2, "gamma delta", "web")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="matched no tokens"):
+        importance_sample(df, ["wiki_typo"], k=1)
+
+
 def test_shuffle_shards_is_deterministic_partition(spark):
     """Seeded shuffle-sharding: every row lands in exactly one shard,
     pos_in_shard is contiguous from 1, the deal is identical across

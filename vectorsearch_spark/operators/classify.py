@@ -45,7 +45,15 @@ def logistic_fit(
     folded in). One distributed pass per iteration, O(d) driver state.
     """
     d = len(feature_cols)
-    # one bounded aggregate for the standardizer (2d+1 numbers)
+
+    def _bad(c: str) -> "F.Column":
+        v = F.col(c).cast("double")
+        return F.sum(F.when(v.isNull() | F.isnan(v), 1).otherwise(0))
+
+    # one bounded aggregate for the standardizer (3d+2 numbers); the
+    # null/NaN counters make a dirty feature column a loud ValueError —
+    # without them NaNs flow through the mean/variance sums and the
+    # per-partition gradients, and the "fitted" weights are silently NaN
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.col(c).cast("double")).alias(f"s{i}") for i, c in enumerate(feature_cols)],
@@ -53,10 +61,20 @@ def logistic_fit(
             F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"q{i}")
             for i, c in enumerate(feature_cols)
         ],
+        *[_bad(c).alias(f"bad{i}") for i, c in enumerate(feature_cols)],
+        _bad(label_col).alias("bad_y"),
     ).first()
     n = float(stats["n"])
     if n == 0:
         raise ValueError("logistic_fit: empty input")
+    dirty = [c for i, c in enumerate(feature_cols) if stats[f"bad{i}"]]
+    if stats["bad_y"]:
+        dirty.append(label_col)
+    if dirty:
+        raise ValueError(
+            f"logistic_fit: null/NaN values in column(s) {dirty} — clean or "
+            "impute them before fitting (they would silently NaN the weights)"
+        )
     mu = np.array([stats[f"s{i}"] / n for i in range(d)])
     var = np.array([stats[f"q{i}"] / n for i in range(d)]) - mu * mu
     sd = np.sqrt(np.maximum(var, 1e-12))

@@ -356,20 +356,14 @@ def passage_dedup(
     )
 
 
-def _span_base_and_intervals(
-    df: DataFrame, span_tokens: int, id_col: str, text_col: str
-) -> "tuple[DataFrame, DataFrame]":
-    """Shared core of ``repeated_spans``/``cut_repeated_spans``:
-    returns (base, intervals) — base = (id, __p token array) behind a
-    checkpoint barrier; intervals = (id, s, e) MERGED duplicate spans
-    (all-but-first occurrences of every repeated ``span_tokens``-gram,
-    consecutive marks coalesced). See ``repeated_spans`` for the
-    algorithm, semantics, and scale notes."""
+def _tokenized_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __p token array) behind a checkpoint barrier. The barrier
+    matters: __p is referenced by the gram slide AND the final token
+    count; un-checkpointed, Catalyst substitutes the regex into both
+    subtrees (the doc_ngram_diversity r5 lesson)."""
     from vectorsearch_spark.operators.text import BPE_PIECE_RE
 
-    if span_tokens < 2:
-        raise ValueError("span_tokens must be ≥ 2")
-    base = (
+    return (
         df.select(
             F.col(id_col),
             F.regexp_extract_all(
@@ -377,13 +371,18 @@ def _span_base_and_intervals(
             ).alias("__p"),
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-        # barrier: __p is referenced by the slide AND the final token
-        # count; un-checkpointed, Catalyst substitutes the regex into
-        # both subtrees (the doc_ngram_diversity r5 lesson)
         .localCheckpoint(eager=False)
     )
+
+
+def _gram_slide(base: DataFrame, span_tokens: int, id_col: str) -> DataFrame:
+    """Slide a ``span_tokens`` window one token at a time: (id, pos,
+    __h md5-of-gram-text). explode(sequence) + slice in one codegen
+    stage — gram TEXT never leaves the stage, only 128-bit keys."""
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be ≥ 2")
     pos = F.col("pos")
-    grams = (
+    return (
         base.where(F.size("__p") >= span_tokens)
         .select(
             F.col(id_col),
@@ -398,30 +397,35 @@ def _span_base_and_intervals(
             F.md5(F.concat_ws(" ", F.slice("__p", pos + 1, span_tokens))).alias("__h"),
         )
     )
+
+
+def _mark_occurrences(grams: DataFrame, id_col: str) -> DataFrame:
+    """Rank every gram occurrence within its hash group: adds ``__rn``
+    (global (id, pos) order within the hash) and ``__cnt`` (group
+    size). A duplicate occurrence is ``__cnt > 1 AND __rn > 1`` — the
+    globally-first occurrence is kept. One window shuffle keyed by the
+    128-bit md5 (collision odds documented in ``repeated_spans``)."""
     w = Window.partitionBy("__h").orderBy(id_col, "pos")
-    dup = (
-        grams.select(
-            F.col(id_col),
-            "pos",
-            F.row_number().over(w).alias("__rn"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy("__h").rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ).alias("__cnt"),
-        )
-        .where((F.col("__cnt") > 1) & (F.col("__rn") > 1))
-        .select(
-            F.col(id_col),
-            F.col("pos").cast("long").alias("s"),
-            (F.col("pos") + span_tokens).cast("long").alias("e"),
-        )
+    return grams.select(
+        F.col(id_col),
+        "pos",
+        "__h",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("__h").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__cnt"),
     )
-    # classic SQL interval merge: a row starts a new span iff its start
-    # exceeds the running max end of all earlier intervals in the doc
+
+
+def _merge_intervals(dup: DataFrame, id_col: str) -> DataFrame:
+    """Classic SQL interval merge over (id, s, e): a row starts a new
+    span iff its start exceeds the running max end of all earlier
+    intervals in the doc. Windows on the doc id — naturally balanced."""
     wd = Window.partitionBy(id_col).orderBy("s")
     prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    intervals = (
+    return (
         dup.withColumn(
             "__new", (prev_end.isNull() | (F.col("s") > prev_end)).cast("long")
         )
@@ -430,7 +434,57 @@ def _span_base_and_intervals(
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
         .drop("__grp")
     )
-    return base, intervals
+
+
+def _span_report(base: DataFrame, intervals: DataFrame, id_col: str) -> DataFrame:
+    """Final per-doc span map: (id, n_tokens, dup_spans, dup_tokens,
+    dup_ratio) — the shared output contract of ``repeated_spans`` and
+    the streaming fold (``dedup.fold_repeated_spans_batch``)."""
+    counts = base.select(F.col(id_col), F.size("__p").cast("long").alias("n_tokens"))
+    merged = intervals.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+    )
+    return counts.join(merged, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest("n_tokens", F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def _span_base_and_intervals(
+    df: DataFrame, span_tokens: int, id_col: str, text_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared core of ``repeated_spans``/``cut_repeated_spans``:
+    returns (base, intervals) — base = (id, __p token array) behind a
+    checkpoint barrier; intervals = (id, s, e) MERGED duplicate spans
+    (all-but-first occurrences of every repeated ``span_tokens``-gram,
+    consecutive marks coalesced). See ``repeated_spans`` for the
+    algorithm, semantics, and scale notes. Composed from the same
+    tokenize/slide/mark/merge stages the streaming fold reuses
+    (``dedup.fold_repeated_spans_batch``) — batch/streaming parity
+    depends on byte-identical tokenization+hashing, so both paths
+    compile from these single definitions."""
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be ≥ 2")
+    base = _tokenized_base(df, id_col, text_col)
+    grams = _gram_slide(base, span_tokens, id_col)
+    dup = (
+        _mark_occurrences(grams, id_col)
+        .where((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + span_tokens).cast("long").alias("e"),
+        )
+    )
+    return base, _merge_intervals(dup, id_col)
 
 
 def repeated_spans(
@@ -473,25 +527,7 @@ def repeated_spans(
     interval merge windows on doc_id — naturally balanced.
     """
     base, intervals = _span_base_and_intervals(df, span_tokens, id_col, text_col)
-    counts = base.select(F.col(id_col), F.size("__p").cast("long").alias("n_tokens"))
-    merged = intervals.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("dup_spans"),
-        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
-    )
-    return (
-        counts.join(merged, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0))
-                / F.greatest("n_tokens", F.lit(1)),
-                6,
-            ).alias("dup_ratio"),
-        )
-    )
+    return _span_report(base, intervals, id_col)
 
 
 def cut_repeated_spans(
@@ -849,19 +885,27 @@ def importance_sample(
     tgt = per_doc.filter(F.col("source").isin(list(target_sources)))
     tgt_counts = tgt.groupBy("b").agg(F.sum("c").alias("ct"))
     raw_counts = per_doc.groupBy("b").agg(F.sum("c").alias("cr"))
-    tot_t = tgt.agg(F.sum("c").alias("tt"))
-    tot_r = per_doc.agg(F.sum("c").alias("tr"))
+    # Bounded 1-row driver reads (same contract as temperature_budget_mix'
+    # sizing aggregate). Collecting tot_t up front turns "target matched
+    # no rows" (e.g. a typo'd source name) into a loud ValueError — left
+    # in the plan it sums to NULL, every log-ratio and Gumbel key goes
+    # NULL, and orderBy silently returns the first k docs by id.
+    tt = tgt.agg(F.sum("c")).collect()[0][0]
+    if not tt:
+        raise ValueError(
+            f"importance_sample: target_sources {list(target_sources)!r} "
+            "matched no tokens in the corpus"
+        )
+    tr = per_doc.agg(F.sum("c")).collect()[0][0]
     # smoothed log-ratio per bucket present in the corpus (absent
     # buckets have no tokens to score); ≤ n_buckets rows, broadcast
     ratio = (
         raw_counts.join(tgt_counts, "b", "left")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
         .select(
             "b",
             (
-                F.log((F.coalesce("ct", F.lit(0)) + 1) / (F.col("tt") + n_buckets))
-                - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+                F.log((F.coalesce("ct", F.lit(0)) + 1) / F.lit(float(tt + n_buckets)))
+                - F.log((F.col("cr") + 1) / F.lit(float(tr + n_buckets)))
             ).alias("lr"),
         )
     )

@@ -1027,8 +1027,14 @@ def fold_repeated_spans_batch(
     import os
     import tempfile
 
+    from vectorsearch_spark.operators.curate import (
+        _gram_slide,
+        _mark_occurrences,
+        _merge_intervals,
+        _span_report,
+        _tokenized_base,
+    )
     from vectorsearch_spark.operators.incremental import epoch_already_applied
-    from vectorsearch_spark.operators.text import BPE_PIECE_RE
 
     if span_tokens < 2:
         raise ValueError("span_tokens must be ≥ 2")
@@ -1038,31 +1044,12 @@ def fold_repeated_spans_batch(
         return  # replayed epoch: already folded in
     batch = batch_df.localCheckpoint()  # stream sources are single-pass
 
-    base = (
-        batch.select(
-            F.col(id_col),
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(BPE_PIECE_RE), F.lit(0)
-            ).alias("__p"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
-        .localCheckpoint(eager=False)
-    )
-    counts = base.select(F.col(id_col), F.size("__p").cast("long").alias("n_tokens"))
-    pos = F.col("pos")
-    grams = (
-        base.where(F.size("__p") >= span_tokens)
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.size("__p") - span_tokens)).alias("pos"),
-            F.col("__p"),
-        )
-        .select(
-            F.col(id_col),
-            pos,
-            F.md5(F.concat_ws(" ", F.slice("__p", pos + 1, span_tokens))).alias("__h"),
-        )
-    )
+    # batch/streaming parity depends on byte-identical tokenization,
+    # gram hashing, and interval merging — so this fold compiles from
+    # the SAME stage definitions as curate.repeated_spans, inserting
+    # only the state-membership join between mark and merge
+    base = _tokenized_base(batch, id_col, text_col)
+    grams = _gram_slide(base, span_tokens, id_col)
 
     root = os.path.join(state_path, "grams")
     dirs = (
@@ -1074,18 +1061,7 @@ def fold_repeated_spans_batch(
         if os.path.isdir(root)
         else []
     )
-    w = Window.partitionBy("__h").orderBy(id_col, "pos")
-    marked = grams.select(
-        F.col(id_col),
-        "pos",
-        "__h",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("__h").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("__cnt"),
-    )
+    marked = _mark_occurrences(grams, id_col)
     if dirs:
         corpus = spark.read.schema("__h string").parquet(*dirs).withColumn(
             "__in_state", F.lit(True)
@@ -1104,30 +1080,7 @@ def fold_repeated_spans_batch(
         F.col("pos").cast("long").alias("s"),
         (F.col("pos") + span_tokens).cast("long").alias("e"),
     )
-    wd = Window.partitionBy(id_col).orderBy("s")
-    prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    merged = (
-        dup.withColumn(
-            "__new", (prev_end.isNull() | (F.col("s") > prev_end)).cast("long")
-        )
-        .withColumn("__grp", F.sum("__new").over(wd))
-        .groupBy(id_col, "__grp")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("dup_spans"),
-            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
-        )
-    )
-    out = counts.join(merged, id_col, "left").select(
-        F.col(id_col),
-        "n_tokens",
-        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
-        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-        F.round(
-            F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 6
-        ).alias("dup_ratio"),
-    )
+    out = _span_report(base, _merge_intervals(dup, id_col), id_col)
     new_grams = (
         marked.where(F.col("__in_state").isNull()).select("__h").distinct()
     )

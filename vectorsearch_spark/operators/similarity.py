@@ -269,31 +269,21 @@ def lsh_signatures(
     """Random-hyperplane signature buckets: one output row per (row,
     table) with key "t|signbits". Hyperplanes are derived from ``seed``
     so the vector and query sides agree. Sign bits are computed with
-    codegen dot-product expressions (no Python in the scan)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables, n_bits, dim))
-    keys = []
-    for t in range(n_tables):
-        bits = F.lit(0).cast("long")
-        for b in range(n_bits):
-            plane = planes[t, b]
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits = bits + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        keys.append(F.concat(F.lit(f"{t}|"), bits.cast("string")))
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(vec_col).alias(vec_col),
-        F.explode(F.array(*keys)).alias("band_key"),
+    codegen dot-product expressions (no Python in the scan).
+
+    This IS ``lsh_probe_signatures`` with ``multi_probe=0`` — a single
+    derivation of planes / sign convention / key format, so the data
+    side of ``ann_lsh_join`` can never drift from the query side (drift
+    would silently empty the bucket join and collapse recall)."""
+    return lsh_probe_signatures(
+        df,
+        dim,
+        n_tables=n_tables,
+        n_bits=n_bits,
+        multi_probe=0,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
     )
 
 
