@@ -474,6 +474,38 @@ def test_importance_sample_matches_python_model_and_prefers_target(spark):
     assert all(r["doc_id"] < 20 for r in out)
 
 
+def test_line_dedup_drops_boilerplate_everywhere(spark):
+    """RefinedWeb line dedup: a line in ≥ min_docs distinct docs is
+    dropped from EVERY doc (no keep-first), blank lines always
+    survive, within-doc repeats alone are not boilerplate, and
+    kept_hash witnesses the rewritten text."""
+    import hashlib
+
+    from vectorsearch_spark.operators.curate import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav menu\nunique alpha\n\nnav menu\nfooter"),
+            (2, "nav menu\nunique beta\nfooter"),
+            (3, "solo line\nsolo line"),  # repeats only within one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    # "nav menu" (docs 1,2) and "footer" (docs 1,2) are boilerplate
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_boiler"]) == (5, 2, 3)
+    assert out[1]["kept_hash"] == hashlib.md5("unique alpha\n".encode()).hexdigest()
+    assert (out[2]["n_lines"], out[2]["n_kept"], out[2]["n_boiler"]) == (3, 1, 2)
+    # doc 3: same line twice but only ONE distinct doc — both kept
+    assert (out[3]["n_kept"], out[3]["n_boiler"]) == (2, 0)
+    assert out[3]["kept_hash"] == hashlib.md5("solo line\nsolo line".encode()).hexdigest()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_docs"):
+        line_dedup(df, min_docs=1)
+
+
 def test_importance_sample_empty_target_raises(spark):
     """A target filter matching no rows (e.g. a typo'd source name)
     must raise — left in the plan it NULLs every log-ratio and the

@@ -356,6 +356,81 @@ def passage_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb / CCNet line
+    dedup pass — Penedo et al. 2023, arXiv:2306.01116 §3.4): a line
+    whose trimmed text occurs in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate (nav menus, cookie banners, footers) and is dropped
+    from EVERY document — unlike ``passage_dedup``'s keep-first, no
+    occurrence survives, because boilerplate is noise in all its
+    copies, not content owned by its first author. Blank lines are
+    never boilerplate (structure, not content).
+
+    The granularity between the corpus's other two text-dedup passes:
+    ``passage_dedup`` is chunk-aligned (64 tokens), ``repeated_spans``
+    is arbitrary-offset n-gram; this one follows author-drawn line
+    boundaries — the unit web boilerplate actually repeats at.
+
+    Returns (doc_id, n_lines, n_kept, n_boiler, kept_hash) — kept_hash
+    is md5 of the surviving lines re-joined with newlines, the compact
+    result contract of ``passage_dedup`` (full rewritten text at
+    100 TB would make the RESULT the bottleneck).
+
+    Scale: one split/explode pass; the document-frequency count is
+    (line, doc) DISTINCT then a line-keyed count — both with map-side
+    partial aggregation, shuffle tracks distinct lines, not
+    occurrences. The mark join is line-keyed with a ≤1-row-per-key
+    build side; its skew IS the boilerplate being removed (a line in
+    10⁶ docs puts 10⁶ probe rows on one key — AQE skew-join splits
+    it, and each probe row only reads one boolean). Keying on the
+    trimmed text, not a hash: a collision could never false-drop a
+    unique line (the ``passage_dedup`` stance). Reassembly groups on
+    the doc id — naturally balanced.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be ≥ 2")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__key", F.trim(F.col("line")))
+    boiler = (
+        lines.where(F.col("__key") != "")
+        .select("__key", id_col)
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= int(min_docs))
+        .select("__key", F.lit(True).alias("__boiler"))
+    )
+    marked = lines.join(boiler, "__key", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__boiler").isNull().cast("long")).alias("n_kept"),
+        F.sum(F.col("__boiler").isNotNull().cast("long")).alias("n_boiler"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__boiler").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("kept_hash"),
+    )
+
+
 def _tokenized_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, __p token array) behind a checkpoint barrier. The barrier
     matters: __p is referenced by the gram slide AND the final token

@@ -4181,6 +4181,97 @@ FROM k GROUP BY doc_id
 """.replace("__CORPUS__", _DEDUP_CORPUS_SQL)
 
 
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/curate.py line_dedup —
+    the RefinedWeb/CCNet line-dedup pass): run on a corpus wrapped in
+    web-style chrome (a global header/footer plus a per-source contact
+    line) with whole-copy injections, so the chrome vanishes from every
+    document and copied bodies are dropped from both owners."""
+    from vectorsearch_spark.operators.curate import line_dedup
+
+    return line_dedup(_line_corpus(spark, sf_dir), min_docs=2)
+
+
+def _line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter"),
+            F.col("text"),
+            F.lit("all rights reserved"),
+            F.concat(F.lit("contact "), F.col("source")),
+        ).alias("text"),
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+_LINE_CORPUS_SQL = """
+  SELECT doc_id,
+         'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+         'all rights reserved' || chr(10) || 'contact ' || source AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+         'all rights reserved' || chr(10) || 'contact ' || source
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+DEDUP_LINES_SQL = r"""
+WITH corpus AS (__CORPUS__),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM l0),
+ln AS (SELECT doc_id, pos, ls[pos] AS line, trim(ls[pos]) AS key FROM l),
+bo AS (
+  SELECT key FROM ln WHERE key <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+m AS (
+  SELECT ln.doc_id, ln.pos, ln.line,
+         CASE WHEN bo.key IS NOT NULL THEN 1 ELSE 0 END AS b
+  FROM ln LEFT JOIN bo ON ln.key = bo.key)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(1 - b)::BIGINT AS n_kept,
+       sum(b)::BIGINT AS n_boiler,
+       md5(coalesce(string_agg(CASE WHEN b = 0 THEN line END, chr(10) ORDER BY pos), '')) AS kept_hash
+FROM m GROUP BY doc_id
+""".replace("__CORPUS__", _LINE_CORPUS_SQL)
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provably-exact top-20 corpus tokens via Misra–Gries candidates +
+    exact verification (operators/sketch.py heavy_hitters): the
+    bounded-state alternative to a full-vocabulary count shuffle —
+    candidates are certified to contain every token that could reach
+    the top-k, then exact-counted alone."""
+    from vectorsearch_spark.operators.sketch import heavy_hitters
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0))
+        ).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=20, capacity=512).select(
+        F.col("item").alias("token"), "cnt", "rank"
+    )
+
+
+TOKEN_HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]')) AS token
+  FROM documents),
+c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token)
+SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token)::BIGINT AS rank
+FROM c ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection at arbitrary token offsets
     (operators/curate.py repeated_spans — the Lee et al. ExactSubstr
@@ -6293,6 +6384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "embedding_pca": embedding_pca,
         "passage_dedup": passage_dedup,
+        "dedup_lines": dedup_lines,
+        "token_heavy_hitters": token_heavy_hitters,
         "corpus_token_mix": corpus_token_mix,
         "knn_mmr_rerank": knn_mmr_rerank,
         "doc_ngram_diversity": doc_ngram_diversity,
@@ -6478,6 +6571,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_ngram_lm": CORPUS_NGRAM_LM_SQL,
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
         "passage_dedup": PASSAGE_DEDUP_SQL,
+        "dedup_lines": DEDUP_LINES_SQL,
+        "token_heavy_hitters": TOKEN_HEAVY_HITTERS_SQL,
         "corpus_token_mix": _mix_sql(),
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "bloom_pruned_revenue": BLOOM_PRUNED_REVENUE_SQL,
