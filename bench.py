@@ -152,6 +152,10 @@ HEADLINE = [
     "quality_classifier_scores",
     "corpus_ngram_lm",
     "training_shuffle_shards",
+    "dedup_lines",
+    "token_heavy_hitters",
+    "corpus_quality_topfrac",
+    "ann_ivfpq_topk",
 ]
 
 def _index_build(spark, sf_dir):

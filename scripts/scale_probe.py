@@ -110,6 +110,16 @@ PROBES = [
     "doc_fim_transform",
     "ann_lsh_multiprobe",
     "corpus_temperature_mix",
+    # round-8 additions. dedup_lines IS probed (line dedup emits
+    # per-line marks, not pairs — verbatim-copy growth deepens the
+    # line-key count groups linearly, the dedup_repeated_spans
+    # argument); token_heavy_hitters probes the two-pass MG path;
+    # corpus_quality_topfrac probes the histogram-selection path;
+    # ann_ivfpq_topk probes assign+encode+probe end to end.
+    "dedup_lines",
+    "token_heavy_hitters",
+    "corpus_quality_topfrac",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -506,6 +506,49 @@ def test_line_dedup_drops_boilerplate_everywhere(spark):
         line_dedup(df, min_docs=1)
 
 
+def test_select_top_fraction_equals_naive_window(spark):
+    """Histogram-pruned selection ≡ the naive per-group window cut,
+    including heavy score ties across the border bin, constant-score
+    groups, and frac=1.0 (everything kept)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from vectorsearch_spark.operators.curate import select_top_fraction
+
+    random.seed(3)
+    rows = [(i, f"s{i % 5}", round(random.uniform(0, 1), 2)) for i in range(2000)]
+    rows += [(10000 + i, "s1", 0.5) for i in range(300)]  # tie block
+    rows += [(20000 + i, "flat", 1.0) for i in range(10)]  # constant group
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double"
+    ).repartition(16)
+    for frac in (0.2, 1.0):
+        got = sorted(
+            tuple(r)
+            for r in select_top_fraction(
+                df, frac, "score", "source", "doc_id", bins=16
+            ).collect()
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        exp = sorted(
+            tuple(r)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+            .filter(F.col("rn") <= F.ceil(frac * F.col("n")))
+            .drop("rn", "n")
+            .collect()
+        )
+        assert got == exp, f"frac={frac}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="frac"):
+        select_top_fraction(df, 0.0, "score")
+
+
 def test_importance_sample_empty_target_raises(spark):
     """A target filter matching no rows (e.g. a typo'd source name)
     must raise — left in the plan it NULLs every log-ratio and the

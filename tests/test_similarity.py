@@ -125,6 +125,51 @@ def test_ivf_recall_on_clustered_data(spark):
     assert recall_at_k(exact, got) >= 0.9
 
 
+def test_ivfpq_exhaustive_equals_brute_force(spark, emb, queries, exact_topk):
+    """nprobe == n_centroids and refine=None re-rank everything exactly
+    — the PQ scoring path runs but cannot change the result."""
+    from vectorsearch_spark.operators.similarity import ann_ivfpq_join
+
+    res = ann_ivfpq_join(
+        emb, queries, k=K, n_centroids=8, nprobe=8, pq_m=8, pq_k=16,
+        refine=None, id_col="vec_id",
+    ).collect()
+    got: dict[int, list[int]] = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(r["id"])
+    assert got == exact_topk
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """Clustered Gaussians: residual-PQ candidates + exact refine must
+    reach recall@10 ≥ 0.9 at nprobe=4/16, and the refine pool must
+    actually bound the re-rank (per-query result stays k rows)."""
+    from vectorsearch_spark.operators.similarity import ann_ivfpq_join
+
+    rng = np.random.RandomState(42)
+    centers = rng.standard_normal((16, 16)) * 5.0
+    pts = np.concatenate([c + rng.standard_normal((40, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    qs = df.filter(F.col("vec_id") % 40 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict[int, list[int]] = {}
+    for r in knn_join(df, qs, k=K, metric=Metric.L2, id_col="vec_id").collect():
+        exact.setdefault(r["query_id"], []).append(r["id"])
+    res = ann_ivfpq_join(
+        df, qs, k=K, n_centroids=16, nprobe=4, pq_m=4, pq_k=16,
+        refine=4, id_col="vec_id",
+    ).collect()
+    got: dict[int, list[int]] = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(r["id"])
+    assert all(len(v) == K for v in got.values())
+    assert recall_at_k(exact, got) >= 0.9
+
+
 def test_lsh_self_match_and_ordering(spark, emb, queries):
     """Every query must find itself (identical signature in every
     table) at distance ~0, rank 1; ranks are dense and ≤ k."""

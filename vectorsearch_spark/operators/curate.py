@@ -431,6 +431,105 @@ def line_dedup(
     )
 
 
+def select_top_fraction(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    bins: int = 1024,
+) -> DataFrame:
+    """EXACTLY the per-group top ``frac`` of rows by (``score_col``
+    DESC, ``id_col`` ASC) — the per-source quality-percentile cut of
+    production curation recipes ("keep each source's best 20%"), with
+    keep-count ceil(frac · n_group).
+
+    The naive form is one window over ``group_col`` — but source
+    cardinality is small, so at 100 TB that sorts multi-TB partitions.
+    This is a distributed SELECTION instead (exact, same result):
+
+    1. one bounded aggregate per group: count + score min/max
+       (|groups| driver rows — the temperature_budget_mix contract);
+    2. one histogram aggregate over ``bins`` equal-width score bins
+       (|groups|·bins driver rows); walking each group's histogram
+       from the top finds the CUTOFF BIN b*: everything in higher
+       bins is kept outright, everything lower is dropped — no sort
+       touches them;
+    3. only the border bin (expected n/bins of the group) pays the
+       exact (score DESC, id ASC) window for the remaining slots.
+
+    Ties across the full group resolve identically to the naive
+    window because ties share a bin and are ranked there. Returns the
+    kept rows (all input columns). Degenerate groups (constant score
+    → one bin) fall back to the full window for that group only.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+    import math
+
+    spark = df.sparkSession
+    stats = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.col(score_col).cast("double")).alias("__lo"),
+            F.max(F.col(score_col).cast("double")).alias("__hi"),
+        )
+        .collect()
+    )
+    if not stats:
+        return df
+    span = {
+        r[group_col]: (int(r["__n"]), float(r["__lo"]), float(r["__hi"]))
+        for r in stats
+    }
+    stats_df = spark.createDataFrame(
+        [(g, float(lo), float(hi)) for g, (n, lo, hi) in span.items()],
+        [group_col, "__lo", "__hi"],
+    )
+    # bin index identical in both passes: pure function of (row, stats)
+    width = (F.col("__hi") - F.col("__lo")) / float(bins)
+    bin_col = F.when(width <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(score_col).cast("double") - F.col("__lo")) / width),
+            F.lit(bins - 1),
+        )
+    ).cast("int")
+    binned = df.join(F.broadcast(stats_df), group_col).withColumn("__bin", bin_col)
+
+    hist = {
+        (r[group_col], r["__bin"]): r["__c"]
+        for r in binned.groupBy(group_col, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    cuts = []
+    for g, (n, _lo, _hi) in span.items():
+        target = math.ceil(frac * n)
+        kept_above = 0
+        bstar = 0
+        for b in range(bins - 1, -1, -1):
+            c = hist.get((g, b), 0)
+            if kept_above + c >= target:
+                bstar = b
+                break
+            kept_above += c
+        cuts.append((g, bstar, target - kept_above))
+    cut_df = spark.createDataFrame(cuts, [group_col, "__bstar", "__take"])
+    marked = binned.join(F.broadcast(cut_df), group_col)
+    kept_hi = marked.filter(F.col("__bin") > F.col("__bstar"))
+    border = marked.filter(F.col("__bin") == F.col("__bstar"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).cast("double").desc(), F.col(id_col).asc()
+    )
+    border_kept = (
+        border.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__take"))
+        .drop("__rn")
+    )
+    return kept_hi.unionByName(border_kept).select(*df.columns)
+
+
 def _tokenized_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, __p token array) behind a checkpoint barrier. The barrier
     matters: __p is referenced by the gram slide AND the final token

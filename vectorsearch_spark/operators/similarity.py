@@ -436,6 +436,160 @@ def ann_lsh_join(
     )
 
 
+def ann_ivfpq_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    pq_m: int = 8,
+    pq_k: int = 256,
+    refine: int | None = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    sample_rows: int = 20000,
+) -> DataFrame:
+    """IVF-PQ ANN join (the FAISS IndexIVFPQ composition — Jégou et
+    al., TPAMI 2011 §IV): coarse-quantize vectors into ``n_centroids``
+    inverted lists, PQ-encode the RESIDUAL (vector − its centroid) so
+    the codebook spends its precision on the within-cell distribution,
+    and at query time scan only the ``nprobe`` nearest lists with an
+    asymmetric-distance LUT built from the query's PER-LIST residual.
+    The top ``refine·k`` approximate candidates per query are exactly
+    re-ranked against the full vectors. L2 only (PQ's additive
+    subspace decomposition is an L2² identity; the reference's PQ path
+    is L2² too, fdb/FdbVectorIndex.java:1057-1079).
+
+    ``refine=None`` re-ranks EVERY probed candidate — with
+    ``nprobe == n_centroids`` that makes the search exhaustive
+    (byte-identical to brute force, the oracle twin), while the PQ
+    scoring path still executes to produce the candidate order.
+
+    Returns (query_id, id, distance, score, rank) like ``ann_ivf_join``.
+
+    Scale: the vector table is scanned twice, both narrow — once for
+    assign+encode (one Arrow ``mapInPandas`` pass emitting
+    (id, bucket, m bytes of codes); the full vectors never shuffle),
+    once for the final re-rank join against a BROADCAST candidate set
+    (Q·refine·k rows). The approximate scan shuffles only codes
+    (m bytes/vector vs 4·d for raw floats — 384× narrower at d=768,
+    m=8), joined bucket-keyed against a broadcast (query, list)-LUT
+    table (Q·nprobe rows × m·pq_k doubles). Codebook training is the
+    bounded driver-sample contract of ``train_ivf_centroids``.
+    """
+    from vectorsearch_spark.operators.pq import build_lut, encode, train_codebook
+
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_centroids, vec_col=vec_col, seed=seed, sample_rows=sample_rows
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, id long, distance double, score double, rank int"
+        )
+    qlist = [(r[0], list(r[1])) for r in qrows]
+
+    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+
+    # residual codebook: bounded driver-side sample of (vector − centroid)
+    n = vectors.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    samp = (
+        assigned.select(vec_col, "bucket")
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    res_sample = np.array(
+        [np.asarray(list(r[0]), dtype=np.float64) - cents[r[1]] for r in samp]
+    )
+    codebook = train_codebook(res_sample, pq_m, pq_k, iters=5, seed=seed)
+
+    cb = codebook  # closure captures (broadcast with the task binary)
+
+    def encode_residuals(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            x -= cents[pdf["bucket"].to_numpy()]
+            codes = encode(x, cb)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "bucket": pdf["bucket"].to_numpy(),
+                    "codes": [row.tolist() for row in codes.astype(np.int32)],
+                }
+            )
+
+    codes_df = assigned.mapInPandas(
+        encode_residuals, f"{id_col} long, bucket int, codes array<int>"
+    )
+
+    # per-(query, probed-list) LUT over the query's residual in that list
+    routing = _route_queries(qlist, cents, nprobe)
+    lut_rows = []
+    qvec_by_id = {qid: np.asarray(v, dtype=np.float64) for qid, v in qlist}
+    for qid, b in routing:
+        lut = build_lut(cb, qvec_by_id[qid] - cents[b])
+        lut_rows.append((qid, b, [float(x) for x in lut.ravel()]))
+    lut_df = spark.createDataFrame(lut_rows, "query_id long, bucket int, lut array<double>")
+
+    kk = int(pq_k)
+    approx = codes_df.join(F.broadcast(lut_df), "bucket").withColumn(
+        "_ad",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(int(pq_m) - 1)),
+                lambda c, s: F.element_at(F.col("lut"), (s * kk + c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    if refine is not None:
+        w_a = Window.partitionBy("query_id").orderBy(F.col("_ad").asc(), F.col(id_col).asc())
+        approx = approx.withColumn("_arn", F.row_number().over(w_a)).filter(
+            F.col("_arn") <= int(refine) * int(k)
+        )
+    cand_ids = approx.select("query_id", id_col)
+
+    qvecs = spark.createDataFrame(
+        [(qid, [float(x) for x in vec]) for qid, vec in qlist],
+        StructType(
+            [
+                StructField("query_id", LongType(), False),
+                StructField("_qvec", ArrayType(FloatType(), False), False),
+            ]
+        ),
+    )
+    reranked = (
+        vectors.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
+        .join(F.broadcast(cand_ids), id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), Metric.L2)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", score_from_distance(F.col("distance"), Metric.L2))
+        .select("query_id", F.col(id_col).alias("id"), "distance", "score", "rank")
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int,

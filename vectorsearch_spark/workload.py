@@ -3741,6 +3741,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_project(res, Metric.L2)
 
 
+def ann_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ plumbing correctness (operators/similarity.py
+    ann_ivfpq_join): nprobe == n_centroids with refine=None re-ranks
+    every candidate exactly, so the residual-PQ scoring path runs but
+    the result is byte-identical to brute force — hash-checked against
+    the same exact-KNN oracle as ann_ivf_exhaustive."""
+    from vectorsearch_spark.operators.similarity import ann_ivfpq_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ann_ivfpq_join(
+        emb,
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        n_centroids=8,
+        nprobe=8,
+        pq_m=8,
+        pq_k=16,
+        refine=None,
+        id_col="vec_id",
+    )
+    return _ann_project(res, Metric.L2)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF-PQ (nprobe 4/8, refine 4·k) — rows-only here;
+    recall ≥ 0.9 gated on clustered data in tests/test_similarity.py."""
+    from vectorsearch_spark.operators.similarity import ann_ivfpq_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ann_ivfpq_join(
+        emb,
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        n_centroids=8,
+        nprobe=4,
+        pq_m=8,
+        pq_k=16,
+        refine=4,
+        id_col="vec_id",
+    )
+    return _ann_project(res, Metric.L2)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed cosine ANN — rows-only; recall gated in tests."""
     from vectorsearch_spark.operators.similarity import ann_lsh_join
@@ -4241,6 +4284,44 @@ SELECT doc_id,
        md5(coalesce(string_agg(CASE WHEN b = 0 THEN line END, chr(10) ORDER BY pos), '')) AS kept_hash
 FROM m GROUP BY doc_id
 """.replace("__CORPUS__", _LINE_CORPUS_SQL)
+
+
+def corpus_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-20% quality cut (operators/curate.py
+    select_top_fraction): score = token density (tokens per char),
+    exact ceil(frac·n) keep count per source — computed by histogram
+    pruning + a border-bin window, never a full per-source sort."""
+    from vectorsearch_spark.operators.curate import select_top_fraction
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0)
+                )
+            ).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("score"),
+    )
+    kept = select_top_fraction(scored, 0.2, "score", "source", "doc_id", bins=64)
+    return kept.select("doc_id", "source", F.round("score", 6).alias("score"))
+
+
+CORPUS_QUALITY_TOPFRAC_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]'))::DOUBLE
+           / greatest(n_chars, 1) AS score
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+SELECT doc_id, source, round(score, 6) AS score FROM r WHERE rn <= ceil(0.2 * n)
+"""
 
 
 def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6386,6 +6467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": passage_dedup,
         "dedup_lines": dedup_lines,
         "token_heavy_hitters": token_heavy_hitters,
+        "corpus_quality_topfrac": corpus_quality_topfrac,
         "corpus_token_mix": corpus_token_mix,
         "knn_mmr_rerank": knn_mmr_rerank,
         "doc_ngram_diversity": doc_ngram_diversity,
@@ -6407,6 +6489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_assignment": segment_assignment,
         "compaction_plan_scores": compaction_plan_scores,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
+        "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_exhaustive": ann_lsh_exhaustive,
         "ann_lsh_topk": ann_lsh_topk,
@@ -6548,6 +6632,7 @@ def oracle_sql() -> dict[str, str]:
         "index_search_graph_exhaustive": INDEX_SEARCH_BRUTE_SQL,
         "compaction_plan_scores": COMPACTION_PLAN_SQL,
         "ann_ivf_exhaustive": _knn_sql(Metric.L2),
+        "ann_ivfpq_exhaustive": _knn_sql(Metric.L2),
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
@@ -6573,6 +6658,7 @@ def oracle_sql() -> dict[str, str]:
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "dedup_lines": DEDUP_LINES_SQL,
         "token_heavy_hitters": TOKEN_HEAVY_HITTERS_SQL,
+        "corpus_quality_topfrac": CORPUS_QUALITY_TOPFRAC_SQL,
         "corpus_token_mix": _mix_sql(),
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "bloom_pruned_revenue": BLOOM_PRUNED_REVENUE_SQL,
