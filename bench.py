@@ -156,6 +156,8 @@ HEADLINE = [
     "token_heavy_hitters",
     "corpus_quality_topfrac",
     "ann_ivfpq_topk",
+    "tokenizer_unigram_vocab",
+    "tokenizer_unigram_encode",
 ]
 
 def _index_build(spark, sf_dir):

@@ -120,6 +120,11 @@ PROBES = [
     "token_heavy_hitters",
     "corpus_quality_topfrac",
     "ann_ivfpq_topk",
+    # unigram tokenizer: EM runs over the DISTINCT-WORD table, so the
+    # probe's verbatim text copies leave the E-step constant-size (the
+    # design claim: corpus growth only deepens word counts); encode
+    # adds the per-doc join-back that does scale with rows
+    "tokenizer_unigram_encode",
 ]
 
 

@@ -4286,6 +4286,43 @@ FROM m GROUP BY doc_id
 """.replace("__CORPUS__", _LINE_CORPUS_SQL)
 
 
+def tokenizer_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training
+    (operators/unigram.py unigram_train — Kudo 2018): EM over the
+    distinct-word table, never the corpus. Rows-only entry (EM has no
+    SQL form); exact pure-Python model equality is gated in
+    tests/test_unigram.py."""
+    from vectorsearch_spark.operators.unigram import unigram_train
+
+    # seed_factor/prune_frac tightened so the shrink loop converges in
+    # ~2 E-steps (each E-step is one Spark job; the default 4/0.75
+    # schedule costs ~5 extra job floors for no quality change at this
+    # vocab size)
+    vocab = unigram_train(
+        _t(spark, sf_dir, "documents"), vocab_size=128, max_piece_len=6,
+        seed_factor=2, prune_frac=0.5, em_iters=1,
+    )
+    return spark.createDataFrame(
+        [(p, round(lp, 6), i + 1) for i, (p, lp) in enumerate(vocab)],
+        "piece string, logp double, rank long",
+    )
+
+
+def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram vocabulary, then tokenize every document with
+    it (operators/unigram.py unigram_encode — Viterbi per DISTINCT
+    word, joined back). Rows-only; per-doc pieces_hash witnesses are
+    model-checked in tests/test_unigram.py."""
+    from vectorsearch_spark.operators.unigram import unigram_encode, unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        docs, vocab_size=128, max_piece_len=6,
+        seed_factor=2, prune_frac=0.5, em_iters=1,
+    )
+    return unigram_encode(docs, vocab, max_piece_len=6)
+
+
 def corpus_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-20% quality cut (operators/curate.py
     select_top_fraction): score = token density (tokens per char),
@@ -6468,6 +6505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "token_heavy_hitters": token_heavy_hitters,
         "corpus_quality_topfrac": corpus_quality_topfrac,
+        "tokenizer_unigram_vocab": tokenizer_unigram_vocab,
+        "tokenizer_unigram_encode": tokenizer_unigram_encode,
         "corpus_token_mix": corpus_token_mix,
         "knn_mmr_rerank": knn_mmr_rerank,
         "doc_ngram_diversity": doc_ngram_diversity,
