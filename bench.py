@@ -158,6 +158,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "tokenizer_unigram_vocab",
     "tokenizer_unigram_encode",
+    "events_exact_quantiles",
 ]
 
 def _index_build(spark, sf_dir):

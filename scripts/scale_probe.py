@@ -125,6 +125,7 @@ PROBES = [
     # design claim: corpus growth only deepens word counts); encode
     # adds the per-doc join-back that does scale with rows
     "tokenizer_unigram_encode",
+    "events_exact_quantiles",
 ]
 
 

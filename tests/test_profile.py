@@ -224,3 +224,43 @@ def test_psi_drift_model_and_empty_side(spark):
     er = psi_drift(dfa, empty, "v", 0.0, 100.0, bins=5).collect()
     assert all(r["n_b"] == 0 for r in er)
     assert all(np.isfinite(r["psi_term"]) for r in er)
+
+
+def test_exact_quantiles_matches_sorted_model(spark):
+    """Histogram-selection quantiles ≡ rank ceil(p·n) of the fully
+    sorted group, incl. a constant-value group, p=1.0 (max), ties, and
+    null exclusion."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.profile import exact_quantiles
+
+    random.seed(11)
+    rows = [(i, f"t{i % 4}", round(random.gauss(50, 20), 3)) for i in range(4000)]
+    rows += [(100000 + i, "flat", 7.0) for i in range(9)]
+    rows += [(200000 + i, "t0", 50.0) for i in range(100)]  # tie block
+    rows += [(300000, "t1", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(16)
+    probs = [0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_quantiles(df, "v", probs, "g", bins=32).collect()
+    }
+    vals = defaultdict(list)
+    for _, g, v in rows:
+        if v is not None:
+            vals[g].append(v)
+    assert len(got) == len(vals) * len(probs)
+    for g, vs in vals.items():
+        vs.sort()
+        for p in probs:
+            r = max(1, math.ceil(p * len(vs)))
+            assert got[(g, p)] == vs[r - 1], (g, p)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="probs"):
+        exact_quantiles(df, "v", [0.5, 1.5], "g")

@@ -18,7 +18,7 @@ same contract as the events_distinct_users HLL twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,4 +175,104 @@ def psi_drift(
             ).alias("psi_term"),
         )
         .orderBy("bin")
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: "list[float]",
+    group_col: str,
+    bins: int = 1024,
+) -> DataFrame:
+    """EXACT per-group quantiles (discrete — an actual data value, rank
+    ceil(p·n) in ascending order) WITHOUT buffering group values: the
+    distributed-selection design of ``curate.select_top_fraction``,
+    generalized to arbitrary rank targets.
+
+    Spark's exact ``percentile`` aggregate collects every group value
+    into one buffer — at 100 TB a low-cardinality group column makes
+    that an executor-OOM, which is why ``price_percentiles`` documents
+    "prefer approx_percentile at scale". This pays two bounded
+    aggregates instead:
+
+    1. per-group (count, min, max) — |groups| driver rows;
+    2. per-(group, equal-width-bin) counts — |groups|·bins driver
+       rows; a cumulative walk locates, for every requested prob, the
+       bin holding rank ceil(p·n) and the rank's offset within it;
+    3. only those BORDER BINS (expected n/bins rows each) are exactly
+       ranked by one window; every other row is never sorted.
+
+    Returns (group_col, p, value) — value is the exact rank-ceil(p·n)
+    element, independent of tie order (equal values are
+    interchangeable at equal rank). Degenerate groups (constant value
+    → one bin) fall back to the full window for that group only.
+    """
+    import math
+
+    if not probs or not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in (0, 1]")
+    spark = df.sparkSession
+    v = F.col(col).cast("double")
+    stats = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(v).alias("__n"),
+            F.min(v).alias("__lo"),
+            F.max(v).alias("__hi"),
+        )
+        .collect()
+    )
+    span = {
+        r[group_col]: (int(r["__n"]), float(r["__lo"]), float(r["__hi"]))
+        for r in stats
+        if r["__n"]
+    }
+    if not span:
+        return spark.createDataFrame([], f"{group_col} string, p double, value double")
+    stats_df = spark.createDataFrame(
+        [(g, lo, hi) for g, (n, lo, hi) in span.items()],
+        [group_col, "__lo", "__hi"],
+    )
+    width = (F.col("__hi") - F.col("__lo")) / float(bins)
+    bin_col = F.when(width <= 0, F.lit(0)).otherwise(
+        F.least(F.floor((v - F.col("__lo")) / width), F.lit(bins - 1))
+    ).cast("int")
+    binned = (
+        df.where(v.isNotNull())
+        .join(F.broadcast(stats_df), group_col)
+        .withColumn("__bin", bin_col)
+    )
+    hist = {
+        (r[group_col], r["__bin"]): r["__c"]
+        for r in binned.groupBy(group_col, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    # cumulative walk: rank r lives in bin b with offset r - cum(<b)
+    needed = []  # (group, p, bin, offset_in_bin)
+    for g, (n, _lo, _hi) in span.items():
+        cum = 0
+        targets = sorted(
+            ((max(1, math.ceil(p * n)), p) for p in probs), key=lambda t: t[0]
+        )
+        ti = 0
+        for b in range(bins):
+            c = hist.get((g, b), 0)
+            while ti < len(targets) and cum < targets[ti][0] <= cum + c:
+                needed.append((g, float(targets[ti][1]), b, targets[ti][0] - cum))
+                ti += 1
+            cum += c
+            if ti == len(targets):
+                break
+    need_df = spark.createDataFrame(needed, [group_col, "p", "__bin", "__off"])
+    w = Window.partitionBy(group_col, "__bin").orderBy(v.asc())
+    border = binned.join(
+        F.broadcast(need_df.select(group_col, "__bin").distinct()),
+        [group_col, "__bin"],
+    ).withColumn("__rn", F.row_number().over(w))
+    return (
+        border.join(F.broadcast(need_df), [group_col, "__bin"])
+        .where(F.col("__rn") == F.col("__off"))
+        .select(group_col, "p", v.alias("value"))
     )

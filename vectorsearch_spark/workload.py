@@ -4286,6 +4286,33 @@ FROM m GROUP BY doc_id
 """.replace("__CORPUS__", _LINE_CORPUS_SQL)
 
 
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles WITHOUT per-group value buffers
+    (operators/profile.py exact_quantiles): two bounded histogram
+    aggregates locate each rank's bin, only border bins pay a window —
+    the 100 TB-safe exact twin of price_percentiles' sort-based
+    ``percentile`` aggregate."""
+    from vectorsearch_spark.operators.profile import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    out = exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99], "event_type", bins=256)
+    return out.select(
+        "event_type", "p", F.round("value", 6).alias("value")
+    )
+
+
+EVENTS_EXACT_QUANTILES_SQL = r"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, p, round(value, 6) AS value
+FROM r, (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) probs(p)
+WHERE rn = greatest(1, ceil(p * n))
+"""
+
+
 def tokenizer_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training
     (operators/unigram.py unigram_train — Kudo 2018): EM over the
@@ -6433,15 +6460,31 @@ FROM pix
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver samples the FIRST
     # 50 entries. Rotated each round so every entry eventually appears
-    # in a driver artifact (r7: the five NEW ops lead, then every
-    # entry whose code path changed this round — simhash verify-first,
-    # the shared epoch guard behind the streaming folds, the jpeg
-    # truncation edge behind the mm_* frame ops, the write_bucketed
-    # catalog-location fix — then the TPC-H/SQL block last sampled in
-    # r2/r3).
+    # in a driver artifact (r8: the seven NEW ops lead — dedup_lines,
+    # token_heavy_hitters, corpus_quality_topfrac, the two ann_ivfpq
+    # configs, the two tokenizer_unigram entries — then every entry
+    # whose code path changed this round: importance_sample's empty-
+    # target guard, the classifier's null guard, the ann_lsh_* family
+    # behind the shared-signature refactor, the repeated-span family
+    # behind the shared gram/interval core — then the r7 tail).
     return {
+        "dedup_lines": dedup_lines,
+        "events_exact_quantiles": events_exact_quantiles,
+        "token_heavy_hitters": token_heavy_hitters,
+        "corpus_quality_topfrac": corpus_quality_topfrac,
+        "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
+        "tokenizer_unigram_vocab": tokenizer_unigram_vocab,
+        "tokenizer_unigram_encode": tokenizer_unigram_encode,
+        "corpus_importance_sample": corpus_importance_sample,
+        "quality_classifier_scores": quality_classifier_scores,
+        "ann_lsh_exhaustive": ann_lsh_exhaustive,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_multiprobe": ann_lsh_multiprobe,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_repeated_spans": dedup_repeated_spans,
         "dedup_span_cut": dedup_span_cut,
+        "passage_dedup": passage_dedup,
         "source_overlap_matrix": source_overlap_matrix,
         "embedding_opq_quality": embedding_opq_quality,
         "embedding_sq8_roundtrip": embedding_sq8_roundtrip,
@@ -6449,10 +6492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_opq": index_search_opq,
         "doc_span_corruption": doc_span_corruption,
         "doc_fim_transform": doc_fim_transform,
-        "ann_lsh_multiprobe": ann_lsh_multiprobe,
         "corpus_temperature_mix": corpus_temperature_mix,
-        "corpus_importance_sample": corpus_importance_sample,
-        "quality_classifier_scores": quality_classifier_scores,
         "corpus_ngram_lm": corpus_ngram_lm,
         "training_shuffle_shards": training_shuffle_shards,
         "dedup_simhash": dedup_simhash,
@@ -6501,12 +6541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
         "embedding_pca": embedding_pca,
-        "passage_dedup": passage_dedup,
-        "dedup_lines": dedup_lines,
-        "token_heavy_hitters": token_heavy_hitters,
-        "corpus_quality_topfrac": corpus_quality_topfrac,
-        "tokenizer_unigram_vocab": tokenizer_unigram_vocab,
-        "tokenizer_unigram_encode": tokenizer_unigram_encode,
         "corpus_token_mix": corpus_token_mix,
         "knn_mmr_rerank": knn_mmr_rerank,
         "doc_ngram_diversity": doc_ngram_diversity,
@@ -6528,14 +6562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_assignment": segment_assignment,
         "compaction_plan_scores": compaction_plan_scores,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
-        "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
-        "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "ann_lsh_exhaustive": ann_lsh_exhaustive,
-        "ann_lsh_topk": ann_lsh_topk,
         "benchmark_contamination": benchmark_contamination,
         "corpus_curation": corpus_curation,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_exact": dedup_exact,
         "dedup_jaccard_ngram": dedup_jaccard_ngram,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -6696,6 +6725,7 @@ def oracle_sql() -> dict[str, str]:
         "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "dedup_lines": DEDUP_LINES_SQL,
+        "events_exact_quantiles": EVENTS_EXACT_QUANTILES_SQL,
         "token_heavy_hitters": TOKEN_HEAVY_HITTERS_SQL,
         "corpus_quality_topfrac": CORPUS_QUALITY_TOPFRAC_SQL,
         "corpus_token_mix": _mix_sql(),
