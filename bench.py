@@ -159,6 +159,8 @@ HEADLINE = [
     "tokenizer_unigram_vocab",
     "tokenizer_unigram_encode",
     "events_exact_quantiles",
+    "q12_shipmode_priority",
+    "stream_line_dedup_fold",
 ]
 
 def _index_build(spark, sf_dir):

@@ -1036,3 +1036,96 @@ def test_stream_repeated_spans_folds_equal_batch_operator(spark, tmp_path_factor
         for r in spark.read.parquet(f"{state2}/spans").collect()
     }
     assert got2 == {r[0]: r[3] for r in ref}
+
+
+def test_stream_line_dedup_folds_equal_batch_operator(spark, tmp_path_factory):
+    """Streaming line dedup: unlike the keep-first folds, the
+    boilerplate predicate is GLOBAL (≥ min_docs distinct docs), so a
+    later batch must retroactively REVISE earlier docs' rows — doc 0's
+    'nav menu' line is unique in batch 0 and only becomes boilerplate
+    when doc 2 arrives in batch 1. The folded view (latest row per
+    doc) must be row-identical to curate.line_dedup on the
+    concatenated corpus; replayed epoch is a no-op; crash-before-marker
+    replays into identical state; epoch regression raises; the
+    writeStream wrapper works end-to-end."""
+    import json
+    import os
+
+    import pytest
+
+    from vectorsearch_spark.operators.curate import line_dedup
+    from vectorsearch_spark.operators.dedup import (
+        fold_line_dedup_batch,
+        read_line_dedup_state,
+        stream_line_dedup,
+    )
+
+    d = {
+        0: "nav menu\nunique alpha\nfooter",
+        1: "solo beta\nlone gamma",
+        2: "nav menu\nunique delta\nfooter",     # flips doc 0's chrome
+        3: "solo beta\nfresh epsilon",           # flips doc 1's first line
+        4: "unique zeta\n\nnav menu",            # already-boiler key + blank
+        5: "totally original lines only",
+    }
+    batches = [[0, 1], [2, 3], [4, 5]]
+    schema = "doc_id long, text string"
+    state = str(tmp_path_factory.mktemp("ldstate")) + "/st"
+    os.makedirs(state, exist_ok=True)
+
+    for i, ids in enumerate(batches):
+        fold_line_dedup_batch(
+            spark.createDataFrame([(j, d[j]) for j in ids], schema), i, state
+        )
+    cols = ["doc_id", "n_lines", "n_kept", "n_boiler", "kept_hash"]
+    got = sorted(
+        tuple(r) for r in read_line_dedup_state(spark, state).select(cols).collect()
+    )
+    full = spark.createDataFrame(sorted(d.items()), schema)
+    ref = sorted(tuple(r) for r in line_dedup(full).select(cols).collect())
+    assert got == ref
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][3] == 2  # nav menu + footer flipped retroactively
+    assert by_id[1][3] == 1  # solo beta flipped by doc 3
+    # the revision rows live in LATER epochs than the docs' arrival
+    spans0 = spark.read.parquet(f"{state}/spans/epoch=1")
+    assert spans0.where(F.col("doc_id").isin(0, 1)).count() == 2
+
+    # replayed epoch: no-op
+    fold_line_dedup_batch(
+        spark.createDataFrame([(j, d[j]) for j in batches[2]], schema), 2, state
+    )
+    assert sorted(
+        tuple(r) for r in read_line_dedup_state(spark, state).select(cols).collect()
+    ) == ref
+
+    # crash before marker: rewind to epoch 1, replay epoch 2 — its own
+    # partial dirs must be invisible to the replay
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 1}, fh)
+    fold_line_dedup_batch(
+        spark.createDataFrame([(j, d[j]) for j in batches[2]], schema), 2, state
+    )
+    assert sorted(
+        tuple(r) for r in read_line_dedup_state(spark, state).select(cols).collect()
+    ) == ref
+
+    # epoch regression raises
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_line_dedup_batch(
+            spark.createDataFrame([(9, "x\ny")], schema), 0, state
+        )
+
+    # writeStream wrapper end-to-end on a fresh state
+    src_dir = str(tmp_path_factory.mktemp("ldsrc")) + "/docs"
+    state2 = str(tmp_path_factory.mktemp("ldstate2")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("ldckpt"))
+    full.write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_line_dedup(stream, state2, ckpt)
+    q.awaitTermination(120)
+    got2 = sorted(
+        tuple(r)
+        for r in read_line_dedup_state(spark, state2).select(cols).collect()
+    )
+    assert got2 == ref

@@ -394,20 +394,41 @@ def line_dedup(
     """
     if min_docs < 2:
         raise ValueError("min_docs must be ≥ 2")
-    lines = df.select(
+    lines = _line_rows(df, id_col, text_col)
+    boiler = (
+        _line_doc_counts(lines, id_col)
+        .where(F.col("__nd") >= int(min_docs))
+        .select("__key", F.lit(True).alias("__boiler"))
+    )
+    return _line_report(lines.join(boiler, "__key", "left"), id_col)
+
+
+def _line_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line, __key trimmed-line) — the line explosion both
+    ``line_dedup`` and the streaming fold
+    (``dedup.fold_line_dedup_batch``) compile from; batch/streaming
+    parity depends on identical splitting and keying."""
+    return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("__key", F.trim(F.col("line")))
-    boiler = (
+
+
+def _line_doc_counts(lines: DataFrame, id_col: str) -> DataFrame:
+    """(key, __nd distinct-doc count) over non-blank keys — map-side
+    combinable both stages; blank lines are never boilerplate."""
+    return (
         lines.where(F.col("__key") != "")
         .select("__key", id_col)
         .distinct()
         .groupBy("__key")
         .agg(F.count(F.lit(1)).alias("__nd"))
-        .where(F.col("__nd") >= int(min_docs))
-        .select("__key", F.lit(True).alias("__boiler"))
     )
-    marked = lines.join(boiler, "__key", "left")
+
+
+def _line_report(marked: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc line-dedup result from marked rows (id, pos, line,
+    __boiler nullable): (id, n_lines, n_kept, n_boiler, kept_hash)."""
     return marked.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("__boiler").isNull().cast("long")).alias("n_kept"),

@@ -1117,3 +1117,174 @@ def stream_repeated_spans(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_line_dedup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch fold of streaming LINE-level boilerplate dedup
+    (the foreachBatch body, exposed for crash-injection tests) —
+    incremental view maintenance of ``curate.line_dedup`` with
+    RETROACTIVE REVISION: unlike the keep-first streaming folds above,
+    line dedup's predicate is global ("this line occurs in ≥ min_docs
+    distinct docs"), so a batch can flip a line's status for documents
+    that already streamed through. The fold therefore emits, per
+    epoch, the line_dedup rows for the batch's docs PLUS revised rows
+    for every earlier doc containing a key that crossed the threshold
+    in this epoch; the folded view (latest row per doc —
+    ``read_line_dedup_state``) is row-identical to the batch operator
+    on the concatenated corpus (gated in tests).
+
+    State layout (all epoch-dir appends, never a history rewrite):
+
+    - ``lines/epoch=<id>/``     — the batch's (doc_id, pos, line, key)
+      occurrences, TEXT included: a revised doc's kept_hash needs its
+      raw lines back, and a hash in state could false-drop a unique
+      line forever (the passage-fold exactness stance);
+    - ``keycounts/epoch=<id>/`` — per-key DISTINCT-doc counts within
+      the batch. Docs never span batches, so prior counts SUM across
+      epochs — the threshold check scans only this narrow key table,
+      not the line text;
+    - ``spans/epoch=<id>/``     — the line_dedup output rows (batch
+      docs + revised earlier docs).
+
+    Per-batch cost: O(|batch| lines) + one narrow keycounts scan + a
+    key-keyed semi-join that touches ONLY the earlier docs being
+    revised (no crossings ⇒ no prior text is read beyond the
+    semi-join probe).
+
+    Exactly-once: state reads filter ``epoch < epoch_id`` (a crashed
+    attempt's partial dirs are invisible to its replay), epoch dirs
+    rewrite idempotently, the applied-epoch marker commits last via
+    atomic rename, and an epoch regression raises (the shared guard).
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.curate import _line_doc_counts, _line_report, _line_rows
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
+    if min_docs < 2:
+        raise ValueError("min_docs must be ≥ 2")
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return  # replayed epoch: already folded in
+    batch = batch_df.localCheckpoint()  # stream sources are single-pass
+
+    bl = _line_rows(batch, id_col, text_col).localCheckpoint(eager=False)
+    batch_counts = _line_doc_counts(bl, id_col).withColumnRenamed("__nd", "__nd_b")
+
+    def _dirs(sub: str) -> "list[str]":
+        root = os.path.join(state_path, sub)
+        if not os.path.isdir(root):
+            return []
+        return [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+
+    kc_dirs = _dirs("keycounts")
+    if kc_dirs:
+        prior = (
+            spark.read.schema("__key string, __nd_b long")
+            .parquet(*kc_dirs)
+            .groupBy("__key")
+            .agg(F.sum("__nd_b").alias("__nd_p"))
+        )
+    else:
+        prior = spark.createDataFrame([], "__key string, __nd_p long")
+    totals = (
+        batch_counts.join(prior, "__key", "full_outer")
+        .select(
+            "__key",
+            F.coalesce("__nd_b", F.lit(0)).alias("__nd_b"),
+            F.coalesce("__nd_p", F.lit(0)).alias("__nd_p"),
+        )
+        .withColumn("__nd", F.col("__nd_b") + F.col("__nd_p"))
+        .localCheckpoint(eager=False)  # feeds boiler set AND crossings
+    )
+    boiler = totals.where(F.col("__nd") >= int(min_docs)).select(
+        "__key", F.lit(True).alias("__boiler")
+    )
+    # keys whose status flipped IN THIS EPOCH and that earlier docs saw
+    crossed = totals.where(
+        (F.col("__nd_p") > 0)
+        & (F.col("__nd_p") < int(min_docs))
+        & (F.col("__nd") >= int(min_docs))
+    ).select("__key")
+
+    rows_for = bl.select(id_col, "pos", "line", "__key")
+    ln_dirs = _dirs("lines")
+    if ln_dirs:
+        prior_lines = spark.read.schema(
+            f"{id_col} long, pos int, line string, __key string"
+        ).parquet(*ln_dirs)
+        affected = (
+            prior_lines.join(crossed, "__key", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        revised = prior_lines.join(affected, id_col, "left_semi")
+        rows_for = rows_for.unionByName(revised)
+    out = _line_report(rows_for.join(boiler, "__key", "left"), id_col)
+
+    ep = f"epoch={int(epoch_id)}"
+    bl.select(id_col, "pos", "line", "__key").write.mode("overwrite").parquet(
+        os.path.join(state_path, "lines", ep)
+    )
+    batch_counts.write.mode("overwrite").parquet(
+        os.path.join(state_path, "keycounts", ep)
+    )
+    out.write.mode("overwrite").parquet(os.path.join(state_path, "spans", ep))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def read_line_dedup_state(spark, state_path: str, id_col: str = "doc_id") -> DataFrame:
+    """The folded line-dedup view: the LATEST span row per doc across
+    epochs (later epochs carry retroactive revisions — see
+    ``fold_line_dedup_batch``)."""
+    import os
+
+    root = os.path.join(state_path, "spans")
+    spans = spark.read.option("basePath", root).parquet(root)
+    w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
+    return (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "epoch")
+    )
+
+
+def stream_line_dedup(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Keep a line-deduped corpus view current from a document stream
+    (see ``fold_line_dedup_batch``). Returns the StreamingQuery; the
+    folded per-doc rows are ``read_line_dedup_state(spark, state_path)``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_line_dedup_batch(batch_df, epoch_id, state_path, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -208,6 +208,39 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (the last archetype: join + CONDITIONAL
+    two-way counts): per line status (shipmode stand-in — the
+    synthetic lineitem has no l_shipmode/commit/receipt dates), count
+    late-shipped lines (l_shipdate > o_orderdate) on high-priority
+    orders (1-URGENT/2-HIGH) vs the rest — one broadcast-dim-free
+    equi-join keyed on orderkey, CASE-sum aggregation, the Q12 plan
+    shape exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
 Q4_SQL = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -4388,6 +4421,39 @@ SELECT doc_id, source, round(score, 6) AS score FROM r WHERE rn <= ceil(0.2 * n)
 """
 
 
+def stream_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming line-dedup fold (operators/dedup.py
+    fold_line_dedup_batch): the line corpus arrives as two epochs split
+    by doc id; lines crossing the min_docs threshold in epoch 1
+    retroactively REVISE epoch-0 docs, so the folded view equals the
+    batch operator on the full corpus — and therefore shares
+    dedup_lines' exact SQL oracle (batching-independence IS the
+    correctness claim)."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.dedup import (
+        fold_line_dedup_batch,
+        read_line_dedup_state,
+    )
+
+    corpus = _line_corpus(spark, sf_dir)
+    # fixed per-sf path, wiped per run: reruns must not see the previous
+    # run's committed epochs (the regression guard would raise), and
+    # mkdtemp would leak a dir per bench reputation
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"ld_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    mid = 250
+    fold_line_dedup_batch(corpus.where(F.col("doc_id") % 1000000 < mid), 0, state)
+    fold_line_dedup_batch(corpus.where(F.col("doc_id") % 1000000 >= mid), 1, state)
+    return read_line_dedup_state(spark, state).select(
+        "doc_id", "n_lines", "n_kept", "n_boiler", "kept_hash"
+    )
+
+
 def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provably-exact top-20 corpus tokens via Misra–Gries candidates +
     exact verification (operators/sketch.py heavy_hitters): the
@@ -6470,6 +6536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_lines": dedup_lines,
         "events_exact_quantiles": events_exact_quantiles,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "stream_line_dedup_fold": stream_line_dedup_fold,
         "token_heavy_hitters": token_heavy_hitters,
         "corpus_quality_topfrac": corpus_quality_topfrac,
         "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
@@ -6726,6 +6794,8 @@ def oracle_sql() -> dict[str, str]:
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "dedup_lines": DEDUP_LINES_SQL,
         "events_exact_quantiles": EVENTS_EXACT_QUANTILES_SQL,
+        "q12_shipmode_priority": Q12_SQL,
+        "stream_line_dedup_fold": DEDUP_LINES_SQL,
         "token_heavy_hitters": TOKEN_HEAVY_HITTERS_SQL,
         "corpus_quality_topfrac": CORPUS_QUALITY_TOPFRAC_SQL,
         "corpus_token_mix": _mix_sql(),
