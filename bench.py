@@ -161,6 +161,7 @@ HEADLINE = [
     "events_exact_quantiles",
     "q12_shipmode_priority",
     "stream_line_dedup_fold",
+    "training_pack_sequences",
 ]
 
 def _index_build(spark, sf_dir):

@@ -126,6 +126,7 @@ PROBES = [
     # adds the per-doc join-back that does scale with rows
     "tokenizer_unigram_encode",
     "events_exact_quantiles",
+    "training_pack_sequences",
 ]
 
 

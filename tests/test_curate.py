@@ -506,6 +506,49 @@ def test_line_dedup_drops_boilerplate_everywhere(spark):
         line_dedup(df, min_docs=1)
 
 
+def test_pack_sequences_matches_stream_model(spark):
+    """Fixed-length packing ≡ cutting the concatenated token stream:
+    every non-final example sums to exactly seq_len, segments tile each
+    doc without gaps, zero-token docs vanish, and the result equals a
+    direct Python model over the same counts."""
+    from vectorsearch_spark.operators.curate import pack_sequences
+
+    rows = [(1, 5), (2, 2), (3, 0), (4, 7), (5, 300), (6, 1)]
+    df = spark.createDataFrame(
+        [(i, "", n) for i, n in rows], "doc_id long, text string, n long"
+    )
+    L = 16
+    got = sorted(
+        tuple(r)
+        for r in pack_sequences(df, L, count_col="n").collect()
+    )
+    # python model
+    exp, off = [], 0
+    for i, n in rows:
+        if n == 0:
+            continue
+        for ex in range(off // L, (off + n - 1) // L + 1):
+            s = max(ex * L, off)
+            e = min((ex + 1) * L, off + n)
+            exp.append((ex, i, s - off, e - s))
+        off += n
+    assert got == sorted(exp)
+    total = sum(n for _, n in rows)
+    sums = {}
+    for ex, _, _, nt in got:
+        sums[ex] = sums.get(ex, 0) + nt
+    full, last = divmod(total, L)
+    for ex in range(full):
+        assert sums[ex] == L
+    if last:
+        assert sums[full] == last
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, 0, count_col="n")
+
+
 def test_select_top_fraction_equals_naive_window(spark):
     """Histogram-pruned selection ≡ the naive per-group window cut,
     including heavy score ties across the border bin, constant-score

@@ -138,28 +138,22 @@ def assign_splits(
     return df.withColumn("split", expr)
 
 
-def pack_token_shards(
+def _global_token_offsets(
     df: DataFrame,
-    budget: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    count_col: str | None = None,
+    id_col: str,
+    text_col: str,
+    count_col: str | None,
 ) -> DataFrame:
-    """Pack documents (in ``id_col`` order) into contiguous shards of at
-    most ``budget`` tokens: shard_id = floor(exclusive_prefix_sum /
-    budget). Deterministic; a doc larger than the budget still gets its
-    own shard slot (its start offset defines it).
-
-    Returns (doc_id, n_tokens, shard_id). ``count_col`` may name a
-    pre-computed token-count column; otherwise ``n_subword_est`` from
-    ``token_counts`` is used.
+    """(id, n_tokens, off) where ``off`` is the EXCLUSIVE prefix sum of
+    token counts in ``id_col`` order — the shared core of
+    ``pack_token_shards`` and ``pack_sequences``.
 
     Two-phase global prefix sum (NO single-task global window): range-
     partition by id, count subtotals per partition (tiny driver
     collect, O(#partitions)), broadcast the running offsets back, then
     a WITHIN-partition cumsum window finishes the job — every stage is
-    partition-parallel.
-    """
+    partition-parallel. Result is checkpointed (callers fan out from
+    it)."""
     from vectorsearch_spark.operators.text import token_counts
 
     if count_col is None:
@@ -192,18 +186,95 @@ def pack_token_shards(
     out = (
         t.join(off_df, "_pid")
         .withColumn("_cum_incl", F.sum("n_tokens").over(w) + F.col("_off"))
-        .withColumn(
-            "shard_id",
-            F.floor((F.col("_cum_incl") - F.col("n_tokens")) / F.lit(int(budget))).cast(
-                "long"
-            ),
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_cum_incl") - F.col("n_tokens")).alias("off"),
         )
-        .select(id_col, "n_tokens", "shard_id")
     )
     # materialize before unpersisting the two-pass handle
     out = out.localCheckpoint()
     t.unpersist()
     return out
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Pack documents (in ``id_col`` order) into contiguous shards of at
+    most ``budget`` tokens: shard_id = floor(exclusive_prefix_sum /
+    budget). Deterministic; a doc larger than the budget still gets its
+    own shard slot (its start offset defines it).
+
+    Returns (doc_id, n_tokens, shard_id). ``count_col`` may name a
+    pre-computed token-count column; otherwise ``n_subword_est`` from
+    ``token_counts`` is used. Prefix-sum plumbing (and its
+    no-single-task-window scale story) in ``_global_token_offsets``.
+    """
+    offs = _global_token_offsets(df, id_col, text_col, count_col)
+    return offs.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("off") / F.lit(int(budget))).cast("long").alias("shard_id"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> DataFrame:
+    """GPT-style pretraining sequence packing: concatenate every
+    document's tokens in ``id_col`` order into ONE stream and cut it
+    into fixed ``seq_len`` examples — documents SPLIT across example
+    boundaries (zero padding waste, the standard causal-LM packing;
+    ``pack_token_shards`` is the doc-ALIGNED sibling that never splits
+    a document).
+
+    Returns one row per (example, document) segment:
+    (example_id, doc_id, start_tok, n_tok) — start_tok is the offset
+    WITHIN the document; segments of one example concatenate (in
+    doc_id order) to exactly ``seq_len`` tokens except the final
+    partial example. Zero-token docs contribute nothing.
+
+    Scale: the global offset is the two-phase partition-parallel
+    prefix sum of ``_global_token_offsets``; each doc then fans out to
+    its ⌈n/seq_len⌉+1 touched examples with one codegen
+    explode(sequence) — no shuffle beyond the prefix sum's range
+    partition, and the result is already example-clustered for a
+    downstream example-keyed write."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be ≥ 1")
+    L = int(seq_len)
+    offs = _global_token_offsets(df, id_col, text_col, count_col).where(
+        F.col("n_tokens") > 0
+    )
+    end = F.col("off") + F.col("n_tokens")  # exclusive
+    ex = F.col("ex")
+    return (
+        offs.select(
+            id_col,
+            "n_tokens",
+            "off",
+            F.explode(
+                F.sequence(F.floor(F.col("off") / L), F.floor((end - 1) / L))
+            ).alias("ex"),
+        )
+        .select(
+            ex.cast("long").alias("example_id"),
+            F.col(id_col),
+            (F.greatest(ex * L, F.col("off")) - F.col("off")).cast("long").alias("start_tok"),
+            (
+                F.least((ex + 1) * L, end) - F.greatest(ex * L, F.col("off"))
+            ).cast("long").alias("n_tok"),
+        )
+    )
 
 
 def chunk_documents(

@@ -4156,6 +4156,47 @@ FROM o
 """
 
 
+_SEQ_LEN = 256
+
+
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style fixed-length sequence packing (operators/curate.py
+    pack_sequences): all documents concatenate into one token stream
+    cut into 256-token examples, documents SPLITTING across example
+    boundaries — zero padding waste, unlike the doc-aligned
+    doc_shard_packing. One (example, doc) segment row each."""
+    from vectorsearch_spark.operators.curate import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), _SEQ_LEN)
+
+
+TRAINING_PACK_SEQUENCES_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{{1,2}}|[a-z]+|[0-9]{{1,3}}|[^a-z0-9\s]') AS pieces
+  FROM documents),
+tc AS (
+  SELECT doc_id,
+         list_aggregate(list_prepend(CAST(0 AS BIGINT), list_transform(pieces,
+           p -> 1 + CASE WHEN regexp_matches(p, '^[a-z]')
+                         THEN (length(p) - 1) // 4 ELSE 0 END)), 'sum') AS n
+  FROM base),
+o AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM tc),
+e AS (
+  SELECT doc_id, n, off,
+         unnest(range((off // {_SEQ_LEN})::BIGINT, ((off + n - 1) // {_SEQ_LEN} + 1)::BIGINT)) AS ex
+  FROM o WHERE n > 0)
+SELECT ex::BIGINT AS example_id, doc_id,
+       (greatest(ex * {_SEQ_LEN}, off) - off)::BIGINT AS start_tok,
+       (least((ex + 1) * {_SEQ_LEN}, off + n) - greatest(ex * {_SEQ_LEN}, off))::BIGINT AS n_tok
+FROM e
+"""
+
+
 _CHUNK_LEN = 32
 _CHUNK_STRIDE = 24
 
@@ -6538,6 +6579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_exact_quantiles": events_exact_quantiles,
         "q12_shipmode_priority": q12_shipmode_priority,
         "stream_line_dedup_fold": stream_line_dedup_fold,
+        "training_pack_sequences": training_pack_sequences,
         "token_heavy_hitters": token_heavy_hitters,
         "corpus_quality_topfrac": corpus_quality_topfrac,
         "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
@@ -6796,6 +6838,7 @@ def oracle_sql() -> dict[str, str]:
         "events_exact_quantiles": EVENTS_EXACT_QUANTILES_SQL,
         "q12_shipmode_priority": Q12_SQL,
         "stream_line_dedup_fold": DEDUP_LINES_SQL,
+        "training_pack_sequences": TRAINING_PACK_SEQUENCES_SQL,
         "token_heavy_hitters": TOKEN_HEAVY_HITTERS_SQL,
         "corpus_quality_topfrac": CORPUS_QUALITY_TOPFRAC_SQL,
         "corpus_token_mix": _mix_sql(),
