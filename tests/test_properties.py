@@ -663,3 +663,113 @@ def test_source_overlap_matches_set_intersections(spark, docs, n):
         ).collect()
     }
     assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["nav", "foot", "ad", "x1", "x2", "x3", "", " body "]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.integers(min_value=2, max_value=4),
+)
+def test_line_dedup_matches_python_model(spark, docs, min_docs):
+    """line_dedup for arbitrary tiny corpora (repeated, blank, and
+    whitespace-only lines): boilerplate = trimmed line in ≥ min_docs
+    DISTINCT docs, dropped everywhere; blanks always kept; kept_hash is
+    md5 of the survivors re-joined."""
+    import hashlib
+
+    from vectorsearch_spark.operators.curate import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df, min_docs=min_docs).collect()}
+
+    key_docs: dict = {}
+    for i, t in rows:
+        for ln in t.split("\n"):
+            k = ln.strip()
+            if k:
+                key_docs.setdefault(k, set()).add(i)
+    boiler = {k for k, ds in key_docs.items() if len(ds) >= min_docs}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln.strip() == "" or ln.strip() not in boiler]
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        assert r["n_boiler"] == len(lines) - len(kept)
+        assert r["kept_hash"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=40),
+    k=st.integers(min_value=1, max_value=5),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+def test_heavy_hitters_exact_or_loud(spark, counts, k, nparts):
+    """heavy_hitters either returns EXACTLY the groupBy-count top-k
+    (count desc, item asc) or raises the certification ValueError —
+    never a silently wrong list — for arbitrary multisets, capacities
+    that force pruning, and partitionings."""
+    import pytest
+
+    from vectorsearch_spark.operators.sketch import heavy_hitters
+
+    rows = [(f"i{j:02d}",) for j, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "item string").repartition(nparts)
+    exact = sorted(
+        ((c, f"i{j:02d}") for j, c in enumerate(counts)),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    try:
+        got = [
+            (r["cnt"], r["item"])
+            for r in heavy_hitters(df, "item", k=k, capacity=max(k, 8)).collect()
+        ]
+    except ValueError as e:
+        assert "exactness bound" in str(e) or "capacity" in str(e)
+        return
+    assert got == exact
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=80,
+    ),
+    ngroups=st.integers(min_value=1, max_value=3),
+    bins=st.sampled_from([2, 7, 32]),
+)
+def test_exact_quantiles_matches_sorted_rank(spark, vals, ngroups, bins):
+    """exact_quantiles equals rank ceil(p·n) of the sorted group for
+    arbitrary floats (duplicates, negatives, one-element groups) and
+    tiny bin counts that force multi-rank border bins."""
+    import math
+
+    from vectorsearch_spark.operators.profile import exact_quantiles
+
+    rows = [(i, f"g{i % ngroups}", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    probs = [0.1, 0.5, 1.0]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_quantiles(df, "v", probs, "g", bins=bins).collect()
+    }
+    groups: dict = {}
+    for _, g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vs in groups.items():
+        vs.sort()
+        for p in probs:
+            r = max(1, math.ceil(p * len(vs)))
+            assert got[(g, p)] == vs[r - 1], (g, p)
