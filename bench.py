@@ -162,6 +162,7 @@ HEADLINE = [
     "q12_shipmode_priority",
     "stream_line_dedup_fold",
     "training_pack_sequences",
+    "index_search_filtered",
 ]
 
 def _index_build(spark, sf_dir):

@@ -1292,3 +1292,41 @@ def test_opq_index_vacuum_rebuilds_rotation(spark, tmp_path_factory):
     got = {r["query_id"]: r["gid"] for r in res if r["rank"] == 1}
     assert got == {25: 25, 70: 70}
     assert all(r["gid"] >= 20 for r in res)  # vacuumed gids are gone
+
+
+def test_filtered_search_exact_and_prefilters(spark, built_index):
+    """filter_gids: every mode returns ONLY allowed gids; BRUTE and the
+    degenerate-exact PQ/GRAPH configs equal NumPy brute force over the
+    filtered set (pre-filter, not post-filter — results never underfill
+    when enough allowed vectors exist); an empty allow-list returns
+    zero rows."""
+    idx, data, _ = built_index
+    qids = [0, 7, 33, 150]
+    qdf = _queries_df(spark, data, qids)
+    allowed_ids = [i for i in range(N) if i % 3 == 0]
+    allowed = spark.createDataFrame([(i,) for i in allowed_ids], "gid long")
+
+    # NumPy reference over the filtered set
+    sub = data[allowed_ids]
+    exp = {}
+    for q in qids:
+        d = np.sqrt(((sub - data[q]) ** 2).sum(axis=1))
+        order = np.lexsort((np.array(allowed_ids), d))[:5]
+        exp[q] = [(allowed_ids[j], round(float(d[j]), 4)) for j in order]
+
+    for params in (
+        SearchParams(mode="BRUTE"),
+        SearchParams(ef=CAP),
+        SearchParams(mode="GRAPH", ef=CAP, beam=CAP, max_iters=1),
+    ):
+        res = idx.search(qdf, k=5, params=params, filter_gids=allowed).collect()
+        assert all(r["gid"] % 3 == 0 for r in res)
+        got = {}
+        for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+            got.setdefault(r["query_id"], []).append(
+                (r["gid"], round(r["distance"], 4))
+            )
+        assert got == exp, params
+
+    empty = spark.createDataFrame([], "gid long")
+    assert idx.search(qdf, k=5, filter_gids=empty).count() == 0

@@ -472,11 +472,17 @@ class VectorIndex:
         return build_segments(self, seg_ids, seal=seal)
 
     def search(
-        self, queries: DataFrame, k: int = 10, params: SearchParams | None = None
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        params: SearchParams | None = None,
+        filter_gids: DataFrame | None = None,
     ) -> DataFrame:
         from vectorsearch_spark.index.search import search
 
-        return search(self, queries, k, params or SearchParams())
+        return search(
+            self, queries, k, params or SearchParams(), filter_gids=filter_gids
+        )
 
     def search_join(
         self, queries: DataFrame, k: int = 10, params: SearchParams | None = None

@@ -326,11 +326,35 @@ def _traverse_loop(adj, vec, qdf, ef_df, seeds, qlist, metric, max_iters, explor
 
 
 def search(
-    index: VectorIndex, queries: DataFrame, k: int = 10, params: SearchParams | None = None
+    index: VectorIndex,
+    queries: DataFrame,
+    k: int = 10,
+    params: SearchParams | None = None,
+    filter_gids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch KNN: (query_id, embedding) → (query_id, gid, distance,
-    score, payload, rank) with exactly ≤k rows per query."""
+    score, payload, rank) with exactly ≤k rows per query.
+
+    ``filter_gids`` (optional, a DataFrame with a ``gid`` column) is
+    metadata-filtered ANN — the production vector-store feature where a
+    predicate restricts the searchable set. The allow-list PRE-filters
+    the scans (brute vectors and the sealed PQ codes are semi-joined
+    before any scoring), so candidate pools are spent on allowed
+    vectors only — not post-filtered after top-k, which would underfill
+    selective filters. BRUTE and the degenerate-exact configs are
+    therefore EXACT over the filtered set. GRAPH traversal itself stays
+    unfiltered (the standard filtered-HNSW stance: disallowed nodes
+    remain traversable so allowed regions stay reachable through them)
+    and disallowed results are dropped at the exact re-rank; very
+    selective filters warrant a larger ef/oversample, the usual
+    pre-filter ANN trade.
+    """
     params = params or SearchParams()
+    allowed = (
+        filter_gids.select(F.col("gid").cast("long").alias("gid")).distinct()
+        if filter_gids is not None
+        else None
+    )
     if params.mode == "BEAM":
         _warn_beam_once()
     cfg = index.config
@@ -362,6 +386,8 @@ def search(
         emb = F.col("embedding")
         if params.normalize_on_read:
             emb = normalize(emb).cast("array<float>")
+        if allowed is not None:
+            vec = vec.join(allowed, "gid", "left_semi")
         pruned = vec.select(F.col("gid").alias("id"), emb.alias("embedding"))
         partial = pruned.mapInPandas(
             _partial_topk_mapper(qlist, per_seg_limit, metric, "id", "embedding"),
@@ -381,7 +407,18 @@ def search(
         ef_base = params.ef or default_ef(k, cfg.oversample)
         ef_by_seg = {s: tuned_ef(ef_base, k, max(counts.get(s, 1), 1)) for s in sealed_segs}
         # phase a: approx scan over codes only (embeddings not read here)
-        cand = index.codes(sealed_segs).mapInPandas(
+        codes_src = index.codes(sealed_segs)
+        if allowed is not None and params.mode != "GRAPH":
+            # pre-filter the approx scan: the candidate pool is spent on
+            # allowed vectors only. GRAPH keeps its scan unfiltered —
+            # seeds may legitimately sit outside the filter (module doc)
+            allowed_sv = (
+                index.vectors(states=SEARCHABLE_SEALED)
+                .join(allowed, "gid", "left_semi")
+                .select("seg_id", "vec_id")
+            )
+            codes_src = codes_src.join(allowed_sv, ["seg_id", "vec_id"], "left_semi")
+        cand = codes_src.mapInPandas(
             _pq_scan_fn(cbs_bc, qlist, ef_by_seg, metric, rotations=rots_bc),
             _CAND_SCHEMA,
         )
@@ -512,6 +549,10 @@ def search(
             .withColumn("distance", distance_for_metric(emb, F.col("qvec"), metric))
             .select("query_id", "seg_id", "gid", "distance")
         )
+        if allowed is not None:
+            # drops traversal-surfaced disallowed nodes (GRAPH/BEAM);
+            # a no-op for the pre-filtered PQ path
+            reranked = reranked.join(allowed, "gid", "left_semi")
         w_cap = Window.partitionBy("query_id", "seg_id").orderBy(
             F.col("distance").asc(), F.col("gid").asc()
         )

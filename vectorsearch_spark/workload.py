@@ -3661,6 +3661,46 @@ def index_search_sealed_exhaustive(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def index_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (index/search.py search filter_gids): the
+    allow-list (every third gid) PRE-filters the sealed codes scan, so
+    with ef ≥ segment size the result is exactly brute force over the
+    filtered set — the filtered-search plumbing (allow-list semi-joins
+    at scan and re-rank) is hash-checked end to end."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("gid")
+    )
+    cap = idx.config.max_segment_size
+    res = idx.search(
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        params=SearchParams(ef=cap),
+        filter_gids=allowed,
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+INDEX_SEARCH_FILTERED_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS gid, {_duck_l2("e.embedding", "q.qe")} AS d
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id % 3 = 0),
+ranked AS (
+  SELECT query_id, gid, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, gid ASC) AS rank
+  FROM pairs)
+SELECT query_id, gid, round(d, 4) AS distance, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
 def index_search_graph_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-exact twin of ``index_search_graph``: beam = ef =
     segment size seeds the traversal with EVERY node, so the best list
@@ -6580,6 +6620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode_priority": q12_shipmode_priority,
         "stream_line_dedup_fold": stream_line_dedup_fold,
         "training_pack_sequences": training_pack_sequences,
+        "index_search_filtered": index_search_filtered,
         "token_heavy_hitters": token_heavy_hitters,
         "corpus_quality_topfrac": corpus_quality_topfrac,
         "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
@@ -6839,6 +6880,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_shipmode_priority": Q12_SQL,
         "stream_line_dedup_fold": DEDUP_LINES_SQL,
         "training_pack_sequences": TRAINING_PACK_SEQUENCES_SQL,
+        "index_search_filtered": INDEX_SEARCH_FILTERED_SQL,
         "token_heavy_hitters": TOKEN_HEAVY_HITTERS_SQL,
         "corpus_quality_topfrac": CORPUS_QUALITY_TOPFRAC_SQL,
         "corpus_token_mix": _mix_sql(),
