@@ -1330,3 +1330,34 @@ def test_filtered_search_exact_and_prefilters(spark, built_index):
 
     empty = spark.createDataFrame([], "gid long")
     assert idx.search(qdf, k=5, filter_gids=empty).count() == 0
+
+
+def test_filtered_search_join_all_modes(spark, built_index):
+    """filter_gids on the distributed query-side path: AUTO/PQ/GRAPH
+    (exhaustive configs) equal the NumPy reference over the filtered
+    set — the allow-list pre-filters the exhaustive scan and the PQ
+    cogroup's codes side, and post-filters GRAPH's traversal output."""
+    idx, data, _ = built_index
+    qids = [0, 7, 33, 150]
+    qdf = _queries_df(spark, data, qids)
+    allowed_ids = [i for i in range(N) if i % 3 == 0]
+    allowed = spark.createDataFrame([(i,) for i in allowed_ids], "gid long")
+    sub = data[allowed_ids]
+    exp = {}
+    for q in qids:
+        d = np.sqrt(((sub - data[q]) ** 2).sum(axis=1))
+        order = np.lexsort((np.array(allowed_ids), d))[:5]
+        exp[q] = [(allowed_ids[j], round(float(d[j]), 4)) for j in order]
+    for params in (
+        SearchParams(),
+        SearchParams(mode="PQ", ef=CAP),
+        SearchParams(mode="GRAPH", ef=CAP, pivots=CAP),
+    ):
+        res = idx.search_join(qdf, k=5, params=params, filter_gids=allowed).collect()
+        assert all(r["gid"] % 3 == 0 for r in res)
+        got = {}
+        for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+            got.setdefault(r["query_id"], []).append(
+                (r["gid"], round(r["distance"], 4))
+            )
+        assert got == exp, params

@@ -485,13 +485,19 @@ class VectorIndex:
         )
 
     def search_join(
-        self, queries: DataFrame, k: int = 10, params: SearchParams | None = None
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        params: SearchParams | None = None,
+        filter_gids: DataFrame | None = None,
     ) -> DataFrame:
         """Exhaustive-exact search with a DataFrame query side (never
         collected) — for query batches beyond driver comfort."""
         from vectorsearch_spark.index.search import search_join
 
-        return search_join(self, queries, k, params or SearchParams())
+        return search_join(
+            self, queries, k, params or SearchParams(), filter_gids=filter_gids
+        )
 
     def delete(self, gids: list[int]) -> int:
         from vectorsearch_spark.index.maintenance import delete_gids

@@ -646,7 +646,11 @@ def _stream_topk_reducer(k: int):
 
 
 def search_join(
-    index: VectorIndex, queries: DataFrame, k: int = 10, params: SearchParams | None = None
+    index: VectorIndex,
+    queries: DataFrame,
+    k: int = 10,
+    params: SearchParams | None = None,
+    filter_gids: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed index search for query batches too large to collect:
     the query side stays a DataFrame end-to-end — no driver
@@ -693,6 +697,11 @@ def search_join(
       fraction of huge segments and Q is small), the frontier state
       here lives inside the task, so a million-query batch stays
       distributed end-to-end.
+
+    ``filter_gids`` (optional ``gid`` allow-list DataFrame) behaves as
+    in ``search``: the exhaustive scans and the PQ cogroup's codes side
+    are PRE-filtered (semi-joins), GRAPH/BEAM traversal stays
+    unfiltered with disallowed results dropped at the exact re-rank.
     """
     params = params or SearchParams()
     if params.mode not in ("AUTO", "BRUTE", "PQ", "GRAPH", "BEAM"):
@@ -702,6 +711,11 @@ def search_join(
         )
     if params.mode == "BEAM":
         _warn_beam_once()
+    allowed = (
+        filter_gids.select(F.col("gid").cast("long").alias("gid")).distinct()
+        if filter_gids is not None
+        else None
+    )
     metric = Metric(index.config.metric)
     cfg = index.config
     q = queries.select(
@@ -710,6 +724,8 @@ def search_join(
     )
     if params.mode in ("AUTO", "BRUTE"):
         vec = index.vectors().filter(~F.col("deleted"))
+        if allowed is not None:
+            vec = vec.join(allowed, "gid", "left_semi")
         emb = F.col("embedding")
         if params.normalize_on_read:
             emb = normalize(emb).cast("array<float>")
@@ -742,6 +758,8 @@ def search_join(
         vec = index.vectors().filter(
             F.col("seg_id").isin(brute_segs) & ~F.col("deleted")
         )
+        if allowed is not None:
+            vec = vec.join(allowed, "gid", "left_semi")
         emb = F.col("embedding")
         if params.normalize_on_read:
             emb = normalize(emb).cast("array<float>")
@@ -785,7 +803,16 @@ def search_join(
                 refine_frontier=params.refine_frontier,
             )
         else:
-            cand = _pq_cogroup_candidates(index, q, sealed_segs, ef_by_seg, metric)
+            allowed_sv = None
+            if allowed is not None:
+                allowed_sv = (
+                    index.vectors(states=SEARCHABLE_SEALED)
+                    .join(allowed, "gid", "left_semi")
+                    .select("seg_id", "vec_id")
+                )
+            cand = _pq_cogroup_candidates(
+                index, q, sealed_segs, ef_by_seg, metric, allowed_sv=allowed_sv
+            )
         # exact re-rank: candidates are ≤ Q×S×ef (seg_id, vec_id)
         # triples — join raw vectors on the composite key, then attach
         # the query vector and rescore with the true metric. NO
@@ -808,6 +835,10 @@ def search_join(
             .withColumn("distance", distance_for_metric(emb, F.col("__qvec"), metric))
             .select("query_id", "seg_id", "gid", "distance")
         )
+        if allowed is not None:
+            # drops traversal-surfaced disallowed nodes (GRAPH/BEAM);
+            # a no-op for the pre-filtered PQ cogroup path
+            reranked = reranked.join(allowed, "gid", "left_semi")
         w_cap = Window.partitionBy("query_id", "seg_id").orderBy(
             F.col("distance").asc(), F.col("gid").asc()
         )
@@ -1082,6 +1113,7 @@ def _pq_cogroup_candidates(
     ef_by_seg: dict[int, int],
     metric: Metric,
     n_buckets: int | None = None,
+    allowed_sv: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed PQ candidate generation with a DataFrame query side:
     the replicated-join re-expression of ``search``'s closure-captured
@@ -1105,7 +1137,11 @@ def _pq_cogroup_candidates(
     cbs_bc = spark.sparkContext.broadcast(index.codebooks_np(sealed_segs))
     rots_bc = spark.sparkContext.broadcast(index.rotations_np(sealed_segs))
 
-    codes = index.codes(sealed_segs).withColumn(
+    codes = index.codes(sealed_segs)
+    if allowed_sv is not None:
+        # filtered ANN: the candidate pool is spent on allowed vectors
+        codes = codes.join(allowed_sv, ["seg_id", "vec_id"], "left_semi")
+    codes = codes.withColumn(
         "__b", F.pmod(F.hash("seg_id"), F.lit(B))
     )
     q_rep = q.withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))

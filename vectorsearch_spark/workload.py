@@ -3701,6 +3701,32 @@ FROM ranked WHERE rank <= {_KNN_K}
 """
 
 
+def index_search_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN on the DISTRIBUTED query-side path
+    (index/search.py search_join filter_gids): the allow-list
+    semi-joins the PQ cogroup's codes side, so the exhaustive config
+    equals brute force over the filtered set — same oracle as
+    index_search_filtered."""
+    from vectorsearch_spark.index import SearchParams
+
+    idx = _ensure_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("gid")
+    )
+    cap = idx.config.max_segment_size
+    res = idx.search_join(
+        _emb_queries(spark, sf_dir),
+        k=_KNN_K,
+        params=SearchParams(mode="PQ", ef=cap),
+        filter_gids=allowed,
+    )
+    return res.select(
+        "query_id", "gid", F.round("distance", 4).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def index_search_graph_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-exact twin of ``index_search_graph``: beam = ef =
     segment size seeds the traversal with EVERY node, so the best list
@@ -6621,6 +6647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_line_dedup_fold": stream_line_dedup_fold,
         "training_pack_sequences": training_pack_sequences,
         "index_search_filtered": index_search_filtered,
+        "index_search_join_filtered": index_search_join_filtered,
         "token_heavy_hitters": token_heavy_hitters,
         "corpus_quality_topfrac": corpus_quality_topfrac,
         "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
@@ -6881,6 +6908,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_line_dedup_fold": DEDUP_LINES_SQL,
         "training_pack_sequences": TRAINING_PACK_SEQUENCES_SQL,
         "index_search_filtered": INDEX_SEARCH_FILTERED_SQL,
+        "index_search_join_filtered": INDEX_SEARCH_FILTERED_SQL,
         "token_heavy_hitters": TOKEN_HEAVY_HITTERS_SQL,
         "corpus_quality_topfrac": CORPUS_QUALITY_TOPFRAC_SQL,
         "corpus_token_mix": _mix_sql(),
