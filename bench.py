@@ -163,6 +163,7 @@ HEADLINE = [
     "stream_line_dedup_fold",
     "training_pack_sequences",
     "index_search_filtered",
+    "stream_token_heavy_hitters",
 ]
 
 def _index_build(spark, sf_dir):

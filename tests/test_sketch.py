@@ -90,3 +90,95 @@ def test_mg_fold_undercount_bound():
     for item, est in counters.items():
         assert est <= truth[item]
         assert truth[item] - est <= total / (cap + 1)
+
+
+def test_stream_heavy_hitters_bounds_and_exactly_once(spark, tmp_path_factory):
+    """Streaming MG fold: after folding 3 batches, every summary
+    estimate satisfies est ≤ true ≤ est + total/(cap+1), every item
+    with true count > total/(cap+1) IS in the summary, a replayed
+    epoch is a no-op, crash-before-marker replays into identical
+    state, epoch regression raises, capacity drift raises, and the
+    writeStream wrapper works end-to-end."""
+    import json
+    import os
+    from collections import Counter
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_heavy_hitters_batch,
+        read_heavy_hitters_state,
+        stream_heavy_hitters,
+    )
+
+    CAP = 8
+    batches = [
+        ["a"] * 40 + ["b"] * 10 + [f"t{j}" for j in range(20)],
+        ["a"] * 30 + ["c"] * 25 + [f"u{j}" for j in range(20)],
+        ["b"] * 35 + ["a"] * 5 + [f"v{j}" for j in range(20)],
+    ]
+    truth: Counter = Counter()
+    state = str(tmp_path_factory.mktemp("hhstate")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    for i, items in enumerate(batches):
+        truth.update(items)
+        fold_heavy_hitters_batch(
+            spark.createDataFrame([(x,) for x in items], "item string"),
+            i, state, "item", capacity=CAP,
+        )
+    total = sum(truth.values())
+    out = {r["item"]: r for r in read_heavy_hitters_state(spark, state, k=CAP).collect()}
+    bound = total / (CAP + 1)
+    for item, r in out.items():
+        assert r["est"] <= truth[item] <= r["ub"]
+        assert r["lb"] == r["est"]
+    # guarantee: anything truly above the bound survives the merges
+    for item, c in truth.items():
+        if c > bound:
+            assert item in out, (item, c, bound)
+
+    ref = sorted((r["item"], r["est"]) for r in out.values())
+    # replay no-op
+    fold_heavy_hitters_batch(
+        spark.createDataFrame([(x,) for x in batches[2]], "item string"),
+        2, state, "item", capacity=CAP,
+    )
+    assert sorted(
+        (r["item"], r["est"])
+        for r in read_heavy_hitters_state(spark, state, k=CAP).collect()
+    ) == ref
+    # crash before marker: rewind and replay epoch 2 — identical state
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 1}, fh)
+    fold_heavy_hitters_batch(
+        spark.createDataFrame([(x,) for x in batches[2]], "item string"),
+        2, state, "item", capacity=CAP,
+    )
+    assert sorted(
+        (r["item"], r["est"])
+        for r in read_heavy_hitters_state(spark, state, k=CAP).collect()
+    ) == ref
+
+    import pytest
+
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_heavy_hitters_batch(
+            spark.createDataFrame([("z",)], "item string"), 0, state, "item",
+            capacity=CAP,
+        )
+    with pytest.raises(ValueError, match="capacity"):
+        fold_heavy_hitters_batch(
+            spark.createDataFrame([("z",)], "item string"), 3, state, "item",
+            capacity=CAP * 2,
+        )
+
+    # writeStream wrapper end-to-end on a fresh state
+    src_dir = str(tmp_path_factory.mktemp("hhsrc")) + "/items"
+    state2 = str(tmp_path_factory.mktemp("hhstate2")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("hhckpt"))
+    all_items = [x for b in batches for x in b]
+    spark.createDataFrame([(x,) for x in all_items], "item string").write.parquet(src_dir)
+    stream = spark.readStream.schema("item string").parquet(src_dir)
+    q = stream_heavy_hitters(stream, state2, ckpt, "item", capacity=CAP)
+    q.awaitTermination(120)
+    out2 = {r["item"]: r for r in read_heavy_hitters_state(spark, state2, k=CAP).collect()}
+    for item, r in out2.items():
+        assert r["est"] <= truth[item] <= r["ub"]

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,4 +131,169 @@ def heavy_hitters(
     return spark.createDataFrame(
         [(r["item"], int(r["cnt"]), i + 1) for i, r in enumerate(top)],
         "item string, cnt long, rank long",
+    )
+
+
+def fold_heavy_hitters_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    col: str,
+    capacity: int = 4096,
+) -> None:
+    """One micro-batch fold of STREAMING heavy hitters: Misra–Gries
+    summaries are MERGEABLE (Agarwal et al., PODS 2012), so the state
+    is one ``capacity``-counter summary plus the running total — O(cap)
+    forever, never the stream. Each fold builds the batch's summary
+    with the same distributed pass as ``heavy_hitters`` phase 1, merges
+    it into the persisted summary with ``_mg_fold`` (error adds up to
+    ≤ N_total/(capacity+1) across any merge tree), and rewrites the
+    tiny state.
+
+    Unlike the batch operator there is no exact-verify pass — the
+    stream is gone — so reads return ESTIMATES with honest bounds
+    (``read_heavy_hitters_state``): est ≤ true ≤ est + N/(cap+1).
+
+    Exactly-once: epoch-filtered state read + idempotent epoch-dir
+    rewrite + marker-commits-last + the shared regression guard
+    (``incremental.epoch_already_applied``).
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return
+    batch = batch_df.localCheckpoint()  # stream sources are single-pass
+
+    items = batch.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    cap = int(capacity)
+
+    def summaries(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["item"].value_counts()
+            n += int(vc.sum())
+            counters = _mg_fold(counters, vc.to_dict(), cap)
+        out = list(counters.items()) + [(None, n)]
+        yield pd.DataFrame(out, columns=["item", "est"])
+
+    summ = items.mapInPandas(summaries, "item string, est long").collect()
+    batch_n = sum(r["est"] for r in summ if r["item"] is None)
+    # SUM estimates across the per-partition summaries (the mergeable-
+    # summaries union), then trim back to capacity — a dict build would
+    # overwrite duplicates and silently shrink every hot item's count
+    batch_counters: dict = {}
+    for r in summ:
+        if r["item"] is not None:
+            batch_counters[r["item"]] = batch_counters.get(r["item"], 0) + int(r["est"])
+    batch_counters = _mg_fold({}, batch_counters, cap)
+
+    # prior state: the LATEST committed epoch's summary (tiny)
+    root = os.path.join(state_path, "summary")
+    prior_eps = (
+        [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    counters: dict = {}
+    total = 0
+    if prior_eps:
+        prev = spark.read.schema(
+            "item string, est long, total long, capacity int"
+        ).parquet(os.path.join(root, f"epoch={max(prior_eps)}")).collect()
+        counters = {r["item"]: int(r["est"]) for r in prev if r["item"] is not None}
+        total = int(prev[0]["total"]) if prev else 0
+        if prev and int(prev[0]["capacity"]) != cap:
+            raise ValueError(
+                f"fold_heavy_hitters_batch: capacity {cap} != state capacity "
+                f"{int(prev[0]['capacity'])} — the error bound would be wrong; "
+                "keep capacity fixed for a state's lifetime"
+            )
+
+    counters = _mg_fold(counters, batch_counters, cap)
+    total += batch_n
+    rows = [(i, c, total, cap) for i, c in counters.items()] or [(None, 0, total, cap)]
+    spark.createDataFrame(
+        rows, "item string, est long, total long, capacity int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, f"epoch={int(epoch_id)}")
+    )
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def read_heavy_hitters_state(spark, state_path: str, k: int = 20) -> DataFrame:
+    """Top-k estimates from the folded summary with honest bounds:
+    (item, est, lb, ub, rank) where lb = est (MG only undercounts) and
+    ub = est + floor(total/(capacity+1)) — the mergeable-summaries
+    error bound over the persisted (total, capacity): true count ∈
+    [est, ub] for every item, including items absent from the summary
+    (whose est is implicitly 0)."""
+    import os
+
+    root = os.path.join(state_path, "summary")
+    eps = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("epoch=")
+    ]
+    rows = spark.read.schema(
+        "item string, est long, total long, capacity int"
+    ).parquet(os.path.join(root, f"epoch={max(eps)}"))
+    rows = rows.where(F.col("item").isNotNull())
+    err = F.floor(F.col("total") / (F.col("capacity") + 1)).cast("long")
+    w = Window.orderBy(F.col("est").desc(), F.col("item").asc())
+    return (
+        rows.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "item",
+            "est",
+            F.col("est").alias("lb"),
+            (F.col("est") + err).alias("ub"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def stream_heavy_hitters(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    col: str,
+    **kwargs,
+):
+    """Keep a bounded heavy-hitters summary current from a stream (see
+    ``fold_heavy_hitters_batch``). Returns the StreamingQuery; read the
+    estimates with ``read_heavy_hitters_state``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_heavy_hitters_batch(batch_df, epoch_id, state_path, col, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

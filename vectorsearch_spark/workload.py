@@ -4490,6 +4490,44 @@ def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode(docs, vocab, max_piece_len=6)
 
 
+def stream_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters (operators/sketch.py
+    fold_heavy_hitters_batch): tokens arrive in two epochs split by doc
+    id; the state is ONE mergeable Misra–Gries summary — O(capacity)
+    forever — and reads return estimates with honest
+    [est, est + total/(cap+1)] bounds. Rows-only (estimates are
+    summary-dependent; the bound invariants are pytest-gated)."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_heavy_hitters_batch,
+        read_heavy_hitters_state,
+    )
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0))
+        ).alias("token"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"hh_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    mid = 250
+    fold_heavy_hitters_batch(
+        toks.where(F.col("doc_id") < mid), 0, state, "token", capacity=512
+    )
+    fold_heavy_hitters_batch(
+        toks.where(F.col("doc_id") >= mid), 1, state, "token", capacity=512
+    )
+    return read_heavy_hitters_state(spark, state, k=20)
+
+
 def corpus_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-20% quality cut (operators/curate.py
     select_top_fraction): score = token density (tokens per char),
@@ -6649,6 +6687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_filtered": index_search_filtered,
         "index_search_join_filtered": index_search_join_filtered,
         "token_heavy_hitters": token_heavy_hitters,
+        "stream_token_heavy_hitters": stream_token_heavy_hitters,
         "corpus_quality_topfrac": corpus_quality_topfrac,
         "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
         "ann_ivfpq_topk": ann_ivfpq_topk,
