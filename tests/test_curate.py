@@ -800,3 +800,36 @@ def test_temperature_budget_mix_model_and_flattening(spark):
     assert b1["big"] > b0["big"]
     total1 = sum(b1.values())
     assert abs(b1["big"] / total1 - sizes["big"] / sum(sizes.values())) < 0.01
+
+
+def test_select_top_fraction_nan_and_null_scores_excluded(spark):
+    """NaN poisons the group max (every bin index casts null) and null
+    inflates the target count — both must be excluded so the keep set
+    is exactly the top frac of the RANKABLE rows (ADVICE r8)."""
+    from pyspark.sql import Window
+
+    from vectorsearch_spark.operators.curate import select_top_fraction
+
+    rows = [(i, "s0", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    dirty = df.unionByName(
+        spark.createDataFrame(
+            [(1000, "s0", float("nan")), (1001, "s0", None)],
+            "doc_id long, source string, score double",
+        )
+    ).repartition(8)
+    got = sorted(
+        tuple(r)
+        for r in select_top_fraction(
+            dirty, 0.2, "score", "source", "doc_id", bins=16
+        ).collect()
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    exp = sorted(
+        tuple(r)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)  # ceil(0.2 * 100) over rankable rows
+        .drop("rn")
+        .collect()
+    )
+    assert got == exp

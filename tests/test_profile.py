@@ -264,3 +264,41 @@ def test_exact_quantiles_matches_sorted_model(spark):
 
     with pytest.raises(ValueError, match="probs"):
         exact_quantiles(df, "v", [0.5, 1.5], "g")
+
+
+def test_exact_quantiles_nan_scores_and_typed_empty_schema(spark):
+    """NaN values must not poison min/max or inflate counts, and the
+    empty-input result must carry the INPUT's group column type, not a
+    hardcoded string (ADVICE r8)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.profile import exact_quantiles
+
+    rows = [(i, 7, float(i)) for i in range(50)]
+    dirty = rows + [(100, 7, float("nan")), (101, 7, None)]
+    df = spark.createDataFrame(dirty, "id long, g int, v double").repartition(4)
+    probs = [0.5, 1.0]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_quantiles(df, "v", probs, "g", bins=8).collect()
+    }
+    vals = defaultdict(list)
+    for _, g, v in rows:
+        vals[g].append(v)
+    for g, vs in vals.items():
+        vs.sort()
+        for p in probs:
+            r = max(1, math.ceil(p * len(vs)))
+            assert got[(g, p)] == vs[r - 1], (g, p)
+
+    # int group col, empty input → group column stays IntegerType, so
+    # unions with the non-empty path's schema work
+    empty = spark.createDataFrame([], "id long, g int, v double")
+    out = exact_quantiles(empty, "v", [0.5], "g")
+    assert out.count() == 0
+    assert out.schema["g"].dataType.simpleString() == "int"
+    nonempty_schema = exact_quantiles(df, "v", [0.5], "g").schema
+    assert [f.dataType for f in out.schema] == [f.dataType for f in nonempty_schema]

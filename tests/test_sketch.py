@@ -182,3 +182,103 @@ def test_stream_heavy_hitters_bounds_and_exactly_once(spark, tmp_path_factory):
     out2 = {r["item"]: r for r in read_heavy_hitters_state(spark, state2, k=CAP).collect()}
     for item, r in out2.items():
         assert r["est"] <= truth[item] <= r["ub"]
+
+
+def test_heavy_hitters_tree_merge_high_partition_count(spark):
+    """Forced tree merge (256 partitions, fanout 4 → multi-level):
+    exactness and the certificate must survive the intermediate merges,
+    matching both the full groupBy count and the no-merge result."""
+    from vectorsearch_spark.operators.sketch import heavy_hitters
+
+    df = _skewed_df(spark).repartition(256)
+    got = [
+        tuple(r)
+        for r in heavy_hitters(df, "item", k=5, capacity=64, merge_fanout=4).collect()
+    ]
+    exact = (
+        df.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item"))
+        .limit(5)
+        .collect()
+    )
+    assert got == [(r["item"], r["cnt"], i + 1) for i, r in enumerate(exact)]
+    # and identical to the wide-fanout (no intermediate merge) path
+    wide = [
+        tuple(r)
+        for r in heavy_hitters(df, "item", k=5, capacity=64, merge_fanout=512).collect()
+    ]
+    assert got == wide
+
+
+def test_fold_tree_merge_preserves_bounds(spark, tmp_path_factory):
+    """The streaming fold with a forced tree merge keeps the MG bound
+    est ≤ true ≤ est + total/(cap+1) and the superset guarantee."""
+    import os
+    from collections import Counter
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_heavy_hitters_batch,
+        read_heavy_hitters_state,
+    )
+
+    CAP = 8
+    items = ["a"] * 50 + ["b"] * 30 + [f"t{j}" for j in range(40)]
+    truth = Counter(items)
+    state = str(tmp_path_factory.mktemp("hhtree")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(64)
+    fold_heavy_hitters_batch(df, 0, state, "item", capacity=CAP, merge_fanout=4)
+    out = {r["item"]: r for r in read_heavy_hitters_state(spark, state, k=CAP).collect()}
+    total = sum(truth.values())
+    bound = total / (CAP + 1)
+    for item, r in out.items():
+        assert r["est"] <= truth[item] <= r["ub"]
+    for item, c in truth.items():
+        if c > bound:
+            assert item in out, (item, c, bound)
+
+
+def test_read_heavy_hitters_state_ignores_uncommitted_epoch(spark, tmp_path_factory):
+    """A crashed fold's partially-written epoch dir (no marker commit)
+    must be invisible to external readers — they read the COMMITTED
+    epoch, not the max dir on disk."""
+    import os
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_heavy_hitters_batch,
+        read_heavy_hitters_state,
+    )
+
+    state = str(tmp_path_factory.mktemp("hhcrash")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    fold_heavy_hitters_batch(
+        spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "item string"),
+        0, state, "item", capacity=8,
+    )
+    ref = sorted(
+        (r["item"], r["est"])
+        for r in read_heavy_hitters_state(spark, state, k=8).collect()
+    )
+    # simulate a crash mid-epoch-1: data dir written, marker NOT updated
+    import shutil
+
+    src = os.path.join(state, "summary", "epoch=0")
+    dst = os.path.join(state, "summary", "epoch=1")
+    shutil.copytree(src, dst)
+    # corrupt the copied dir's content to make accidental reads obvious
+    spark.createDataFrame(
+        [("ZZZ", 999, 999, 8)], "item string, est long, total long, capacity int"
+    ).coalesce(1).write.mode("overwrite").parquet(dst)
+    got = sorted(
+        (r["item"], r["est"])
+        for r in read_heavy_hitters_state(spark, state, k=8).collect()
+    )
+    assert got == ref
+
+    import pytest
+
+    empty_state = str(tmp_path_factory.mktemp("hhempty")) + "/st"
+    os.makedirs(empty_state, exist_ok=True)
+    with pytest.raises(ValueError, match="no committed epoch"):
+        read_heavy_hitters_state(spark, empty_state, k=8)

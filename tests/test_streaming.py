@@ -1129,3 +1129,48 @@ def test_stream_line_dedup_folds_equal_batch_operator(spark, tmp_path_factory):
         for r in read_line_dedup_state(spark, state2).select(cols).collect()
     )
     assert got2 == ref
+
+
+def test_read_line_dedup_state_ignores_uncommitted_epoch(spark, tmp_path_factory):
+    """A crashed fold's partially-written spans dir (no marker commit)
+    must be invisible to EXTERNAL readers too, not only to the replay
+    (ADVICE r8): the reader loads the committed epoch from
+    _last_epoch.json and reads only dirs at or below it."""
+    import os
+    import shutil
+
+    from vectorsearch_spark.operators.dedup import (
+        fold_line_dedup_batch,
+        read_line_dedup_state,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path_factory.mktemp("ldcrash")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    fold_line_dedup_batch(
+        spark.createDataFrame([(0, "aa\nbb"), (1, "aa\ncc")], schema), 0, state
+    )
+    cols = ["doc_id", "n_lines", "n_kept", "n_boiler", "kept_hash"]
+    ref = sorted(
+        tuple(r) for r in read_line_dedup_state(spark, state).select(cols).collect()
+    )
+    # simulate crash mid-epoch-1: spans dir exists with bogus revisions,
+    # marker still points at epoch 0
+    src = os.path.join(state, "spans", "epoch=0")
+    dst = os.path.join(state, "spans", "epoch=1")
+    shutil.copytree(src, dst)
+    spark.createDataFrame(
+        [(0, 99, 99, 99, "BOGUS")],
+        "doc_id long, n_lines long, n_kept long, n_boiler long, kept_hash string",
+    ).coalesce(1).write.mode("overwrite").parquet(dst)
+    got = sorted(
+        tuple(r) for r in read_line_dedup_state(spark, state).select(cols).collect()
+    )
+    assert got == ref
+
+    import pytest
+
+    empty_state = str(tmp_path_factory.mktemp("ldempty")) + "/st"
+    os.makedirs(empty_state, exist_ok=True)
+    with pytest.raises(ValueError, match="no committed epoch"):
+        read_line_dedup_state(spark, empty_state)

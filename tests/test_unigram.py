@@ -84,17 +84,24 @@ def _py_unigram(
             kept[ch] = cnts.get(ch, 0)
         return kept
 
+    def final_trim(cnts):
+        multi = sorted(
+            ((p, c) for p, c in cnts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[: max(vocab_size - len(chars), 0)]
+        out = dict(multi)
+        for ch in chars:
+            out[ch] = out.get(ch, 0)
+        return out
+
     while len(logp) > vocab_size:
+        prev_size = len(logp)
         counts = _py_estep(words, logp, max_piece_len)
         counts = prune(counts)
-        if len(counts) <= vocab_size:
-            multi = sorted(
-                ((p, c) for p, c in counts.items() if len(p) > 1),
-                key=lambda pc: (-pc[1], pc[0]),
-            )[: max(vocab_size - len(chars), 0)]
-            counts = dict(multi)
-            for ch in chars:
-                counts[ch] = counts.get(ch, 0)
+        if len(counts) >= prev_size and len(counts) > vocab_size:
+            counts = final_trim(counts)  # pruning fixed point
+        elif len(counts) <= vocab_size:
+            counts = final_trim(counts)
         logp = _py_mstep(counts, chars)
     for _ in range(em_iters):
         counts = _py_estep(words, logp, max_piece_len)
@@ -161,3 +168,36 @@ def test_unigram_encode_witnesses_and_covers(spark):
                 pieces.append(w)
         assert out[i]["pieces_hash"] == hashlib.md5(" ".join(pieces).encode()).hexdigest()
         assert out[i]["n_pieces"] == len(pieces)
+
+
+def test_unigram_train_rejects_unreachable_configs(spark):
+    """The shrink loop must terminate on every valid input: prune_frac
+    outside (0,1) and vocab_size at or below the char count are
+    unreachable targets and must raise up front; a pruning fixed point
+    (ceil(n·frac) == n at small n) must trim to target instead of
+    looping distributed E-steps forever (ADVICE r8)."""
+    import pytest
+
+    from vectorsearch_spark.operators.unigram import unigram_train
+
+    docs = spark.createDataFrame(
+        [(0, "abc abd abe abc abd"), (1, "abc abf abg abc")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="prune_frac"):
+        unigram_train(docs, vocab_size=8, prune_frac=1.0)
+    with pytest.raises(ValueError, match="prune_frac"):
+        unigram_train(docs, vocab_size=8, prune_frac=0.0)
+    # distinct chars: a b c d e f g = 7 ≥ vocab_size
+    with pytest.raises(ValueError, match="character"):
+        unigram_train(docs, vocab_size=7, prune_frac=0.5)
+    # fixed-point config: vocab_size = chars+1 (target_multi=1) with
+    # prune_frac=0.75 can pin len(multi)=2 forever without the guard;
+    # must terminate and return exactly vocab_size pieces
+    vocab = unigram_train(
+        docs, vocab_size=8, max_piece_len=3, seed_factor=1,
+        prune_frac=0.75, min_count=1, em_iters=1,
+    )
+    assert len(vocab) == 8
+    pieces = {p for p, _ in vocab}
+    assert {"a", "b", "c", "d", "e", "f", "g"} <= pieces

@@ -560,12 +560,18 @@ def select_top_fraction(
     import math
 
     spark = df.sparkSession
+    sc_d = F.col(score_col).cast("double")
+    # null/NaN scores are unrankable: NaN poisons the group's max (so
+    # every bin index casts to null) and null inflates __n so the keep
+    # target over-counts — exclude them up front so "top frac" means
+    # top frac OF THE RANKABLE ROWS, exactly the window semantics
+    df = df.where(sc_d.isNotNull() & ~F.isnan(sc_d))
     stats = (
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.min(F.col(score_col).cast("double")).alias("__lo"),
-            F.max(F.col(score_col).cast("double")).alias("__hi"),
+            F.min(sc_d).alias("__lo"),
+            F.max(sc_d).alias("__hi"),
         )
         .collect()
     )

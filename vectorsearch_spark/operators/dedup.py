@@ -1252,12 +1252,28 @@ def fold_line_dedup_batch(
 
 def read_line_dedup_state(spark, state_path: str, id_col: str = "doc_id") -> DataFrame:
     """The folded line-dedup view: the LATEST span row per doc across
-    epochs (later epochs carry retroactive revisions — see
-    ``fold_line_dedup_batch``)."""
+    COMMITTED epochs (later epochs carry retroactive revisions — see
+    ``fold_line_dedup_batch``). Only epoch dirs at or below the
+    ``_last_epoch.json`` marker are read: a crashed fold's
+    partially-written dir stays invisible to external readers until the
+    replay overwrites it (the exactly-once contract)."""
+    import json
     import os
 
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"read_line_dedup_state: no committed epoch at {state_path}"
+        )
+    with open(marker) as fh:
+        committed = int(json.load(fh)["epoch"])
     root = os.path.join(state_path, "spans")
-    spans = spark.read.option("basePath", root).parquet(root)
+    dirs = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= committed
+    ]
+    spans = spark.read.option("basePath", root).parquet(*dirs)
     w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
     return (
         spans.withColumn("__rn", F.row_number().over(w))

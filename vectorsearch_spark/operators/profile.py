@@ -214,8 +214,12 @@ def exact_quantiles(
         raise ValueError("probs must be non-empty, each in (0, 1]")
     spark = df.sparkSession
     v = F.col(col).cast("double")
+    # NaN values poison min/max (every bin index casts to null) and
+    # inflate __n past the rankable rows — quantiles are over the
+    # orderable values only, so drop null/NaN before any statistic
+    clean = df.where(v.isNotNull() & ~F.isnan(v))
     stats = (
-        df.groupBy(group_col)
+        clean.groupBy(group_col)
         .agg(
             F.count(v).alias("__n"),
             F.min(v).alias("__lo"),
@@ -229,7 +233,18 @@ def exact_quantiles(
         if r["__n"]
     }
     if not span:
-        return spark.createDataFrame([], f"{group_col} string, p double, value double")
+        # empty result must carry the SAME schema as the non-empty path
+        # (group col type comes from the input, not a hardcoded string)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField(group_col, df.schema[group_col].dataType),
+                StructField("p", DoubleType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     stats_df = spark.createDataFrame(
         [(g, lo, hi) for g, (n, lo, hi) in span.items()],
         [group_col, "__lo", "__hi"],
@@ -239,8 +254,7 @@ def exact_quantiles(
         F.least(F.floor((v - F.col("__lo")) / width), F.lit(bins - 1))
     ).cast("int")
     binned = (
-        df.where(v.isNotNull())
-        .join(F.broadcast(stats_df), group_col)
+        clean.join(F.broadcast(stats_df), group_col)
         .withColumn("__bin", bin_col)
     )
     hist = {

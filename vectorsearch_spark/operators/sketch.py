@@ -22,10 +22,12 @@ per Agarwal et al., PODS 2012 "Mergeable Summaries"):
    this module raises instead of returning a silently-approximate
    answer.
 
-Driver/broadcast state is bounded by partitions × capacity summary
-rows (32 × 4096 here; at 1000 executors size ``capacity`` accordingly
-or coalesce summaries through an intermediate aggregation — the
-documented contract, same stance as the IVF centroid collect).
+Driver/broadcast state is bounded by ``merge_fanout`` × capacity
+summary rows regardless of scan width: when the input has more
+partitions than ``merge_fanout``, a TREE of intermediate merge stages
+(whole summaries hash-routed by summary id) collapses them before the
+driver collect — at 1000 executors the driver never reads
+partitions × capacity rows (``_partition_summaries``).
 
 No reference analog (the reference is a vector index); this is the
 training-data-pipeline tier: vocabulary heavy hitters feed tokenizer
@@ -54,11 +56,86 @@ def _mg_fold(counters: dict, add: dict, capacity: int) -> dict:
     return counters
 
 
+def _partition_summaries(
+    items: DataFrame, capacity: int, merge_fanout: int = 64
+) -> "tuple[dict, int]":
+    """Distributed Misra–Gries summary of an ``item`` column: one
+    ``mapInPandas`` pass builds a per-partition summary (≤ capacity
+    counters + one (None, partition_total) marker row), then a TREE
+    MERGE collapses summaries by ``merge_fanout`` until one partition's
+    worth remains, so the driver collect reads O(merge_fanout ·
+    capacity) rows REGARDLESS of the input partition count — at 1000
+    executors × thousands of scan partitions the driver never sees
+    partitions × capacity rows. Merging by item-wise sum then one trim
+    is the mergeable-summaries MERGE (Agarwal et al., PODS 2012): the
+    total decrement across any merge tree stays ≤ N/(capacity+1), so
+    the superset guarantee (any item with f > N/(cap+1) survives) and
+    the undercount bound both hold for the merged summary.
+
+    Returns (counters, total): the ≤ capacity merged counters and the
+    exact item count.
+    """
+    cap = int(capacity)
+
+    def summaries(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["item"].value_counts()
+            n += int(vc.sum())
+            counters = _mg_fold(counters, vc.to_dict(), cap)
+        out = list(counters.items()) + [(None, n)]
+        yield pd.DataFrame(out, columns=["item", "est"])
+
+    def merge(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        acc: dict = {}
+        n = 0
+        for pdf in batches:
+            for item, est in zip(pdf["item"], pdf["est"]):
+                if item is None:
+                    n += int(est)
+                else:
+                    acc[item] = acc.get(item, 0) + int(est)
+        acc = _mg_fold({}, acc, cap)
+        yield pd.DataFrame(list(acc.items()) + [(None, n)], columns=["item", "est"])
+
+    import math
+
+    summ = items.mapInPandas(summaries, "item string, est long")
+    # .rdd only reads the partition count; any shuffle it forces under
+    # AQE is reused by the summary job itself
+    p = int(items.rdd.getNumPartitions())
+    fan = max(2, int(merge_fanout))
+    while p > fan:
+        p = math.ceil(p / fan)
+        # hash-partition by SUMMARY id so whole summaries merge together
+        # (the PODS'12 error analysis merges summaries, not row slices)
+        summ = (
+            summ.withColumn("sid", F.spark_partition_id())
+            .repartition(p, "sid")
+            .mapInPandas(merge, "item string, est long")
+        )
+    rows = summ.collect()
+    total = sum(r["est"] for r in rows if r["item"] is None)
+    counters: dict = {}
+    for r in rows:
+        if r["item"] is not None:
+            counters[r["item"]] = counters.get(r["item"], 0) + int(r["est"])
+    return _mg_fold({}, counters, cap), total
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
     k: int = 20,
     capacity: int = 4096,
+    merge_fanout: int = 64,
 ) -> DataFrame:
     """Exact global top-``k`` most frequent values of ``col`` via
     Misra–Gries candidate generation + exact verification (module doc
@@ -79,26 +156,10 @@ def heavy_hitters(
     )
 
     cap = int(capacity)
-
-    def summaries(batches: "Iterator") -> "Iterator":
-        import pandas as pd
-
-        counters: dict = {}
-        n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vc = pdf["item"].value_counts()
-            n += int(vc.sum())
-            counters = _mg_fold(counters, vc.to_dict(), cap)
-        out = list(counters.items()) + [(None, n)]
-        yield pd.DataFrame(out, columns=["item", "est"])
-
-    summ = items.mapInPandas(summaries, "item string, est long").collect()
-    total = sum(r["est"] for r in summ if r["item"] is None)
+    counters, total = _partition_summaries(items, cap, merge_fanout=merge_fanout)
     if total == 0:
         raise ValueError("heavy_hitters: empty input")
-    cands = sorted({r["item"] for r in summ if r["item"] is not None})
+    cands = sorted(counters)
     bound = total / (cap + 1)
     if not cands:
         # near-uniform data: every counter cancelled in every partition
@@ -140,6 +201,7 @@ def fold_heavy_hitters_batch(
     state_path: str,
     col: str,
     capacity: int = 4096,
+    merge_fanout: int = 64,
 ) -> None:
     """One micro-batch fold of STREAMING heavy hitters: Misra–Gries
     summaries are MERGEABLE (Agarwal et al., PODS 2012), so the state
@@ -168,37 +230,17 @@ def fold_heavy_hitters_batch(
     marker = os.path.join(state_path, "_last_epoch.json")
     if epoch_already_applied(marker, epoch_id, state_path):
         return
-    batch = batch_df.localCheckpoint()  # stream sources are single-pass
 
-    items = batch.select(F.col(col).cast("string").alias("item")).where(
+    # the batch is consumed by exactly ONE action (the summary pass),
+    # so no localCheckpoint: materializing an exploded token stream
+    # just to read it once doubled the fold's cost for nothing
+    items = batch_df.select(F.col(col).cast("string").alias("item")).where(
         F.col("item").isNotNull()
     )
     cap = int(capacity)
-
-    def summaries(batches: "Iterator") -> "Iterator":
-        import pandas as pd
-
-        counters: dict = {}
-        n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vc = pdf["item"].value_counts()
-            n += int(vc.sum())
-            counters = _mg_fold(counters, vc.to_dict(), cap)
-        out = list(counters.items()) + [(None, n)]
-        yield pd.DataFrame(out, columns=["item", "est"])
-
-    summ = items.mapInPandas(summaries, "item string, est long").collect()
-    batch_n = sum(r["est"] for r in summ if r["item"] is None)
-    # SUM estimates across the per-partition summaries (the mergeable-
-    # summaries union), then trim back to capacity — a dict build would
-    # overwrite duplicates and silently shrink every hot item's count
-    batch_counters: dict = {}
-    for r in summ:
-        if r["item"] is not None:
-            batch_counters[r["item"]] = batch_counters.get(r["item"], 0) + int(r["est"])
-    batch_counters = _mg_fold({}, batch_counters, cap)
+    batch_counters, batch_n = _partition_summaries(
+        items, cap, merge_fanout=merge_fanout
+    )
 
     # prior state: the LATEST committed epoch's summary (tiny)
     root = os.path.join(state_path, "summary")
@@ -229,9 +271,13 @@ def fold_heavy_hitters_batch(
     counters = _mg_fold(counters, batch_counters, cap)
     total += batch_n
     rows = [(i, c, total, cap) for i, c in counters.items()] or [(None, 0, total, cap)]
+    # repartition(1), NOT coalesce(1): coalescing a python-parallelized
+    # local DataFrame folds its ~parallelism partitions into ONE task
+    # that pays a sequential Python-worker round trip per partition
+    # (~4 s flat for a 512-row write); the shuffle reads them in parallel
     spark.createDataFrame(
         rows, "item string, est long, total long, capacity int"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         os.path.join(root, f"epoch={int(epoch_id)}")
     )
     fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
@@ -246,18 +292,27 @@ def read_heavy_hitters_state(spark, state_path: str, k: int = 20) -> DataFrame:
     ub = est + floor(total/(capacity+1)) — the mergeable-summaries
     error bound over the persisted (total, capacity): true count ∈
     [est, ub] for every item, including items absent from the summary
-    (whose est is implicitly 0)."""
+    (whose est is implicitly 0).
+
+    Reads the COMMITTED epoch from ``_last_epoch.json`` (the fold's
+    marker-commits-last protocol), never the max epoch dir on disk — a
+    crashed fold's partially-written dir must stay invisible until its
+    replay overwrites it (the exactly-once contract applies to external
+    readers too)."""
+    import json
     import os
 
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"read_heavy_hitters_state: no committed epoch at {state_path}"
+        )
+    with open(marker) as fh:
+        committed = int(json.load(fh)["epoch"])
     root = os.path.join(state_path, "summary")
-    eps = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("epoch=")
-    ]
     rows = spark.read.schema(
         "item string, est long, total long, capacity int"
-    ).parquet(os.path.join(root, f"epoch={max(eps)}"))
+    ).parquet(os.path.join(root, f"epoch={committed}"))
     rows = rows.where(F.col("item").isNotNull())
     err = F.floor(F.col("total") / (F.col("capacity") + 1)).cast("long")
     w = Window.orderBy(F.col("est").desc(), F.col("item").asc())

@@ -155,6 +155,9 @@ def unigram_train(
     """
     if vocab_size < 2:
         raise ValueError("vocab_size must be ≥ 2")
+    if not 0.0 < float(prune_frac) < 1.0:
+        raise ValueError("prune_frac must be in (0, 1) — at 1.0 pruning "
+                         "keeps everything and the shrink loop cannot terminate")
     words = _word_freqs(df, id_col, text_col).localCheckpoint()
     if words.limit(1).count() == 0:
         raise ValueError("unigram_train: no alphabetic words in the corpus")
@@ -165,6 +168,14 @@ def unigram_train(
             F.explode(F.split("w", "")).alias("ch")
         ).where(F.col("ch") != "").distinct().collect()
     )
+    if int(vocab_size) <= len(chars):
+        # every character must stay in the vocabulary (segmentability),
+        # so a target at or below the char count is unreachable and the
+        # shrink loop would never terminate
+        raise ValueError(
+            f"vocab_size {vocab_size} ≤ distinct character count "
+            f"{len(chars)} — raise vocab_size above the character set"
+        )
 
     # substring candidates: one start-position explode, lengths unrolled
     # as an inner transform — one map-side-combinable aggregate total
@@ -232,19 +243,30 @@ def unigram_train(
             kept[ch] = cnts.get(ch, 0)
         return kept
 
+    def final_trim(cnts: "dict[str, int]") -> "dict[str, int]":
+        multi = sorted(
+            ((p, c) for p, c in cnts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[: max(int(vocab_size) - len(chars), 0)]
+        out = dict(multi)
+        for ch in chars:
+            # chars re-enter at zero (the M-step floor re-seeds them) —
+            # the historical trim semantics the model tests pin down
+            out[ch] = out.get(ch, 0)
+        return out
+
     # shrink to size
     while len(logp) > int(vocab_size):
+        prev_size = len(logp)
         counts = _estep_counts(words, logp, max_piece_len)
         counts = prune(counts)
-        if len(counts) <= int(vocab_size):
-            # final trim to exactly the target
-            multi = sorted(
-                ((p, c) for p, c in counts.items() if len(p) > 1),
-                key=lambda pc: (-pc[1], pc[0]),
-            )[: max(int(vocab_size) - len(chars), 0)]
-            counts = dict(multi)
-            for ch in chars:
-                counts[ch] = counts.get(ch, 0)
+        if len(counts) >= prev_size and len(counts) > int(vocab_size):
+            # pruning hit a fixed point (ceil(n·frac) == n at small n):
+            # trim straight to the target instead of looping the same
+            # distributed E-step forever
+            counts = final_trim(counts)
+        elif len(counts) <= int(vocab_size):
+            counts = final_trim(counts)
         logp = _mstep(counts, chars)
 
     for _ in range(int(em_iters)):
