@@ -175,6 +175,86 @@ def ivf_assign(
     )
 
 
+def ivf_route(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED query routing — the query-side twin of
+    ``ivf_assign``: tag every query with its ``nprobe`` nearest coarse
+    buckets, never collecting the query table. Returns one row per
+    (query, probed bucket): (query_id, _qvec, bucket).
+
+    For modest codebooks (K·D ≤ 8192) the centroids are inlined and the
+    top-nprobe selection is one codegen expression — ``array_sort``
+    over (d2, bucket) structs (lexicographic order IS the
+    (distance asc, bucket asc) tie-break, matching the driver router's
+    lexsort), sliced to nprobe and exploded. A pure narrow map with
+    bounded nprobe× fan-out — no join, no shuffle. Larger codebooks
+    fall back to a broadcast crossJoin + rank window.
+
+    This is what lets ``ann_ivf_join``/``ann_ivfpq_join`` serve query
+    SIDES of arbitrary size (a 10M-row query table routes in parallel;
+    the driver never materializes it) — the per-query bounded fan-out
+    stance of the reference's search (fdb/FdbVectorIndex.java:417-432)
+    applied to table-vs-table joins.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    kc, d = cents.shape
+    nprobe = min(int(nprobe), kc)
+    pruned = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+    )
+    if kc * d <= 8192:
+        cand = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_qvec"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    F.lit(i).cast("int").alias("bucket"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        probed = F.transform(
+            F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["bucket"]
+        )
+        return pruned.select(
+            "query_id", "_qvec", F.explode(probed).alias("bucket")
+        )
+    cdf = _centroids_df(queries.sparkSession, cents)
+    scored = pruned.crossJoin(F.broadcast(cdf)).withColumn(
+        "_d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("_qvec"),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "bucket")
+    )
+
+
 def _route_queries(
     queries: list[tuple[int, list[float]]], centroids: np.ndarray, nprobe: int
 ) -> list[tuple[int, int]]:
@@ -207,46 +287,71 @@ def ann_ivf_join(
     query_vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     seed: int = 42,
+    query_mode: str = "auto",
+    max_driver_queries: int = 65536,
 ) -> DataFrame:
     """IVF ANN join: per query, top-k among vectors in its ``nprobe``
     nearest coarse buckets. Returns (query_id, id, distance, score,
     rank). nprobe == n_centroids ⇒ exact (= brute force).
 
-    Query routing is driver-side (Q×K floats); the cluster-side work is
-    one narrow assignment pass over the vector table plus a bucket-keyed
-    join against a broadcast query-routing table — at 100 TB, only the
-    probed fraction of candidates is ever scored.
+    ``query_mode``: ``"driver"`` routes queries driver-side (Q×K
+    floats; broadcast routing table — the small-Q fast path),
+    ``"distributed"`` routes with ``ivf_route`` (no collect anywhere —
+    the query side scales to arbitrary size; the bucket join shuffles
+    instead of broadcasting), ``"auto"`` picks by one bounded count
+    against ``max_driver_queries``. Both modes score the SAME candidate
+    set with the same codegen distance, so results are identical. At
+    100 TB, only the probed fraction of candidates is ever scored
+    either way.
     """
     metric = Metric(metric)
     spark = vectors.sparkSession
+    if query_mode not in ("auto", "driver", "distributed"):
+        raise ValueError("query_mode must be auto|driver|distributed")
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_centroids, vec_col=vec_col, seed=seed
         )
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, id long, distance double, score double, rank int"
+    mode = query_mode
+    if mode == "auto":
+        mode = (
+            "driver"
+            if queries.limit(max_driver_queries + 1).count() <= max_driver_queries
+            else "distributed"
         )
-    qlist = [(r[0], list(r[1])) for r in qrows]
-
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    routing = spark.createDataFrame(
-        _route_queries(qlist, centroids, nprobe), "query_id long, bucket int"
-    )
-    qvecs = spark.createDataFrame(
-        [(qid, [float(x) for x in vec]) for qid, vec in qlist],
-        StructType(
-            [
-                StructField("query_id", LongType(), False),
-                StructField("_qvec", ArrayType(FloatType(), False), False),
-            ]
-        ),
-    )
-    cand = (
-        assigned.join(F.broadcast(routing), "bucket")
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn("distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), metric))
+    if mode == "driver":
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], "query_id long, id long, distance double, score double, rank int"
+            )
+        qlist = [(r[0], list(r[1])) for r in qrows]
+        routing = spark.createDataFrame(
+            _route_queries(qlist, centroids, nprobe), "query_id long, bucket int"
+        )
+        qvecs = spark.createDataFrame(
+            [(qid, [float(x) for x in vec]) for qid, vec in qlist],
+            StructType(
+                [
+                    StructField("query_id", LongType(), False),
+                    StructField("_qvec", ArrayType(FloatType(), False), False),
+                ]
+            ),
+        )
+        cand = assigned.join(F.broadcast(routing), "bucket").join(
+            F.broadcast(qvecs), "query_id"
+        )
+    else:
+        routed = ivf_route(
+            queries, centroids, nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        # bucket-keyed shuffle join: n_centroids keys — AQE's skew-join
+        # splitting handles hot cells; the query side is never collected
+        cand = assigned.join(routed, "bucket")
+    cand = cand.withColumn(
+        "distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), metric)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
     return (
@@ -452,6 +557,8 @@ def ann_ivfpq_join(
     centroids: np.ndarray | None = None,
     seed: int = 42,
     sample_rows: int = 20000,
+    query_mode: str = "auto",
+    max_driver_queries: int = 65536,
 ) -> DataFrame:
     """IVF-PQ ANN join (the FAISS IndexIVFPQ composition — Jégou et
     al., TPAMI 2011 §IV): coarse-quantize vectors into ``n_centroids``
@@ -474,27 +581,40 @@ def ann_ivfpq_join(
     Scale: the vector table is scanned twice, both narrow — once for
     assign+encode (one Arrow ``mapInPandas`` pass emitting
     (id, bucket, m bytes of codes); the full vectors never shuffle),
-    once for the final re-rank join against a BROADCAST candidate set
+    once for the final re-rank join against the candidate set
     (Q·refine·k rows). The approximate scan shuffles only codes
     (m bytes/vector vs 4·d for raw floats — 384× narrower at d=768,
-    m=8), joined bucket-keyed against a broadcast (query, list)-LUT
-    table (Q·nprobe rows × m·pq_k doubles). Codebook training is the
-    bounded driver-sample contract of ``train_ivf_centroids``.
+    m=8), joined bucket-keyed against a (query, list)-LUT table
+    (Q·nprobe rows × m·pq_k doubles). Codebook training is the bounded
+    driver-sample contract of ``train_ivf_centroids``.
+
+    ``query_mode`` (the ``ann_ivf_join`` contract): ``"driver"``
+    routes/builds LUTs driver-side and broadcasts (small-Q fast path);
+    ``"distributed"`` routes with ``ivf_route`` and builds each
+    (query, probed-list) LUT inside an Arrow pass over the routed
+    query table — no collect anywhere, every join shuffles, so a
+    10M-row query table works without touching driver memory.
+    ``"auto"`` picks by one bounded count. Identical float math either
+    way (both build LUTs from float64 residuals), so results match
+    bit-for-bit.
     """
     from vectorsearch_spark.operators.pq import build_lut, encode, train_codebook
 
     spark = vectors.sparkSession
+    if query_mode not in ("auto", "driver", "distributed"):
+        raise ValueError("query_mode must be auto|driver|distributed")
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_centroids, vec_col=vec_col, seed=seed, sample_rows=sample_rows
         )
     cents = np.asarray(centroids, dtype=np.float64)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, id long, distance double, score double, rank int"
+    mode = query_mode
+    if mode == "auto":
+        mode = (
+            "driver"
+            if queries.limit(max_driver_queries + 1).count() <= max_driver_queries
+            else "distributed"
         )
-    qlist = [(r[0], list(r[1])) for r in qrows]
 
     assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
 
@@ -536,16 +656,66 @@ def ann_ivfpq_join(
     )
 
     # per-(query, probed-list) LUT over the query's residual in that list
-    routing = _route_queries(qlist, cents, nprobe)
-    lut_rows = []
-    qvec_by_id = {qid: np.asarray(v, dtype=np.float64) for qid, v in qlist}
-    for qid, b in routing:
-        lut = build_lut(cb, qvec_by_id[qid] - cents[b])
-        lut_rows.append((qid, b, [float(x) for x in lut.ravel()]))
-    lut_df = spark.createDataFrame(lut_rows, "query_id long, bucket int, lut array<double>")
+    if mode == "driver":
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], "query_id long, id long, distance double, score double, rank int"
+            )
+        qlist = [(r[0], list(r[1])) for r in qrows]
+        routing = _route_queries(qlist, cents, nprobe)
+        lut_rows = []
+        qvec_by_id = {qid: np.asarray(v, dtype=np.float64) for qid, v in qlist}
+        for qid, b in routing:
+            lut = build_lut(cb, qvec_by_id[qid] - cents[b])
+            lut_rows.append((qid, b, [float(x) for x in lut.ravel()]))
+        lut_df = F.broadcast(
+            spark.createDataFrame(
+                lut_rows, "query_id long, bucket int, lut array<double>"
+            )
+        )
+        qvecs = F.broadcast(
+            spark.createDataFrame(
+                [(qid, [float(x) for x in vec]) for qid, vec in qlist],
+                StructType(
+                    [
+                        StructField("query_id", LongType(), False),
+                        StructField("_qvec", ArrayType(FloatType(), False), False),
+                    ]
+                ),
+            )
+        )
+    else:
+        routed = ivf_route(
+            queries, cents, nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+
+        def luts(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for qid, vec, b in zip(pdf["query_id"], pdf["_qvec"], pdf["bucket"]):
+                    res = np.asarray(vec, dtype=np.float64) - cents[int(b)]
+                    out.append(
+                        (int(qid), int(b),
+                         [float(x) for x in build_lut(cb, res).ravel()])
+                    )
+                yield pd.DataFrame(out, columns=["query_id", "bucket", "lut"])
+
+        lut_df = routed.mapInPandas(
+            luts, "query_id long, bucket int, lut array<double>"
+        )
+        qvecs = queries.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+        )
 
     kk = int(pq_k)
-    approx = codes_df.join(F.broadcast(lut_df), "bucket").withColumn(
+    approx = codes_df.join(lut_df, "bucket").withColumn(
         "_ad",
         F.aggregate(
             F.zip_with(
@@ -563,20 +733,13 @@ def ann_ivfpq_join(
             F.col("_arn") <= int(refine) * int(k)
         )
     cand_ids = approx.select("query_id", id_col)
-
-    qvecs = spark.createDataFrame(
-        [(qid, [float(x) for x in vec]) for qid, vec in qlist],
-        StructType(
-            [
-                StructField("query_id", LongType(), False),
-                StructField("_qvec", ArrayType(FloatType(), False), False),
-            ]
-        ),
-    )
+    if mode == "driver":
+        # Q·refine·k ids — small by the driver-mode contract
+        cand_ids = F.broadcast(cand_ids)
     reranked = (
         vectors.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
-        .join(F.broadcast(cand_ids), id_col)
-        .join(F.broadcast(qvecs), "query_id")
+        .join(cand_ids, id_col)
+        .join(qvecs, "query_id")
         .withColumn(
             "distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), Metric.L2)
         )
