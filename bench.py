@@ -164,6 +164,12 @@ HEADLINE = [
     "training_pack_sequences",
     "index_search_filtered",
     "stream_token_heavy_hitters",
+    "tokenizer_unigram_vocab_chars",
+    "tokenizer_unigram_encode_chars",
+    # index_lifecycle_registry is a CORRECTNESS entry only: bench
+    # already times the same delete->vacuum->compact path end-to-end
+    # as index_maintenance; duplicating a ~6 s lifecycle here would
+    # bloat the suite without new signal
 ]
 
 def _index_build(spark, sf_dir):
@@ -254,6 +260,11 @@ def _micro_kernels(spark) -> dict:
             )
             .localCheckpoint()  # time the kernel, not the generator
         )
+        # warm once so the timing sees the KERNEL, not whole-stage
+        # codegen compilation (one-shot timing put compile jitter on
+        # par with the 50k-row work itself — the r6→r8 0.33 vs 0.05
+        # "regression" was exactly that)
+        base.select(F.sum(l2_squared("a", "b")).alias("s")).collect()
         t0 = time.time()
         base.select(F.sum(l2_squared("a", "b")).alias("s")).collect()
         hof = time.time() - t0
