@@ -166,6 +166,7 @@ HEADLINE = [
     "stream_token_heavy_hitters",
     "tokenizer_unigram_vocab_chars",
     "tokenizer_unigram_encode_chars",
+    "stream_value_quantiles",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would

@@ -282,3 +282,174 @@ def test_read_heavy_hitters_state_ignores_uncommitted_epoch(spark, tmp_path_fact
     os.makedirs(empty_state, exist_ok=True)
     with pytest.raises(ValueError, match="no committed epoch"):
         read_heavy_hitters_state(spark, empty_state, k=8)
+
+
+def _exact_q(vals, p):
+    import math
+
+    s = sorted(vals)
+    return s[max(1, math.ceil(p * len(s))) - 1]
+
+
+def test_quantile_fold_bounds_and_exactly_once(spark, tmp_path_factory):
+    """Streaming quantile histogram (adaptive mode): after 3 folds,
+    every requested quantile's exact value lies in [lb, ub]; replayed
+    epoch is a no-op; crash-before-marker replays into identical
+    state; epoch regression and config drift raise; the writeStream
+    wrapper works end-to-end."""
+    import json
+    import os
+    import random
+
+    import pytest
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_value_histogram_batch,
+        read_quantile_state,
+        stream_value_histogram,
+    )
+
+    rng = random.Random(5)
+    batches = [
+        [round(rng.gauss(50, 15), 3) for _ in range(400)],
+        [round(rng.uniform(0, 200), 3) for _ in range(300)],
+        [round(rng.gauss(120, 5), 3) for _ in range(300)],
+    ]
+    state = str(tmp_path_factory.mktemp("vq")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    allv = []
+    for i, vals in enumerate(batches):
+        allv += vals
+        fold_value_histogram_batch(
+            spark.createDataFrame([(v,) for v in vals], "value double"),
+            i, state, "value", bins=64,
+        )
+    probs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {r["p"]: r for r in read_quantile_state(spark, state, probs).collect()}
+    assert set(got) == set(probs)
+    for p in probs:
+        truth = _exact_q(allv, p)
+        r = got[p]
+        assert r["lb"] <= truth <= r["ub"], (p, truth, dict(r.asDict()))
+        assert r["value"] == r["ub"]
+
+    ref = sorted(tuple(r) for r in read_quantile_state(spark, state, probs).collect())
+    # replay no-op
+    fold_value_histogram_batch(
+        spark.createDataFrame([(v,) for v in batches[2]], "value double"),
+        2, state, "value", bins=64,
+    )
+    assert sorted(
+        tuple(r) for r in read_quantile_state(spark, state, probs).collect()
+    ) == ref
+    # crash before marker: rewind, replay — identical
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 1}, fh)
+    fold_value_histogram_batch(
+        spark.createDataFrame([(v,) for v in batches[2]], "value double"),
+        2, state, "value", bins=64,
+    )
+    assert sorted(
+        tuple(r) for r in read_quantile_state(spark, state, probs).collect()
+    ) == ref
+
+    with pytest.raises(ValueError, match="epoch regression"):
+        fold_value_histogram_batch(
+            spark.createDataFrame([(1.0,)], "value double"), 0, state, "value",
+            bins=64,
+        )
+    with pytest.raises(ValueError, match="bins"):
+        fold_value_histogram_batch(
+            spark.createDataFrame([(1.0,)], "value double"), 3, state, "value",
+            bins=128,
+        )
+
+    # writeStream wrapper end-to-end on a fresh state
+    src_dir = str(tmp_path_factory.mktemp("vqsrc")) + "/vals"
+    state2 = str(tmp_path_factory.mktemp("vqstate2")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("vqckpt"))
+    spark.createDataFrame([(v,) for v in allv], "value double").write.parquet(src_dir)
+    stream = spark.readStream.schema("value double").parquet(src_dir)
+    q = stream_value_histogram(stream, state2, ckpt, "value", bins=64)
+    q.awaitTermination(120)
+    got2 = {r["p"]: r for r in read_quantile_state(spark, state2, probs).collect()}
+    for p in probs:
+        truth = _exact_q(allv, p)
+        assert got2[p]["lb"] <= truth <= got2[p]["ub"]
+
+
+def test_quantile_fold_adaptive_regrid_exact(spark, tmp_path_factory):
+    """A later batch 1000× outside the first batch's range forces the
+    adaptive grid to double repeatedly; re-gridding persisted counts is
+    exact (power-of-two pair merging), so bounds still contain the
+    truth, the state stays ≤ bins rows, and NaN/null are excluded."""
+    import os
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_value_histogram_batch,
+        read_quantile_state,
+    )
+
+    state = str(tmp_path_factory.mktemp("vqgrow")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    b0 = [i / 100.0 for i in range(200)]           # [0, 2)
+    b1 = [1000.0 + i * 7.0 for i in range(200)]    # [1000, 2400)
+    b2 = [-500.0 + i * 3.0 for i in range(100)]    # negatives
+    fold_value_histogram_batch(
+        spark.createDataFrame([(v,) for v in b0], "value double"),
+        0, state, "value", bins=32,
+    )
+    fold_value_histogram_batch(
+        spark.createDataFrame(
+            [(v,) for v in b1] + [(None,), (float("nan"),)], "value double"
+        ),
+        1, state, "value", bins=32,
+    )
+    fold_value_histogram_batch(
+        spark.createDataFrame([(v,) for v in b2], "value double"),
+        2, state, "value", bins=32,
+    )
+    allv = b0 + b1 + b2
+    probs = [0.05, 0.5, 0.95]
+    got = {r["p"]: r for r in read_quantile_state(spark, state, probs).collect()}
+    for p in probs:
+        truth = _exact_q(allv, p)
+        assert got[p]["lb"] <= truth <= got[p]["ub"], (p, truth)
+    # state bounded: ≤ bins count rows + 1 meta row in the committed dir
+    rows = spark.read.parquet(f"{state}/hist/epoch=2").collect()
+    assert len(rows) <= 33
+
+
+def test_quantile_fold_fixed_range_clamps_honestly(spark, tmp_path_factory):
+    """Fixed-range mode: out-of-range values clamp into edge bins whose
+    bounds widen to the exact observed gmin/gmax — the truth stays
+    inside [lb, ub] even for quantiles landing in clamped bins; range
+    drift across folds raises."""
+    import os
+
+    import pytest
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_value_histogram_batch,
+        read_quantile_state,
+    )
+
+    state = str(tmp_path_factory.mktemp("vqfix")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    vals = [-50.0, -10.0] + [float(i) for i in range(100)] + [500.0, 900.0]
+    fold_value_histogram_batch(
+        spark.createDataFrame([(v,) for v in vals], "value double"),
+        0, state, "value", bins=10, lo=0.0, hi=100.0,
+    )
+    probs = [0.01, 0.5, 0.99, 1.0]
+    got = {r["p"]: r for r in read_quantile_state(spark, state, probs).collect()}
+    for p in probs:
+        truth = _exact_q(vals, p)
+        assert got[p]["lb"] <= truth <= got[p]["ub"], (p, truth)
+    assert got[1.0]["ub"] == 900.0   # top clamped bin widens to gmax
+    assert got[0.01]["lb"] == -50.0  # bottom clamped bin widens to gmin
+    with pytest.raises(ValueError, match="fixed range"):
+        fold_value_histogram_batch(
+            spark.createDataFrame([(1.0,)], "value double"),
+            1, state, "value", bins=10, lo=0.0, hi=200.0,
+        )

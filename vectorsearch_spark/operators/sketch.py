@@ -352,3 +352,283 @@ def stream_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable quantiles: bounded-bin histogram state
+# ---------------------------------------------------------------------------
+
+def _hist_width(w0: float, gmin: float, gmax: float, bins: int) -> float:
+    """Smallest ``w0 · 2^k`` (k ≥ 0) whose origin-0 grid covers
+    [gmin, gmax] with at most ``bins`` occupied cells. Widths along one
+    state lineage always relate by powers of two, so coarsening a finer
+    persisted histogram onto the new grid is EXACT integer pair-merging
+    (floor(bin/ratio) — the floor-division identity
+    floor(v/(r·w)) = floor(floor(v/w)/r) for integer r ≥ 1), never a
+    value re-read. Deterministic in (w0, gmin, gmax, bins) only."""
+    import math
+
+    w = float(w0)
+    while (math.floor(gmax / w) - math.floor(gmin / w) + 1) > int(bins):
+        w *= 2.0
+    return w
+
+
+def fold_value_histogram_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    col: str,
+    bins: int = 512,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> None:
+    """One micro-batch fold of STREAMING QUANTILES: the state is a
+    bounded histogram — at most ``bins`` (bin, count) rows plus exact
+    (total, gmin, gmax) — O(bins) forever, never the stream. The
+    quantile sibling of ``fold_heavy_hitters_batch``: reads
+    (``read_quantile_state``) return estimates with HONEST bounds — the
+    true rank-ceil(p·n) value lies inside its bin, so lb ≤ true ≤ ub
+    with ub − lb ≤ one bin width.
+
+    Two range modes:
+
+    - ``lo``/``hi`` given (the HdrHistogram-style fixed-range config):
+      origin = lo, width = (hi−lo)/bins forever; values outside the
+      range CLAMP into the edge bins, whose bounds the reader widens to
+      the exact observed gmin/gmax (honest one-sided degradation).
+      Fully deterministic in the config ⇒ SQL-mirrorable — the oracle
+      twin (``stream_value_quantiles``).
+    - adaptive (default): origin-0 grid whose width starts at the first
+      batch's span/bins and DOUBLES (never shrinks) whenever the
+      running [gmin, gmax] needs more than ``bins`` cells
+      (``_hist_width``). Re-gridding persisted counts is exact because
+      lineage widths relate by powers of two — the mergeability
+      argument, and why resolution degrades deterministically instead
+      of the state growing.
+
+    Each fold costs one bounded (count, min, max) aggregate plus one
+    ``groupBy(bin)`` count whose shuffle tracks ≤ ``bins`` keys
+    (map-side combine collapses per partition) — never a per-value
+    buffer, the same 100 TB stance as ``exact_quantiles`` (which is the
+    exact BATCH answer; this is the mergeable STREAMING one).
+    Exactly-once via the shared epoch protocol: epoch-filtered state
+    read, idempotent epoch-dir rewrite, marker-commits-last, shared
+    regression guard. NaN/null values are excluded (quantiles are over
+    the orderable values — the exact_quantiles stance).
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
+    if bins < 2:
+        raise ValueError("bins must be ≥ 2")
+    fixed = lo is not None or hi is not None
+    if fixed and (lo is None or hi is None or not float(lo) < float(hi)):
+        raise ValueError("fixed-range mode needs lo < hi")
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return
+
+    v = F.col(col).cast("double")
+    vals = batch_df.select(v.alias("v")).where(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    st = vals.agg(
+        F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    batch_n = int(st["n"])
+
+    SCHEMA = (
+        "bin long, c long, total long, w0 double, width double, "
+        "origin double, gmin double, gmax double, bins int, fixed boolean"
+    )
+    root = os.path.join(state_path, "hist")
+    prior_eps = (
+        [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    counts: dict = {}
+    total = 0
+    w0 = width = gmin = gmax = None
+    if prior_eps:
+        prev = spark.read.schema(SCHEMA).parquet(
+            os.path.join(root, f"epoch={max(prior_eps)}")
+        ).collect()
+        if prev:
+            r0 = prev[0]
+            if int(r0["bins"]) != int(bins) or bool(r0["fixed"]) != fixed:
+                raise ValueError(
+                    "fold_value_histogram_batch: bins/range mode differs from "
+                    "the state's — the grid would be wrong; keep the config "
+                    "fixed for a state's lifetime"
+                )
+            if fixed and (
+                float(r0["origin"]) != float(lo)
+                or float(r0["width"]) != (float(hi) - float(lo)) / int(bins)
+            ):
+                raise ValueError(
+                    "fold_value_histogram_batch: lo/hi differ from the "
+                    "state's fixed range — keep the range fixed for a "
+                    "state's lifetime"
+                )
+            total, w0, width = int(r0["total"]), float(r0["w0"]), float(r0["width"])
+            gmin, gmax = float(r0["gmin"]), float(r0["gmax"])
+            counts = {
+                int(r["bin"]): int(r["c"]) for r in prev if r["bin"] is not None
+            }
+
+    if fixed:
+        origin = float(lo)
+        w0 = (float(hi) - float(lo)) / int(bins)
+        new_width = w0
+    else:
+        origin = 0.0
+
+    if batch_n:
+        blo, bhi = float(st["lo"]), float(st["hi"])
+        gmin = blo if gmin is None else min(gmin, blo)
+        gmax = bhi if gmax is None else max(gmax, bhi)
+        if not fixed:
+            if w0 is None:
+                span = bhi - blo
+                w0 = (span / int(bins)) if span > 0 else max(abs(bhi), 1.0) * 1e-9
+                width = w0
+            new_width = _hist_width(w0, gmin, gmax, int(bins))
+            if width is not None and new_width > width:
+                ratio = int(round(new_width / width))
+                counts_new: dict = {}
+                for b, c in counts.items():
+                    nb = b // ratio  # exact: floor-div identity, module doc
+                    counts_new[nb] = counts_new.get(nb, 0) + c
+                counts = counts_new
+        if fixed:
+            bin_expr = F.least(
+                F.lit(int(bins) - 1),
+                F.greatest(
+                    F.lit(0), F.floor((F.col("v") - origin) / new_width)
+                ),
+            ).cast("long")
+        else:
+            bin_expr = F.floor(F.col("v") / new_width).cast("long")
+        for r in (
+            vals.withColumn("bin", bin_expr)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            counts[int(r["bin"])] = counts.get(int(r["bin"]), 0) + int(r["c"])
+        total += batch_n
+        width = new_width
+    else:
+        # empty batch: commit state unchanged (or, if nothing was ever
+        # seen, an empty meta) so readers of this epoch see "no data
+        # yet" rather than "no committed epoch"
+        if w0 is None:
+            w0 = 1.0
+        if width is None:
+            width = w0
+        if gmin is None:
+            gmin = gmax = 0.0
+
+    meta = (None, None, int(total), float(w0), float(width), float(origin),
+            float(gmin), float(gmax), int(bins), bool(fixed))
+    rows = [meta] + [
+        (int(b), int(c)) + meta[2:] for b, c in sorted(counts.items())
+    ]
+    # repartition(1), NOT coalesce(1): the python-local-DF pitfall
+    # documented at the heavy-hitters state write above
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def read_quantile_state(spark, state_path: str, probs: "list[float]") -> DataFrame:
+    """Quantile estimates from the folded histogram with honest bounds:
+    (p, value, lb, ub) where the true rank-ceil(p·total) value is
+    guaranteed in [lb, ub] — a bin's interior bounds intersected with
+    the exact observed [gmin, gmax]; clamped edge bins (fixed-range
+    mode) widen to gmin/gmax (one-sided honesty). ``value`` is ub, the
+    deterministic representative every engine derives identically. The
+    walk is driver-side over ≤ bins + 1 committed rows (bounded by
+    contract). Reads only the COMMITTED epoch (the marker protocol —
+    crashed folds stay invisible)."""
+    import json
+    import math
+    import os
+
+    if not probs or not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in (0, 1]")
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(f"read_quantile_state: no committed epoch at {state_path}")
+    with open(marker) as fh:
+        committed = int(json.load(fh)["epoch"])
+    rows = spark.read.schema(
+        "bin long, c long, total long, w0 double, width double, "
+        "origin double, gmin double, gmax double, bins int, fixed boolean"
+    ).parquet(os.path.join(state_path, "hist", f"epoch={committed}")).collect()
+    meta = rows[0]
+    total = int(meta["total"])
+    out_schema = "p double, value double, lb double, ub double"
+    if total == 0:
+        return spark.createDataFrame([], out_schema)
+    width, origin = float(meta["width"]), float(meta["origin"])
+    gmin, gmax = float(meta["gmin"]), float(meta["gmax"])
+    nbins, fixed = int(meta["bins"]), bool(meta["fixed"])
+    hist = sorted(
+        (int(r["bin"]), int(r["c"])) for r in rows if r["bin"] is not None
+    )
+    targets = sorted((max(1, math.ceil(p * total)), float(p)) for p in probs)
+    out = []
+    cum = 0
+    ti = 0
+    for b, c in hist:
+        while ti < len(targets) and cum < targets[ti][0] <= cum + c:
+            blo = origin + b * width
+            bhi = blo + width
+            lb = gmin if (fixed and b == 0) else max(blo, gmin)
+            ub = gmax if (fixed and b == nbins - 1) else min(bhi, gmax)
+            out.append((targets[ti][1], ub, lb, ub))
+            ti += 1
+        cum += c
+        if ti == len(targets):
+            break
+    return spark.createDataFrame(out, out_schema)
+
+
+def stream_value_histogram(
+    values: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    col: str,
+    **kwargs,
+):
+    """Keep a bounded quantile histogram current from a stream (see
+    ``fold_value_histogram_batch``). Returns the StreamingQuery; read
+    estimates with ``read_quantile_state``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_value_histogram_batch(batch_df, epoch_id, state_path, col, **kwargs)
+
+    return (
+        values.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

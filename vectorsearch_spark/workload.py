@@ -4490,6 +4490,70 @@ def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode(docs, vocab, max_piece_len=6)
 
 
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable quantiles (operators/sketch.py
+    fold_value_histogram_batch): events arrive as two epochs split by
+    event id; the state is a bounded fixed-range histogram (500 bins
+    over [0, 1000] — the HdrHistogram-style config), O(bins) forever.
+    Reads return (p, value, lb, ub) with the true rank-ceil(p·n) value
+    guaranteed in [lb, ub]. The fixed grid makes the fold
+    batching-independent (bin counts just add), so the folded estimates
+    share an exact SQL oracle over the WHOLE table — the
+    stream_line_dedup_fold precedent: batching-independence IS the
+    correctness claim."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_value_histogram_batch,
+        read_quantile_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"vq_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    kw = dict(bins=500, lo=0.0, hi=1000.0)
+    fold_value_histogram_batch(
+        ev.where(F.col("event_id") % 2 == 0), 0, state, "value", **kw
+    )
+    fold_value_histogram_batch(
+        ev.where(F.col("event_id") % 2 == 1), 1, state, "value", **kw
+    )
+    out = read_quantile_state(spark, state, [0.25, 0.5, 0.9, 0.99])
+    return out.select(
+        "p",
+        F.round("value", 6).alias("value"),
+        F.round("lb", 6).alias("lb"),
+        F.round("ub", 6).alias("ub"),
+    )
+
+
+STREAM_VALUE_QUANTILES_SQL = r"""
+WITH v AS (
+  SELECT value::DOUBLE AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)),
+h AS (
+  SELECT least(499, greatest(0, floor(v / 2.0)))::BIGINT AS bin,
+         count(*)::BIGINT AS c
+  FROM v GROUP BY 1),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cs FROM h),
+tot AS (SELECT count(*)::BIGINT AS n, min(v) AS gmin, max(v) AS gmax FROM v),
+tgt AS (
+  SELECT p, greatest(1, ceil(p * n))::BIGINT AS r
+  FROM (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) probs(p), tot),
+sel AS (
+  SELECT p, min(bin) AS bin FROM tgt JOIN cum ON cum.cs >= tgt.r GROUP BY p)
+SELECT p,
+  round(CASE WHEN bin = 499 THEN gmax ELSE least(bin * 2.0 + 2.0, gmax) END, 6) AS value,
+  round(CASE WHEN bin = 0 THEN gmin ELSE greatest(bin * 2.0, gmin) END, 6) AS lb,
+  round(CASE WHEN bin = 499 THEN gmax ELSE least(bin * 2.0 + 2.0, gmax) END, 6) AS ub
+FROM sel, tot
+"""
+
+
 def tokenizer_unigram_vocab_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-EXACT oracle twin of tokenizer_unigram_vocab (the
     BPE/ANN-twin precedent): ``min_count`` above any corpus count seeds
@@ -6796,6 +6860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_token_heavy_hitters": stream_token_heavy_hitters,
         "token_heavy_hitters": token_heavy_hitters,
+        "stream_value_quantiles": stream_value_quantiles,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
         "index_lifecycle_registry": index_lifecycle_registry,
@@ -6967,6 +7032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_value_quantiles": STREAM_VALUE_QUANTILES_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
         "tokenizer_unigram_encode_chars": TOKENIZER_UNIGRAM_ENCODE_CHARS_SQL,
         "index_lifecycle_registry": INDEX_LIFECYCLE_REGISTRY_SQL,
