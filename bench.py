@@ -167,6 +167,12 @@ HEADLINE = [
     "tokenizer_unigram_vocab_chars",
     "tokenizer_unigram_encode_chars",
     "stream_value_quantiles",
+    "stream_type_quantiles",
+    "stream_distinct_users",
+    "stream_token_heavy_hitters_exact",
+    "source_token_heavy_hitters",
+    "knn_mmr_maxrel",
+    "embedding_kmeans_assign",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would

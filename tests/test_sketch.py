@@ -453,3 +453,309 @@ def test_quantile_fold_fixed_range_clamps_honestly(spark, tmp_path_factory):
             spark.createDataFrame([(1.0,)], "value double"),
             1, state, "value", bins=10, lo=0.0, hi=200.0,
         )
+
+
+def test_group_quantile_fold_bounds_and_independence(spark, tmp_path_factory):
+    """Per-group quantile fold: every group's exact quantiles lie in
+    [lb, ub]; adaptive widths evolve INDEPENDENTLY (a group whose range
+    explodes coarsens only itself — the tight group keeps tight
+    bounds); a group first seen in epoch 1 works; NULL groups are
+    excluded; replay and crash-before-marker replay are identical."""
+    import json
+    import os
+    import random
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_group_value_histogram_batch,
+        read_group_quantile_state,
+        stream_group_value_histogram,
+    )
+
+    rng = random.Random(9)
+    tight0 = [round(rng.uniform(10, 11), 4) for _ in range(300)]
+    wide0 = [round(rng.uniform(0, 100), 3) for _ in range(300)]
+    tight1 = [round(rng.uniform(10, 11), 4) for _ in range(200)]
+    wide1 = [round(rng.uniform(0, 1e6), 1) for _ in range(200)]  # explodes
+    late1 = [float(i) for i in range(100)]                       # new group
+    b0 = [("t", v) for v in tight0] + [("w", v) for v in wide0]
+    b1 = (
+        [("t", v) for v in tight1]
+        + [("w", v) for v in wide1]
+        + [("late", v) for v in late1]
+        + [(None, 123.0)]  # null group: excluded
+    )
+    state = str(tmp_path_factory.mktemp("vgq")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    schema = "g string, value double"
+    fold_group_value_histogram_batch(
+        spark.createDataFrame(b0, schema), 0, state, "g", "value", bins=64
+    )
+    fold_group_value_histogram_batch(
+        spark.createDataFrame(b1, schema), 1, state, "g", "value", bins=64
+    )
+    probs = [0.5, 0.9, 1.0]
+    got = {
+        (r["group"], r["p"]): r
+        for r in read_group_quantile_state(spark, state, probs).collect()
+    }
+    truth = {"t": tight0 + tight1, "w": wide0 + wide1, "late": late1}
+    assert {g for g, _ in got} == set(truth)
+    for g, vals in truth.items():
+        for p in probs:
+            tv = _exact_q(vals, p)
+            r = got[(g, p)]
+            assert r["lb"] <= tv <= r["ub"], (g, p, tv, dict(r.asDict()))
+    # independence: the tight group's bin width stays ≤ its own span/bins
+    # grid (≈0.016), untouched by w's 1e6 explosion
+    t_mid = got[("t", 0.5)]
+    assert t_mid["ub"] - t_mid["lb"] < 0.1
+
+    ref = sorted(
+        tuple(r) for r in read_group_quantile_state(spark, state, probs).collect()
+    )
+    # replay no-op
+    fold_group_value_histogram_batch(
+        spark.createDataFrame(b1, schema), 1, state, "g", "value", bins=64
+    )
+    assert sorted(
+        tuple(r) for r in read_group_quantile_state(spark, state, probs).collect()
+    ) == ref
+    # crash before marker: rewind, replay — identical
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 0}, fh)
+    fold_group_value_histogram_batch(
+        spark.createDataFrame(b1, schema), 1, state, "g", "value", bins=64
+    )
+    assert sorted(
+        tuple(r) for r in read_group_quantile_state(spark, state, probs).collect()
+    ) == ref
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bins"):
+        fold_group_value_histogram_batch(
+            spark.createDataFrame([("t", 1.0)], schema), 2, state, "g", "value",
+            bins=32,
+        )
+
+    # writeStream wrapper end-to-end on a fresh state
+    src_dir = str(tmp_path_factory.mktemp("vgqsrc")) + "/vals"
+    state2 = str(tmp_path_factory.mktemp("vgqstate2")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("vgqckpt"))
+    spark.createDataFrame(b0 + b1, schema).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_group_value_histogram(stream, state2, ckpt, "g", "value", bins=64)
+    q.awaitTermination(120)
+    got2 = {
+        (r["group"], r["p"]): r
+        for r in read_group_quantile_state(spark, state2, probs).collect()
+    }
+    for g, vals in truth.items():
+        for p in probs:
+            tv = _exact_q(vals, p)
+            assert got2[(g, p)]["lb"] <= tv <= got2[(g, p)]["ub"]
+
+
+def test_heavy_hitters_fold_exact_at_degenerate_capacity(spark, tmp_path_factory):
+    """capacity ≥ N ⇒ a Misra–Gries summary can never trim, so the
+    folded est is the EXACT count for every item and ub == est (the
+    mergeable bound floor(N/(cap+1)) = 0) — the invariant the oracled
+    stream_token_heavy_hitters_exact entry relies on."""
+    import os
+    import random
+    from collections import Counter
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_heavy_hitters_batch,
+        read_heavy_hitters_state,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    e0 = [vocab[min(rng.randrange(40), rng.randrange(40))] for _ in range(2500)]
+    e1 = [vocab[min(rng.randrange(40), rng.randrange(40))] for _ in range(1500)]
+    truth = Counter(e0) + Counter(e1)
+    n = len(e0) + len(e1)
+    state = str(tmp_path_factory.mktemp("hhx")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    fold_heavy_hitters_batch(
+        spark.createDataFrame([(w,) for w in e0], "item string"), 0, state,
+        "item", capacity=n,
+    )
+    fold_heavy_hitters_batch(
+        spark.createDataFrame([(w,) for w in e1], "item string"), 1, state,
+        "item", capacity=n,
+    )
+    got = read_heavy_hitters_state(spark, state, k=len(truth)).collect()
+    assert len(got) == len(truth)
+    for r in got:
+        assert r["est"] == truth[r["item"]], (r, truth[r["item"]])
+        assert r["lb"] == r["est"] == r["ub"]  # bound term floors to 0
+    # ranking is (est DESC, item ASC)
+    ranked = sorted(truth.items(), key=lambda t: (-t[1], t[0]))
+    assert [(r["item"], r["est"]) for r in sorted(got, key=lambda r: r["rank"])] \
+        == ranked
+
+
+def test_distinct_count_fold(spark, tmp_path_factory):
+    """HLL distinct-count fold: exact in the sparse range across
+    overlapping epochs (the oracle regime); NULLs excluded; replay
+    no-op and crash-before-marker replay identical; lgk drift raises;
+    the estimate regime stays within the documented relative error at
+    20k distinct; writeStream wrapper end-to-end."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_distinct_count_batch,
+        read_distinct_count_state,
+        stream_distinct_count,
+    )
+
+    state = str(tmp_path_factory.mktemp("dc")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    # epoch 0: users 0..899; epoch 1: users 600..1499 (overlap 600..899)
+    e0 = spark.range(3000).select((F.col("id") % 900).alias("u"))
+    e1 = spark.range(3000).select((F.col("id") % 900 + 600).alias("u")).union(
+        spark.createDataFrame([(None,)], "u long")  # NULL: excluded
+    )
+    fold_distinct_count_batch(e0, 0, state, "u", lgk=14)
+    fold_distinct_count_batch(e1, 1, state, "u", lgk=14)
+    r = read_distinct_count_state(spark, state).collect()[0]
+    assert (r["n_distinct"], r["total"]) == (1500, 6000)
+
+    ref = (r["n_distinct"], r["total"])
+    fold_distinct_count_batch(e1, 1, state, "u", lgk=14)  # replay no-op
+    r = read_distinct_count_state(spark, state).collect()[0]
+    assert (r["n_distinct"], r["total"]) == ref
+    # crash before marker: rewind, replay — identical
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 0}, fh)
+    fold_distinct_count_batch(e1, 1, state, "u", lgk=14)
+    r = read_distinct_count_state(spark, state).collect()[0]
+    assert (r["n_distinct"], r["total"]) == ref
+
+    with pytest.raises(ValueError, match="lgk"):
+        fold_distinct_count_batch(e0, 2, state, "u", lgk=12)
+
+    # estimate regime: 20k distinct at lgk=12 → |err| ≤ 4·1.04/sqrt(2^12)
+    st2 = str(tmp_path_factory.mktemp("dc2")) + "/st"
+    os.makedirs(st2, exist_ok=True)
+    big = spark.range(60000).select((F.col("id") % 20000).alias("u"))
+    fold_distinct_count_batch(big, 0, st2, "u", lgk=12)
+    r = read_distinct_count_state(spark, st2).collect()[0]
+    assert abs(r["n_distinct"] - 20000) / 20000 < 4 * 1.04 / (2**12) ** 0.5
+    assert r["total"] == 60000
+
+    # writeStream wrapper end-to-end on a fresh state
+    src_dir = str(tmp_path_factory.mktemp("dcsrc")) + "/vals"
+    st3 = str(tmp_path_factory.mktemp("dcstate3")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("dcckpt"))
+    e0.union(e1).write.parquet(src_dir)
+    stream = spark.readStream.schema("u long").parquet(src_dir)
+    q = stream_distinct_count(stream, st3, ckpt, "u", lgk=14)
+    q.awaitTermination(120)
+    r = read_distinct_count_state(spark, st3).collect()[0]
+    assert (r["n_distinct"], r["total"]) == (1500, 6000)
+
+
+def test_group_heavy_hitters_fold(spark, tmp_path_factory):
+    """Per-group MG fold: per-group bounds contain the truth at a
+    PRODUCTION capacity even when one group is 50× another (bounds are
+    per-group totals, and a small group whose vocab fits its summary
+    stays exact while the big group trims); a group first seen in
+    epoch 1 works; NULL groups excluded; replay + crash-before-marker
+    replay identical; capacity drift raises; degenerate capacity ≥ N is
+    exact everywhere; writeStream wrapper end-to-end."""
+    import json
+    import os
+    import random
+    from collections import Counter
+
+    import pytest
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_group_heavy_hitters_batch,
+        read_group_heavy_hitters_state,
+        stream_group_heavy_hitters,
+    )
+
+    rng = random.Random(23)
+    # big: zipf-ish over 200 items, 5000 rows; small: 8 items, 100 rows
+    big0 = [f"b{min(rng.randrange(200), rng.randrange(200))}" for _ in range(3000)]
+    big1 = [f"b{min(rng.randrange(200), rng.randrange(200))}" for _ in range(2000)]
+    small1 = [f"s{rng.randrange(8)}" for _ in range(100)]  # first seen in e1
+    b0 = [("big", w) for w in big0]
+    b1 = [("big", w) for w in big1] + [("small", w) for w in small1] + [(None, "x")]
+    truth = {"big": Counter(big0) + Counter(big1), "small": Counter(small1)}
+
+    schema = "g string, item string"
+    cap = 32  # production-style: far below big's 200-item vocab
+    state = str(tmp_path_factory.mktemp("ghh")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    fold_group_heavy_hitters_batch(
+        spark.createDataFrame(b0, schema), 0, state, "g", "item", capacity=cap
+    )
+    fold_group_heavy_hitters_batch(
+        spark.createDataFrame(b1, schema), 1, state, "g", "item", capacity=cap
+    )
+    got = read_group_heavy_hitters_state(spark, state, k=10).collect()
+    assert {r["group"] for r in got} == {"big", "small"}
+    for r in got:
+        t = truth[r["group"]][r["item"]]
+        assert r["lb"] <= t <= r["ub"], (r, t)
+    # the small group's summary never trimmed -> exact, ub == est + err
+    # where err = floor(100/33) = 3; est itself must be exact
+    small = {r["item"]: r for r in got if r["group"] == "small"}
+    assert len(small) == 8
+    for item, r in small.items():
+        assert r["est"] == truth["small"][item]
+
+    ref = sorted(tuple(r) for r in got)
+    fold_group_heavy_hitters_batch(  # replay no-op
+        spark.createDataFrame(b1, schema), 1, state, "g", "item", capacity=cap
+    )
+    assert sorted(
+        tuple(r) for r in read_group_heavy_hitters_state(spark, state, 10).collect()
+    ) == ref
+    with open(f"{state}/_last_epoch.json", "w") as fh:  # crash before marker
+        json.dump({"epoch": 0}, fh)
+    fold_group_heavy_hitters_batch(
+        spark.createDataFrame(b1, schema), 1, state, "g", "item", capacity=cap
+    )
+    assert sorted(
+        tuple(r) for r in read_group_heavy_hitters_state(spark, state, 10).collect()
+    ) == ref
+
+    with pytest.raises(ValueError, match="capacity"):
+        fold_group_heavy_hitters_batch(
+            spark.createDataFrame(b1, schema), 2, state, "g", "item", capacity=16
+        )
+
+    # degenerate capacity >= N: exact everywhere, bounds collapse
+    st2 = str(tmp_path_factory.mktemp("ghhx")) + "/st"
+    os.makedirs(st2, exist_ok=True)
+    n = len(b0) + len(b1)
+    fold_group_heavy_hitters_batch(
+        spark.createDataFrame(b0, schema), 0, st2, "g", "item", capacity=n
+    )
+    fold_group_heavy_hitters_batch(
+        spark.createDataFrame(b1, schema), 1, st2, "g", "item", capacity=n
+    )
+    for r in read_group_heavy_hitters_state(spark, st2, k=10**6).collect():
+        assert r["lb"] == r["est"] == r["ub"] == truth[r["group"]][r["item"]]
+
+    # writeStream wrapper end-to-end
+    src_dir = str(tmp_path_factory.mktemp("ghhsrc")) + "/vals"
+    st3 = str(tmp_path_factory.mktemp("ghhstate3")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("ghhckpt"))
+    spark.createDataFrame(b0 + b1, schema).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_group_heavy_hitters(stream, st3, ckpt, "g", "item", capacity=cap)
+    q.awaitTermination(120)
+    for r in read_group_heavy_hitters_state(spark, st3, k=10).collect():
+        t = truth[r["group"]][r["item"]]
+        assert r["lb"] <= t <= r["ub"]

@@ -632,3 +632,662 @@ def stream_value_histogram(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_group_value_histogram_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    group_col: str,
+    col: str,
+    bins: int = 512,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> None:
+    """PER-GROUP streaming quantiles — the production shape of
+    ``fold_value_histogram_batch`` (per-event-type latency percentiles,
+    per-source score distributions): state is one bounded histogram PER
+    GROUP — ≤ |groups|·(bins+1) tiny rows, the |groups|-bounded driver
+    contract shared with select_top_fraction/temperature_budget_mix.
+    Range modes follow the global fold: a shared fixed range (lo/hi —
+    the SQL-mirrorable config) or per-group ADAPTIVE origin-0 grids
+    whose widths double independently (one exploding group coarsens
+    only itself; re-gridding its persisted counts stays exact
+    power-of-two pair merging via ``_hist_width``).
+
+    Each fold costs one |groups|-bounded stats aggregate plus one
+    ``groupBy(group, bin)`` count — the shuffle tracks ≤ |groups|·bins
+    keys with map-side combine, never a per-value buffer. Rows with a
+    NULL group are excluded (like NaN/null values: not attributable to
+    any group's distribution). Exactly-once via the shared epoch
+    protocol; bins/range-mode drift across a state's lifetime raises.
+    Read with ``read_group_quantile_state``.
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
+    if bins < 2:
+        raise ValueError("bins must be ≥ 2")
+    fixed = lo is not None or hi is not None
+    if fixed and (lo is None or hi is None or not float(lo) < float(hi)):
+        raise ValueError("fixed-range mode needs lo < hi")
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return
+
+    v = F.col(col).cast("double")
+    vals = batch_df.select(
+        F.col(group_col).cast("string").alias("g"), v.alias("v")
+    ).where(F.col("g").isNotNull() & F.col("v").isNotNull() & ~F.isnan("v"))
+    batch_stats = {
+        r["g"]: (int(r["n"]), float(r["lo"]), float(r["hi"]))
+        for r in vals.groupBy("g")
+        .agg(F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+
+    SCHEMA = (
+        "grp string, bin long, c long, total long, w0 double, width double, "
+        "origin double, gmin double, gmax double, bins int, fixed boolean"
+    )
+    root = os.path.join(state_path, "hist")
+    prior_eps = (
+        [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    # per-group state: {g: {"counts": {bin: c}, "total", "w0", "width",
+    # "gmin", "gmax"}}
+    state: dict = {}
+    if prior_eps:
+        prev = spark.read.schema(SCHEMA).parquet(
+            os.path.join(root, f"epoch={max(prior_eps)}")
+        ).collect()
+        if prev:
+            r0 = prev[0]
+            if int(r0["bins"]) != int(bins) or bool(r0["fixed"]) != fixed:
+                raise ValueError(
+                    "fold_group_value_histogram_batch: bins/range mode "
+                    "differs from the state's — keep the config fixed for a "
+                    "state's lifetime"
+                )
+            if fixed and (
+                float(r0["origin"]) != float(lo)
+                or float(r0["width"]) != (float(hi) - float(lo)) / int(bins)
+            ):
+                raise ValueError(
+                    "fold_group_value_histogram_batch: lo/hi differ from the "
+                    "state's fixed range — keep the range fixed for a "
+                    "state's lifetime"
+                )
+            for r in prev:
+                if r["grp"] is None:  # empty-epoch sentinel, not a group
+                    continue
+                s = state.setdefault(
+                    r["grp"],
+                    {"counts": {}, "total": 0, "w0": float(r["w0"]),
+                     "width": float(r["width"]), "gmin": float(r["gmin"]),
+                     "gmax": float(r["gmax"])},
+                )
+                if r["bin"] is None:
+                    s["total"] = int(r["total"])
+                else:
+                    s["counts"][int(r["bin"])] = int(r["c"])
+
+    origin = float(lo) if fixed else 0.0
+    fixed_width = ((float(hi) - float(lo)) / int(bins)) if fixed else None
+
+    # resolve each batch group's target width (and regrid prior counts)
+    widths: dict = {}
+    for g, (n, blo, bhi) in batch_stats.items():
+        s = state.get(g)
+        if fixed:
+            widths[g] = fixed_width
+            if s is not None:
+                s["gmin"], s["gmax"] = min(s["gmin"], blo), max(s["gmax"], bhi)
+            else:
+                state[g] = {"counts": {}, "total": 0, "w0": fixed_width,
+                            "width": fixed_width, "gmin": blo, "gmax": bhi}
+            continue
+        if s is None:
+            span = bhi - blo
+            w0 = (span / int(bins)) if span > 0 else max(abs(bhi), 1.0) * 1e-9
+            state[g] = {"counts": {}, "total": 0, "w0": w0, "width": w0,
+                        "gmin": blo, "gmax": bhi}
+            widths[g] = _hist_width(w0, blo, bhi, int(bins))
+            state[g]["width"] = widths[g]
+            continue
+        s["gmin"], s["gmax"] = min(s["gmin"], blo), max(s["gmax"], bhi)
+        nw = _hist_width(s["w0"], s["gmin"], s["gmax"], int(bins))
+        if nw > s["width"]:
+            ratio = int(round(nw / s["width"]))
+            merged: dict = {}
+            for b, c in s["counts"].items():
+                merged[b // ratio] = merged.get(b // ratio, 0) + c
+            s["counts"] = merged
+            s["width"] = nw
+        widths[g] = s["width"]
+
+    if batch_stats:
+        if fixed:
+            bin_expr = F.least(
+                F.lit(int(bins) - 1),
+                F.greatest(F.lit(0), F.floor((F.col("v") - origin) / fixed_width)),
+            ).cast("long")
+        else:
+            wmap = F.create_map(
+                *[x for g, wd in widths.items() for x in (F.lit(g), F.lit(float(wd)))]
+            )
+            bin_expr = F.floor(F.col("v") / F.element_at(wmap, F.col("g"))).cast(
+                "long"
+            )
+        for r in (
+            vals.withColumn("bin", bin_expr)
+            .groupBy("g", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            s = state[r["g"]]
+            s["counts"][int(r["bin"])] = s["counts"].get(int(r["bin"]), 0) + int(r["c"])
+        for g, (n, _lo, _hi) in batch_stats.items():
+            state[g]["total"] += n
+
+    rows = []
+    for g in sorted(state):
+        s = state[g]
+        meta = (g, None, None, int(s["total"]), float(s["w0"]), float(s["width"]),
+                float(origin), float(s["gmin"]), float(s["gmax"]), int(bins),
+                bool(fixed))
+        rows.append(meta)
+        rows += [(g, int(b), int(c)) + meta[3:] for b, c in sorted(s["counts"].items())]
+    if not rows:
+        # nothing ever seen: commit an empty epoch so readers see "no
+        # data yet" rather than "no committed epoch"
+        w_sent = float(fixed_width) if fixed else 1.0
+        rows = [(None, None, None, 0, w_sent, w_sent, float(origin), 0.0, 0.0,
+                 int(bins), bool(fixed))]
+    # repartition(1), NOT coalesce(1): the python-local-DF pitfall
+    # documented at the heavy-hitters state write above
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def read_group_quantile_state(
+    spark, state_path: str, probs: "list[float]"
+) -> DataFrame:
+    """Per-group quantile estimates from the folded histograms:
+    (group, p, value, lb, ub) with the ``read_quantile_state`` bound
+    guarantee per group (true rank-ceil(p·n_g) value ∈ [lb, ub]).
+    Driver-side walk over ≤ |groups|·(bins+1) committed rows — bounded
+    by the |groups| contract. Reads only the COMMITTED epoch."""
+    import json
+    import math
+    import os
+
+    if not probs or not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in (0, 1]")
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"read_group_quantile_state: no committed epoch at {state_path}"
+        )
+    with open(marker) as fh:
+        committed = int(json.load(fh)["epoch"])
+    rows = spark.read.schema(
+        "grp string, bin long, c long, total long, w0 double, width double, "
+        "origin double, gmin double, gmax double, bins int, fixed boolean"
+    ).parquet(os.path.join(state_path, "hist", f"epoch={committed}")).collect()
+    out_schema = "group string, p double, value double, lb double, ub double"
+    by_g: dict = {}
+    for r in rows:
+        if r["grp"] is None:
+            continue
+        s = by_g.setdefault(r["grp"], {"meta": None, "hist": []})
+        if r["bin"] is None:
+            s["meta"] = r
+        else:
+            s["hist"].append((int(r["bin"]), int(r["c"])))
+    out = []
+    for g in sorted(by_g):
+        meta = by_g[g]["meta"]
+        total = int(meta["total"])
+        if total == 0:
+            continue
+        width, origin = float(meta["width"]), float(meta["origin"])
+        gmin, gmax = float(meta["gmin"]), float(meta["gmax"])
+        nbins, fixed = int(meta["bins"]), bool(meta["fixed"])
+        hist = sorted(by_g[g]["hist"])
+        targets = sorted((max(1, math.ceil(p * total)), float(p)) for p in probs)
+        cum = 0
+        ti = 0
+        for b, c in hist:
+            while ti < len(targets) and cum < targets[ti][0] <= cum + c:
+                blo = origin + b * width
+                bhi = blo + width
+                lb = gmin if (fixed and b == 0) else max(blo, gmin)
+                ub = gmax if (fixed and b == nbins - 1) else min(bhi, gmax)
+                out.append((g, targets[ti][1], ub, lb, ub))
+                ti += 1
+            cum += c
+            if ti == len(targets):
+                break
+    return spark.createDataFrame(out, out_schema)
+
+
+def stream_group_value_histogram(
+    values: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_col: str,
+    col: str,
+    **kwargs,
+):
+    """Keep per-group quantile histograms current from a stream (see
+    ``fold_group_value_histogram_batch``). Returns the StreamingQuery;
+    read estimates with ``read_group_quantile_state``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_group_value_histogram_batch(
+            batch_df, epoch_id, state_path, group_col, col, **kwargs
+        )
+
+    return (
+        values.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable distinct count: one HLL sketch as the whole state
+# ---------------------------------------------------------------------------
+
+
+def fold_distinct_count_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    col: str,
+    lgk: int = 12,
+) -> None:
+    """One micro-batch fold of STREAMING DISTINCT COUNT: the state is a
+    single HyperLogLog sketch (Spark's built-in Apache DataSketches HLL
+    — ``hll_sketch_agg``/``hll_union``) plus the exact running row
+    total — O(2^lgk) bytes forever, never a distinct-key set. The
+    cardinality sibling of ``fold_heavy_hitters_batch`` /
+    ``fold_value_histogram_batch``: vocabulary-growth tracking, unique
+    users/documents — questions whose exact form
+    (``groupBy(col).count()`` or a distinct shuffle) tracks every key
+    at 100 TB.
+
+    Why this shape scales: ``hll_sketch_agg`` is a JVM-side declarative
+    aggregate — partial sketches build per partition and merge up the
+    normal aggregation tree (map-side combine; no Python, no explode,
+    no key shuffle), and the epoch merge is one ``hll_union`` of two
+    sketch blobs. Estimates are exact while the sketch is in its
+    coupon (sparse) range — roughly up to a few hundred distinct at
+    lgk=12, growing with lgk — then carry the standard HLL relative
+    error ≈ 1.04/sqrt(2^lgk) (~1.6% at lgk=12); both regimes are
+    deterministic in (values, lgk), which is what the degenerate-exact
+    oracle twin pins. NULLs are excluded (not a value). Exactly-once
+    via the shared epoch protocol; ``lgk`` drift across a state's
+    lifetime raises (sketch configs must match to union losslessly).
+    Read with ``read_distinct_count_state``.
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
+    if not 4 <= int(lgk) <= 21:
+        raise ValueError("lgk must be in [4, 21]")
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return
+
+    vals = batch_df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    agg = vals.agg(
+        F.hll_sketch_agg("v", int(lgk)).alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).collect()[0]
+    batch_sketch, batch_n = agg["sk"], int(agg["n"])
+
+    SCHEMA = "sketch binary, total long, lgk int"
+    root = os.path.join(state_path, "sketch")
+    prior_eps = (
+        [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    sketch, total = None, 0
+    if prior_eps:
+        prev = spark.read.schema(SCHEMA).parquet(
+            os.path.join(root, f"epoch={max(prior_eps)}")
+        ).collect()
+        if prev:
+            if int(prev[0]["lgk"]) != int(lgk):
+                raise ValueError(
+                    "fold_distinct_count_batch: lgk differs from the state's "
+                    "— sketches with different configs don't union losslessly; "
+                    "keep lgk fixed for a state's lifetime"
+                )
+            sketch, total = prev[0]["sketch"], int(prev[0]["total"])
+
+    if batch_sketch is not None and sketch is not None:
+        # one-row union of the two blobs — hll_union is the
+        # DataSketches lossless merge (allowDifferentLgConfigK=false:
+        # config drift must raise, not silently degrade)
+        sketch = spark.createDataFrame(
+            [(sketch, batch_sketch)], "a binary, b binary"
+        ).select(F.hll_union("a", "b", False).alias("u")).collect()[0]["u"]
+    elif batch_sketch is not None:
+        sketch = batch_sketch
+    total += batch_n
+
+    rows = [(sketch, total, int(lgk))]
+    # repartition(1), NOT coalesce(1): the python-local-DF pitfall
+    # documented at the heavy-hitters state write above
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def read_distinct_count_state(spark, state_path: str) -> DataFrame:
+    """(n_distinct, total) from the folded sketch: the HLL estimate
+    (exact in the sparse range, ≈1.04/sqrt(2^lgk) relative error
+    beyond) and the exact row total. Reads only the COMMITTED epoch
+    (``_last_epoch.json`` — the crash-window contract applies to
+    external readers too)."""
+    import json
+    import os
+
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"read_distinct_count_state: no committed epoch at {state_path}"
+        )
+    with open(marker) as fh:
+        committed = int(json.load(fh)["epoch"])
+    rows = spark.read.schema("sketch binary, total long, lgk int").parquet(
+        os.path.join(state_path, "sketch", f"epoch={committed}")
+    )
+    return rows.select(
+        F.when(
+            F.col("sketch").isNotNull(), F.hll_sketch_estimate("sketch")
+        ).otherwise(F.lit(0)).cast("long").alias("n_distinct"),
+        F.col("total").alias("total"),
+    )
+
+
+def stream_distinct_count(
+    values: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    col: str,
+    **kwargs,
+):
+    """Keep a bounded distinct-count sketch current from a stream (see
+    ``fold_distinct_count_batch``). Returns the StreamingQuery; read
+    the estimate with ``read_distinct_count_state``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_distinct_count_batch(batch_df, epoch_id, state_path, col, **kwargs)
+
+    return (
+        values.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group streaming heavy hitters: one MG summary per group
+# ---------------------------------------------------------------------------
+
+
+def fold_group_heavy_hitters_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    group_col: str,
+    col: str,
+    capacity: int = 4096,
+) -> None:
+    """PER-GROUP streaming heavy hitters — the production shape of
+    ``fold_heavy_hitters_batch`` (top tokens per language/source, top
+    URLs per domain class): state is one bounded Misra–Gries summary
+    PER GROUP — ≤ |groups|·(capacity+1) tiny rows, the |groups|-bounded
+    driver contract shared with the per-group quantile fold. Each
+    group's summary evolves independently with its own total, so the
+    mergeable error bound est ≤ true ≤ est + floor(N_g/(capacity+1))
+    holds PER GROUP regardless of how skewed the group sizes are.
+
+    Each fold: one ``mapInPandas`` pass builds per-(partition, group)
+    summaries (executor state bounded by groups-in-partition ×
+    capacity), ONE group-keyed shuffle co-locates each group's
+    summaries, and a single add-then-trim merge per group (the
+    mergeable-summaries MERGE — one trim, so the decrement stays within
+    the PODS'12 bound) yields ≤ capacity counters per group before the
+    |groups|-bounded state rewrite. Never a full-vocabulary shuffle.
+    NULL groups are excluded (not attributable). Exactly-once via the
+    shared epoch protocol; capacity drift across a state's lifetime
+    raises. Read with ``read_group_heavy_hitters_state``.
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
+    if capacity < 1:
+        raise ValueError("capacity must be ≥ 1")
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return
+
+    cap = int(capacity)
+    items = batch_df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(col).cast("string").alias("item"),
+    ).where(F.col("g").isNotNull() & F.col("item").isNotNull())
+
+    def summaries(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        accs: dict = {}
+        ns: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf.groupby("g")["item"].value_counts()
+            for g, sub in vc.groupby(level=0):
+                d = {k: int(v) for k, v in sub.droplevel(0).items()}
+                ns[g] = ns.get(g, 0) + sum(d.values())
+                accs[g] = _mg_fold(accs.get(g, {}), d, cap)
+        rows = [(g, i, int(c)) for g, cs in accs.items() for i, c in cs.items()]
+        rows += [(g, None, int(n)) for g, n in ns.items()]
+        yield pd.DataFrame(rows, columns=["g", "item", "est"])
+
+    def merge(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        accs: dict = {}
+        ns: dict = {}
+        for pdf in batches:
+            for g, item, est in zip(pdf["g"], pdf["item"], pdf["est"]):
+                if item is None:
+                    ns[g] = ns.get(g, 0) + int(est)
+                else:
+                    d = accs.setdefault(g, {})
+                    d[item] = d.get(item, 0) + int(est)
+        # one add-then-trim per group: the mergeable-summaries MERGE
+        rows = []
+        for g, d in accs.items():
+            for i, c in _mg_fold({}, d, cap).items():
+                rows.append((g, i, int(c)))
+        rows += [(g, None, int(n)) for g, n in ns.items()]
+        yield pd.DataFrame(rows, columns=["g", "item", "est"])
+
+    merged = (
+        items.mapInPandas(summaries, "g string, item string, est long")
+        .repartition(spark.sparkContext.defaultParallelism, "g")
+        .mapInPandas(merge, "g string, item string, est long")
+        .collect()
+    )
+    batch_counters: dict = {}
+    batch_ns: dict = {}
+    for r in merged:
+        if r["item"] is None:
+            batch_ns[r["g"]] = batch_ns.get(r["g"], 0) + int(r["est"])
+        else:
+            d = batch_counters.setdefault(r["g"], {})
+            d[r["item"]] = d.get(r["item"], 0) + int(r["est"])
+
+    SCHEMA = "grp string, item string, est long, total long, capacity int"
+    root = os.path.join(state_path, "summary")
+    prior_eps = (
+        [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    state: dict = {}
+    totals: dict = {}
+    if prior_eps:
+        prev = spark.read.schema(SCHEMA).parquet(
+            os.path.join(root, f"epoch={max(prior_eps)}")
+        ).collect()
+        if prev and int(prev[0]["capacity"]) != cap:
+            raise ValueError(
+                f"fold_group_heavy_hitters_batch: capacity {cap} != state "
+                f"capacity {int(prev[0]['capacity'])} — the per-group error "
+                "bound would be wrong; keep capacity fixed for a state's "
+                "lifetime"
+            )
+        for r in prev:
+            if r["grp"] is None:  # empty-epoch sentinel
+                continue
+            totals[r["grp"]] = int(r["total"])
+            if r["item"] is not None:
+                state.setdefault(r["grp"], {})[r["item"]] = int(r["est"])
+
+    for g in set(batch_counters) | set(batch_ns):
+        state[g] = _mg_fold(state.get(g, {}), batch_counters.get(g, {}), cap)
+        totals[g] = totals.get(g, 0) + batch_ns.get(g, 0)
+
+    rows = []
+    for g in sorted(totals):
+        t = int(totals[g])
+        rows += [(g, i, int(c), t, cap) for i, c in sorted(state.get(g, {}).items())]
+        rows.append((g, None, 0, t, cap))
+    if not rows:
+        rows = [(None, None, 0, 0, cap)]
+    # repartition(1), NOT coalesce(1): the python-local-DF pitfall
+    # documented at the heavy-hitters state write above
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def read_group_heavy_hitters_state(spark, state_path: str, k: int = 20) -> DataFrame:
+    """Per-group top-k estimates with per-group honest bounds:
+    (group, item, est, lb, ub, rank) where lb = est and ub = est +
+    floor(total_g/(capacity+1)) — true count ∈ [est, ub] for every
+    (group, item), including items absent from that group's summary
+    (est implicitly 0). Reads only the COMMITTED epoch; the driver-side
+    read is bounded by the |groups|·(capacity+1) state contract."""
+    import json
+    import os
+
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"read_group_heavy_hitters_state: no committed epoch at {state_path}"
+        )
+    with open(marker) as fh:
+        committed = int(json.load(fh)["epoch"])
+    rows = spark.read.schema(
+        "grp string, item string, est long, total long, capacity int"
+    ).parquet(os.path.join(state_path, "summary", f"epoch={committed}"))
+    rows = rows.where(F.col("grp").isNotNull() & F.col("item").isNotNull())
+    err = F.floor(F.col("total") / (F.col("capacity") + 1)).cast("long")
+    w = Window.partitionBy("grp").orderBy(F.col("est").desc(), F.col("item").asc())
+    return (
+        rows.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("grp").alias("group"),
+            "item",
+            "est",
+            F.col("est").alias("lb"),
+            (F.col("est") + err).alias("ub"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def stream_group_heavy_hitters(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_col: str,
+    col: str,
+    **kwargs,
+):
+    """Keep per-group heavy-hitter summaries current from a stream (see
+    ``fold_group_heavy_hitters_batch``). Returns the StreamingQuery;
+    read with ``read_group_heavy_hitters_state``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_group_heavy_hitters_batch(
+            batch_df, epoch_id, state_path, group_col, col, **kwargs
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

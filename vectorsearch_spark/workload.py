@@ -2280,6 +2280,46 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-EXACT oracle twin of embedding_kmeans: iters=0 makes
+    the centroids the deterministic first-8-by-vec_id init EXACTLY, so
+    the assignment pass — the same _assign GEMM kernel
+    (||x||²−2x·c+||c||², operators/cluster.py:34) and mapInPandas
+    plumbing every Lloyd's iteration, kmeans_assign and SemDeDup call
+    runs — is pure argmin-L2² against a SQL-derivable centroid table.
+    Proves the init ordering, the distance kernel, the argmin tie-break
+    (lowest cluster index) and the assignment schema; the iterative
+    configs keep their exact NumPy-model gates (tests/test_cluster.py)."""
+    from vectorsearch_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, iters=0)
+    return kmeans_assign(emb, cents).select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("cluster_dist", 4).alias("dist2"),
+    )
+
+
+EMBEDDING_KMEANS_ASSIGN_SQL = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+pairs AS (
+  SELECT e.vec_id, c.cluster,
+         list_reduce(list_transform(range(1, len(e.embedding)+1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))^2),
+           (x,y) -> x+y) AS d2
+  FROM embeddings e CROSS JOIN c),
+r AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM pairs)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(d2, 4) AS dist2
+FROM r WHERE rn = 1
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings with injected
     near-duplicates (vec_id+1M copies scaled 1.0001): cluster-scoped
@@ -2744,6 +2784,57 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "id", F.round("mmr_score", 4).alias("mmr_score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def knn_mmr_maxrel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-EXACT oracle twin of knn_mmr_rerank: λ=1.0 zeroes the
+    diversity term (mmr = 1·rel − 0·max_sim at EVERY step), so greedy
+    MMR collapses to top-5 by (relevance DESC, id ASC) — SQL-mirrorable
+    — while running the IDENTICAL applyInPandas kernel
+    (operators/similarity.py mmr_rerank): the candidate sort, the
+    argmax/masking loop, the max_sim updates (computed, then multiplied
+    by zero) and the score/rank emission. Relevance is the INTEGER
+    21 − knn_rank rather than the raw cosine score: same ordering, but
+    no value can sit on a rounding boundary (a raw-score twin flaked on
+    one 0.30625 half-way case — banker's vs half-away rounding), so the
+    hash compare is boundary-free by construction. Proves the selection
+    plumbing end-to-end; the λ=0.7 config keeps its exact greedy-model
+    pytest gate (tests/test_similarity.py)."""
+    from vectorsearch_spark.operators.knn import knn_join
+    from vectorsearch_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = knn_join(
+        emb, _emb_queries(spark, sf_dir), k=20, metric=Metric.COSINE, id_col="vec_id"
+    ).select(
+        "query_id", "id", (F.lit(21.0) - F.col("rank")).alias("score")
+    )
+    cand = top.join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    out = mmr_rerank(cand, k=5, lam=1.0)
+    return out.select(
+        "query_id", "id", F.round("mmr_score", 4).alias("mmr_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+KNN_MMR_MAXREL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS id, {_duck_cosine_dist("e.embedding", "q.qe")} AS d
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rn
+  FROM pairs),
+sel AS (
+  SELECT query_id, id, 21.0 - rn AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY rn ASC, id ASC) AS rank
+  FROM ranked WHERE rn <= 20)
+SELECT query_id, id, round(score, 4) AS mmr_score, CAST(rank AS BIGINT) AS rank
+FROM sel WHERE rank <= 5
+"""
 
 
 def knn_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4554,6 +4645,115 @@ FROM sel, tot
 """
 
 
+def stream_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP streaming quantiles (operators/sketch.py
+    fold_group_value_histogram_batch): per-event-type value percentiles
+    from a 2-epoch fold — one bounded histogram per type (the
+    |groups|-bounded contract), fixed [0, 1000]×500 grid so the fold is
+    batching-independent and shares an exact whole-table SQL oracle
+    (the stream_value_quantiles precedent, partitioned by type).
+    Returns (group, p, value, lb, ub) with the true per-type
+    rank-ceil(p·n) value guaranteed in [lb, ub]."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_group_value_histogram_batch,
+        read_group_quantile_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"vgq_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    kw = dict(bins=500, lo=0.0, hi=1000.0)
+    fold_group_value_histogram_batch(
+        ev.where(F.col("event_id") % 2 == 0), 0, state, "event_type", "value", **kw
+    )
+    fold_group_value_histogram_batch(
+        ev.where(F.col("event_id") % 2 == 1), 1, state, "event_type", "value", **kw
+    )
+    out = read_group_quantile_state(spark, state, [0.5, 0.9, 0.99])
+    return out.select(
+        "group",
+        "p",
+        F.round("value", 6).alias("value"),
+        F.round("lb", 6).alias("lb"),
+        F.round("ub", 6).alias("ub"),
+    )
+
+
+STREAM_TYPE_QUANTILES_SQL = r"""
+WITH v AS (
+  SELECT event_type AS g, value::DOUBLE AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL),
+h AS (
+  SELECT g, least(499, greatest(0, floor(v / 2.0)))::BIGINT AS bin,
+         count(*)::BIGINT AS c
+  FROM v GROUP BY 1, 2),
+cum AS (SELECT g, bin, sum(c) OVER (PARTITION BY g ORDER BY bin) AS cs FROM h),
+tot AS (
+  SELECT g, count(*)::BIGINT AS n, min(v) AS gmin, max(v) AS gmax
+  FROM v GROUP BY g),
+tgt AS (
+  SELECT g, gmin, gmax, p, greatest(1, ceil(p * n))::BIGINT AS r
+  FROM tot, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) probs(p)),
+sel AS (
+  SELECT tgt.g, p, gmin, gmax, min(bin) AS bin
+  FROM tgt JOIN cum ON cum.g = tgt.g AND cum.cs >= tgt.r
+  GROUP BY 1, 2, 3, 4)
+SELECT g AS "group", p,
+  round(CASE WHEN bin = 499 THEN gmax ELSE least(bin * 2.0 + 2.0, gmax) END, 6) AS value,
+  round(CASE WHEN bin = 0 THEN gmin ELSE greatest(bin * 2.0, gmin) END, 6) AS lb,
+  round(CASE WHEN bin = 499 THEN gmax ELSE least(bin * 2.0 + 2.0, gmax) END, 6) AS ub
+FROM sel
+"""
+
+
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct count (operators/sketch.py
+    fold_distinct_count_batch): unique event users arrive in two
+    epochs; the state is ONE HyperLogLog sketch (Spark's built-in
+    DataSketches HLL aggregate — JVM-side partials, map-side combine,
+    no key shuffle) plus the exact row total — O(2^lgk) bytes forever.
+    lgk=14 keeps the sketch in its EXACT coupon range at every test SF
+    (probed: exact through ≥1500 distinct; beyond, estimates carry the
+    standard ≈1.04/sqrt(2^14)≈0.8% relative error), which is what makes
+    the whole fold → union → committed-epoch read path SQL-mirrorable
+    here — the degenerate-exact oracle precedent applied to sketched
+    cardinality."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_distinct_count_batch,
+        read_distinct_count_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"dc_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    fold_distinct_count_batch(
+        ev.where(F.col("event_id") % 2 == 0), 0, state, "user_id", lgk=14
+    )
+    fold_distinct_count_batch(
+        ev.where(F.col("event_id") % 2 == 1), 1, state, "user_id", lgk=14
+    )
+    return read_distinct_count_state(spark, state)
+
+
+STREAM_DISTINCT_USERS_SQL = r"""
+SELECT count(DISTINCT user_id)::BIGINT AS n_distinct,
+       count(user_id)::BIGINT AS total
+FROM events WHERE user_id IS NOT NULL
+"""
+
+
 def tokenizer_unigram_vocab_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-EXACT oracle twin of tokenizer_unigram_vocab (the
     BPE/ANN-twin precedent): ``min_count`` above any corpus count seeds
@@ -4705,6 +4905,126 @@ def stream_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.where(F.col("doc_id") >= mid), 1, state, "token", capacity=512
     )
     return read_heavy_hitters_state(spark, state, k=20)
+
+
+def stream_token_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-EXACT oracle twin of stream_token_heavy_hitters (the
+    BPE/ANN/unigram twin precedent applied to the streaming fold): with
+    capacity ≥ N (the total token count), a Misra–Gries summary can
+    NEVER trim — no decrement ever fires anywhere in the partition/
+    merge/epoch tree — so est == the exact count for every token, and
+    the mergeable error bound floor(N/(capacity+1)) == 0 collapses
+    [lb, ub] onto it. DuckDB mirrors the whole ranked read, proving the
+    fold's partition-summary pass, the tree merge, the epoch
+    merge/rewrite, the committed-epoch reader and the (est DESC, token)
+    ranking — the same distributed path the production capacity runs
+    (operators/sketch.py fold_heavy_hitters_batch). Cheap in the
+    degenerate config because per-partition state is vocabulary-bounded
+    regardless of capacity."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_heavy_hitters_batch,
+        read_heavy_hitters_state,
+    )
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0))
+        ).alias("token"),
+    )
+    capacity = max(int(toks.count()), 1)
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"hhx_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    mid = 250
+    fold_heavy_hitters_batch(
+        toks.where(F.col("doc_id") < mid), 0, state, "token", capacity=capacity
+    )
+    fold_heavy_hitters_batch(
+        toks.where(F.col("doc_id") >= mid), 1, state, "token", capacity=capacity
+    )
+    return read_heavy_hitters_state(spark, state, k=20).select(
+        F.col("item").alias("token"), "est", "lb", "ub", "rank"
+    )
+
+
+STREAM_TOKEN_HEAVY_HITTERS_EXACT_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]')) AS token
+  FROM documents),
+c AS (SELECT token, count(*)::BIGINT AS est FROM toks GROUP BY token)
+SELECT token, est, est AS lb, est AS ub,
+       row_number() OVER (ORDER BY est DESC, token)::BIGINT AS rank
+FROM c ORDER BY est DESC, token LIMIT 20
+"""
+
+
+def source_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-10 tokens via the PER-GROUP streaming
+    heavy-hitters fold (operators/sketch.py
+    fold_group_heavy_hitters_batch — one bounded Misra–Gries summary
+    per group, the |groups|-bounded contract) in its degenerate-EXACT
+    capacity: cap ≥ N means no summary can ever trim, so est == the
+    exact (source, token) count and each group's error bound floors to
+    0 — the stream_token_heavy_hitters_exact precedent applied per
+    group, making the whole fold → group-keyed merge → committed-epoch
+    read → per-group ranking SQL-mirrorable. Production capacities keep
+    the per-group bound-invariant pytest gates."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_group_heavy_hitters_batch,
+        read_group_heavy_hitters_state,
+    )
+    from vectorsearch_spark.operators.text import BPE_PIECE_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0))
+        ).alias("token"),
+    )
+    capacity = max(int(toks.count()), 1)
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"ghh_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    mid = 250
+    fold_group_heavy_hitters_batch(
+        toks.where(F.col("doc_id") < mid), 0, state, "source", "token",
+        capacity=capacity,
+    )
+    fold_group_heavy_hitters_batch(
+        toks.where(F.col("doc_id") >= mid), 1, state, "source", "token",
+        capacity=capacity,
+    )
+    return read_group_heavy_hitters_state(spark, state, k=10).select(
+        "group", F.col("item").alias("token"), "est", "lb", "ub", "rank"
+    )
+
+
+SOURCE_TOKEN_HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]')) AS token
+  FROM documents),
+c AS (SELECT source, token, count(*)::BIGINT AS est FROM toks GROUP BY 1, 2),
+r AS (
+  SELECT source AS "group", token, est, est AS lb, est AS ub,
+         row_number() OVER (PARTITION BY source ORDER BY est DESC, token)::BIGINT AS rank
+  FROM c)
+SELECT * FROM r WHERE rank <= 10
+"""
 
 
 def corpus_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6859,8 +7179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # right after the window for the r10 rotation).
     return {
         "stream_token_heavy_hitters": stream_token_heavy_hitters,
+        "stream_token_heavy_hitters_exact": stream_token_heavy_hitters_exact,
+        "source_token_heavy_hitters": source_token_heavy_hitters,
         "token_heavy_hitters": token_heavy_hitters,
         "stream_value_quantiles": stream_value_quantiles,
+        "stream_type_quantiles": stream_type_quantiles,
+        "stream_distinct_users": stream_distinct_users,
+        "knn_mmr_maxrel": knn_mmr_maxrel,
+        "embedding_kmeans_assign": embedding_kmeans_assign,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
         "index_lifecycle_registry": index_lifecycle_registry,
@@ -7033,6 +7359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "stream_value_quantiles": STREAM_VALUE_QUANTILES_SQL,
+        "stream_type_quantiles": STREAM_TYPE_QUANTILES_SQL,
+        "stream_token_heavy_hitters_exact": STREAM_TOKEN_HEAVY_HITTERS_EXACT_SQL,
+        "source_token_heavy_hitters": SOURCE_TOKEN_HEAVY_HITTERS_SQL,
+        "stream_distinct_users": STREAM_DISTINCT_USERS_SQL,
+        "knn_mmr_maxrel": KNN_MMR_MAXREL_SQL,
+        "embedding_kmeans_assign": EMBEDDING_KMEANS_ASSIGN_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
         "tokenizer_unigram_encode_chars": TOKENIZER_UNIGRAM_ENCODE_CHARS_SQL,
         "index_lifecycle_registry": INDEX_LIFECYCLE_REGISTRY_SQL,
