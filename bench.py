@@ -169,6 +169,7 @@ HEADLINE = [
     "stream_value_quantiles",
     "stream_type_quantiles",
     "stream_distinct_users",
+    "stream_type_distinct_users",
     "stream_token_heavy_hitters_exact",
     "source_token_heavy_hitters",
     "knn_mmr_maxrel",

@@ -759,3 +759,60 @@ def test_group_heavy_hitters_fold(spark, tmp_path_factory):
     for r in read_group_heavy_hitters_state(spark, st3, k=10).collect():
         t = truth[r["group"]][r["item"]]
         assert r["lb"] <= t <= r["ub"]
+
+
+def test_group_distinct_count_fold(spark, tmp_path_factory):
+    """Per-group HLL fold: exact per group in the sparse range across
+    overlapping epochs; a group first seen in epoch 1 works; NULL
+    groups/values excluded; replay no-op + crash-before-marker replay
+    identical; lgk drift raises; writeStream wrapper end-to-end."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_group_distinct_count_batch,
+        read_group_distinct_count_state,
+        stream_group_distinct_count,
+    )
+
+    state = str(tmp_path_factory.mktemp("gdc")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    # a: users 0..299 in e0, 200..499 in e1 (union 500); b: only e1
+    e0 = spark.range(900).select(F.lit("a").alias("g"), (F.col("id") % 300).alias("u"))
+    e1 = (
+        spark.range(900)
+        .select(F.lit("a").alias("g"), (F.col("id") % 300 + 200).alias("u"))
+        .union(spark.range(120).select(F.lit("b").alias("g"), (F.col("id") % 40).alias("u")))
+        .union(spark.createDataFrame([(None, 1), ("a", None)], "g string, u long"))
+    )
+    fold_group_distinct_count_batch(e0, 0, state, "g", "u", lgk=14)
+    fold_group_distinct_count_batch(e1, 1, state, "g", "u", lgk=14)
+    got = {r["group"]: (r["n_distinct"], r["total"])
+           for r in read_group_distinct_count_state(spark, state).collect()}
+    assert got == {"a": (500, 1800), "b": (40, 120)}
+
+    fold_group_distinct_count_batch(e1, 1, state, "g", "u", lgk=14)  # replay
+    assert {r["group"]: (r["n_distinct"], r["total"])
+            for r in read_group_distinct_count_state(spark, state).collect()} == got
+    with open(f"{state}/_last_epoch.json", "w") as fh:  # crash before marker
+        json.dump({"epoch": 0}, fh)
+    fold_group_distinct_count_batch(e1, 1, state, "g", "u", lgk=14)
+    assert {r["group"]: (r["n_distinct"], r["total"])
+            for r in read_group_distinct_count_state(spark, state).collect()} == got
+
+    with pytest.raises(ValueError, match="lgk"):
+        fold_group_distinct_count_batch(e0, 2, state, "g", "u", lgk=12)
+
+    # writeStream wrapper end-to-end
+    src_dir = str(tmp_path_factory.mktemp("gdcsrc")) + "/vals"
+    st3 = str(tmp_path_factory.mktemp("gdcstate3")) + "/st"
+    ckpt = str(tmp_path_factory.mktemp("gdcckpt"))
+    e0.union(e1).write.parquet(src_dir)
+    stream = spark.readStream.schema("g string, u long").parquet(src_dir)
+    q = stream_group_distinct_count(stream, st3, ckpt, "g", "u", lgk=14)
+    q.awaitTermination(120)
+    assert {r["group"]: (r["n_distinct"], r["total"])
+            for r in read_group_distinct_count_state(spark, st3).collect()} == got

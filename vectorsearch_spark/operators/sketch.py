@@ -1291,3 +1291,167 @@ def stream_group_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_group_distinct_count_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    group_col: str,
+    col: str,
+    lgk: int = 12,
+) -> None:
+    """PER-GROUP streaming distinct count — the cardinality member of
+    the per-group trio (quantiles, heavy hitters, cardinality): unique
+    users per event type, distinct domains per language. State is one
+    HLL sketch PER GROUP plus each group's exact row total —
+    ≤ |groups| · O(2^lgk) bytes, the |groups|-bounded contract.
+
+    Each fold is ONE declarative aggregation:
+    ``groupBy(group).agg(hll_sketch_agg, count)`` — JVM-side partial
+    sketches with map-side combine, so the shuffle carries ≤ |groups| ×
+    partitions sketch blobs, never values — then a driver-side
+    ``hll_union`` per group against the persisted blobs (bounded by
+    |groups|). NULL groups and NULL values are excluded. Exactness /
+    error regimes and the lgk-drift raise follow
+    ``fold_distinct_count_batch``. Read with
+    ``read_group_distinct_count_state``.
+    """
+    import json
+    import os
+    import tempfile
+
+    from vectorsearch_spark.operators.incremental import epoch_already_applied
+
+    if not 4 <= int(lgk) <= 21:
+        raise ValueError("lgk must be in [4, 21]")
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return
+
+    vals = batch_df.select(
+        F.col(group_col).cast("string").alias("g"), F.col(col).alias("v")
+    ).where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    batch = {
+        r["g"]: (r["sk"], int(r["n"]))
+        for r in vals.groupBy("g")
+        .agg(
+            F.hll_sketch_agg("v", int(lgk)).alias("sk"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+
+    SCHEMA = "grp string, sketch binary, total long, lgk int"
+    root = os.path.join(state_path, "sketch")
+    prior_eps = (
+        [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    state: dict = {}
+    if prior_eps:
+        prev = spark.read.schema(SCHEMA).parquet(
+            os.path.join(root, f"epoch={max(prior_eps)}")
+        ).collect()
+        if prev and int(prev[0]["lgk"]) != int(lgk):
+            raise ValueError(
+                "fold_group_distinct_count_batch: lgk differs from the "
+                "state's — sketches with different configs don't union "
+                "losslessly; keep lgk fixed for a state's lifetime"
+            )
+        for r in prev:
+            if r["grp"] is None:  # empty-epoch sentinel
+                continue
+            state[r["grp"]] = (r["sketch"], int(r["total"]))
+
+    both = [
+        (g, state[g][0], batch[g][0])
+        for g in batch
+        if g in state and state[g][0] is not None and batch[g][0] is not None
+    ]
+    merged = {}
+    if both:
+        # one bounded job: |groups-in-both| rows, each one hll_union
+        for r in spark.createDataFrame(
+            both, "g string, a binary, b binary"
+        ).select("g", F.hll_union("a", "b", False).alias("u")).collect():
+            merged[r["g"]] = r["u"]
+    for g, (sk, n) in batch.items():
+        if g in state:
+            prev_sk, prev_n = state[g]
+            state[g] = (merged.get(g, sk if sk is not None else prev_sk),
+                        prev_n + n)
+        else:
+            state[g] = (sk, n)
+
+    rows = [(g, sk, int(n), int(lgk)) for g, (sk, n) in sorted(state.items())]
+    if not rows:
+        rows = [(None, None, 0, int(lgk))]
+    # repartition(1), NOT coalesce(1): the python-local-DF pitfall
+    # documented at the heavy-hitters state write above
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, marker)
+
+
+def read_group_distinct_count_state(spark, state_path: str) -> DataFrame:
+    """(group, n_distinct, total) per group from the folded sketches
+    (regimes as ``read_distinct_count_state``, per group). Reads only
+    the COMMITTED epoch; bounded by the |groups| contract."""
+    import json
+    import os
+
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"read_group_distinct_count_state: no committed epoch at {state_path}"
+        )
+    with open(marker) as fh:
+        committed = int(json.load(fh)["epoch"])
+    rows = spark.read.schema("grp string, sketch binary, total long, lgk int").parquet(
+        os.path.join(state_path, "sketch", f"epoch={committed}")
+    )
+    return rows.where(F.col("grp").isNotNull()).select(
+        F.col("grp").alias("group"),
+        F.when(F.col("sketch").isNotNull(), F.hll_sketch_estimate("sketch"))
+        .otherwise(F.lit(0)).cast("long").alias("n_distinct"),
+        F.col("total").alias("total"),
+    )
+
+
+def stream_group_distinct_count(
+    values: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_col: str,
+    col: str,
+    **kwargs,
+):
+    """Keep per-group distinct-count sketches current from a stream
+    (see ``fold_group_distinct_count_batch``). Returns the
+    StreamingQuery; read with ``read_group_distinct_count_state``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_group_distinct_count_batch(
+            batch_df, epoch_id, state_path, group_col, col, **kwargs
+        )
+
+    return (
+        values.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

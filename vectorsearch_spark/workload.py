@@ -4754,6 +4754,50 @@ FROM events WHERE user_id IS NOT NULL
 """
 
 
+def stream_type_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP streaming distinct count (operators/sketch.py
+    fold_group_distinct_count_batch): unique users per event type from
+    a two-epoch fold — one HLL sketch per group (|groups|-bounded
+    state; each fold is ONE declarative groupBy(hll_sketch_agg) with
+    map-side partial sketches, never a value shuffle). lgk=14 keeps
+    every group's sketch in its exact coupon range at every test SF
+    (the stream_distinct_users precedent, per group), making the fold →
+    per-group union → committed-epoch read SQL-mirrorable."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_group_distinct_count_batch,
+        read_group_distinct_count_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"gdc_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    fold_group_distinct_count_batch(
+        ev.where(F.col("event_id") % 2 == 0), 0, state, "event_type", "user_id",
+        lgk=14,
+    )
+    fold_group_distinct_count_batch(
+        ev.where(F.col("event_id") % 2 == 1), 1, state, "event_type", "user_id",
+        lgk=14,
+    )
+    return read_group_distinct_count_state(spark, state)
+
+
+STREAM_TYPE_DISTINCT_USERS_SQL = r"""
+SELECT event_type AS "group",
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       count(user_id)::BIGINT AS total
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1
+"""
+
+
 def tokenizer_unigram_vocab_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-EXACT oracle twin of tokenizer_unigram_vocab (the
     BPE/ANN-twin precedent): ``min_count`` above any corpus count seeds
@@ -7185,6 +7229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_value_quantiles": stream_value_quantiles,
         "stream_type_quantiles": stream_type_quantiles,
         "stream_distinct_users": stream_distinct_users,
+        "stream_type_distinct_users": stream_type_distinct_users,
         "knn_mmr_maxrel": knn_mmr_maxrel,
         "embedding_kmeans_assign": embedding_kmeans_assign,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
@@ -7363,6 +7408,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_token_heavy_hitters_exact": STREAM_TOKEN_HEAVY_HITTERS_EXACT_SQL,
         "source_token_heavy_hitters": SOURCE_TOKEN_HEAVY_HITTERS_SQL,
         "stream_distinct_users": STREAM_DISTINCT_USERS_SQL,
+        "stream_type_distinct_users": STREAM_TYPE_DISTINCT_USERS_SQL,
         "knn_mmr_maxrel": KNN_MMR_MAXREL_SQL,
         "embedding_kmeans_assign": EMBEDDING_KMEANS_ASSIGN_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
