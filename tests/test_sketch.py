@@ -816,3 +816,70 @@ def test_group_distinct_count_fold(spark, tmp_path_factory):
     q.awaitTermination(120)
     assert {r["group"]: (r["n_distinct"], r["total"])
             for r in read_group_distinct_count_state(spark, st3).collect()} == got
+
+
+def test_value_histogram_fold_empty_first_batch_and_inf(spark, tmp_path_factory):
+    """Review regressions: (1) an empty FIRST micro-batch commits a
+    'no data yet' sentinel whose placeholder w0/gmin/gmax must NOT seed
+    the adaptive grid or the observed range once real data arrives —
+    resolution must equal the fresh-state grid (span/bins), not a
+    permanent width-1.0 grid with a phantom gmin=0; (2) ±Inf values are
+    excluded like NaN (no bin — they would overflow the grid
+    arithmetic) instead of crashing the fold; (3) same for the
+    per-group fold, fixed and adaptive."""
+    import os
+
+    from vectorsearch_spark.operators.sketch import (
+        fold_group_value_histogram_batch,
+        fold_value_histogram_batch,
+        read_group_quantile_state,
+        read_quantile_state,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    vals = spark.createDataFrame([(5.0 + i / 1000.0,) for i in range(101)], "v double")
+
+    # adaptive global: empty epoch 0, data epoch 1
+    st = str(tmp_path_factory.mktemp("vqe")) + "/st"
+    os.makedirs(st, exist_ok=True)
+    fold_value_histogram_batch(empty, 0, st, "v", bins=64)
+    fold_value_histogram_batch(vals, 1, st, "v", bins=64)
+    r = read_quantile_state(spark, st, [0.5]).collect()[0]
+    assert r["lb"] >= 5.0  # phantom gmin=0.0 must not survive
+    assert r["ub"] - r["lb"] < 0.01  # fresh grid ~ span/64, not width 1.0
+    assert 5.0 <= r["value"] <= 5.1
+
+    # ±Inf/NaN excluded, fold does not crash, bounds stay sane
+    st2 = str(tmp_path_factory.mktemp("vqi")) + "/st"
+    os.makedirs(st2, exist_ok=True)
+    messy = spark.createDataFrame(
+        [(1.0,), (float("inf"),), (float("-inf"),), (float("nan"),), (None,), (2.0,)],
+        "v double",
+    )
+    fold_value_histogram_batch(messy, 0, st2, "v", bins=16)
+    r = {row["p"]: row for row in read_quantile_state(spark, st2, [0.5, 1.0]).collect()}
+    assert r[1.0]["ub"] == 2.0 and r[0.5]["lb"] >= 1.0 - 1e-9
+
+    # group fold: empty first batch then data, fixed AND adaptive
+    gvals = spark.createDataFrame(
+        [("a", 5.0 + i / 1000.0) for i in range(101)], "g string, value double"
+    )
+    gempty = spark.createDataFrame([], "g string, value double")
+    for kw in ({"bins": 64}, {"bins": 64, "lo": 0.0, "hi": 10.0}):
+        stg = str(tmp_path_factory.mktemp("gqe")) + "/st"
+        os.makedirs(stg, exist_ok=True)
+        fold_group_value_histogram_batch(gempty, 0, stg, "g", "value", **kw)
+        fold_group_value_histogram_batch(gvals, 1, stg, "g", "value", **kw)
+        r = read_group_quantile_state(spark, stg, [0.5]).collect()[0]
+        assert r["group"] == "a" and r["lb"] >= 5.0 - 0.2  # fixed grid: 10/64 bins
+        assert 5.0 <= r["value"] <= 5.2
+
+    # group fold inf exclusion
+    stg2 = str(tmp_path_factory.mktemp("gqi")) + "/st"
+    os.makedirs(stg2, exist_ok=True)
+    gmessy = spark.createDataFrame(
+        [("a", 1.0), ("a", float("inf")), ("a", 2.0)], "g string, value double"
+    )
+    fold_group_value_histogram_batch(gmessy, 0, stg2, "g", "value", bins=16)
+    r = read_group_quantile_state(spark, stg2, [1.0]).collect()[0]
+    assert r["ub"] == 2.0

@@ -720,11 +720,12 @@ def fold_dedup_ingest_batch(
     applied-epoch marker commits last via atomic rename. A replay
     after the marker committed is skipped outright.
     """
-    import json
     import os
-    import tempfile
 
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+    )
 
     spark = batch_df.sparkSession
     marker = os.path.join(state_path, "_last_epoch.json")
@@ -810,10 +811,7 @@ def fold_dedup_ingest_batch(
     sh_a.select(F.col("doc_id").cast("long"), "shingles").write.mode(
         "overwrite"
     ).parquet(os.path.join(state_path, "shingles", ep))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def stream_dedup_ingest(
@@ -879,12 +877,13 @@ def fold_passage_dedup_batch(
     against old state) raises (the r6 guard shared with the doc-level
     ingest above).
     """
-    import json
     import os
-    import tempfile
 
     from vectorsearch_spark.operators.curate import chunk_documents
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+    )
 
     spark = batch_df.sparkSession
     marker = os.path.join(state_path, "_last_epoch.json")
@@ -951,10 +950,7 @@ def fold_passage_dedup_batch(
     ep = f"epoch={int(epoch_id)}"
     out.write.mode("overwrite").parquet(os.path.join(state_path, "accepted", ep))
     surviving.write.mode("overwrite").parquet(os.path.join(state_path, "chunks", ep))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def stream_passage_dedup(
@@ -1023,9 +1019,7 @@ def fold_repeated_spans_batch(
     via atomic rename, and an epoch REGRESSION raises (the shared
     guard).
     """
-    import json
     import os
-    import tempfile
 
     from vectorsearch_spark.operators.curate import (
         _gram_slide,
@@ -1034,7 +1028,10 @@ def fold_repeated_spans_batch(
         _span_report,
         _tokenized_base,
     )
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+    )
 
     if span_tokens < 2:
         raise ValueError("span_tokens must be ≥ 2")
@@ -1088,10 +1085,7 @@ def fold_repeated_spans_batch(
     ep = f"epoch={int(epoch_id)}"
     out.write.mode("overwrite").parquet(os.path.join(state_path, "spans", ep))
     new_grams.write.mode("overwrite").parquet(os.path.join(state_path, "grams", ep))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def stream_repeated_spans(
@@ -1163,12 +1157,13 @@ def fold_line_dedup_batch(
     rewrite idempotently, the applied-epoch marker commits last via
     atomic rename, and an epoch regression raises (the shared guard).
     """
-    import json
     import os
-    import tempfile
 
     from vectorsearch_spark.operators.curate import _line_doc_counts, _line_report, _line_rows
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+    )
 
     if min_docs < 2:
         raise ValueError("min_docs must be ≥ 2")
@@ -1244,10 +1239,7 @@ def fold_line_dedup_batch(
         os.path.join(state_path, "keycounts", ep)
     )
     out.write.mode("overwrite").parquet(os.path.join(state_path, "spans", ep))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def read_line_dedup_state(spark, state_path: str, id_col: str = "doc_id") -> DataFrame:
@@ -1257,16 +1249,11 @@ def read_line_dedup_state(spark, state_path: str, id_col: str = "doc_id") -> Dat
     ``_last_epoch.json`` marker are read: a crashed fold's
     partially-written dir stays invisible to external readers until the
     replay overwrites it (the exactly-once contract)."""
-    import json
     import os
 
-    marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
-        raise ValueError(
-            f"read_line_dedup_state: no committed epoch at {state_path}"
-        )
-    with open(marker) as fh:
-        committed = int(json.load(fh)["epoch"])
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
+    committed = committed_epoch(state_path, "read_line_dedup_state")
     root = os.path.join(state_path, "spans")
     dirs = [
         os.path.join(root, d)

