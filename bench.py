@@ -174,6 +174,8 @@ HEADLINE = [
     "source_token_heavy_hitters",
     "knn_mmr_maxrel",
     "embedding_kmeans_assign",
+    "quality_classifier_onestep",
+    "embedding_pca_cov",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would

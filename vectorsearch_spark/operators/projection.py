@@ -56,9 +56,13 @@ def _partial_stats(dim: int, vec_col: str):
     return mapper
 
 
-def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding", dim: int | None = None):
-    """Fit PCA on ``df[vec_col]``; returns (components k×d ndarray,
-    mean d-vector, explained_variance k-vector). One data pass."""
+def pca_cov(df: DataFrame, vec_col: str = "embedding", dim: int | None = None):
+    """The distributed HALF of PCA: d×d sufficient statistics (one
+    Arrow pass, one partial row per partition) merged driver-side into
+    (cov d×d, mean d-vector, n). Everything after this — the
+    eigensolve — is O(d³) driver NumPy, so this function is the part
+    whose correctness is distribution-dependent (and what the
+    ``embedding_pca_cov`` oracle twin pins against SQL)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     parts = df.select(vec_col).mapInPandas(
@@ -71,7 +75,13 @@ def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding", dim: int | None =
     gram = np.sum(
         [np.array(r["g"]).reshape(dim, dim) for r in parts], axis=0
     )
-    cov = gram / n - np.outer(mean, mean)
+    return gram / n - np.outer(mean, mean), mean, n
+
+
+def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding", dim: int | None = None):
+    """Fit PCA on ``df[vec_col]``; returns (components k×d ndarray,
+    mean d-vector, explained_variance k-vector). One data pass."""
+    cov, mean, _ = pca_cov(df, vec_col=vec_col, dim=dim)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # k×d

@@ -2325,6 +2325,43 @@ FROM r WHERE rn = 1
 """
 
 
+def embedding_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin for the DISTRIBUTED half of embedding_pca: the d×d
+    sufficient-statistics pass (operators/projection.py pca_cov — one
+    Arrow partial per partition, driver merge, cov = E[xxᵀ] − μμᵀ) is
+    deterministic arithmetic with an exact SQL form, unlike the
+    eigensolve it feeds (driver-side O(d³) NumPy, sign-ambiguous,
+    NumPy-model-gated in tests/test_projection.py). Emits the upper
+    triangle of the first 8×8 covariance block — enough to pin the
+    centering, the Gram accumulation and the partial-merge against
+    DuckDB's avg(e_i·e_j) − avg(e_i)·avg(e_j)."""
+    import pandas as pd
+
+    from vectorsearch_spark.operators.projection import pca_cov
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    cov, _, _ = pca_cov(emb, dim=64)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6))
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov double")
+
+
+EMBEDDING_PCA_COV_SQL = r"""
+WITH idx AS (SELECT unnest(range(1, 9)) AS d),
+pairs AS (SELECT a.d AS i, b.d AS j FROM idx a, idx b WHERE a.d <= b.d),
+c AS (
+  SELECT i, j,
+         avg(embedding[i]::DOUBLE * embedding[j]::DOUBLE)
+           - avg(embedding[i]::DOUBLE) * avg(embedding[j]::DOUBLE) AS cov
+  FROM embeddings, pairs GROUP BY i, j)
+SELECT (i - 1)::BIGINT AS i, (j - 1)::BIGINT AS j, round(cov, 6) AS cov
+FROM c
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings with injected
     near-duplicates (vec_id+1M copies scaled 1.0001): cluster-scoped
@@ -2839,6 +2876,58 @@ sel AS (
   FROM ranked WHERE rn <= 20)
 SELECT query_id, id, round(score, 4) AS mmr_score, CAST(rank AS BIGINT) AS rank
 FROM sel WHERE rank <= 5
+"""
+
+
+def quality_classifier_onestep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-EXACT oracle twin of quality_classifier_scores (the
+    iters=0/λ=1.0 precedent applied to gradient descent): ONE GD step
+    from zero weights is closed-form — z=0 everywhere ⇒ p=0.5 ⇒
+    gradient = avg(x_std·(0.5−y)) and the L2 term vanishes — so the
+    ENTIRE fit path (the bounded stats aggregate, standardization, the
+    distributed gradient pass, raw-space weight folding) plus the
+    codegen sigmoid scorer reduces to SQL-derivable arithmetic. Features
+    are engine-unambiguous integers (n_chars, space count) so the only
+    cross-engine drift is float summation order, far below the round-6
+    witness. The 50-iteration production config keeps its exact
+    NumPy-GD-model pytest gate (tests/test_classify.py)."""
+    from vectorsearch_spark.operators.classify import logistic_fit, logistic_score
+
+    feats = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("f_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("double").alias("f_spaces"),
+        (F.col("n_chars") >= 500).cast("double").alias("y"),
+    )
+    w = logistic_fit(feats, ["f_chars", "f_spaces"], "y", iters=1, lr=1.0)
+    scored = logistic_score(feats, w, ["f_chars", "f_spaces"])
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+QUALITY_CLASSIFIER_ONESTEP_SQL = r"""
+WITH f AS (
+  SELECT doc_id, n_chars::DOUBLE AS f1,
+         (len(text) - len(replace(text, ' ', '')))::DOUBLE AS f2,
+         CASE WHEN n_chars >= 500 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+s AS (
+  SELECT avg(f1) AS mu1, avg(f2) AS mu2,
+         sqrt(greatest(avg(f1*f1) - avg(f1)*avg(f1), 1e-12)) AS sd1,
+         sqrt(greatest(avg(f2*f2) - avg(f2)*avg(f2), 1e-12)) AS sd2
+  FROM f),
+g AS (
+  SELECT avg(((f1 - mu1)/sd1) * (0.5 - y)) AS g1,
+         avg(((f2 - mu2)/sd2) * (0.5 - y)) AS g2,
+         avg(0.5 - y) AS gb
+  FROM f, s),
+w AS (
+  SELECT (-g1)/sd1 AS w1, (-g2)/sd2 AS w2,
+         (-gb) - ((-g1)*mu1/sd1 + (-g2)*mu2/sd2) AS b
+  FROM g, s)
+SELECT doc_id, round(1.0 / (1.0 + exp(-(f1*w1 + f2*w2 + b))), 6) AS score
+FROM f, w
 """
 
 
@@ -7237,6 +7326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_type_distinct_users": stream_type_distinct_users,
         "knn_mmr_maxrel": knn_mmr_maxrel,
         "embedding_kmeans_assign": embedding_kmeans_assign,
+        "quality_classifier_onestep": quality_classifier_onestep,
+        "embedding_pca_cov": embedding_pca_cov,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
         "index_lifecycle_registry": index_lifecycle_registry,
@@ -7416,6 +7507,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_type_distinct_users": STREAM_TYPE_DISTINCT_USERS_SQL,
         "knn_mmr_maxrel": KNN_MMR_MAXREL_SQL,
         "embedding_kmeans_assign": EMBEDDING_KMEANS_ASSIGN_SQL,
+        "quality_classifier_onestep": QUALITY_CLASSIFIER_ONESTEP_SQL,
+        "embedding_pca_cov": EMBEDDING_PCA_COV_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
         "tokenizer_unigram_encode_chars": TOKENIZER_UNIGRAM_ENCODE_CHARS_SQL,
         "index_lifecycle_registry": INDEX_LIFECYCLE_REGISTRY_SQL,
