@@ -176,6 +176,7 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "quality_classifier_onestep",
     "embedding_pca_cov",
+    "bpe_pair_counts",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would

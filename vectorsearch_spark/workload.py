@@ -2931,6 +2931,48 @@ FROM f, w
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin for the distributed CORE of BPE learning: one round's
+    weighted adjacent-pair counts (operators/bpe.py _word_vocab +
+    _pair_counts — the word-frequency pass, char seeding, the pair
+    window and the count-weighted aggregation), ranked by the learner's
+    exact (pair_count DESC, a, b) argmax order. Every BPE round runs
+    THIS query; only the driver-side merge loop on top of it is
+    non-SQL (and stays gated by the exact pure-Python model test,
+    tests/test_bpe.py). Top-20 by the argmax order — the window ranks a
+    ≤ |alphabet|² pair table, bounded by construction."""
+    from pyspark.sql import Window
+
+    from vectorsearch_spark.operators.bpe import _pair_counts, _word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    pc = _pair_counts(_word_vocab(docs, "doc_id", "text"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        pc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("a", "b", "pair_count", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+BPE_PAIR_COUNTS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]')) AS w
+  FROM documents),
+words AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM toks
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+ch AS (SELECT cnt, regexp_extract_all(w, '.') AS cs FROM words WHERE len(w) >= 2),
+g AS (SELECT cnt, cs, unnest(range(1, len(cs))) AS i FROM ch),
+agg AS (
+  SELECT cs[i] AS a, cs[i+1] AS b, sum(cnt)::BIGINT AS pair_count
+  FROM g GROUP BY 1, 2)
+SELECT a, b, pair_count,
+       row_number() OVER (ORDER BY pair_count DESC, a, b)::BIGINT AS rank
+FROM agg ORDER BY pair_count DESC, a, b LIMIT 20
+"""
+
+
 def knn_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search (an extension — the reference's
     SearchParams has traversal knobs only, api/SearchParams.java:18-29):
@@ -7328,6 +7370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_assign": embedding_kmeans_assign,
         "quality_classifier_onestep": quality_classifier_onestep,
         "embedding_pca_cov": embedding_pca_cov,
+        "bpe_pair_counts": bpe_pair_counts,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
         "index_lifecycle_registry": index_lifecycle_registry,
@@ -7509,6 +7552,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans_assign": EMBEDDING_KMEANS_ASSIGN_SQL,
         "quality_classifier_onestep": QUALITY_CLASSIFIER_ONESTEP_SQL,
         "embedding_pca_cov": EMBEDDING_PCA_COV_SQL,
+        "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
         "tokenizer_unigram_encode_chars": TOKENIZER_UNIGRAM_ENCODE_CHARS_SQL,
         "index_lifecycle_registry": INDEX_LIFECYCLE_REGISTRY_SQL,
