@@ -177,6 +177,7 @@ HEADLINE = [
     "quality_classifier_onestep",
     "embedding_pca_cov",
     "bpe_pair_counts",
+    "knn_range_batch",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would

@@ -131,3 +131,56 @@ def test_brute_force_topk_single(spark, emb):
     rows = brute_force_topk(emb, list(q), k=3, id_col="vec_id").collect()
     assert rows[0]["id"] == 0 and abs(rows[0]["distance"]) < 1e-6
     assert [r["distance"] for r in rows] == sorted(r["distance"] for r in rows)
+
+
+def test_range_join_equals_model(spark):
+    """range_join ≡ the NumPy all-pairs-within-radius model for L2 and
+    cosine, inclusive boundary, multi-partition input; empty query side
+    returns an empty typed frame."""
+    import numpy as np
+
+    from vectorsearch_spark.config import Metric
+    from vectorsearch_spark.operators.knn import range_join
+
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(200, 16)).astype(np.float64)
+    q = x[:5]
+    vec = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in q[i]]) for i in range(len(q))],
+        "query_id long, embedding array<double>",
+    )
+
+    for metric, r in [(Metric.L2, 5.0), (Metric.COSINE, 0.8)]:
+        if metric == Metric.L2:
+            d = np.sqrt(((x[:, None, :] - q[None, :, :]) ** 2).sum(-1))
+        else:
+            xn = x / np.linalg.norm(x, axis=1)[:, None]
+            qn = q / np.linalg.norm(q, axis=1)[:, None]
+            d = 1.0 - xn @ qn.T
+        model = {
+            (int(qi), int(vi)): d[vi, qi]
+            for vi, qi in zip(*np.nonzero(d <= r))
+        }
+        got = {
+            (r_["query_id"], r_["id"]): r_["distance"]
+            for r_ in range_join(
+                vec, qdf, radius=r, metric=metric, id_col="vec_id"
+            ).collect()
+        }
+        assert set(got) == set(model), metric
+        for k in got:
+            # sqrt amplifies the GEMM identity's ±1e-13 cancellation
+            # near zero to ~1e-6 absolute (self-pairs); harmless — the
+            # oracle rounds to 4 decimals
+            assert abs(got[k] - model[k]) < 2e-6
+        # inclusive boundary: the self-pair at distance 0 is present
+        assert all((i, i) in got for i in range(5))
+
+    empty = range_join(
+        vec, qdf.where("query_id < 0"), radius=1.0, id_col="vec_id"
+    )
+    assert empty.count() == 0 and "score" in empty.columns

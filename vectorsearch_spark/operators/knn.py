@@ -211,3 +211,65 @@ def brute_force_topk(
         .limit(k)
         .withColumn("score", score_from_distance(F.col("distance"), metric))
     )
+
+
+def range_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: Metric | str = Metric.L2,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact RADIUS (range) search: every (query, vector) pair with
+    distance ≤ ``radius`` — the threshold sibling of ``knn_join``
+    (distance-threshold dedup, "all docs within ε of this centroid",
+    recall-complete candidate generation).
+
+    Returns (query_id, id, distance, score). Scale shape: STRICTLY
+    better than top-k — each Arrow batch GEMMs against the broadcast
+    query matrix and emits its local matches, so the plan has NO
+    exchange, no window, no global top-k state; the only cluster
+    operation is the vector scan itself, and output size is the true
+    result size (radius-bounded). Same bounded-Q broadcast contract as
+    ``knn_join``; for unbounded query sides use the bucketed
+    ``similarity.ann_lsh_join`` candidates + a distance filter.
+    """
+    import pandas as pd
+
+    metric = Metric(metric)
+    r = float(radius)
+    if not r >= 0.0:
+        raise ValueError("radius must be ≥ 0")
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    spark = vectors.sparkSession
+    if not qrows:
+        return spark.createDataFrame([], _PAIR_SCHEMA + ", score double")
+    qids, qmat = _query_matrix([(row[0], list(row[1])) for row in qrows])
+
+    def mapper(batches: "Iterator") -> "Iterator":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            d = _batch_distances(vmat, qmat, metric)
+            vi, qi = np.nonzero(d <= r)
+            if len(vi):
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "id": ids[vi].astype(np.int64),
+                        "distance": d[vi, qi],
+                    }
+                )
+
+    pruned = vectors.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    out = pruned.mapInPandas(mapper, schema=_PAIR_SCHEMA)
+    return out.withColumn(
+        "score", score_from_distance(F.col("distance"), metric)
+    ).select("query_id", "id", "distance", "score")

@@ -2973,6 +2973,36 @@ FROM agg ORDER BY pair_count DESC, a, b LIMIT 20
 """
 
 
+def knn_range_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius search (operators/knn.py range_join): all vectors
+    within L2 1.2 of each of the 8 batch queries — the threshold
+    retrieval mode the reference's top-k API lacks (distance-threshold
+    dedup and ε-candidate generation both want it). Zero-shuffle plan:
+    each Arrow batch GEMMs against the broadcast queries and emits its
+    local matches — no exchange, no window, output = the true result
+    size."""
+    from vectorsearch_spark.operators.knn import range_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = range_join(
+        emb, _emb_queries(spark, sf_dir), radius=1.2, metric=Metric.L2,
+        id_col="vec_id",
+    )
+    return res.select(
+        "query_id", "id", F.round("distance", 4).alias("distance")
+    )
+
+
+KNN_RANGE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS id, {_duck_l2("e.embedding", "q.qe")} AS d
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, id, round(d, 4) AS distance
+FROM pairs WHERE d <= 1.2
+"""
+
+
 def knn_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search (an extension — the reference's
     SearchParams has traversal knobs only, api/SearchParams.java:18-29):
@@ -7371,6 +7401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_onestep": quality_classifier_onestep,
         "embedding_pca_cov": embedding_pca_cov,
         "bpe_pair_counts": bpe_pair_counts,
+        "knn_range_batch": knn_range_batch,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
         "index_lifecycle_registry": index_lifecycle_registry,
@@ -7553,6 +7584,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_onestep": QUALITY_CLASSIFIER_ONESTEP_SQL,
         "embedding_pca_cov": EMBEDDING_PCA_COV_SQL,
         "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+        "knn_range_batch": KNN_RANGE_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
         "tokenizer_unigram_encode_chars": TOKENIZER_UNIGRAM_ENCODE_CHARS_SQL,
         "index_lifecycle_registry": INDEX_LIFECYCLE_REGISTRY_SQL,
