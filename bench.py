@@ -178,6 +178,7 @@ HEADLINE = [
     "embedding_pca_cov",
     "bpe_pair_counts",
     "knn_range_batch",
+    "knn_range_ivf",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would

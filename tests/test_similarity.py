@@ -352,3 +352,43 @@ def test_ivf_route_matches_driver_router(spark, emb, queries):
     qlist = [(r[0], list(r[1])) for r in queries.collect()]
     exp = sorted(_route_queries(qlist, cents, 3))
     assert got == exp
+
+
+def test_ivf_range_join_exact_vs_brute(spark):
+    """ivf_range_join ≡ range_join exactly (same pairs, distances to
+    1e-6): the triangle-inequality cell pruning (skip cells with
+    d(q,c) > r + R_c) loses NOTHING — and it genuinely prunes (fewer
+    probed (query, cell) pairs than Q×K on clustered data)."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.knn import range_join
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    rng = np.random.default_rng(41)
+    # 4 well-separated clusters so pruning has something to skip
+    centers = rng.normal(size=(4, 16)) * 10
+    x = np.concatenate([c + rng.normal(size=(60, 16)) for c in centers])
+    q = x[::37][:6]
+    vec = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in q[i]]) for i in range(len(q))],
+        "query_id long, embedding array<double>",
+    )
+    r = 7.0
+    brute = {
+        (row["query_id"], row["id"]): row["distance"]
+        for row in range_join(vec, qdf, radius=r, id_col="vec_id").collect()
+    }
+    ivf = {
+        (row["query_id"], row["id"]): row["distance"]
+        for row in ivf_range_join(
+            vec, qdf, radius=r, n_centroids=8, id_col="vec_id"
+        ).collect()
+    }
+    assert set(ivf) == set(brute)
+    assert brute, "radius too tight — nothing matched, test is vacuous"
+    for k in ivf:
+        assert abs(ivf[k] - brute[k]) < 1e-6

@@ -824,3 +824,103 @@ def mmr_rerank(
             schema=f"{query_id_col} long, {id_col} long, mmr_score double, rank int",
         )
     )
+
+
+def ivf_range_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    n_centroids: int = 16,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT radius search with IVF cell pruning — same results as the
+    brute ``knn.range_join``, scanning only the cells that can contain
+    a match. Triangle inequality (L2 is a true metric — this operator
+    is L2-only): for any v in the cell of centroid c with member radius
+    R_c = max d(v, c), d(q, v) ≥ d(q, c) − R_c, so a cell with
+    d(q, c) > radius + R_c cannot hold a match and is skipped with NO
+    recall loss. The 100 TB story: the coarse quantizer turns a
+    full-corpus scan into a probed-cells scan exactly like the ANN
+    path, but the radius + R_c bound keeps it EXACT — an accelerated
+    twin, not an approximation.
+
+    Build: k-means centroids (driver O(k·d)), codegen cell assignment
+    (``ivf_assign`` — no shuffle), one ≤ k-row aggregate for the cell
+    radii. Query side follows the bounded-Q driver contract of
+    ``range_join``/``knn_join`` (the routing table is Q×probed pairs,
+    broadcast); candidates are scored with the codegen HOF distance and
+    filtered to ≤ radius. Returns (query_id, id, distance, score).
+    """
+    from vectorsearch_spark.config import Metric
+    from vectorsearch_spark.functions.distances import l2, score_from_distance
+
+    r = float(radius)
+    if not r >= 0.0:
+        raise ValueError("radius must be ≥ 0")
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_centroids, vec_col=vec_col, seed=seed
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+
+    # per-cell member radius: one bounded (≤ k rows) aggregate; the
+    # distance to the OWN centroid is a codegen expression over the
+    # bucket-indexed literal centroid array
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    own = F.element_at(cent_arr, F.col("bucket") + 1)
+    d_own = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), own, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    rmax = {
+        int(row["bucket"]): float(row["rmax"])
+        for row in assigned.groupBy("bucket").agg(F.max(d_own).alias("rmax")).collect()
+    }
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, id long, distance double, score double"
+        )
+    qids = [int(row[0]) for row in qrows]
+    qmat = np.array([list(row[1]) for row in qrows], dtype=np.float64)
+    # d(q, c) for all (query, cell): Q×k GEMM on the driver (bounded-Q)
+    d2 = (
+        np.einsum("ij,ij->i", qmat, qmat)[:, None]
+        - 2.0 * qmat @ cents.T
+        + np.einsum("ij,ij->i", cents, cents)[None, :]
+    )
+    dqc = np.sqrt(np.maximum(d2, 0.0))
+    pairs = [
+        (qids[qi], int(b), [float(x) for x in qmat[qi]])
+        for qi in range(len(qids))
+        for b in rmax
+        if dqc[qi, b] <= r + rmax[b]
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id long, id long, distance double, score double"
+        )
+    routed = spark.createDataFrame(
+        pairs, "query_id long, bucket int, _qvec array<double>"
+    )
+    cand = assigned.join(F.broadcast(routed), "bucket")
+    dist = l2(F.col(vec_col), F.col("_qvec"))
+    return (
+        cand.withColumn("distance", dist)
+        .where(F.col("distance") <= r)
+        .withColumn("score", score_from_distance(F.col("distance"), Metric.L2))
+        .select("query_id", F.col(id_col).cast("long").alias("id"), "distance", "score")
+    )

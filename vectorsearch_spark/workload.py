@@ -3003,6 +3003,25 @@ FROM pairs WHERE d <= 1.2
 """
 
 
+def knn_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated EXACT radius search (operators/similarity.py
+    ivf_range_join): triangle-inequality cell pruning — skip any cell
+    with d(q, centroid) > ε + R_cell — makes the probed-cells scan
+    return byte-identical results to the brute pass, so this entry
+    shares knn_range_batch's EXACT oracle (the accelerated twin of an
+    exact operator, not a degenerate config of an approximate one)."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ivf_range_join(
+        emb, _emb_queries(spark, sf_dir), radius=1.2, n_centroids=16,
+        id_col="vec_id",
+    )
+    return res.select(
+        "query_id", "id", F.round("distance", 4).alias("distance")
+    )
+
+
 def knn_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search (an extension — the reference's
     SearchParams has traversal knobs only, api/SearchParams.java:18-29):
@@ -7402,6 +7421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_cov": embedding_pca_cov,
         "bpe_pair_counts": bpe_pair_counts,
         "knn_range_batch": knn_range_batch,
+        "knn_range_ivf": knn_range_ivf,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
         "index_lifecycle_registry": index_lifecycle_registry,
@@ -7585,6 +7605,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca_cov": EMBEDDING_PCA_COV_SQL,
         "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
         "knn_range_batch": KNN_RANGE_SQL,
+        "knn_range_ivf": KNN_RANGE_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
         "tokenizer_unigram_encode_chars": TOKENIZER_UNIGRAM_ENCODE_CHARS_SQL,
         "index_lifecycle_registry": INDEX_LIFECYCLE_REGISTRY_SQL,
