@@ -392,3 +392,196 @@ def test_ivf_range_join_exact_vs_brute(spark):
     assert brute, "radius too tight — nothing matched, test is vacuous"
     for k in ivf:
         assert abs(ivf[k] - brute[k]) < 1e-6
+
+
+def _range_fixture(spark, seed=41, zero_rows=True):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(4, 16)) * 10
+    x = np.concatenate([c + rng.normal(size=(60, 16)) for c in centers])
+    q = x[::37][:6].copy()
+    if zero_rows:
+        x[7] = 0.0   # zero-norm corpus row (cosine convention: sim 0)
+        q[3] = 0.0   # zero-norm query
+    vec = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in q[i]]) for i in range(len(q))],
+        "query_id long, embedding array<double>",
+    )
+    return x, q, vec, qdf
+
+
+def test_ivf_range_join_distributed_equals_driver_bitwise(spark):
+    """query_mode="driver" ≡ query_mode="distributed" EXACTLY (same
+    pairs, same distance bytes) for L2 and cosine: both modes re-score
+    the same exact metric, and the fp-slacked prune threshold
+    (_range_prune_threshold) guarantees neither route drops a cell
+    holding a true match — so both equal brute force. auto with a tiny
+    max_driver_queries takes the distributed branch and still matches."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    _, _, vec, qdf = _range_fixture(spark)
+    for metric, r in [(Metric.L2, 7.0), (Metric.COSINE, 0.3)]:
+        a = sorted(
+            map(tuple, ivf_range_join(
+                vec, qdf, radius=r, n_centroids=8, metric=metric,
+                id_col="vec_id", query_mode="driver",
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, ivf_range_join(
+                vec, qdf, radius=r, n_centroids=8, metric=metric,
+                id_col="vec_id", query_mode="distributed",
+            ).collect())
+        )
+        c = sorted(
+            map(tuple, ivf_range_join(
+                vec, qdf, radius=r, n_centroids=8, metric=metric,
+                id_col="vec_id", query_mode="auto", max_driver_queries=2,
+            ).collect())
+        )
+        assert a and a == b == c, metric
+
+
+def test_ivf_range_join_cosine_equals_brute(spark):
+    """Cosine ivf_range_join ≡ brute range_join cosine — the unit-norm
+    reduction (cells/R_c/routing on the sphere, exact re-score on the
+    originals) loses nothing, including the zero-norm convention
+    (sim 0 ⇒ distance 1: such rows match iff r ≥ 1) and the inclusive
+    r = 0 boundary (self-pairs with the distance clamp)."""
+    from vectorsearch_spark.operators.knn import range_join
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    x, _, vec, qdf = _range_fixture(spark)
+    for mode in ("driver", "distributed"):
+        for r in (0.02, 1.0):
+            brute = {
+                (row["query_id"], row["id"]): row["distance"]
+                for row in range_join(
+                    vec, qdf, radius=r, metric=Metric.COSINE, id_col="vec_id"
+                ).collect()
+            }
+            ivf = {
+                (row["query_id"], row["id"]): row["distance"]
+                for row in ivf_range_join(
+                    vec, qdf, radius=r, n_centroids=8, metric=Metric.COSINE,
+                    id_col="vec_id", query_mode=mode,
+                ).collect()
+            }
+            assert set(ivf) == set(brute) and brute, (mode, r)
+            assert all(abs(ivf[k] - brute[k]) < 1e-9 for k in ivf)
+            if r >= 1.0:
+                # zero-norm query 3 matches EVERY vector at distance 1
+                assert sum(1 for (qi, _) in ivf if qi == 3) == len(x)
+    # tight-boundary check: at r = 1e-9 the only candidates are the
+    # self-pairs of queries that are exact corpus rows — ivf must agree
+    # with brute exactly there too (the codegen cosine of an identical
+    # pair can land at ±1ulp of 0, so the CONTRACT is ivf ≡ brute under
+    # the shared formula, not a hand-picked distance)
+    r0 = 1e-9
+    brute0 = {
+        (row["query_id"], row["id"])
+        for row in range_join(
+            vec, qdf, radius=r0, metric=Metric.COSINE, id_col="vec_id"
+        ).collect()
+    }
+    ivf0 = {
+        (row["query_id"], row["id"])
+        for row in ivf_range_join(
+            vec, qdf, radius=r0, n_centroids=8, metric=Metric.COSINE,
+            id_col="vec_id", query_mode="distributed",
+        ).collect()
+    }
+    assert ivf0 == brute0
+    for qi in (0, 1, 2, 4, 5):  # exact corpus rows (x[::37]; q3 zeroed)
+        vid = int(np.flatnonzero((x == x[::37][:6][qi]).all(1))[0])
+        assert (qi, vid) in ivf0
+
+
+def test_ivf_range_join_distributed_self_dedup_shape(spark):
+    """The headline unbounded-Q use case: ε-dedup where the CORPUS is
+    the query side. query_mode="distributed" with max_driver_queries=0
+    (which would make any driver collect impossible) returns the exact
+    NumPy all-pairs-within-radius model — proof the query table is
+    never collected."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    x, _, vec, _ = _range_fixture(spark, zero_rows=False)
+    qdf = vec.select(F.col("vec_id").alias("query_id"), "embedding")
+    r = 3.0
+    got = {
+        (row["query_id"], row["id"])
+        for row in ivf_range_join(
+            vec, qdf, radius=r, n_centroids=8, id_col="vec_id",
+            query_mode="distributed", max_driver_queries=0,
+        ).collect()
+    }
+    d = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    model = {(int(a), int(b)) for a, b in zip(*np.nonzero(d <= r))}
+    assert got == model and len(model) > len(x)  # some non-self pairs
+
+
+def test_bounded_q_guards_raise(spark):
+    """The bounded-Q driver contract fails LOUDLY: knn_join/range_join
+    and the explicit driver modes raise QuerySideTooLarge (naming the
+    distributed alternative) instead of collecting an oversized query
+    side; the capped limit(max+1) means the driver never materializes
+    more than max+1 rows."""
+    import pytest as _pytest
+
+    from vectorsearch_spark.operators.guards import QuerySideTooLarge
+    from vectorsearch_spark.operators.knn import knn_join as _kj, range_join
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    _, _, vec, qdf = _range_fixture(spark)
+    with _pytest.raises(QuerySideTooLarge, match="distributed"):
+        _kj(vec, qdf, k=3, id_col="vec_id", max_driver_queries=2)
+    with _pytest.raises(QuerySideTooLarge, match="ivf_range_join"):
+        range_join(vec, qdf, radius=1.0, id_col="vec_id", max_driver_queries=2)
+    with _pytest.raises(QuerySideTooLarge):
+        ivf_range_join(
+            vec, qdf, radius=1.0, n_centroids=4, id_col="vec_id",
+            query_mode="driver", max_driver_queries=2,
+        )
+    with _pytest.raises(QuerySideTooLarge):
+        ann_ivf_join(
+            vec, qdf, k=3, n_centroids=4, nprobe=4, id_col="vec_id",
+            query_mode="driver", max_driver_queries=2,
+        )
+    # under the cap: works unchanged
+    assert _kj(vec, qdf.limit(2), k=3, id_col="vec_id", max_driver_queries=2).count() > 0
+
+
+def test_mmr_rerank_group_size_guard(spark):
+    """A corpus-sized per-query candidate list (upstream top-n prune
+    skipped) raises task-side instead of stalling an executor."""
+    import pytest as _pytest
+
+    from vectorsearch_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.default_rng(3)
+    rows = [(1, i, [float(v) for v in rng.normal(size=4)], float(i)) for i in range(30)]
+    cand = spark.createDataFrame(
+        rows, "query_id long, id long, embedding array<double>, score double"
+    )
+    with _pytest.raises(Exception, match="max_candidates_per_query"):
+        mmr_rerank(cand, k=3, max_candidates_per_query=10).collect()
+    assert mmr_rerank(cand, k=3).count() == 3
+
+
+def test_ann_join_empty_queries_skips_training(spark):
+    """Empty query input returns the typed empty frame BEFORE paying
+    centroid/codebook training cluster actions (r9 ADVICE)."""
+    from vectorsearch_spark.operators.similarity import ann_ivfpq_join
+
+    _, _, vec, qdf = _range_fixture(spark)
+    emptyq = qdf.where("query_id < 0")
+    for fn, kw in [
+        (ann_ivf_join, dict(n_centroids=4, nprobe=2)),
+        (ann_ivfpq_join, dict(n_centroids=4, nprobe=2, pq_m=4, pq_k=8)),
+    ]:
+        out = fn(vec, emptyq, k=3, id_col="vec_id", **kw)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "id", "distance", "score", "rank"]

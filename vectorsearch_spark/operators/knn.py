@@ -124,6 +124,7 @@ def knn_join(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """Exact KNN join: for every query row, the k nearest vector rows.
 
@@ -131,11 +132,22 @@ def knn_join(
     collected to the driver and closed over into the Arrow mapper — it
     must be a *batch* of queries (thousands, not millions); that is the
     same contract as the reference's one-query-at-a-time API, widened
-    to batches. For query sets too big to broadcast, use
-    ``operators.similarity.ann_lsh_join`` (bucketed) instead.
+    to batches. A query side over ``max_driver_queries`` (default
+    ``guards.MAX_DRIVER_QUERIES``) raises ``QuerySideTooLarge`` instead
+    of OOMing the driver; for such inputs use
+    ``operators.similarity.ann_ivf_join(query_mode="distributed")``
+    (or ``ann_lsh_join``, bucketed) instead.
     """
+    from vectorsearch_spark.operators.guards import MAX_DRIVER_QUERIES, collect_bounded
+
     metric = Metric(metric)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_bounded(
+        queries.select(query_id_col, query_vec_col),
+        max_driver_queries if max_driver_queries is not None else MAX_DRIVER_QUERIES,
+        what="knn_join query side",
+        alternative='similarity.ann_ivf_join(query_mode="distributed") '
+        "(nprobe=n_centroids for exact results) or ann_lsh_join",
+    )
     if not qrows:
         spark = vectors.sparkSession
         return spark.createDataFrame([], _PAIR_SCHEMA + ", score double, rank int")
@@ -222,6 +234,7 @@ def range_join(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """Exact RADIUS (range) search: every (query, vector) pair with
     distance ≤ ``radius`` — the threshold sibling of ``knn_join``
@@ -234,16 +247,27 @@ def range_join(
     exchange, no window, no global top-k state; the only cluster
     operation is the vector scan itself, and output size is the true
     result size (radius-bounded). Same bounded-Q broadcast contract as
-    ``knn_join``; for unbounded query sides use the bucketed
-    ``similarity.ann_lsh_join`` candidates + a distance filter.
+    ``knn_join`` — a query side over ``max_driver_queries`` raises
+    ``QuerySideTooLarge``; for unbounded query sides (ε-dedup, where
+    the corpus queries itself) use
+    ``similarity.ivf_range_join(query_mode="distributed")`` — same
+    exact results, never collects the query table.
     """
     import pandas as pd
+
+    from vectorsearch_spark.operators.guards import MAX_DRIVER_QUERIES, collect_bounded
 
     metric = Metric(metric)
     r = float(radius)
     if not r >= 0.0:
         raise ValueError("radius must be ≥ 0")
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_bounded(
+        queries.select(query_id_col, query_vec_col),
+        max_driver_queries if max_driver_queries is not None else MAX_DRIVER_QUERIES,
+        what="range_join query side",
+        alternative='similarity.ivf_range_join(query_mode="distributed") '
+        "(exact, cell-pruned, query side never collected)",
+    )
     spark = vectors.sparkSession
     if not qrows:
         return spark.createDataFrame([], _PAIR_SCHEMA + ", score double")

@@ -44,6 +44,7 @@ from vectorsearch_spark.functions.distances import (
     distance_for_metric,
     score_from_distance,
 )
+from vectorsearch_spark.operators.guards import collect_bounded
 
 
 def kmeans_fit(
@@ -118,6 +119,7 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Tag every vector with its nearest-centroid bucket.
 
@@ -128,10 +130,17 @@ def ivf_assign(
     map: no join, no shuffle, no row inflation — the shape that wins at
     100 TB. Larger codebooks fall back to a broadcast crossJoin + window
     argmin (16×+ row inflation made tolerable by the broadcast).
+
+    ``keep_cols`` carries extra columns through unchanged (e.g. the
+    ORIGINAL vector when ``vec_col`` is a derived geometry column such
+    as the unit-normalized copy the cosine radius path assigns on).
     """
     k, d = centroids.shape
+    keep = list(keep_cols or [])
     pruned = vectors.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        *[F.col(c) for c in keep],
     )
     if k * d <= 8192:
         cand = F.array(
@@ -152,7 +161,7 @@ def ivf_assign(
             ]
         )
         return pruned.select(
-            id_col, vec_col, F.array_min(cand)["bucket"].alias("bucket")
+            id_col, vec_col, *keep, F.array_min(cand)["bucket"].alias("bucket")
         )
     cents = _centroids_df(vectors.sparkSession, centroids)
     scored = pruned.crossJoin(F.broadcast(cents)).withColumn(
@@ -171,7 +180,7 @@ def ivf_assign(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "bucket")
+        .select(id_col, vec_col, *keep, "bucket")
     )
 
 
@@ -299,15 +308,24 @@ def ann_ivf_join(
     ``"distributed"`` routes with ``ivf_route`` (no collect anywhere —
     the query side scales to arbitrary size; the bucket join shuffles
     instead of broadcasting), ``"auto"`` picks by one bounded count
-    against ``max_driver_queries``. Both modes score the SAME candidate
-    set with the same codegen distance, so results are identical. At
-    100 TB, only the probed fraction of candidates is ever scored
-    either way.
+    against ``max_driver_queries``. Both modes score candidates with
+    the same codegen distance; results are identical up to
+    floating-point ties in coarse routing (the driver router sums the
+    Q×K distances with NumPy GEMM, the distributed router with a
+    codegen sequential fold — a near-tie between the nprobe-th and
+    (nprobe+1)-th centroid can probe a different cell). At 100 TB,
+    only the probed fraction of candidates is ever scored either way.
     """
     metric = Metric(metric)
     spark = vectors.sparkSession
     if query_mode not in ("auto", "driver", "distributed"):
         raise ValueError("query_mode must be auto|driver|distributed")
+    if queries.limit(1).count() == 0:
+        # before centroid training: empty query input must not pay the
+        # sample-collect / k-means cluster actions (r9 ADVICE)
+        return spark.createDataFrame(
+            [], "query_id long, id long, distance double, score double, rank int"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_centroids, vec_col=vec_col, seed=seed
@@ -321,7 +339,12 @@ def ann_ivf_join(
         )
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
     if mode == "driver":
-        qrows = queries.select(query_id_col, query_vec_col).collect()
+        qrows = collect_bounded(
+            queries.select(query_id_col, query_vec_col),
+            max_driver_queries,
+            what='query_mode="driver" query side',
+            alternative='query_mode="distributed"',
+        )
         if not qrows:
             return spark.createDataFrame(
                 [], "query_id long, id long, distance double, score double, rank int"
@@ -594,15 +617,23 @@ def ann_ivfpq_join(
     (query, probed-list) LUT inside an Arrow pass over the routed
     query table — no collect anywhere, every join shuffles, so a
     10M-row query table works without touching driver memory.
-    ``"auto"`` picks by one bounded count. Identical float math either
-    way (both build LUTs from float64 residuals), so results match
-    bit-for-bit.
+    ``"auto"`` picks by one bounded count. LUTs are built from float64
+    residuals with the same NumPy kernel in both modes, so results are
+    identical up to floating-point ties in coarse ROUTING (driver:
+    NumPy GEMM; distributed: codegen sequential fold — a near-tie on
+    the nprobe boundary can probe a different cell).
     """
     from vectorsearch_spark.operators.pq import build_lut, encode, train_codebook
 
     spark = vectors.sparkSession
     if query_mode not in ("auto", "driver", "distributed"):
         raise ValueError("query_mode must be auto|driver|distributed")
+    if queries.limit(1).count() == 0:
+        # before IVF/codebook training — empty query input must not pay
+        # the sample-collect / k-means cluster actions (r9 ADVICE)
+        return spark.createDataFrame(
+            [], "query_id long, id long, distance double, score double, rank int"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_centroids, vec_col=vec_col, seed=seed, sample_rows=sample_rows
@@ -657,7 +688,12 @@ def ann_ivfpq_join(
 
     # per-(query, probed-list) LUT over the query's residual in that list
     if mode == "driver":
-        qrows = queries.select(query_id_col, query_vec_col).collect()
+        qrows = collect_bounded(
+            queries.select(query_id_col, query_vec_col),
+            max_driver_queries,
+            what='query_mode="driver" query side',
+            alternative='query_mode="distributed"',
+        )
         if not qrows:
             return spark.createDataFrame(
                 [], "query_id long, id long, distance double, score double, rank int"
@@ -761,6 +797,7 @@ def mmr_rerank(
     id_col: str = "id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    max_candidates_per_query: int = 100_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified re-rank (Carbonell &
     Goldstein, SIGIR'98): from each query's candidate set, greedily
@@ -787,6 +824,15 @@ def mmr_rerank(
     spark = candidates.sparkSession
 
     def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_candidates_per_query:
+            # greedy MMR is O(n·k·d) per group IN ONE TASK; a corpus-
+            # sized candidate list means the upstream top-n prune was
+            # skipped — fail loudly instead of stalling an executor
+            raise ValueError(
+                f"mmr_rerank candidate list for one query has {len(pdf)} rows "
+                f"(> max_candidates_per_query={max_candidates_per_query}); "
+                "prune with a KNN/ANN top-n join first"
+            )
         pdf = pdf.sort_values([score_col, id_col], ascending=[False, True],
                               ignore_index=True)
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -826,59 +872,117 @@ def mmr_rerank(
     )
 
 
+def _range_prune_threshold(t: float, rmax_b: float) -> float:
+    """Keep-cell threshold with floating-point slack: a cell survives
+    iff d(q, c) ≤ t + R_c + eps. The triangle-inequality bound is exact
+    in real arithmetic, but d(q,c) and R_c come from different kernels
+    (driver GEMM vs codegen sequential fold), so ulp-level noise could
+    otherwise prune a cell whose match sits exactly at the radius.
+    False KEEPS are harmless — every candidate is re-scored with the
+    exact metric and filtered — so the slack only ever widens the scan.
+    """
+    return t + rmax_b + 1e-12 + 1e-9 * (t + rmax_b)
+
+
 def ivf_range_join(
     vectors: DataFrame,
     queries: DataFrame,
     radius: float,
     n_centroids: int = 16,
+    metric: Metric | str = Metric.L2,
     id_col: str = "id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     seed: int = 42,
+    query_mode: str = "auto",
+    max_driver_queries: int = 65536,
 ) -> DataFrame:
     """EXACT radius search with IVF cell pruning — same results as the
     brute ``knn.range_join``, scanning only the cells that can contain
-    a match. Triangle inequality (L2 is a true metric — this operator
-    is L2-only): for any v in the cell of centroid c with member radius
-    R_c = max d(v, c), d(q, v) ≥ d(q, c) − R_c, so a cell with
-    d(q, c) > radius + R_c cannot hold a match and is skipped with NO
-    recall loss. The 100 TB story: the coarse quantizer turns a
-    full-corpus scan into a probed-cells scan exactly like the ANN
-    path, but the radius + R_c bound keeps it EXACT — an accelerated
-    twin, not an approximation.
+    a match. Triangle inequality in the routing geometry: for any v in
+    the cell of centroid c with member radius R_c = max d(v, c),
+    d(q, v) ≥ d(q, c) − R_c, so a cell with d(q, c) > t + R_c cannot
+    hold a match and is skipped with NO recall loss. The 100 TB story:
+    the coarse quantizer turns a full-corpus scan into a probed-cells
+    scan exactly like the ANN path, but the t + R_c bound keeps it
+    EXACT — an accelerated twin, not an approximation.
 
-    Build: k-means centroids (driver O(k·d)), codegen cell assignment
-    (``ivf_assign`` — no shuffle), one ≤ k-row aggregate for the cell
-    radii. Query side follows the bounded-Q driver contract of
-    ``range_join``/``knn_join`` (the routing table is Q×probed pairs,
-    broadcast); candidates are scored with the codegen HOF distance and
-    filtered to ≤ radius. Returns (query_id, id, distance, score).
+    **Metrics.** L2 routes directly (t = radius). COSINE routes via the
+    unit-norm reduction: on normalized vectors ‖v̂−q̂‖² = 2·(1−cos), so
+    cosine-distance ≤ r is EXACTLY L2 ≤ √(2r) in the normalized
+    geometry — cells, R_c, and routing all live on the unit sphere
+    (t = √(2r)), while candidates are re-scored with the plain cosine
+    formula on the ORIGINAL vectors (zero-norm rows keep the reference
+    convention sim = 0 ⇒ distance 1, Distances.java:149-153; the
+    normalized copy of a zero vector is the zero vector, whose cell
+    membership only ever widens R_c, so pruning stays recall-complete
+    for r ≥ 1 where such rows match).
+
+    **query_mode** (the ``ann_ivf_join`` contract): ``"driver"``
+    collects the query batch (bounded by ``max_driver_queries`` —
+    over it raises ``QuerySideTooLarge``) and broadcasts the routed
+    pairs; ``"distributed"`` routes with a codegen per-query cell
+    filter — an array of (d², threshold, bucket) structs over the
+    inlined centroids, filtered and exploded, a pure narrow map with NO
+    collect anywhere — so the query side scales to the corpus itself
+    (ε-dedup, the op's headline use). ``"auto"`` picks by one bounded
+    count. Both modes re-score candidates with the same exact codegen
+    distance, and the prune threshold carries fp slack
+    (``_range_prune_threshold``), so both return the brute result set
+    exactly.
+
+    Build: k-means centroids (driver O(k·d) on a bounded sample),
+    codegen cell assignment (``ivf_assign`` — no shuffle), one ≤ k-row
+    aggregate for the cell radii. Returns (query_id, id, distance,
+    score).
     """
-    from vectorsearch_spark.config import Metric
-    from vectorsearch_spark.functions.distances import l2, score_from_distance
+    from vectorsearch_spark.functions.distances import normalize
 
+    metric = Metric(metric)
     r = float(radius)
     if not r >= 0.0:
         raise ValueError("radius must be ≥ 0")
+    if query_mode not in ("auto", "driver", "distributed"):
+        raise ValueError("query_mode must be auto|driver|distributed")
     spark = vectors.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id long, id long, distance double, score double"
+    )
+
+    if metric == Metric.L2:
+        t = r
+        geom_col = vec_col
+        geo_vectors = vectors
+        keep: list[str] = []
+    else:
+        # cosine: route on the unit sphere, score on the originals
+        t = float(np.sqrt(2.0 * r))
+        geom_col = "_gvec"
+        geo_vectors = vectors.select(
+            F.col(id_col), F.col(vec_col), normalize(F.col(vec_col)).alias("_gvec")
+        )
+        keep = [vec_col]
+
     if centroids is None:
         centroids = train_ivf_centroids(
-            vectors, n_centroids, vec_col=vec_col, seed=seed
+            geo_vectors, n_centroids, vec_col=geom_col, seed=seed
         )
     cents = np.asarray(centroids, dtype=np.float64)
-    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(
+        geo_vectors, cents, id_col=id_col, vec_col=geom_col, keep_cols=keep
+    )
 
-    # per-cell member radius: one bounded (≤ k rows) aggregate; the
-    # distance to the OWN centroid is a codegen expression over the
-    # bucket-indexed literal centroid array
+    # per-cell member radius IN THE ROUTING GEOMETRY: one bounded
+    # (≤ k rows) aggregate; the distance to the OWN centroid is a
+    # codegen expression over the bucket-indexed literal centroid array
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
     own = F.element_at(cent_arr, F.col("bucket") + 1)
     d_own = F.sqrt(
         F.aggregate(
             F.zip_with(
-                F.col(vec_col), own, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                F.col(geom_col), own, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -888,39 +992,145 @@ def ivf_range_join(
         int(row["bucket"]): float(row["rmax"])
         for row in assigned.groupBy("bucket").agg(F.max(d_own).alias("rmax")).collect()
     }
+    if not rmax:
+        return empty
+    thr = {b: _range_prune_threshold(t, rm) for b, rm in sorted(rmax.items())}
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, id long, distance double, score double"
+    mode = query_mode
+    if mode == "auto":
+        mode = (
+            "driver"
+            if queries.limit(max_driver_queries + 1).count() <= max_driver_queries
+            else "distributed"
         )
-    qids = [int(row[0]) for row in qrows]
-    qmat = np.array([list(row[1]) for row in qrows], dtype=np.float64)
-    # d(q, c) for all (query, cell): Q×k GEMM on the driver (bounded-Q)
-    d2 = (
-        np.einsum("ij,ij->i", qmat, qmat)[:, None]
-        - 2.0 * qmat @ cents.T
-        + np.einsum("ij,ij->i", cents, cents)[None, :]
-    )
-    dqc = np.sqrt(np.maximum(d2, 0.0))
-    pairs = [
-        (qids[qi], int(b), [float(x) for x in qmat[qi]])
-        for qi in range(len(qids))
-        for b in rmax
-        if dqc[qi, b] <= r + rmax[b]
-    ]
-    if not pairs:
-        return spark.createDataFrame(
-            [], "query_id long, id long, distance double, score double"
+
+    if mode == "driver":
+        qrows = collect_bounded(
+            queries.select(query_id_col, query_vec_col),
+            max_driver_queries,
+            what="ivf_range_join driver-mode query side",
+            alternative='query_mode="distributed"',
         )
-    routed = spark.createDataFrame(
-        pairs, "query_id long, bucket int, _qvec array<double>"
-    )
-    cand = assigned.join(F.broadcast(routed), "bucket")
-    dist = l2(F.col(vec_col), F.col("_qvec"))
+        if not qrows:
+            return empty
+        qids = [int(row[0]) for row in qrows]
+        qmat = np.array([list(row[1]) for row in qrows], dtype=np.float64)
+        qgeo = qmat
+        if metric == Metric.COSINE:
+            norms = np.linalg.norm(qmat, axis=1)
+            qgeo = qmat / np.where(norms == 0.0, 1.0, norms)[:, None]
+        # d(q̂, c) for all (query, cell): Q×k GEMM on the driver
+        d2 = (
+            np.einsum("ij,ij->i", qgeo, qgeo)[:, None]
+            - 2.0 * qgeo @ cents.T
+            + np.einsum("ij,ij->i", cents, cents)[None, :]
+        )
+        dqc = np.sqrt(np.maximum(d2, 0.0))
+        pairs = [
+            (qids[qi], int(b), [float(x) for x in qmat[qi]])
+            for qi in range(len(qids))
+            for b in thr
+            if dqc[qi, b] <= thr[b]
+        ]
+        if not pairs:
+            return empty
+        routed = F.broadcast(
+            spark.createDataFrame(
+                pairs, "query_id long, bucket int, _qvec array<double>"
+            )
+        )
+    else:
+        pruned = queries.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+        )
+        qgeo_expr = (
+            F.col("_qvec") if metric == Metric.L2 else normalize(F.col("_qvec"))
+        )
+        kc, d = cents.shape
+        if kc * d <= 8192:
+            # one codegen expression per query row: for every NON-EMPTY
+            # cell, (d² to its centroid, its keep threshold, bucket);
+            # filter by the per-cell threshold, project buckets, explode.
+            # Narrow map, bounded ≤|cells| fan-out, zero Spark jobs to
+            # plan — the routing twin of ivf_route for radius queries.
+            cand = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("_qgeo"),
+                                F.array(*[F.lit(float(x)) for x in cents[b]]),
+                                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).alias("d2"),
+                        F.lit(float(tb)).alias("thr"),
+                        F.lit(int(b)).cast("int").alias("bucket"),
+                    )
+                    for b, tb in thr.items()
+                ]
+            )
+            kept = F.filter(cand, lambda s: F.sqrt(s["d2"]) <= s["thr"])
+            routed = (
+                pruned.withColumn("_qgeo", qgeo_expr)
+                .select(
+                    "query_id",
+                    "_qvec",
+                    F.explode(F.transform(kept, lambda s: s["bucket"])).alias("bucket"),
+                )
+            )
+        else:
+            cdf = _centroids_df(spark, cents).withColumn(
+                "_thr",
+                F.element_at(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(int(b)) for b in thr]),
+                        F.array(*[F.lit(float(tb)) for tb in thr.values()]),
+                    ),
+                    F.col("bucket"),
+                ),
+            ).where(F.col("_thr").isNotNull())
+            scored = (
+                pruned.withColumn("_qgeo", qgeo_expr)
+                .crossJoin(F.broadcast(cdf))
+                .withColumn(
+                    "_d",
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("_qgeo"),
+                                F.col("centroid"),
+                                lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    ),
+                )
+            )
+            routed = scored.where(F.col("_d") <= F.col("_thr")).select(
+                "query_id", "_qvec", "bucket"
+            )
+        # bucket-keyed shuffle join (≤ n_centroids keys; AQE skew-split
+        # handles hot cells) — the query side is never collected
+        cand_join = assigned.join(routed, "bucket")
+        dist = distance_for_metric(F.col(vec_col), F.col("_qvec"), metric)
+        return (
+            cand_join.withColumn("distance", dist)
+            .where(F.col("distance") <= r)
+            .withColumn("score", score_from_distance(F.col("distance"), metric))
+            .select(
+                "query_id", F.col(id_col).cast("long").alias("id"), "distance", "score"
+            )
+        )
+
+    cand = assigned.join(routed, "bucket")
+    dist = distance_for_metric(F.col(vec_col), F.col("_qvec"), metric)
     return (
         cand.withColumn("distance", dist)
         .where(F.col("distance") <= r)
-        .withColumn("score", score_from_distance(F.col("distance"), Metric.L2))
+        .withColumn("score", score_from_distance(F.col("distance"), metric))
         .select("query_id", F.col(id_col).cast("long").alias("id"), "distance", "score")
     )

@@ -2379,6 +2379,46 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
+def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-EXACT oracle twin of dedup_semantic (r10): k=1 puts
+    the whole corpus in ONE cluster, so the cluster-scoped greedy
+    min-id cosine pass — the same applyInPandas kernel, normalization,
+    threshold compare and keep-loop every SemDeDup config runs —
+    becomes exact within-corpus cosine dedup. On this corpus the
+    θ=0.999 dup graph is CLIQUES (each original ↔ its ×1.0001 copy;
+    scaling preserves cosine exactly, and the max cross-pair cosine is
+    ~0.51 — verified at both SFs), where greedy keep ≡ "no lower-id row
+    within θ" — plain SQL. Pins the greedy ordering, the min-id keeper
+    convention, the cosine kernel and the schema; clustered configs
+    keep their NumPy-model gates (tests/test_cluster.py)."""
+    from vectorsearch_spark.operators.cluster import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 1.0001).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(dups), k=1, threshold=0.999, iters=0
+    ).select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+DEDUP_SEMANTIC_EXACT_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE) * 1.0001) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM base a JOIN base b ON b.vec_id < a.vec_id
+  WHERE {_duck_cosine_dist("a.embedding", "b.embedding")} <= 0.001)
+SELECT vec_id, CAST(0 AS BIGINT) AS cluster
+FROM base WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix of the lineitem measures in
     ONE full-scan aggregate (all C(4,2) corr aggregates share the scan
@@ -3020,6 +3060,77 @@ def knn_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "id", F.round("distance", 4).alias("distance")
     )
+
+
+def knn_range_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED-query-side exact radius search (r10 — the ε-dedup
+    shape, operators/similarity.py ivf_range_join
+    query_mode="distributed"): the query table is routed by a codegen
+    per-query cell filter (an array of (d², threshold, bucket) structs
+    over the inlined centroids, filtered and exploded — zero collects,
+    zero driver GEMM), then bucket-join-scored. The per-cell prune
+    threshold carries fp slack, so the result set is byte-identical to
+    the driver route and to brute force — this entry shares
+    knn_range_batch's EXACT oracle, certifying the unbounded-Q path."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ivf_range_join(
+        emb, _emb_queries(spark, sf_dir), radius=1.2, n_centroids=16,
+        id_col="vec_id", query_mode="distributed",
+    )
+    return res.select(
+        "query_id", "id", F.round("distance", 4).alias("distance")
+    )
+
+
+def knn_range_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COSINE radius search (operators/knn.py range_join,
+    metric=cosine): all vectors with cosine distance ≤ 0.8 of each
+    batch query — the semantic-near-dup threshold mode (SemDeDup-style
+    ε-candidate generation wants cosine, not L2). Same zero-shuffle
+    scan-and-emit plan as the L2 entry."""
+    from vectorsearch_spark.operators.knn import range_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = range_join(
+        emb, _emb_queries(spark, sf_dir), radius=0.8, metric=Metric.COSINE,
+        id_col="vec_id",
+    )
+    return res.select(
+        "query_id", "id", F.round("distance", 4).alias("distance")
+    )
+
+
+def knn_range_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated EXACT cosine radius search (r10 —
+    operators/similarity.py ivf_range_join metric=cosine): the
+    unit-norm reduction ‖v̂−q̂‖² = 2·(1−cos) turns a cosine radius r
+    into an L2 radius √(2r) on the unit sphere, where the triangle
+    inequality holds — cells, member radii, and routing all live in the
+    normalized geometry while candidates are re-scored with the plain
+    cosine formula on the ORIGINAL vectors. Shares knn_range_cosine's
+    EXACT oracle (another accelerated twin)."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ivf_range_join(
+        emb, _emb_queries(spark, sf_dir), radius=0.8, n_centroids=16,
+        metric=Metric.COSINE, id_col="vec_id",
+    )
+    return res.select(
+        "query_id", "id", F.round("distance", 4).alias("distance")
+    )
+
+
+KNN_RANGE_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS id, {_duck_cosine_dist("e.embedding", "q.qe")} AS d
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, id, round(d, 4) AS distance
+FROM pairs WHERE d <= 0.8
+"""
 
 
 def knn_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4810,7 +4921,7 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_VALUE_QUANTILES_SQL = r"""
 WITH v AS (
   SELECT value::DOUBLE AS v FROM events
-  WHERE value IS NOT NULL AND NOT isnan(value)),
+  WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(value)),
 h AS (
   SELECT least(499, greatest(0, floor(v / 2.0)))::BIGINT AS bin,
          count(*)::BIGINT AS c
@@ -4873,7 +4984,8 @@ def stream_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TYPE_QUANTILES_SQL = r"""
 WITH v AS (
   SELECT event_type AS g, value::DOUBLE AS v FROM events
-  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL),
+  WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(value)
+    AND event_type IS NOT NULL),
 h AS (
   SELECT g, least(499, greatest(0, floor(v / 2.0)))::BIGINT AS bin,
          count(*)::BIGINT AS c
@@ -5538,6 +5650,63 @@ def embedding_opq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(mapper, schema="vec_id long, err_pq double, err_opq double")
+
+
+def embedding_opq_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-EXACT oracle twin of embedding_opq_quality (r10):
+    zero OPQ alternations ⇒ R = I exactly (the loop never runs, Ge et
+    al.'s R₀ init), and zero PQ iterations with k = sample size ⇒ each
+    subspace codebook is a PERMUTATION of the 16 sample rows'
+    subvectors — so the per-vector reconstruction error
+    Σ_s min_c ‖x_s − c‖² is permutation-invariant and SQL-derivable
+    (min over the first-16-by-vec_id rows, per 8-dim subspace). Pins
+    the rotate→encode→decode→error pipeline the iterative OPQ configs
+    run — the subspace split layout, the argmin encode, the decode
+    lookup and the error arithmetic; the rotation-improves-error claim
+    keeps its NumPy gate (tests/test_pq.py). The kmeans-assign
+    iters=0 precedent applied to the PQ family."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.pq import decode, encode, opq_train
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(16).collect()],
+        dtype=np.float64,
+    )
+    rot, cb = opq_train(sample, m=8, k=16, iters=0, pq_iters=0, seed=42)
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xr = x @ rot
+            err = ((xr - decode(encode(xr, cb), cb)) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "err_opq": np.round(err, 6)}
+            )
+
+    return emb.mapInPandas(mapper, schema="vec_id long, err_opq double")
+
+
+EMBEDDING_OPQ_IDENTITY_SQL = r"""
+WITH c AS (
+  SELECT embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+s AS (SELECT unnest(range(0, 8)) AS s),
+d AS (
+  SELECT e.vec_id, s.s,
+         min(list_reduce(list_transform(range(1, 9),
+           i -> (CAST(e.embedding[s.s * 8 + i] AS DOUBLE)
+                 - CAST(c.ce[s.s * 8 + i] AS DOUBLE))^2),
+           (x, y) -> x + y)) AS md
+  FROM embeddings e CROSS JOIN c CROSS JOIN s
+  GROUP BY 1, 2)
+SELECT vec_id, round(sum(md), 6) AS err_opq FROM d GROUP BY vec_id
+"""
 
 
 def embedding_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7422,6 +7591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": bpe_pair_counts,
         "knn_range_batch": knn_range_batch,
         "knn_range_ivf": knn_range_ivf,
+        "knn_range_ivf_distributed": knn_range_ivf_distributed,
+        "knn_range_cosine": knn_range_cosine,
+        "knn_range_ivf_cosine": knn_range_ivf_cosine,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
         "index_lifecycle_registry": index_lifecycle_registry,
@@ -7508,6 +7680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": passage_dedup,
         "source_overlap_matrix": source_overlap_matrix,
         "embedding_opq_quality": embedding_opq_quality,
+        "embedding_opq_identity": embedding_opq_identity,
         "embedding_sq8_roundtrip": embedding_sq8_roundtrip,
         "index_search_opq_exhaustive": index_search_opq_exhaustive,
         "index_search_opq": index_search_opq,
@@ -7558,6 +7731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": embedding_outliers,
         "doc_repetition": doc_repetition,
         "dedup_semantic": dedup_semantic,
+        "dedup_semantic_exact": dedup_semantic_exact,
         "dedup_clusters": dedup_clusters,
         "index_search_join": index_search_join,
         "index_search_join_pq": index_search_join_pq,
@@ -7601,11 +7775,16 @@ def oracle_sql() -> dict[str, str]:
         "stream_type_distinct_users": STREAM_TYPE_DISTINCT_USERS_SQL,
         "knn_mmr_maxrel": KNN_MMR_MAXREL_SQL,
         "embedding_kmeans_assign": EMBEDDING_KMEANS_ASSIGN_SQL,
+        "dedup_semantic_exact": DEDUP_SEMANTIC_EXACT_SQL,
+        "embedding_opq_identity": EMBEDDING_OPQ_IDENTITY_SQL,
         "quality_classifier_onestep": QUALITY_CLASSIFIER_ONESTEP_SQL,
         "embedding_pca_cov": EMBEDDING_PCA_COV_SQL,
         "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
         "knn_range_batch": KNN_RANGE_SQL,
         "knn_range_ivf": KNN_RANGE_SQL,
+        "knn_range_ivf_distributed": KNN_RANGE_SQL,
+        "knn_range_cosine": KNN_RANGE_COSINE_SQL,
+        "knn_range_ivf_cosine": KNN_RANGE_COSINE_SQL,
         "tokenizer_unigram_vocab_chars": TOKENIZER_UNIGRAM_VOCAB_CHARS_SQL,
         "tokenizer_unigram_encode_chars": TOKENIZER_UNIGRAM_ENCODE_CHARS_SQL,
         "index_lifecycle_registry": INDEX_LIFECYCLE_REGISTRY_SQL,
