@@ -179,6 +179,13 @@ HEADLINE = [
     "bpe_pair_counts",
     "knn_range_batch",
     "knn_range_ivf",
+    # round-10 additions
+    "knn_range_ivf_distributed",
+    "knn_range_cosine",
+    "knn_range_ivf_cosine",
+    "dedup_semantic_exact",
+    "embedding_opq_identity",
+    "doc_html_extract",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would
@@ -322,6 +329,22 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     registry = dict(workload.queries())
     registry.update({k: v for k, v in EXTRA.items() if v is not None})
+
+    # prior-round medians for the automatic >1.3x recheck (host-variance
+    # triage used to be re-litigated by hand every round); only
+    # comparable if the prior detail file ran at the SAME sf
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prior_detail = json.load(f)
+        if prior_detail.get("sf") == sf:
+            prior = prior_detail.get("queries", {})
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     for name in HEADLINE + list(EXTRA):
@@ -335,6 +358,36 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         minima[name] = round(min(samples), 3)
 
+    # Self-triage: every entry whose suite median moved >1.3x vs the
+    # prior round (above a 0.15 s job-floor) is re-run STANDALONE with a
+    # warm-up rep at the end of the suite. A standalone time back at the
+    # prior level is mechanical evidence of suite-position/host noise; a
+    # standalone time that confirms the move is a real regression. Both
+    # numbers land in BENCH_DETAIL["recheck"] so the attribution is
+    # recorded, not re-argued.
+    recheck: dict[str, dict] = {}
+    suspects = sorted(
+        (
+            n
+            for n, med in timings.items()
+            if prior.get(n, 0) > 0.15 and med > 1.3 * prior[n]
+        ),
+        key=lambda n: -(timings[n] / prior[n]),
+    )[:10]
+    for name in suspects:
+        fn = registry[name]
+        fn(spark, sf_dir).collect()  # warm-up: plan + codegen + caches
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+        recheck[name] = {
+            "prior_median": prior[name],
+            "suite_median": timings[name],
+            "standalone_median": round(statistics.median(samples), 3),
+        }
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "workload_total_wall",
@@ -342,6 +395,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": minima,
+        "recheck": recheck,
         "micro": _micro_kernels(spark),
         "reps": reps,
         "sf": sf,
@@ -350,9 +404,6 @@ def main() -> None:
     # ~2.2 KB and the full dict (~90 queries x 2) is ~4 KB, which truncated
     # the head of the JSON line in r4 (BENCH_r04 parsed: null). The LAST
     # stdout line is the compact machine-parseable summary.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(
