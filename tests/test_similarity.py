@@ -585,3 +585,33 @@ def test_ann_join_empty_queries_skips_training(spark):
         out = fn(vec, emptyq, k=3, id_col="vec_id", **kw)
         assert out.count() == 0
         assert out.columns == ["query_id", "id", "distance", "score", "rank"]
+
+
+def test_ivf_range_join_large_codebook_fallback(spark):
+    """kc·d > 8192 routes through the broadcast-crossJoin fallback in
+    BOTH the routing and assignment paths (the codegen struct-array is
+    capped to keep expression size bounded) — results still equal the
+    driver route exactly."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(180, 128))
+    q = x[::31][:4]
+    vec = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in q[i]]) for i in range(len(q))],
+        "query_id long, embedding array<double>",
+    )
+    # 65 centroids × 128 dims = 8320 > 8192 → fallback path
+    a = sorted(map(tuple, ivf_range_join(
+        vec, qdf, radius=12.0, n_centroids=65, id_col="vec_id",
+        query_mode="driver",
+    ).collect()))
+    b = sorted(map(tuple, ivf_range_join(
+        vec, qdf, radius=12.0, n_centroids=65, id_col="vec_id",
+        query_mode="distributed",
+    ).collect()))
+    assert a and a == b

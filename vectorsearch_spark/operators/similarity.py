@@ -898,6 +898,7 @@ def ivf_range_join(
     seed: int = 42,
     query_mode: str = "auto",
     max_driver_queries: int = 65536,
+    block_size: int = 4096,
 ) -> DataFrame:
     """EXACT radius search with IVF cell pruning — same results as the
     brute ``knn.range_join``, scanning only the cells that can contain
@@ -923,15 +924,19 @@ def ivf_range_join(
     **query_mode** (the ``ann_ivf_join`` contract): ``"driver"``
     collects the query batch (bounded by ``max_driver_queries`` —
     over it raises ``QuerySideTooLarge``) and broadcasts the routed
-    pairs; ``"distributed"`` routes with a codegen per-query cell
-    filter — an array of (d², threshold, bucket) structs over the
-    inlined centroids, filtered and exploded, a pure narrow map with NO
-    collect anywhere — so the query side scales to the corpus itself
-    (ε-dedup, the op's headline use). ``"auto"`` picks by one bounded
-    count. Both modes re-score candidates with the same exact codegen
-    distance, and the prune threshold carries fp slack
+    pairs through a pipelined codegen score; ``"distributed"`` routes
+    with a codegen per-query cell filter — an array of (d², threshold,
+    bucket) structs over the inlined centroids, filtered and exploded,
+    a pure narrow map with NO collect anywhere — then scores with the
+    block-partitioned GEMM grid (``_blocked_range_score``: ≤
+    ``block_size``² pairs per Arrow task, bounded task memory, pair
+    count / block_size shuffle rows), so the query side scales to the
+    corpus itself (ε-dedup, the op's headline use). ``"auto"`` picks by
+    one bounded count. Both modes make the FINAL keep decision with the
+    same exact codegen distance (the block pass only pre-filters with
+    an fp band), and the cell-prune threshold carries fp slack
     (``_range_prune_threshold``), so both return the brute result set
-    exactly.
+    exactly — bit-identical distances included.
 
     Build: k-means centroids (driver O(k·d) on a bounded sample),
     codegen cell assignment (``ivf_assign`` — no shuffle), one ≤ k-row
@@ -988,10 +993,11 @@ def ivf_range_join(
             lambda acc, v: acc + v,
         )
     )
-    rmax = {
-        int(row["bucket"]): float(row["rmax"])
-        for row in assigned.groupBy("bucket").agg(F.max(d_own).alias("rmax")).collect()
-    }
+    cell_stats = assigned.groupBy("bucket").agg(
+        F.max(d_own).alias("rmax"), F.count("*").alias("n")
+    ).collect()
+    rmax = {int(row["bucket"]): float(row["rmax"]) for row in cell_stats}
+    vcount = {int(row["bucket"]): int(row["n"]) for row in cell_stats}
     if not rmax:
         return empty
     thr = {b: _range_prune_threshold(t, rm) for b, rm in sorted(rmax.items())}
@@ -1113,17 +1119,9 @@ def ivf_range_join(
             routed = scored.where(F.col("_d") <= F.col("_thr")).select(
                 "query_id", "_qvec", "bucket"
             )
-        # bucket-keyed shuffle join (≤ n_centroids keys; AQE skew-split
-        # handles hot cells) — the query side is never collected
-        cand_join = assigned.join(routed, "bucket")
-        dist = distance_for_metric(F.col(vec_col), F.col("_qvec"), metric)
-        return (
-            cand_join.withColumn("distance", dist)
-            .where(F.col("distance") <= r)
-            .withColumn("score", score_from_distance(F.col("distance"), metric))
-            .select(
-                "query_id", F.col(id_col).cast("long").alias("id"), "distance", "score"
-            )
+        return _blocked_range_score(
+            assigned, routed, vcount, metric, r,
+            id_col=id_col, vec_col=vec_col, block_size=block_size,
         )
 
     cand = assigned.join(routed, "bucket")
@@ -1133,4 +1131,137 @@ def ivf_range_join(
         .where(F.col("distance") <= r)
         .withColumn("score", score_from_distance(F.col("distance"), metric))
         .select("query_id", F.col(id_col).cast("long").alias("id"), "distance", "score")
+    )
+
+
+def _blocked_range_score(
+    assigned: DataFrame,
+    routed: DataFrame,
+    vcount: dict[int, int],
+    metric: Metric,
+    r: float,
+    id_col: str,
+    vec_col: str,
+    block_size: int,
+) -> DataFrame:
+    """Block-partitioned exact radius scoring for the DISTRIBUTED query
+    mode — the grid form of a distance join: within each probed cell,
+    the member side is split into ⌈n_v/B⌉ salts and the routed-query
+    side into ⌈n_q/B⌉ salts; every (vsalt, qsalt) block meets in ONE
+    cogrouped Arrow task of ≤ 2B rows, which scores its ≤ B×B pairs
+    with the NumPy GEMM kernel (the ``knn_join`` batch path — ~100×
+    the per-row HOF rate) and emits only pairs within r plus an fp
+    band. Survivors (output-sized) are then re-scored with the SAME
+    codegen distance expression the driver mode uses and filtered
+    ≤ r exactly — so block selection noise cannot change results and
+    the driver ≡ distributed bit-identity holds.
+
+    Scale shape: shuffle volume is n_v·⌈n_q/B⌉ + n_q·⌈n_v/B⌉ rows
+    (pair count / B — block replication, the standard distributed-GEMM
+    trade), task memory is bounded by 2B·d doubles regardless of cell
+    or query-side size, and parallelism is Σ_cells S_v·S_q blocks (at
+    real scale n_centroids ~ √N keeps both factors small). The
+    explicit-count repartition pins the CPU-dense/byte-light shuffle
+    against AQE single-task coalescing (the index/build.py:128
+    lesson).
+    """
+    import pandas as pd
+
+    from vectorsearch_spark.operators.knn import _batch_distances
+
+    spark = assigned.sparkSession
+    # per-cell query counts: one bounded (≤ |cells| rows) aggregate —
+    # the only extra job of the blocked path; the routed map itself is
+    # a stateless narrow expression, so recomputing it for the main
+    # pass costs no shuffle
+    qcount = {
+        int(row["bucket"]): int(row["n"])
+        for row in routed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    if not qcount:
+        return spark.createDataFrame(
+            [], "query_id long, id long, distance double, score double"
+        )
+    buckets = sorted(qcount)
+    sv = {b: max(1, -(-vcount.get(b, 1) // block_size)) for b in buckets}
+    sq = {b: max(1, -(-qcount[b] // block_size)) for b in buckets}
+    bucket_arr = F.array(*[F.lit(int(b)) for b in buckets])
+    sv_map = F.map_from_arrays(
+        bucket_arr, F.array(*[F.lit(int(sv[b])) for b in buckets])
+    )
+    sq_map = F.map_from_arrays(
+        bucket_arr, F.array(*[F.lit(int(sq[b])) for b in buckets])
+    )
+
+    # members: one vsalt each, replicated across the cell's qsalts;
+    # queries: one qsalt each, replicated across the cell's vsalts
+    left = (
+        assigned.withColumn("_sq", F.element_at(sq_map, F.col("bucket")))
+        .where(F.col("_sq").isNotNull())  # cells no query probes are dead
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            "bucket",
+            F.pmod(
+                F.col(id_col).cast("long"), F.element_at(sv_map, F.col("bucket"))
+            ).cast("int").alias("vsalt"),
+            F.explode(F.sequence(F.lit(0), F.col("_sq") - 1)).alias("qsalt"),
+        )
+    )
+    right = (
+        routed.withColumn("_sv", F.element_at(sv_map, F.col("bucket")))
+        .where(F.col("_sv").isNotNull())
+        .select(
+            "query_id",
+            "_qvec",
+            "bucket",
+            F.pmod(
+                F.col("query_id"), F.element_at(sq_map, F.col("bucket"))
+            ).cast("int").alias("qsalt"),
+            F.explode(F.sequence(F.lit(0), F.col("_sv") - 1)).alias("vsalt"),
+        )
+    )
+
+    band = 1e-6 + 1e-9 * r  # ≫ GEMM-vs-direct noise; false keeps re-filtered
+
+    def score_block(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "id": pd.Series([], dtype="int64"),
+                 "_v": pd.Series([], dtype="object"),
+                 "_q": pd.Series([], dtype="object")}
+            )
+        vmat = np.stack(lpdf[vec_col].to_numpy()).astype(np.float64)
+        ids = lpdf[id_col].to_numpy()
+        qmat = np.stack(rpdf["_qvec"].to_numpy()).astype(np.float64)
+        qids = rpdf["query_id"].to_numpy()
+        d = _batch_distances(vmat, qmat, metric)  # (n_v, n_q) GEMM
+        vi, qi = np.nonzero(d <= r + band)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(qids[qi], dtype="int64"),
+                "id": pd.Series(ids[vi], dtype="int64"),
+                "_v": pd.Series([vmat[i].tolist() for i in vi], dtype="object"),
+                "_q": pd.Series([qmat[j].tolist() for j in qi], dtype="object"),
+            }
+        )
+
+    n_part = 2 * spark.sparkContext.defaultParallelism
+    keys = ["bucket", "vsalt", "qsalt"]
+    surv = (
+        left.repartition(n_part, *keys)
+        .groupBy(*keys)
+        .cogroup(right.repartition(n_part, *keys).groupBy(*keys))
+        .applyInPandas(
+            score_block,
+            schema="query_id long, id long, _v array<double>, _q array<double>",
+        )
+    )
+    dist = distance_for_metric(F.col("_v"), F.col("_q"), metric)
+    return (
+        surv.withColumn("distance", dist)
+        .where(F.col("distance") <= r)
+        .withColumn("score", score_from_distance(F.col("distance"), metric))
+        .select("query_id", "id", "distance", "score")
     )

@@ -2419,6 +2419,58 @@ FROM base WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def dedup_embedding_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ε-dedup — the headline UNBOUNDED-Q use of the distributed
+    radius search (r10): the corpus (with ×1.0001-scaled near-dup
+    injections) queries ITSELF through
+    ivf_range_join(query_mode="distributed") — codegen cell routing,
+    zero collects, zero driver GEMM — and a row is dropped iff a
+    lower-id row sits within L2 ε=0.05 (min-id keeper; injected dups
+    are at d ≤ 1e-4, everything else ≥ 0.89 at every SF, so the ε-ball
+    graph is exactly the injected pairs). At 100 TB this is the shape
+    LSH/SimHash approximate: a RECALL-COMPLETE near-dup pass whose
+    only shuffles are the bucket-keyed candidate join and the anti
+    join — triangle-inequality pruning keeps it exact while scanning
+    only the cells a match can live in."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 1.0001).alias("embedding"),
+    )
+    corpus = emb.unionByName(dups)
+    pairs = ivf_range_join(
+        corpus,
+        corpus.select(F.col("vec_id").alias("query_id"), "embedding"),
+        radius=0.05,
+        n_centroids=16,
+        id_col="vec_id",
+        query_mode="distributed",
+    )
+    dropped = (
+        pairs.where(F.col("id") < F.col("query_id"))
+        .select(F.col("query_id").alias("vec_id"))
+        .distinct()
+    )
+    return corpus.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+DEDUP_EMBEDDING_RADIUS_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE) * 1.0001) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM base a JOIN base b ON b.vec_id < a.vec_id
+  WHERE {_duck_l2("a.embedding", "b.embedding")} <= 0.05)
+SELECT vec_id FROM base WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix of the lineitem measures in
     ONE full-scan aggregate (all C(4,2) corr aggregates share the scan
@@ -7650,6 +7702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_exact": dedup_semantic_exact,
         "embedding_opq_identity": embedding_opq_identity,
         "doc_html_extract": doc_html_extract,
+        "dedup_embedding_radius": dedup_embedding_radius,
         "knn_range_batch": knn_range_batch,
         "knn_range_ivf": knn_range_ivf,
         "stream_value_quantiles": stream_value_quantiles,
@@ -7928,6 +7981,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_exhaustive": _knn_sql(Metric.L2),
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
+        "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
         "doc_repetition": DOC_REPETITION_SQL,
