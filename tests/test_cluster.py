@@ -206,3 +206,38 @@ def test_semantic_dedup_identical_vectors_refuse_split(spark):
     )
     with _pytest.raises(Exception, match="refused to split|identical"):
         semantic_dedup(df, k=1, max_cluster=10).collect()
+
+
+def test_greedy_cos_dedup_chunked_equals_naive():
+    """The chunked greedy kernel ≡ the naive full-matrix greedy for
+    every chunk size, including chunks that split a duplicate group
+    across the boundary — drops only ever affect LATER rows, so
+    ascending chunk order cannot change the outcome."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.cluster import _greedy_cos_dedup
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(300, 8))
+    # plant duplicate chains straddling typical chunk boundaries
+    for a, b in [(0, 150), (149, 151), (10, 11), (10, 299), (200, 201)]:
+        x[b] = x[a] * (1 + 1e-9)
+    xn = x / np.linalg.norm(x, axis=1)[:, None]
+
+    def naive(xn, thr):
+        cos = xn @ xn.T
+        keep = np.ones(len(xn), dtype=bool)
+        for i in range(len(xn)):
+            if keep[i]:
+                keep[i + 1 :][cos[i, i + 1 :] >= thr] = False
+        return keep
+
+    for thr in (0.999, 0.9):
+        expected = naive(xn, thr)
+        for chunk in (1, 7, 150, 151, 300, 4096):
+            got = _greedy_cos_dedup(xn, thr, chunk=chunk)
+            assert np.array_equal(got, expected), (thr, chunk)
+    # the planted dups are actually dropped at the tight threshold
+    keep = _greedy_cos_dedup(xn, 0.999)
+    assert not keep[150] and not keep[151] and not keep[11] and not keep[299]
+    assert keep[0] and keep[10]

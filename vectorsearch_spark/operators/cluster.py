@@ -39,6 +39,32 @@ def _assign(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return idx, np.maximum(dist, 0.0)
 
 
+def _greedy_cos_dedup(
+    xn: np.ndarray, threshold: float, chunk: int = 2048
+) -> np.ndarray:
+    """Greedy min-id cosine dedup over UNIT-NORMALIZED rows: scanning
+    ids ascending, a kept row drops every later row with cosine ≥
+    threshold. Returns the keep mask.
+
+    Memory contract: the similarity matrix is computed in row CHUNKS
+    (chunk × n doubles at a time), never n × n — at the max_cluster=50k
+    cap a full matrix is 20 GB per task, the chunked form ≤ chunk·n·8
+    bytes (~0.8 GB at 2048×50k) with identical results (drops only ever
+    affect LATER rows, so ascending chunk order preserves the greedy
+    semantics exactly).
+    """
+    n = len(xn)
+    keep = np.ones(n, dtype=bool)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        block = xn[s:e] @ xn[s:].T  # rows s..e vs all LATER rows (and selves)
+        for i in range(s, e):
+            if keep[i]:
+                dup = block[i - s, i - s + 1 :] >= threshold
+                keep[i + 1 :][dup] = False
+    return keep
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -258,12 +284,9 @@ def semantic_dedup(
         norms = np.linalg.norm(x, axis=1)
         norms[norms == 0] = 1.0
         xn = x / norms[:, None]
-        cos = xn @ xn.T
-        keep = np.ones(len(pdf), dtype=bool)
-        for i in range(len(pdf)):
-            if keep[i]:
-                dup = cos[i, i + 1 :] >= threshold
-                keep[i + 1 :][dup] = False
+        # chunked greedy: never materializes the n×n cosine matrix
+        # (20 GB per task at the 50k cap) — see _greedy_cos_dedup
+        keep = _greedy_cos_dedup(xn, threshold)
         out = pdf.loc[keep, [id_col, "cluster"]]
         return out
 
