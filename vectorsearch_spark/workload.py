@@ -2448,12 +2448,16 @@ def dedup_embedding_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         query_mode="distributed",
     )
-    dropped = (
-        pairs.where(F.col("id") < F.col("query_id"))
+    # every row matches itself (d = 0 ≤ ε, own cell always probed), so
+    # "no lower-id row within ε" ≡ min(id) == query_id — ONE map-side-
+    # combinable aggregate instead of an anti join (which Catalyst
+    # pushes below the union, duplicating the whole radius search)
+    return (
+        pairs.groupBy("query_id")
+        .agg(F.min("id").alias("_min_id"))
+        .where(F.col("_min_id") == F.col("query_id"))
         .select(F.col("query_id").alias("vec_id"))
-        .distinct()
     )
-    return corpus.select("vec_id").join(dropped, "vec_id", "left_anti")
 
 
 DEDUP_EMBEDDING_RADIUS_SQL = f"""
