@@ -298,6 +298,7 @@ def ann_ivf_join(
     seed: int = 42,
     query_mode: str = "auto",
     max_driver_queries: int = 65536,
+    block_size: int = 4096,
 ) -> DataFrame:
     """IVF ANN join: per query, top-k among vectors in its ``nprobe``
     nearest coarse buckets. Returns (query_id, id, distance, score,
@@ -306,8 +307,12 @@ def ann_ivf_join(
     ``query_mode``: ``"driver"`` routes queries driver-side (Q×K
     floats; broadcast routing table — the small-Q fast path),
     ``"distributed"`` routes with ``ivf_route`` (no collect anywhere —
-    the query side scales to arbitrary size; the bucket join shuffles
-    instead of broadcasting), ``"auto"`` picks by one bounded count
+    the query side scales to arbitrary size) and scores candidates
+    with the block-partitioned GEMM grid (``_blocked_candidates``:
+    banded per-block top-k — a provable superset of the global top-k —
+    then the final window ranks codegen-re-scored survivors, ~blocks·k
+    rows per query instead of every probed candidate),
+    ``"auto"`` picks by one bounded count
     against ``max_driver_queries``. Both modes score candidates with
     the same codegen distance; results are identical up to
     floating-point ties in coarse routing (the driver router sums the
@@ -370,9 +375,43 @@ def ann_ivf_join(
             queries, centroids, nprobe,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )
-        # bucket-keyed shuffle join: n_centroids keys — AQE's skew-join
-        # splitting handles hot cells; the query side is never collected
-        cand = assigned.join(routed, "bucket")
+        vcount = {
+            int(row["bucket"]): int(row["n"])
+            for row in assigned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+
+        def topk_band(d):
+            # per-block banded top-k: every candidate whose CODEGEN
+            # rank is ≤ k globally has GEMM distance within 2·(GEMM
+            # noise) of its block's kk-th smallest GEMM distance, so
+            # keeping everything ≤ kth + band is a provable superset
+            # of the global top-k (ties at the boundary included)
+            kk = min(k, d.shape[0])
+            kth = np.partition(d, kk - 1, axis=0)[kk - 1, :]
+            thresh = kth + 1e-6 + 1e-9 * np.abs(kth)
+            return np.nonzero(d <= thresh[None, :])
+
+        surv = _blocked_candidates(
+            assigned, routed, vcount, metric,
+            id_col=id_col, vec_col=vec_col, block_size=block_size,
+            select_pairs=topk_band,
+        )
+        if surv is None:
+            return spark.createDataFrame(
+                [], "query_id long, id long, distance double, score double, rank int"
+            )
+        cand = surv.withColumn(
+            "distance", distance_for_metric(F.col("_v"), F.col("_q"), metric)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("score", score_from_distance(F.col("distance"), metric))
+            .select("query_id", "id", "distance", "score", "rank")
+        )
     cand = cand.withColumn(
         "distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), metric)
     )
@@ -1134,27 +1173,28 @@ def ivf_range_join(
     )
 
 
-def _blocked_range_score(
+def _blocked_candidates(
     assigned: DataFrame,
     routed: DataFrame,
     vcount: dict[int, int],
     metric: Metric,
-    r: float,
     id_col: str,
     vec_col: str,
     block_size: int,
-) -> DataFrame:
-    """Block-partitioned exact radius scoring for the DISTRIBUTED query
-    mode — the grid form of a distance join: within each probed cell,
-    the member side is split into ⌈n_v/B⌉ salts and the routed-query
-    side into ⌈n_q/B⌉ salts; every (vsalt, qsalt) block meets in ONE
-    cogrouped Arrow task of ≤ 2B rows, which scores its ≤ B×B pairs
-    with the NumPy GEMM kernel (the ``knn_join`` batch path — ~100×
-    the per-row HOF rate) and emits only pairs within r plus an fp
-    band. Survivors (output-sized) are then re-scored with the SAME
-    codegen distance expression the driver mode uses and filtered
-    ≤ r exactly — so block selection noise cannot change results and
-    the driver ≡ distributed bit-identity holds.
+    select_pairs,
+) -> DataFrame | None:
+    """Block-partitioned GEMM candidate scan shared by the distributed
+    radius and top-k paths — the grid form of a distance join: within
+    each probed cell, the member side is split into ⌈n_v/B⌉ salts and
+    the routed-query side into ⌈n_q/B⌉ salts; every (vsalt, qsalt)
+    block meets in ONE cogrouped Arrow task of ≤ 2B rows, which scores
+    its ≤ B×B pairs with the NumPy GEMM kernel (the ``knn_join`` batch
+    path — ~100× the per-row HOF rate) and emits the pairs
+    ``select_pairs(d_matrix) -> (vi, qi)`` chooses (within-radius+band,
+    or per-query banded top-k). Survivors carry BOTH vectors so the
+    caller can re-score them with the SAME codegen distance expression
+    the driver mode uses — block selection noise cannot change final
+    results as long as select_pairs keeps a band-superset.
 
     Scale shape: shuffle volume is n_v·⌈n_q/B⌉ + n_q·⌈n_v/B⌉ rows
     (pair count / B — block replication, the standard distributed-GEMM
@@ -1163,7 +1203,12 @@ def _blocked_range_score(
     real scale n_centroids ~ √N keeps both factors small). The
     explicit-count repartition pins the CPU-dense/byte-light shuffle
     against AQE single-task coalescing (the index/build.py:128
-    lesson).
+    lesson). Both salts are cast to int at creation: cogroup sides
+    with different key byte widths hash-partition differently and
+    silently never co-locate.
+
+    Returns (query_id, id, _v, _q) or None when no query probes any
+    cell.
     """
     import pandas as pd
 
@@ -1179,9 +1224,7 @@ def _blocked_range_score(
         for row in routed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     }
     if not qcount:
-        return spark.createDataFrame(
-            [], "query_id long, id long, distance double, score double"
-        )
+        return None
     buckets = sorted(qcount)
     sv = {b: max(1, -(-vcount.get(b, 1) // block_size)) for b in buckets}
     sq = {b: max(1, -(-qcount[b] // block_size)) for b in buckets}
@@ -1222,8 +1265,6 @@ def _blocked_range_score(
         )
     )
 
-    band = 1e-6 + 1e-9 * r  # ≫ GEMM-vs-direct noise; false keeps re-filtered
-
     def score_block(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
         if not len(lpdf) or not len(rpdf):
             return pd.DataFrame(
@@ -1237,7 +1278,7 @@ def _blocked_range_score(
         qmat = np.stack(rpdf["_qvec"].to_numpy()).astype(np.float64)
         qids = rpdf["query_id"].to_numpy()
         d = _batch_distances(vmat, qmat, metric)  # (n_v, n_q) GEMM
-        vi, qi = np.nonzero(d <= r + band)
+        vi, qi = select_pairs(d)
         return pd.DataFrame(
             {
                 "query_id": pd.Series(qids[qi], dtype="int64"),
@@ -1249,7 +1290,7 @@ def _blocked_range_score(
 
     n_part = 2 * spark.sparkContext.defaultParallelism
     keys = ["bucket", "vsalt", "qsalt"]
-    surv = (
+    return (
         left.repartition(n_part, *keys)
         .groupBy(*keys)
         .cogroup(right.repartition(n_part, *keys).groupBy(*keys))
@@ -1258,6 +1299,35 @@ def _blocked_range_score(
             schema="query_id long, id long, _v array<double>, _q array<double>",
         )
     )
+
+
+def _blocked_range_score(
+    assigned: DataFrame,
+    routed: DataFrame,
+    vcount: dict[int, int],
+    metric: Metric,
+    r: float,
+    id_col: str,
+    vec_col: str,
+    block_size: int,
+) -> DataFrame:
+    """Radius instance of ``_blocked_candidates``: keep pairs within
+    r plus an fp band, re-score survivors with the exact codegen
+    distance and filter ≤ r — driver ≡ distributed bit-identity."""
+    band = 1e-6 + 1e-9 * r  # ≫ GEMM-vs-direct noise; false keeps re-filtered
+
+    def within_radius(d):
+        return np.nonzero(d <= r + band)
+
+    surv = _blocked_candidates(
+        assigned, routed, vcount, metric,
+        id_col=id_col, vec_col=vec_col, block_size=block_size,
+        select_pairs=within_radius,
+    )
+    if surv is None:
+        return assigned.sparkSession.createDataFrame(
+            [], "query_id long, id long, distance double, score double"
+        )
     dist = distance_for_metric(F.col("_v"), F.col("_q"), metric)
     return (
         surv.withColumn("distance", dist)
