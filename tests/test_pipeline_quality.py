@@ -159,3 +159,33 @@ def test_source_overlap_counts_distinct_shared_ngrams(spark):
     }
     assert got == model
     assert ("s1", "s2") in got and not any("s3" in k for k in got)
+
+
+def test_normalize_text_known_values(spark):
+    """normalize_text: NFC composition, quote/dash folding, unicode
+    space folding, ASCII collapse+trim, optional lowercase, NULL
+    passthrough — handcrafted expectations per rule."""
+    from vectorsearch_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Cafe\u0301 time"),             # NFC composes e+U+0301 -> é
+        (2, "“quoted” ‘x’"),   # curly quotes → ascii
+        (3, "a — b – c − d"),       # em/en/minus dashes → -
+        (4, "a b c　d"),             # nbsp/em/ideographic spaces
+        (5, "  too\t\tmany\n\nspaces  "),          # collapse + trim
+        (6, None),                                  # NULL passthrough
+        (7, ""),                                    # empty stays empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_norm"], r["n_chars"])
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("Café time", 9)
+    assert got[2] == ('"quoted" \'x\'', 12)
+    assert got[3] == ("a - b - c - d", 13)
+    assert got[4] == ("a b c d", 7)
+    assert got[5] == ("too many spaces", 15)
+    assert got[6] == (None, 0)
+    assert got[7] == ("", 0)
+    low = {r["doc_id"]: r["text_norm"]
+           for r in normalize_text(df, lowercase=True).collect()}
+    assert low[1] == "café time"

@@ -634,3 +634,82 @@ def lm_perplexity(
             F.round(F.exp("__nll"), 4).alias("ppl"),
         )
     )
+
+
+# explicit character maps shared by normalize_text and its SQL oracle —
+# keep BOTH sides byte-for-byte consistent (curly quotes, dashes, and
+# unicode spaces are the characters CCNet/Gopher-style normalizers fold
+# before tokenization)
+NORMALIZE_QUOTE_MAP = {
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+}
+NORMALIZE_DASH_MAP = {"–": "-", "—": "-", "−": "-"}
+NORMALIZE_SPACE_CHARS = (
+    "\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Pre-tokenization text normalization — the standard first pass of
+    a web-corpus pipeline (CCNet §3.1 / Gopher-style cleanup) and the
+    reason two byte-different crawls of the same page dedup together:
+
+    1. Unicode NFC composition (``unicodedata.normalize`` — combining
+       sequences fold to precomposed forms, so "é" == "e\\u0301");
+    2. typographic quotes/dashes folded to ASCII (explicit maps above);
+    3. unicode space separators folded to ' ' (the explicit
+       ``NORMALIZE_SPACE_CHARS`` list — NOT Python's unicode-aware
+       ``\\s``, whose definition differs from RE2/DuckDB and would make
+       the contract engine-dependent);
+    4. ASCII whitespace runs collapsed to single spaces, ends trimmed;
+    5. optional lowercasing (AFTER NFC, so case folding sees composed
+       forms).
+
+    Returns (id_col, text_norm, n_chars). One narrow Arrow
+    ``mapInPandas`` pass — Python is unavoidable for NFC (Spark has no
+    built-in), but it is one vectorized pandas ``str`` chain per batch,
+    no shuffle, no collect. Deterministic per input; every step has an
+    exact DuckDB mirror (nfc_normalize + replace chain + regexp), which
+    is what oracles the entry.
+    """
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    trans = {ord(k): v for k, v in {**NORMALIZE_QUOTE_MAP, **NORMALIZE_DASH_MAP}.items()}
+    trans.update({ord(ch): " " for ch in NORMALIZE_SPACE_CHARS})
+    ws = re.compile(r"[ \t\n\r\f\v]+")  # ASCII-only: engine-portable
+    _ascii_ws = " \t\n\r\f\v"
+
+    def mapper(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s = pdf[text_col].map(
+                lambda x: None
+                if x is None
+                else ws.sub(
+                    " ", unicodedata.normalize("NFC", x).translate(trans)
+                ).strip(_ascii_ws)
+            )
+            if lowercase:
+                s = s.str.lower()
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text_norm": s,
+                    "n_chars": s.map(lambda x: 0 if x is None else len(x)).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        mapper, schema=f"{id_col} long, text_norm string, n_chars long"
+    )

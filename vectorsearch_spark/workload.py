@@ -4463,6 +4463,52 @@ FROM blocks
 """
 
 
+def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization Unicode normalization (r10 — operators/text.py
+    normalize_text): NFC composition, typographic-quote/dash folding,
+    unicode-space folding, ASCII whitespace collapse — the CCNet-style
+    first pass that makes byte-different crawls of the same page dedup
+    together. The input is the documents table DECORATED in-plan with
+    exactly the phenomena the normalizer exists for (NBSP, curly
+    quotes, em-dash, em-space, a combining-accent sequence, trailing
+    runs), and the oracle RUNS THE SAME PIPELINE in SQL
+    (nfc_normalize + replace chain + regexp collapse), so every step
+    is pinned, not just the final witness."""
+    from vectorsearch_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\u00a0\u201c"),  # NBSP + curly open quote
+            F.col("text"),
+            # curly close quote, em-space, em-dash, combining-accent e
+            F.lit("\u201d\u2003\u2014 Cafe\u0301  "),
+        ).alias("text"),
+    )
+    out = normalize_text(decorated)
+    return out.select("doc_id", "text_norm", "n_chars")
+
+
+DOC_TEXT_NORMALIZE_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         nfc_normalize(chr(160) || chr(8220) || text || chr(8221)
+                       || chr(8195) || chr(8212) || ' Cafe' || chr(769) || '  ') AS t
+  FROM documents),
+folded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(t,
+           chr(8220), '"'), chr(8221), '"'), chr(8212), '-'),
+           chr(160), ' '), chr(8195), ' ') AS t
+  FROM d),
+n AS (
+  SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f\v]+', ' ', 'g')) AS text_norm
+  FROM folded)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars FROM n
+"""
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.operators.text import doc_stats
 
@@ -7706,6 +7752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_exact": dedup_semantic_exact,
         "embedding_opq_identity": embedding_opq_identity,
         "doc_html_extract": doc_html_extract,
+        "doc_text_normalize": doc_text_normalize,
         "dedup_embedding_radius": dedup_embedding_radius,
         "knn_range_batch": knn_range_batch,
         "knn_range_ivf": knn_range_ivf,
@@ -7985,6 +8032,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_exhaustive": _knn_sql(Metric.L2),
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
+        "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
