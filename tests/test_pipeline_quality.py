@@ -184,7 +184,7 @@ def test_normalize_text_known_values(spark):
     assert got[3] == ("a - b - c - d", 13)
     assert got[4] == ("a b c d", 7)
     assert got[5] == ("too many spaces", 15)
-    assert got[6] == (None, 0)
+    assert got[6] == (None, None)  # NULL in → NULL out (SQL length(NULL))
     assert got[7] == ("", 0)
     low = {r["doc_id"]: r["text_norm"]
            for r in normalize_text(df, lowercase=True).collect()}

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -103,11 +104,17 @@ def train_ivf_centroids(
     return kmeans_fit(pts, n_centroids, iters=iters, seed=seed)
 
 
-def _centroids_df(spark, centroids: np.ndarray) -> DataFrame:
+def _centroids_df(spark, centroids: np.ndarray, double: bool = False) -> DataFrame:
+    """Centroid lookup table. ``double=True`` keeps float64 precision —
+    REQUIRED wherever a distance against these centroids is compared to
+    a float64 threshold with ~1e-9 relative slack (the exact-radius
+    cell prune): float32 truncation injects ~1e-7 relative error, which
+    would dwarf the slack and wrongly prune a match-holding cell."""
+    elem = DoubleType() if double else FloatType()
     schema = StructType(
         [
             StructField("bucket", IntegerType(), False),
-            StructField("centroid", ArrayType(FloatType(), False), False),
+            StructField("centroid", ArrayType(elem, False), False),
         ]
     )
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
@@ -257,10 +264,16 @@ def ivf_route(
     w = Window.partitionBy("query_id").orderBy(
         F.col("_d2").asc(), F.col("bucket").asc()
     )
+    # the fallback route is a broadcast crossJoin + rank window (a real
+    # shuffle); downstream blocked scoring consumes the routed table
+    # twice (per-cell qcount + the main pass) — checkpoint so the
+    # window runs once. The codegen route above stays a stateless
+    # narrow map and is cheap to recompute.
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "_qvec", "bucket")
+        .localCheckpoint(eager=False)
     )
 
 
@@ -325,22 +338,24 @@ def ann_ivf_join(
     spark = vectors.sparkSession
     if query_mode not in ("auto", "driver", "distributed"):
         raise ValueError("query_mode must be auto|driver|distributed")
-    if queries.limit(1).count() == 0:
-        # before centroid training: empty query input must not pay the
-        # sample-collect / k-means cluster actions (r9 ADVICE)
+    # ONE bounded query-side probe answers emptiness AND mode selection
+    # (empty input must not pay centroid training — r9 ADVICE; and an
+    # expensive query subplan must not be probed twice)
+    mode = query_mode
+    if mode == "auto":
+        qn = queries.limit(max_driver_queries + 1).count()
+        if qn == 0:
+            return spark.createDataFrame(
+                [], "query_id long, id long, distance double, score double, rank int"
+            )
+        mode = "driver" if qn <= max_driver_queries else "distributed"
+    elif queries.limit(1).count() == 0:
         return spark.createDataFrame(
             [], "query_id long, id long, distance double, score double, rank int"
         )
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_centroids, vec_col=vec_col, seed=seed
-        )
-    mode = query_mode
-    if mode == "auto":
-        mode = (
-            "driver"
-            if queries.limit(max_driver_queries + 1).count() <= max_driver_queries
-            else "distributed"
         )
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
     if mode == "driver":
@@ -667,9 +682,18 @@ def ann_ivfpq_join(
     spark = vectors.sparkSession
     if query_mode not in ("auto", "driver", "distributed"):
         raise ValueError("query_mode must be auto|driver|distributed")
-    if queries.limit(1).count() == 0:
-        # before IVF/codebook training — empty query input must not pay
-        # the sample-collect / k-means cluster actions (r9 ADVICE)
+    # ONE bounded query-side probe answers emptiness AND mode selection
+    # (empty input must not pay IVF/codebook training — r9 ADVICE; and
+    # an expensive query subplan must not be probed twice)
+    mode = query_mode
+    if mode == "auto":
+        qn = queries.limit(max_driver_queries + 1).count()
+        if qn == 0:
+            return spark.createDataFrame(
+                [], "query_id long, id long, distance double, score double, rank int"
+            )
+        mode = "driver" if qn <= max_driver_queries else "distributed"
+    elif queries.limit(1).count() == 0:
         return spark.createDataFrame(
             [], "query_id long, id long, distance double, score double, rank int"
         )
@@ -678,13 +702,6 @@ def ann_ivfpq_join(
             vectors, n_centroids, vec_col=vec_col, seed=seed, sample_rows=sample_rows
         )
     cents = np.asarray(centroids, dtype=np.float64)
-    mode = query_mode
-    if mode == "auto":
-        mode = (
-            "driver"
-            if queries.limit(max_driver_queries + 1).count() <= max_driver_queries
-            else "distributed"
-        )
 
     assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
 
@@ -995,6 +1012,17 @@ def ivf_range_join(
         [], "query_id long, id long, distance double, score double"
     )
 
+    # ONE bounded query-side probe answers emptiness AND mode selection
+    # before any centroid-training / corpus-aggregate work is paid
+    mode = query_mode
+    if mode == "auto":
+        qn = queries.limit(max_driver_queries + 1).count()
+        if qn == 0:
+            return empty
+        mode = "driver" if qn <= max_driver_queries else "distributed"
+    elif queries.limit(1).count() == 0:
+        return empty
+
     if metric == Metric.L2:
         t = r
         geom_col = vec_col
@@ -1040,14 +1068,6 @@ def ivf_range_join(
     if not rmax:
         return empty
     thr = {b: _range_prune_threshold(t, rm) for b, rm in sorted(rmax.items())}
-
-    mode = query_mode
-    if mode == "auto":
-        mode = (
-            "driver"
-            if queries.limit(max_driver_queries + 1).count() <= max_driver_queries
-            else "distributed"
-        )
 
     if mode == "driver":
         qrows = collect_bounded(
@@ -1127,7 +1147,7 @@ def ivf_range_join(
                 )
             )
         else:
-            cdf = _centroids_df(spark, cents).withColumn(
+            cdf = _centroids_df(spark, cents, double=True).withColumn(
                 "_thr",
                 F.element_at(
                     F.map_from_arrays(
@@ -1155,9 +1175,12 @@ def ivf_range_join(
                     ),
                 )
             )
+            # the fallback route is a crossJoin + filter (a real
+            # shuffle); the blocked scorer consumes it twice (qcount +
+            # main pass) — checkpoint so it runs once
             routed = scored.where(F.col("_d") <= F.col("_thr")).select(
                 "query_id", "_qvec", "bucket"
-            )
+            ).localCheckpoint(eager=False)
         return _blocked_range_score(
             assigned, routed, vcount, metric, r,
             id_col=id_col, vec_col=vec_col, block_size=block_size,
@@ -1216,9 +1239,10 @@ def _blocked_candidates(
 
     spark = assigned.sparkSession
     # per-cell query counts: one bounded (≤ |cells| rows) aggregate —
-    # the only extra job of the blocked path; the routed map itself is
-    # a stateless narrow expression, so recomputing it for the main
-    # pass costs no shuffle
+    # the only extra job of the blocked path. The codegen route is a
+    # stateless narrow expression (recompute costs no shuffle); the
+    # large-codebook fallback routes are localCheckpointed at creation
+    # so their crossJoin/window shuffle runs once.
     qcount = {
         int(row["bucket"]): int(row["n"])
         for row in routed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
@@ -1245,8 +1269,14 @@ def _blocked_candidates(
             F.col(id_col).cast("long").alias(id_col),
             F.col(vec_col).alias(vec_col),
             "bucket",
+            # hash before mod: strided/sharded id schemes (ids all
+            # multiples of a factor of the salt count) would otherwise
+            # collapse every row into one salt and hand a whole cell to
+            # one task — the exact unbounded-memory case the grid exists
+            # to prevent
             F.pmod(
-                F.col(id_col).cast("long"), F.element_at(sv_map, F.col("bucket"))
+                F.hash(F.col(id_col).cast("long")),
+                F.element_at(sv_map, F.col("bucket")),
             ).cast("int").alias("vsalt"),
             F.explode(F.sequence(F.lit(0), F.col("_sq") - 1)).alias("qsalt"),
         )
@@ -1259,7 +1289,7 @@ def _blocked_candidates(
             "_qvec",
             "bucket",
             F.pmod(
-                F.col("query_id"), F.element_at(sq_map, F.col("bucket"))
+                F.hash(F.col("query_id")), F.element_at(sq_map, F.col("bucket"))
             ).cast("int").alias("qsalt"),
             F.explode(F.sequence(F.lit(0), F.col("_sv") - 1)).alias("vsalt"),
         )

@@ -706,7 +706,11 @@ def normalize_text(
                 {
                     id_col: pdf[id_col],
                     "text_norm": s,
-                    "n_chars": s.map(lambda x: 0 if x is None else len(x)).astype("int64"),
+                    # NULL in → NULL out (matches SQL length(NULL)),
+                    # not 0 — engine-parity over invented defaults
+                    "n_chars": pd.Series(
+                        [None if x is None else len(x) for x in s], dtype="object"
+                    ),
                 }
             )
 

@@ -2390,7 +2390,11 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.51 — verified at both SFs), where greedy keep ≡ "no lower-id row
     within θ" — plain SQL. Pins the greedy ordering, the min-id keeper
     convention, the cosine kernel and the schema; clustered configs
-    keep their NumPy-model gates (tests/test_cluster.py)."""
+    keep their NumPy-model gates (tests/test_cluster.py).
+    ``strict=True`` guards the twin's exactness claim: if a future SF
+    pushed the corpus past max_cluster, the non-strict splitter would
+    silently re-cluster (fresh labels, per-child dedup) and diverge
+    from the whole-corpus oracle — strict mode raises loudly instead."""
     from vectorsearch_spark.operators.cluster import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2399,7 +2403,7 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda v: v * 1.0001).alias("embedding"),
     )
     return semantic_dedup(
-        emb.unionByName(dups), k=1, threshold=0.999, iters=0
+        emb.unionByName(dups), k=1, threshold=0.999, iters=0, strict=True
     ).select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
