@@ -127,6 +127,17 @@ PROBES = [
     "tokenizer_unigram_encode",
     "events_exact_quantiles",
     "training_pack_sequences",
+    # round-10 additions. The radius family's corpus side grows with
+    # the synthesis (queries stay the fixed batch of 8 for the
+    # brute/accelerated entries); dedup_embedding_radius is the
+    # corpus-queries-itself shape, so BOTH sides grow 10× — its ratio
+    # bounds the blocked-GEMM grid, not just the scan.
+    "knn_range_ivf_distributed",
+    "knn_range_ivf_cosine",
+    "dedup_embedding_radius",
+    "doc_html_extract",
+    "doc_text_normalize",
+    "dedup_semantic_exact",
 ]
 
 
