@@ -138,6 +138,7 @@ PROBES = [
     "doc_html_extract",
     "doc_text_normalize",
     "dedup_semantic_exact",
+    "training_length_batches",
 ]
 
 

@@ -833,3 +833,46 @@ def test_select_top_fraction_nan_and_null_scores_excluded(spark):
         .collect()
     )
     assert got == exp
+
+
+def test_length_bucket_batches_known_values(spark):
+    """Handcrafted bucketing/batching math: power-of-two caps with the
+    min_cap floor, exact boundary counts (16/17/32/33), within-bucket
+    id-order batch splitting at batch_size = max(1, B // cap), the
+    cap > batch_tokens degenerate (batch_size 1), zero-token drop,
+    and pad accounting."""
+    from vectorsearch_spark.operators.curate import length_bucket_batches
+
+    rows = [
+        (1, 3),     # <= min_cap → cap 16
+        (2, 16),    # boundary: exactly min_cap → cap 16
+        (3, 17),    # first past the floor → cap 32
+        (4, 32),    # exact power of two → cap 32 (log2 float trap)
+        (5, 33),    # → cap 64
+        (6, 0),     # zero-token: dropped
+        (7, 20),    # cap 32
+        (8, 5000),  # cap 8192 > batch_tokens → batch_size 1
+        (9, 6000),  # cap 8192 → its own batch
+        (10, 16),   # third 16-cap doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {
+        r["doc_id"]: (r["bucket_cap"], r["batch_in_bucket"], r["pad_tokens"])
+        for r in length_bucket_batches(
+            df, batch_tokens=64, count_col="n"
+        ).collect()
+    }
+    assert 6 not in out and len(out) == 9
+    # cap-16 bucket: batch_size = 64 // 16 = 4 → docs 1,2,10 in batch 0
+    assert out[1] == (16, 0, 13)
+    assert out[2] == (16, 0, 0)
+    assert out[10] == (16, 0, 0)
+    # cap-32 bucket: batch_size = 2 → id order (3,4),(7)
+    assert out[3] == (32, 0, 15)
+    assert out[4] == (32, 0, 0)
+    assert out[7] == (32, 1, 12)
+    # cap-64: doc 5 alone, batch_size 1
+    assert out[5] == (64, 0, 31)
+    # cap 8192 > B: batch_size clamps to 1 → one doc per batch, id order
+    assert out[8] == (8192, 0, 3192)
+    assert out[9] == (8192, 1, 2192)

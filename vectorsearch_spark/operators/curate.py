@@ -1459,3 +1459,91 @@ def write_packed_shards(
     out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
     spark = df.sparkSession
     return spark.read.parquet(path).select("shard_id").distinct().count()
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    min_cap: int = 16,
+) -> DataFrame:
+    """Length-bucketed BATCHING — the padding-minimization pass for
+    workloads that cannot concatenate examples (inference, encoder
+    scoring, reward models; ``pack_sequences`` is the causal-LM sibling
+    that splits documents instead of padding them): every document is
+    assigned the power-of-two bucket cap covering its token count
+    (floored at ``min_cap``), padded to that cap, and batched WITHIN
+    its bucket in ``id_col`` order with
+    ``batch_size = max(1, batch_tokens // cap)`` — so each batch is a
+    rectangle of ≈ ``batch_tokens`` padded tokens and the per-batch
+    padding waste is bounded by the bucket's 2× spread.
+
+    Returns (id, n_tokens, bucket_cap, batch_in_bucket, pad_tokens).
+    Zero-token docs contribute nothing (the ``pack_sequences``
+    convention). The cap uses the INTEGER bit-length of n−1
+    (``conv`` to base 2), not ``log2``: float log of an exact power of
+    two can land at 5.999… and mis-bucket a boundary count — integer
+    string length is exact in every engine.
+
+    Scale: the within-bucket rank is the two-phase partition-parallel
+    prefix scheme of ``_global_token_offsets`` keyed by (partition,
+    bucket) — the driver collect is O(#partitions × #buckets) tiny
+    rows (buckets are log-many by construction) and the only window is
+    WITHIN a partition; no single-task global sort ever happens.
+    """
+    from vectorsearch_spark.operators.text import token_counts
+
+    if int(batch_tokens) < 1:
+        raise ValueError("batch_tokens must be ≥ 1")
+    if int(min_cap) < 1:
+        raise ValueError("min_cap must be ≥ 1")
+    B = int(batch_tokens)
+    if count_col is None:
+        t = token_counts(df, id_col, text_col).select(
+            id_col, F.col("n_subword_est").alias("n_tokens")
+        )
+    else:
+        t = df.select(F.col(id_col), F.col(count_col).cast("long").alias("n_tokens"))
+    t = t.where(F.col("n_tokens") > 0)
+    # 2^bitlen via pow: exact for integer exponents (no log2 float
+    # rounding — shiftleft's shift amount must be a Python literal)
+    bitlen = F.length(F.conv((F.col("n_tokens") - 1).cast("string"), 10, 2))
+    cap = F.when(
+        F.col("n_tokens") <= min_cap, F.lit(int(min_cap)).cast("long")
+    ).otherwise(F.pow(F.lit(2.0), bitlen.cast("double")).cast("long"))
+    t = (
+        t.withColumn("bucket_cap", cap)
+        .repartitionByRange(id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()  # two passes must see identical partitioning
+    )
+    counts = t.groupBy("_pid", "bucket_cap").count().collect()
+    run: dict[int, int] = {}
+    offs = []
+    for row in sorted(counts, key=lambda r: (int(r["bucket_cap"]), int(r["_pid"]))):
+        c = int(row["bucket_cap"])
+        offs.append((int(row["_pid"]), c, run.get(c, 0)))
+        run[c] = run.get(c, 0) + int(row["count"])
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offs, "_pid int, bucket_cap long, _off long")
+    )
+    w = Window.partitionBy("_pid", "bucket_cap").orderBy(id_col)
+    bsz = F.greatest(F.lit(1).cast("long"), (F.lit(B) / F.col("bucket_cap")).cast("long"))
+    out = (
+        t.join(off_df, ["_pid", "bucket_cap"])
+        .withColumn("_rn0", F.row_number().over(w) - 1 + F.col("_off"))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "bucket_cap",
+            F.floor(F.col("_rn0") / bsz).cast("long").alias("batch_in_bucket"),
+            (F.col("bucket_cap") - F.col("n_tokens")).cast("long").alias("pad_tokens"),
+        )
+    )
+    out = out.localCheckpoint()
+    t.unpersist()
+    return out

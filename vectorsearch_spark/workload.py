@@ -4796,6 +4796,48 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), _SEQ_LEN)
 
 
+def training_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (r10 — operators/curate.py
+    length_bucket_batches): power-of-two bucket caps (integer
+    bit-length, never float log2), within-bucket id-order batches of
+    max(1, 2048 // cap) examples — the padding-minimization pass for
+    non-packing workloads (inference/encoder/reward scoring). The
+    within-bucket rank runs the two-phase partition-parallel prefix
+    scheme (driver state O(#partitions × #buckets)); the oracle's
+    global window is the sf-sized mirror of the same numbering."""
+    from vectorsearch_spark.operators.curate import length_bucket_batches
+
+    return length_bucket_batches(_t(spark, sf_dir, "documents"), batch_tokens=2048)
+
+
+TRAINING_LENGTH_BATCHES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '''[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]') AS pieces
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         list_aggregate(list_prepend(CAST(0 AS BIGINT), list_transform(pieces,
+           p -> 1 + CASE WHEN regexp_matches(p, '^[a-z]')
+                         THEN (length(p) - 1) // 4 ELSE 0 END)), 'sum')::BIGINT AS n_tokens
+  FROM base),
+b AS (SELECT doc_id, n_tokens FROM c WHERE n_tokens > 0),
+k AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN n_tokens <= 16 THEN 16
+              ELSE 1 << length(bin(n_tokens - 1)) END AS BIGINT) AS bucket_cap
+  FROM b),
+r AS (
+  SELECT doc_id, n_tokens, bucket_cap,
+         row_number() OVER (PARTITION BY bucket_cap ORDER BY doc_id) - 1 AS rn0
+  FROM k)
+SELECT doc_id, n_tokens, bucket_cap,
+       CAST(rn0 // greatest(1, 2048 // bucket_cap) AS BIGINT) AS batch_in_bucket,
+       CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens
+FROM r
+"""
+
+
 TRAINING_PACK_SEQUENCES_SQL = rf"""
 WITH base AS (
   SELECT doc_id,
@@ -7757,6 +7799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_opq_identity": embedding_opq_identity,
         "doc_html_extract": doc_html_extract,
         "doc_text_normalize": doc_text_normalize,
+        "training_length_batches": training_length_batches,
         "dedup_embedding_radius": dedup_embedding_radius,
         "knn_range_batch": knn_range_batch,
         "knn_range_ivf": knn_range_ivf,
@@ -8037,6 +8080,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
+        "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
