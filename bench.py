@@ -189,6 +189,7 @@ HEADLINE = [
     "dedup_embedding_radius",
     "doc_text_normalize",
     "training_length_batches",
+    "mm_image_dhash",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would

@@ -139,6 +139,7 @@ PROBES = [
     "doc_text_normalize",
     "dedup_semantic_exact",
     "training_length_batches",
+    "mm_image_dhash",
 ]
 
 

@@ -574,3 +574,44 @@ def test_mjpeg_split_handles_in_scan_marker_segment():
     frames = split_mjpeg(stream)
     assert len(frames) == 2
     assert frames[0] == doctored and frames[1] == jpg
+
+
+def test_image_dhash_known_and_invariance(spark):
+    """dHash: handcrafted gradient bits on a tiny raster; identical
+    images hash identically; a uniform brightness shift (gradient-
+    preserving) keeps the hash; a horizontal flip changes it. Gray 2-D
+    decoder outputs take the replicate-channels path."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
+    from vectorsearch_spark.operators.multimodal import image_dhash
+
+    # 8 rows × 9 cols, strictly increasing left→right ⇒ all 64 bits set
+    base = np.tile(np.arange(9, dtype=np.uint8) * 20, (8, 1))
+    rgb = np.stack([base] * 3, axis=-1)
+    bright = np.clip(rgb.astype(int) + 30, 0, 255).astype(np.uint8)
+    flipped = rgb[:, ::-1, :]
+    rows = [
+        (1, encode_bmp(rgb)),
+        (2, encode_bmp(rgb)),       # exact duplicate
+        (3, encode_bmp(bright)),    # brightness shift: same gradients
+        (4, encode_bmp(flipped)),   # reversed gradients
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["dhash"], r["n_gradient_bits"])
+           for r in image_dhash(df, decoder=decode_media).collect()}
+    assert got[1] == ("1" * 64, 64)
+    assert got[2] == got[1]
+    assert got[3][0] == got[1][0]          # near-dup: identical hash
+    assert got[4] == ("0" * 64, 0)         # flip: all gradients reversed
+    # hamming distance between original and flip is the full 64
+    assert sum(a != b for a, b in zip(got[1][0], got[4][0])) == 64
+
+    # 2-D grayscale decoder output replicates channels
+    def gray_dec(payload: bytes):
+        a = decode_media(payload)
+        return a[..., 0]
+
+    got_gray = {r["media_id"]: r["dhash"]
+                for r in image_dhash(df, decoder=gray_dec).collect()}
+    assert got_gray[1] == got[1][0]

@@ -224,3 +224,65 @@ def extract_audio_features(
         "media_id long, n_samples long, duration_s double, rms double, "
         "zcr double, spectral_centroid double",
     )
+
+
+def image_dhash(
+    media: DataFrame,
+    decoder: Decoder | None = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual image fingerprint — the
+    standard cheap image near-dup signature (Krawetz 2013, "Kind of
+    Like That"): decode → integer ITU-601 luma
+    ((299·R + 587·G + 114·B) // 1000) → nearest-neighbor resample to
+    (hash_size+1) × hash_size (the SAME integer sampling as
+    ``resize_images``: src = dst·in // out) → one bit per horizontal
+    neighbor pair (right > left), row-major. Near-duplicate images
+    (recompression, small crops/brightness shifts) land within a few
+    Hamming bits; pair generation at corpus scale reuses the SimHash
+    banding machinery (operators/dedup.py) over the emitted bits.
+
+    Every step is integer arithmetic, so the fingerprint is
+    bit-reproducible across engines — which is what lets the workload
+    entry pin it against a DuckDB oracle recomputing the hash straight
+    from the synthesized pixels. Returns (media_id, dhash — the
+    hash_size² gradient bits as a '0'/'1' string, MSB-first row-major —
+    and n_gradient_bits, the popcount).
+
+    One narrow Arrow pass; blobs never shuffle.
+    """
+    dec = _require_decoder(decoder, "image_dhash")
+    hs = int(hash_size)
+    if hs < 1:
+        raise ValueError("hash_size must be ≥ 1")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, pops = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = np.atleast_2d(np.asarray(dec(bytes(payload))))
+                if img.ndim == 2:
+                    img = np.stack([img, img, img], axis=-1)
+                rgb = img.astype(np.int64)
+                gray = (
+                    299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+                ) // 1000
+                h, w = gray.shape
+                ys = (np.arange(hs) * h // hs).clip(0, h - 1)
+                xs = (np.arange(hs + 1) * w // (hs + 1)).clip(0, w - 1)
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).ravel()
+                ids.append(mid)
+                hashes.append("".join("1" if b else "0" for b in bits))
+                pops.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="object"),
+                    "n_gradient_bits": pd.Series(pops, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        mapper, "media_id long, dhash string, n_gradient_bits long"
+    )

@@ -7514,6 +7514,72 @@ def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprinting (r10 — operators/multimodal.py
+    image_dhash, Krawetz 2013): deterministic BMPs from the documents
+    table (the mm_resize synthesis) → REAL decode → integer ITU-601
+    luma → nearest-neighbor 9×8 resample → horizontal-gradient bits.
+    Every step is integer arithmetic, so the oracle recomputes the full
+    hash straight from the source text bytes with no codec anywhere —
+    a container bug, a channel-order swap, a luma rounding change or a
+    resample off-by-one all hash-fail. The corpus-scale near-dup pass
+    pairs these bits with the SimHash banding machinery."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
+    from vectorsearch_spark.operators.multimodal import image_dhash
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w, h = 5 + did % 12, 4 + did % 9
+                k = np.arange(w * h * 3)
+                pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
+                rows.append((int(did), encode_bmp(pix.reshape(h, w, 3))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_dhash(media, decoder=decode_media).select(
+        "media_id", "dhash", "n_gradient_bits"
+    )
+
+
+MM_IMAGE_DHASH_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+  FROM documents),
+gray AS (
+  SELECT media_id,
+    list_transform(range(0, 72),
+      k -> CASE WHEN n = 0 THEN 0 ELSE
+        (299 * ascii(text[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 0) % n AS BIGINT) + 1])
+       + 587 * ascii(text[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 1) % n AS BIGINT) + 1])
+       + 114 * ascii(text[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 2) % n AS BIGINT) + 1])) // 1000
+      END) AS g
+  FROM base),
+bits AS (
+  SELECT media_id,
+    list_transform(range(0, 64),
+      i -> CASE WHEN g[CAST((i // 8) * 9 + (i % 8) AS BIGINT) + 2]
+                   > g[CAST((i // 8) * 9 + (i % 8) AS BIGINT) + 1]
+           THEN 1 ELSE 0 END) AS b
+  FROM gray)
+SELECT media_id,
+       list_aggregate(list_transform(b, x -> CAST(x AS VARCHAR)), 'string_agg', '') AS dhash,
+       CAST(list_aggregate(b, 'sum') AS BIGINT) AS n_gradient_bits
+FROM bits
+"""
+
+
 MM_RESIZE_SQL = """
 WITH base AS (
   SELECT doc_id AS media_id, text, length(text) AS n,
@@ -7800,6 +7866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html_extract": doc_html_extract,
         "doc_text_normalize": doc_text_normalize,
         "training_length_batches": training_length_batches,
+        "mm_image_dhash": mm_image_dhash,
         "dedup_embedding_radius": dedup_embedding_radius,
         "knn_range_batch": knn_range_batch,
         "knn_range_ivf": knn_range_ivf,
@@ -8081,6 +8148,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
+        "mm_image_dhash": MM_IMAGE_DHASH_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
