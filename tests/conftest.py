@@ -13,8 +13,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # Two-tier suite (SURVEY §5): tests measured >8 s on the shared host
 # (pytest --durations, r10 full run) carry the `slow` marker so the
-# inner loop can run `pytest -m "not slow"` (~¾ of the wall saved on
-# the long tail); the FULL suite remains the certification gate.
+# inner loop can run `pytest -m "not slow"` (measured 13m19s vs 26m
+# full on the shared host — the 2-5 s mid-tail dominates what remains);
+# the FULL suite remains the certification gate.
 # Centralized here instead of scattering decorators: one list, matched
 # by test name (parametrized ids matched in full).
 _SLOW_TESTS = {
