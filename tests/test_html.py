@@ -82,3 +82,103 @@ def test_html_extract_spark_plumbing(spark):
     out = html_extract(df.where("doc_id < 0"))
     assert out.count() == 0
     assert out.columns == ["doc_id", "block_idx", "text", "link_density"]
+
+
+def test_stale_skip_recovery():
+    # unclosed <title>: RCDATA recovery — the body is NOT swallowed
+    got = extract_blocks(
+        "<html><head><title>never closed<body><p>body text</p></body></html>"
+    )
+    assert [t for t, _ in got] == ["body text"]
+    # unclosed <template>: its content stays skipped, </body> clears the
+    # stale state so trailing blocks survive
+    got = extract_blocks(
+        "<body><template><p>tpl</p><p>after</p></body><p>tail</p>"
+    )
+    assert [t for t, _ in got] == ["tail"]
+    # stray close with no open is ignored; matching close pops nested opens
+    got = extract_blocks("</script><p>a</p><template><title>x</template><p>b</p>")
+    assert [t for t, _ in got] == ["a", "b"]
+    # diagnostics: unclosed-at-EOF skip state is counted
+    from vectorsearch_spark.operators.html import _BlockExtractor
+
+    p = _BlockExtractor()
+    p.feed("<body><style>.x{}<p>gone</p>")
+    p.close()
+    assert p.n_stale_skips >= 1 and p.blocks == []
+    # well-formed docs report zero stale skips
+    q = _BlockExtractor()
+    q.feed("<title>t</title><p>x</p><script>s</script>")
+    q.close()
+    assert q.n_stale_skips == 0
+
+
+def test_sniff_charset_precedence():
+    from vectorsearch_spark.operators.html import decode_html_payload, sniff_charset
+
+    assert sniff_charset(b'<meta charset="utf-8">') == "utf-8"
+    # http-equiv content form; name normalization via codecs.lookup
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=ISO-8859-1">'
+        )
+        == "iso8859-1"
+    )
+    assert sniff_charset(b"\xef\xbb\xbfx") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfea\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff\x00a") == "utf-16-be"
+    # BOM beats a (stale) meta declaration
+    assert sniff_charset(b'\xef\xbb\xbf<meta charset="latin-1">') == "utf-8-sig"
+    # declared utf-16 is treated as utf-8 (WHATWG: the label is stale)
+    assert sniff_charset(b'<meta charset="utf-16le">') == "utf-8"
+    # unknown label / no meta fall back to the default
+    assert sniff_charset(b'<meta charset="bogus">') == "utf-8"
+    assert sniff_charset(b"no meta") == "utf-8"
+    # meta outside the 1024-byte prescan window is NOT honored
+    far = b"<html>" + b" " * 1100 + b'<meta charset="iso-8859-1">'
+    assert sniff_charset(far) == "utf-8"
+    # custom default is normalized too
+    assert sniff_charset(b"x", default="LATIN-1") == "iso8859-1"
+
+    # mojibake avoidance: the same latin-1 bytes decode correctly WITH
+    # the declaration and degrade to replacement chars WITHOUT it
+    page = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        "<body><p>résumé</p></body></html>"
+    ).encode("latin-1")
+    text, enc = decode_html_payload(page)
+    assert enc == "iso8859-1" and "résumé" in text
+    text2, enc2 = decode_html_payload(
+        page.replace(b'<meta charset="iso-8859-1">', b"")
+    )
+    assert enc2 == "utf-8" and "�" in text2
+    # utf-8-sig decode STRIPS the BOM (no U+FEFF in block text)
+    text3, _ = decode_html_payload(b"\xef\xbb\xbf<p>hi</p>")
+    assert extract_blocks(text3) == [("hi", 0.0)]
+
+
+def test_html_extract_bytes_spark(spark):
+    from vectorsearch_spark.operators.html import html_extract_bytes
+
+    rows = [
+        (1, '<meta charset="utf-8"><p>café one</p>'.encode("utf-8")),
+        (
+            2,
+            '<meta http-equiv="Content-Type" content="text/html; '
+            'charset=iso-8859-1"><p>café two</p>'.encode("latin-1"),
+        ),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["block_idx"], r["text"], r["charset"])
+        for r in html_extract_bytes(df).collect()
+    }
+    assert got == {
+        1: (1, "café one", "utf-8"),
+        2: (1, "café two", "iso8859-1"),
+    }
+    out = html_extract_bytes(df.where("doc_id < 0"))
+    assert out.columns == ["doc_id", "block_idx", "text", "link_density", "charset"]
+    assert out.count() == 0

@@ -395,15 +395,20 @@ def ann_ivf_join(
             for row in assigned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         }
 
-        def topk_band(d):
+        def topk_band(d, noise):
             # per-block banded top-k: every candidate whose CODEGEN
             # rank is ≤ k globally has GEMM distance within 2·(GEMM
             # noise) of its block's kk-th smallest GEMM distance, so
             # keeping everything ≤ kth + band is a provable superset
-            # of the global top-k (ties at the boundary included)
+            # of the global top-k (ties at the boundary included).
+            # ``noise`` is the block's magnitude-aware GEMM error bound
+            # (computed from the actual row norms in score_block) — the
+            # old fixed 1e-6 band silently under-covered very-large-norm
+            # inputs, where the expanded-form ‖v‖²−2v·q+‖q‖²
+            # cancellation error scales with the squared magnitudes.
             kk = min(k, d.shape[0])
             kth = np.partition(d, kk - 1, axis=0)[kk - 1, :]
-            thresh = kth + 1e-6 + 1e-9 * np.abs(kth)
+            thresh = kth + 1e-6 + 1e-9 * np.abs(kth) + 2.0 * noise
             return np.nonzero(d <= thresh[None, :])
 
         surv = _blocked_candidates(
@@ -1196,6 +1201,32 @@ def ivf_range_join(
     )
 
 
+def _gemm_noise(vmat: "np.ndarray", qmat: "np.ndarray", metric: Metric) -> float:
+    """Magnitude-aware bound on |GEMM distance − direct-formula
+    distance| for one block, from the ACTUAL row norms.
+
+    L2: the expanded form ‖v‖² − 2v·q + ‖q‖² carries cancellation
+    error e ≤ ε·C·(‖v‖+‖q‖)² (C ≈ dim covers worst-case sequential
+    accumulation; BLAS pairwise summation is far better). The sqrt maps
+    that to |Δd| ≤ √e — worst exactly at d → 0, where a true
+    near-zero pair can surface as √e. Hence √(ε·dim)·(max‖v‖+max‖q‖):
+    ~8e-7 for unit-norm 768-d data, but correctly ~8e-3 for norms ~1e4
+    where the old fixed 1e-6 band silently dropped true matches.
+
+    Cosine: sims are normalized O(1); relative dot error ~ ε·dim plus
+    two divisions — 4·ε·dim is a generous cover (≈ 7e-13 at 768-d).
+
+    False keeps cost only the exact re-score; the bound errs generous.
+    """
+    eps = float(np.finfo(np.float64).eps)
+    dim = max(vmat.shape[1], 1)
+    if metric == Metric.L2:
+        vmax = float(np.sqrt((vmat * vmat).sum(axis=1).max(initial=0.0)))
+        qmax = float(np.sqrt((qmat * qmat).sum(axis=1).max(initial=0.0)))
+        return float(np.sqrt(eps * dim) * (vmax + qmax))
+    return 4.0 * eps * dim
+
+
 def _blocked_candidates(
     assigned: DataFrame,
     routed: DataFrame,
@@ -1213,16 +1244,27 @@ def _blocked_candidates(
     block meets in ONE cogrouped Arrow task of ≤ 2B rows, which scores
     its ≤ B×B pairs with the NumPy GEMM kernel (the ``knn_join`` batch
     path — ~100× the per-row HOF rate) and emits the pairs
-    ``select_pairs(d_matrix) -> (vi, qi)`` chooses (within-radius+band,
+    ``select_pairs(d_matrix, noise) -> (vi, qi)`` chooses (within-radius+band,
     or per-query banded top-k). Survivors carry BOTH vectors so the
     caller can re-score them with the SAME codegen distance expression
     the driver mode uses — block selection noise cannot change final
     results as long as select_pairs keeps a band-superset.
+    ``select_pairs(d, noise)`` also receives the block's
+    magnitude-aware GEMM error bound (from the actual row norms — see
+    ``_gemm_noise``) so its band covers large-norm inputs, where the
+    expanded-form cancellation error exceeds any fixed constant.
 
-    Scale shape: shuffle volume is n_v·⌈n_q/B⌉ + n_q·⌈n_v/B⌉ rows
-    (pair count / B — block replication, the standard distributed-GEMM
-    trade), task memory is bounded by 2B·d doubles regardless of cell
-    or query-side size, and parallelism is Σ_cells S_v·S_q blocks (at
+    Scale shape: shuffle volume is n_v·⌈n_q/B⌉ + n_q·⌈n_v/B⌉ input
+    rows (pair count / B — block replication, the standard
+    distributed-GEMM trade) PLUS the survivor pairs, each of which
+    ships both full vectors (2·d doubles per pair) so the exact
+    re-score needs no second join — for dense outputs (ε-dedup at a
+    loose radius) that term dominates; size ε so the expected pair
+    count is O(corpus). Task memory: 2B·d doubles for the two vector
+    blocks PLUS the B×B float64 distance matrix — B²·8 bytes, ~134 MB
+    at the default block_size=4096 — which dominates for d < B. Pick
+    block_size so B²·8 fits comfortably per task (2048 → 33 MB on
+    lean executors). Parallelism is Σ_cells S_v·S_q blocks (at
     real scale n_centroids ~ √N keeps both factors small). The
     explicit-count repartition pins the CPU-dense/byte-light shuffle
     against AQE single-task coalescing (the index/build.py:128
@@ -1308,7 +1350,7 @@ def _blocked_candidates(
         qmat = np.stack(rpdf["_qvec"].to_numpy()).astype(np.float64)
         qids = rpdf["query_id"].to_numpy()
         d = _batch_distances(vmat, qmat, metric)  # (n_v, n_q) GEMM
-        vi, qi = select_pairs(d)
+        vi, qi = select_pairs(d, _gemm_noise(vmat, qmat, metric))
         return pd.DataFrame(
             {
                 "query_id": pd.Series(qids[qi], dtype="int64"),
@@ -1343,11 +1385,14 @@ def _blocked_range_score(
 ) -> DataFrame:
     """Radius instance of ``_blocked_candidates``: keep pairs within
     r plus an fp band, re-score survivors with the exact codegen
-    distance and filter ≤ r — driver ≡ distributed bit-identity."""
-    band = 1e-6 + 1e-9 * r  # ≫ GEMM-vs-direct noise; false keeps re-filtered
+    distance and filter ≤ r — driver ≡ distributed bit-identity.
+    The band is magnitude-aware (``_gemm_noise`` from the block's
+    actual row norms), not a fixed constant — large-norm inputs carry
+    proportionally larger expanded-form cancellation error. False
+    keeps are re-filtered exactly."""
 
-    def within_radius(d):
-        return np.nonzero(d <= r + band)
+    def within_radius(d, noise):
+        return np.nonzero(d <= r + 1e-6 + 1e-9 * r + 2.0 * noise)
 
     surv = _blocked_candidates(
         assigned, routed, vcount, metric,

@@ -4467,6 +4467,96 @@ FROM blocks
 """
 
 
+def doc_html_extract_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-sniffing HTML extraction over RAW BYTES (r11 —
+    operators/html.py html_extract_bytes): every document becomes a
+    synthetic page ENCODED IN A DIFFERENT CHARSET by parity — even
+    doc_ids a UTF-8 page (``<meta charset>`` form) whose heading
+    contains a non-ASCII 'café', odd doc_ids an ISO-8859-1 page
+    (http-equiv form) with 'résumé' — so the WHATWG-style sniff +
+    decode front-end is what makes the entry pass: decoding the
+    latin-1 pages as UTF-8 would mojibake every é into replacement
+    chars and hash-fail. The ``source`` column is printable-ASCII
+    sanitized IN-PLAN (one regexp both engines run identically) so the
+    latin-1 encode is total by construction, not by corpus luck. One
+    Arrow pass builds pages, one extracts — bytes never shuffle."""
+    from vectorsearch_spark.operators.html import html_extract_bytes
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.regexp_replace("source", r"[^\x20-\x7e]", "?").alias("src"),
+        ),
+        "doc_id",
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text, src in zip(pdf["doc_id"], pdf["text"], pdf["src"]):
+                if did % 2 == 0:
+                    page = (
+                        '<html><head><meta charset="utf-8"><title>t</title>'
+                        f"</head><body><h1>café {did}</h1><p>{text}</p>"
+                        '<div class="f"><a href="/">home</a></div></body></html>'
+                    )
+                    payloads.append(page.encode("utf-8"))
+                else:
+                    page = (
+                        '<html><head><meta http-equiv="Content-Type" '
+                        'content="text/html; charset=iso-8859-1"></head>'
+                        f"<body><h1>résumé {did}</h1>"
+                        f"<p>plain {src} prose body</p>"
+                        '<div class="f"><a href="/c">contact</a></div>'
+                        "</body></html>"
+                    )
+                    payloads.append(page.encode("latin-1"))
+                ids.append(int(did))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    pages = docs.mapInPandas(build, "doc_id long, payload binary")
+    out = html_extract_bytes(pages)
+    return out.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        "text",
+        F.round("link_density", 4).alias("link_density"),
+        "charset",
+    )
+
+
+DOC_HTML_EXTRACT_BYTES_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\s+', ' ', 'g') AS t,
+         regexp_replace(source, '[^\x20-\x7e]', '?', 'g') AS src,
+         CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso8859-1' END AS cs
+  FROM documents),
+blocks AS (
+  SELECT doc_id, 1 AS block_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'café ' || doc_id
+              ELSE 'résumé ' || doc_id END AS text,
+         cs FROM d
+  UNION ALL
+  SELECT doc_id, 2,
+         CASE WHEN doc_id % 2 = 0 THEN t
+              ELSE 'plain ' || src || ' prose body' END,
+         cs FROM d)
+SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, text,
+       0.0 AS link_density, cs AS charset
+FROM blocks
+"""
+
+
 def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-tokenization Unicode normalization (r10 — operators/text.py
     normalize_text): NFC composition, typographic-quote/dash folding,
@@ -7858,6 +7948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r4/r5 cohort fills the window; nothing is older than r5
     # after this round).
     return {
+        "doc_html_extract_bytes": doc_html_extract_bytes,
         "knn_range_ivf_distributed": knn_range_ivf_distributed,
         "knn_range_cosine": knn_range_cosine,
         "knn_range_ivf_cosine": knn_range_ivf_cosine,
@@ -8146,6 +8237,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_exhaustive": _knn_sql(Metric.L2),
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
+        "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "mm_image_dhash": MM_IMAGE_DHASH_SQL,
