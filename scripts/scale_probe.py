@@ -140,6 +140,14 @@ PROBES = [
     "dedup_semantic_exact",
     "training_length_batches",
     "mm_image_dhash",
+    # round-11 additions. mm_image_neardup on verbatim copies is the
+    # DESIGN CASE for its exact-dup-collapse-first shape: 10 identical
+    # images per base collapse to one distinct dhash before any banding,
+    # so candidate pairs grow with DISTINCT hashes, not rows — unlike
+    # dedup_minhash (excluded above), verbatim growth here must stay
+    # linear or the collapse is broken.
+    "mm_image_neardup",
+    "doc_html_extract_bytes",
 ]
 
 

@@ -406,3 +406,66 @@ def test_lm_perplexity_known_values(spark):
     assert abs(out[2]["ppl"] - round(math.exp(nll2), 4)) < 1e-9
     # the all-common-token doc scores lower (better) than the rarer mix
     assert out[1]["nll"] < out[2]["nll"]
+
+
+def test_bitstring_near_dup_brute_parity(spark):
+    """bitstring_near_dup ≡ all-pairs Hamming brute force: banding is
+    recall-complete for max_hamming ≤ bands−1 (pigeonhole), the verify
+    is exact, identical hashes collapse to one group."""
+    import numpy as np
+
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 2, size=(20, 64))
+    rows = []
+    rid = 0
+    for i in range(20):
+        for _ in range(int(rng.integers(1, 4))):  # exact-dup groups
+            rows.append((rid, "".join(map(str, base[i]))))
+            rid += 1
+        flip = base[i].copy()  # a near-dup at a random radius 1..9
+        for j in rng.choice(64, size=int(rng.integers(1, 10)), replace=False):
+            flip[j] ^= 1
+        rows.append((rid, "".join(map(str, flip))))
+        rid += 1
+
+    t = 7
+    got = {
+        r["media_id"]: (r["keep"], r["min_neighbor_id"])
+        for r in bitstring_near_dup(
+            spark.createDataFrame(rows, "media_id long, dhash string"),
+            max_hamming=t,
+        ).collect()
+    }
+    bits = {i: np.array([int(c) for c in h]) for i, h in rows}
+    for i, _ in rows:
+        mn = min(
+            j for j, _ in rows if int(np.sum(bits[i] != bits[j])) <= t
+        )
+        assert got[i] == (1 if mn == i else 0, mn), (i, got[i], mn)
+    assert len(got) == len(rows)
+
+
+def test_bitstring_near_dup_boundary_and_width(spark):
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+
+    # Hamming exactly t matches; t+1 does not — and a non-multiple-of-32
+    # width exercises the short final conv chunk
+    h0 = "0" * 40
+    h1 = "1" * 3 + "0" * 37   # d(h0,h1)=3
+    h2 = "1" * 4 + "0" * 36   # d(h0,h2)=4, d(h1,h2)=1
+    df = spark.createDataFrame(
+        [(1, h0), (2, h1), (3, h2)], "media_id long, dhash string"
+    )
+    got = {
+        r["media_id"]: (r["keep"], r["min_neighbor_id"])
+        for r in bitstring_near_dup(df, n_bits=40, max_hamming=3).collect()
+    }
+    # 1 keeps itself; 2 is within 3 of 1; 3 is within 1 of 2 but NOT of 1
+    assert got == {1: (1, 1), 2: (0, 1), 3: (0, 2)}
+    got1 = {
+        r["media_id"]: r["keep"]
+        for r in bitstring_near_dup(df, n_bits=40, max_hamming=2).collect()
+    }
+    assert got1 == {1: 1, 2: 1, 3: 0}

@@ -390,6 +390,125 @@ def simhash_pairs(
     )
 
 
+def _bitstring_hamming(a, b, n_bits: int):
+    """Codegen Hamming distance between two '0'/'1' bit-strings of
+    fixed width ``n_bits``: 32-bit chunks through conv→xor→bit_count
+    (two longs for the 64-bit dHash case) — no UDF, join-side
+    evaluable. 32-bit chunks keep ``conv``'s base-10 intermediate
+    inside signed-long range at any width."""
+    total = None
+    for start in range(0, n_bits, 32):
+        ln = min(32, n_bits - start)
+        ca = F.conv(F.substring(a, start + 1, ln), 2, 10).cast("long")
+        cb = F.conv(F.substring(b, start + 1, ln), 2, 10).cast("long")
+        piece = F.bit_count(ca.bitwiseXOR(cb))
+        total = piece if total is None else total + piece
+    return total
+
+
+def bitstring_near_dup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    n_bits: int = 64,
+    max_hamming: int = 7,
+    bands: int | None = None,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate pass over a fixed-width bit-string
+    fingerprint column (the image analog of the text dedups: compose
+    with ``multimodal.image_dhash`` for perceptual image dedup —
+    Krawetz 2013 fingerprints, multi-index-hashing pair generation per
+    Norouzi et al., CVPR 2012 "Fast Search in Hamming Space with
+    Multi-Index Hashing").
+
+    Semantics (the min-id keeper convention of the embedding-radius
+    dedup): for every row, ``min_neighbor_id`` = the smallest id among
+    all rows within Hamming ≤ ``max_hamming`` of it (itself included),
+    and ``keep`` = 1 iff that minimum is the row itself. Returns
+    (id_col, hash_col, keep int, min_neighbor_id long).
+
+    RECALL-COMPLETE by pigeonhole: with ``bands`` substring bands
+    (default ``max_hamming + 1``), any pair within Hamming ≤ bands−1
+    agrees EXACTLY on at least one band — so the banded candidate join
+    misses nothing; the chunked xor/bit_count verify then filters to
+    the true pairs. Passing fewer bands than ``max_hamming + 1`` makes
+    the pass heuristic (documented SimHash-style trade); this function
+    defaults to the exact regime.
+
+    Scale shape: exact duplicates are collapsed FIRST (one groupBy on
+    the hash — identical fingerprints dominate real image corpora and
+    would otherwise explode every band bucket quadratically), and the
+    banded join + verify + neighbor-min all run at DISTINCT-hash
+    granularity; members rejoin by hash at the end. Per-band bucket
+    cardinality is bounded by 2^(n_bits/bands) — 256 for a 64-bit
+    hash at 8 bands, so at billion-image scale use a wider fingerprint
+    (``image_dhash(hash_size=16)`` → 256 bits, 32-bit bands) or accept
+    ``max_band_freq`` capping (opt-in, costs recall-completeness like
+    every LSH cap). Neighbor aggregation is one map-side-combinable
+    min per hash; no anti join, no window over the corpus.
+    """
+    if int(n_bits) < 1:
+        raise ValueError("n_bits must be ≥ 1")
+    if bands is None:
+        bands = int(max_hamming) + 1
+    bands = max(1, min(int(bands), int(n_bits)))
+    band_len = -(-int(n_bits) // bands)
+
+    rows = df.select(F.col(id_col).cast("long").alias(id_col), hash_col)
+    g = rows.groupBy(hash_col).agg(F.min(id_col).alias("_g_min"))
+
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.substring(F.col(hash_col), b * band_len + 1, band_len),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = _cap_band_freq(
+        g.select(hash_col, "_g_min", F.explode(band_keys).alias("band_key")),
+        max_band_freq,
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ha, hb = F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}")
+    # verify BEFORE the cross-band dedup (the simhash_pairs lesson:
+    # codegen verify join-side so only TRUE pairs shuffle)
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (ha < hb))
+        .filter(_bitstring_hamming(ha, hb, int(n_bits)) <= int(max_hamming))
+        .select(
+            ha.alias("_h_a"),
+            F.col("a._g_min").alias("_min_a"),
+            hb.alias("_h_b"),
+            F.col("b._g_min").alias("_min_b"),
+        )
+        .dropDuplicates(["_h_a", "_h_b"])
+    )
+    nbr = (
+        pairs.select(F.col("_h_a").alias(hash_col), F.col("_min_b").alias("_nm"))
+        .unionByName(
+            pairs.select(F.col("_h_b").alias(hash_col), F.col("_min_a").alias("_nm"))
+        )
+        .groupBy(hash_col)
+        .agg(F.min("_nm").alias("_nbr_min"))
+    )
+    enriched = rows.join(g, hash_col).join(nbr, hash_col, "left")
+    min_nb = F.least(
+        F.col("_g_min"), F.coalesce(F.col("_nbr_min"), F.col("_g_min"))
+    )
+    return enriched.select(
+        id_col,
+        hash_col,
+        F.when(min_nb == F.col(id_col), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+        min_nb.cast("long").alias("min_neighbor_id"),
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

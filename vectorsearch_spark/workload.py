@@ -7579,7 +7579,9 @@ def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                # ascii-replace: char-codepoint oracle ≡ byte semantics
+                # by construction (see mm_image_dhash)
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 w, h = 5 + did % 12, 4 + did % 9
                 k = np.arange(w * h * 3)
                 pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
@@ -7610,10 +7612,12 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (the mm_resize synthesis) → REAL decode → integer ITU-601
     luma → nearest-neighbor 9×8 resample → horizontal-gradient bits.
     Every step is integer arithmetic, so the oracle recomputes the full
-    hash straight from the source text bytes with no codec anywhere —
-    a container bug, a channel-order swap, a luma rounding change or a
-    resample off-by-one all hash-fail. The corpus-scale near-dup pass
-    pairs these bits with the SimHash banding machinery."""
+    hash straight from the source characters (ascii-replace folded on
+    BOTH sides, so byte and codepoint indexing agree by construction)
+    with no codec anywhere — a container bug, a channel-order swap, a
+    luma rounding change or a resample off-by-one all hash-fail. The
+    corpus-scale near-dup pass is ``mm_image_neardup`` (dedup.py
+    bitstring_near_dup over these bits)."""
     import numpy as np
     import pandas as pd
 
@@ -7629,7 +7633,11 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                # ascii-replace, not utf-8: the oracle indexes CHARACTER
+                # codepoints, and 'replace' maps any non-ASCII char to
+                # one '?' (63) — byte semantics and char semantics agree
+                # BY CONSTRUCTION, not by corpus luck
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 w, h = 5 + did % 12, 4 + did % 9
                 k = np.arange(w * h * 3)
                 pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
@@ -7644,16 +7652,19 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_IMAGE_DHASH_SQL = """
 WITH base AS (
-  SELECT doc_id AS media_id, text, length(text) AS n,
-         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+  SELECT doc_id AS media_id, length(text) AS n,
+         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h,
+         list_transform(range(0, length(text)),
+           i -> CASE WHEN ascii(text[CAST(i AS BIGINT) + 1]) < 128
+                     THEN ascii(text[CAST(i AS BIGINT) + 1]) ELSE 63 END) AS codes
   FROM documents),
 gray AS (
   SELECT media_id,
     list_transform(range(0, 72),
       k -> CASE WHEN n = 0 THEN 0 ELSE
-        (299 * ascii(text[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 0) % n AS BIGINT) + 1])
-       + 587 * ascii(text[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 1) % n AS BIGINT) + 1])
-       + 114 * ascii(text[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 2) % n AS BIGINT) + 1])) // 1000
+        (299 * codes[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 0) % n AS BIGINT) + 1]
+       + 587 * codes[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 1) % n AS BIGINT) + 1]
+       + 114 * codes[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 2) % n AS BIGINT) + 1]) // 1000
       END) AS g
   FROM base),
 bits AS (
@@ -7670,18 +7681,118 @@ FROM bits
 """
 
 
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END perceptual image near-dup dedup (r11 — the composed
+    operator the r10 fingerprint was one step short of): deterministic
+    BMPs from the documents table, PLUS a brightness-shifted
+    recompression-style variant (+16 per channel, clipped at 255) for
+    every third doc → REAL decode → ``image_dhash`` 64-bit gradient
+    fingerprints → ``dedup.bitstring_near_dup``: exact-dup collapse,
+    8-band multi-index-hash candidate join (recall-COMPLETE for
+    Hamming ≤ 7 by pigeonhole), chunked conv/xor/bit_count codegen
+    verify, min-id keeper aggregate (the dedup_embedding_radius
+    shape). All-integer end to end, so the DuckDB twin recomputes the
+    dhash chain from the source characters for BOTH variants and takes
+    the ALL-PAIRS Hamming ≤ 7 min — a missed candidate band, a verify
+    off-by-one, or a keeper-convention drift all hash-fail. Text dedup
+    has seven granularities; this is the image granularity."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+    from vectorsearch_spark.operators.multimodal import image_dhash
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
+                w, h = 5 + did % 12, 4 + did % 9
+                k = np.arange(w * h * 3)
+                pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
+                rows.append((int(did) * 2, encode_bmp(pix.reshape(h, w, 3))))
+                if did % 3 == 0:
+                    shifted = np.minimum(pix.astype(np.int64) + 16, 255).astype(
+                        np.uint8
+                    )
+                    rows.append(
+                        (int(did) * 2 + 1, encode_bmp(shifted.reshape(h, w, 3)))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    dh = image_dhash(media, decoder=decode_media)
+    out = bitstring_near_dup(
+        dh, id_col="media_id", hash_col="dhash", n_bits=64, max_hamming=7
+    )
+    return out.select(
+        "media_id", F.col("keep").cast("long").alias("keep"), "min_neighbor_id"
+    )
+
+
+MM_IMAGE_NEARDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, length(text) AS n, 5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h,
+         list_transform(range(0, length(text)),
+           i -> CASE WHEN ascii(text[CAST(i AS BIGINT) + 1]) < 128
+                     THEN ascii(text[CAST(i AS BIGINT) + 1]) ELSE 63 END) AS codes
+  FROM documents),
+media AS (
+  SELECT doc_id * 2 AS media_id, 0 AS shift, n, w, h, codes FROM d
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id, 16 AS shift, n, w, h, codes
+  FROM d WHERE doc_id % 3 = 0),
+gray AS (
+  SELECT media_id,
+    list_transform(range(0, 72),
+      k -> (299 * least((CASE WHEN n = 0 THEN 0 ELSE codes[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 0) % n AS BIGINT) + 1] END) + shift, 255)
+          + 587 * least((CASE WHEN n = 0 THEN 0 ELSE codes[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 1) % n AS BIGINT) + 1] END) + shift, 255)
+          + 114 * least((CASE WHEN n = 0 THEN 0 ELSE codes[CAST(((((k // 9) * h // 8) * w + ((k % 9) * w // 9)) * 3 + 2) % n AS BIGINT) + 1] END) + shift, 255)
+           ) // 1000) AS g
+  FROM media),
+bits AS (
+  SELECT media_id,
+    list_transform(range(0, 64),
+      i -> CASE WHEN g[CAST((i // 8) * 9 + (i % 8) AS BIGINT) + 2]
+                   > g[CAST((i // 8) * 9 + (i % 8) AS BIGINT) + 1]
+           THEN 1 ELSE 0 END) AS bl
+  FROM gray),
+pairs AS (
+  SELECT a.media_id AS ida, b.media_id AS idb
+  FROM bits a JOIN bits b ON a.media_id <> b.media_id
+  WHERE CAST(list_aggregate(list_transform(range(0, 64),
+          i -> CASE WHEN a.bl[CAST(i AS BIGINT) + 1] <> b.bl[CAST(i AS BIGINT) + 1]
+               THEN 1 ELSE 0 END), 'sum') AS INT) <= 7),
+nb AS (SELECT ida AS media_id, min(idb) AS mn FROM pairs GROUP BY 1)
+SELECT m.media_id,
+       CAST(CASE WHEN least(m.media_id, coalesce(nb.mn, m.media_id)) = m.media_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(least(m.media_id, coalesce(nb.mn, m.media_id)) AS BIGINT) AS min_neighbor_id
+FROM bits m LEFT JOIN nb ON nb.media_id = m.media_id
+"""
+
+
 MM_RESIZE_SQL = """
 WITH base AS (
-  SELECT doc_id AS media_id, text, length(text) AS n,
-         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+  SELECT doc_id AS media_id, length(text) AS n,
+         5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h,
+         list_transform(range(0, length(text)),
+           i -> CASE WHEN ascii(text[CAST(i AS BIGINT) + 1]) < 128
+                     THEN ascii(text[CAST(i AS BIGINT) + 1]) ELSE 63 END) AS codes
   FROM documents),
 pix AS (
   SELECT media_id, n, w, h,
          list_transform(range(0, 8 * 6 * 3),
-           k -> CASE WHEN n = 0 THEN 0 ELSE ascii(text[
+           k -> CASE WHEN n = 0 THEN 0 ELSE codes[
                   CAST(((((k // 24) * h // 6) * w
                          + (((k % 24) // 3) * w // 8)) * 3 + k % 3) % n AS BIGINT) + 1
-                ]) END) AS p
+                ] END) AS p
   FROM base)
 SELECT media_id,
        CAST(list_aggregate(
@@ -7948,6 +8059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r4/r5 cohort fills the window; nothing is older than r5
     # after this round).
     return {
+        "mm_image_neardup": mm_image_neardup,
         "doc_html_extract_bytes": doc_html_extract_bytes,
         "knn_range_ivf_distributed": knn_range_ivf_distributed,
         "knn_range_cosine": knn_range_cosine,
@@ -8241,6 +8353,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "mm_image_dhash": MM_IMAGE_DHASH_SQL,
+        "mm_image_neardup": MM_IMAGE_NEARDUP_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
