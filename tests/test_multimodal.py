@@ -615,3 +615,48 @@ def test_image_dhash_known_and_invariance(spark):
     got_gray = {r["media_id"]: r["dhash"]
                 for r in image_dhash(df, decoder=gray_dec).collect()}
     assert got_gray[1] == got[1][0]
+
+
+def test_audio_spectral_bins_integer_exact(spark):
+    """audio_spectral_bins ≡ the literal ±1-coefficient integer sums at
+    the DC / quarter / Nyquist bins — the degenerate-exact DFT witness
+    (the np.fft.rfft path must land on the integers exactly after
+    rounding, asserted inside the operator)."""
+    from vectorsearch_spark.functions.codecs import encode_wav
+    from vectorsearch_spark.operators.multimodal import audio_spectral_bins
+
+    rng = np.random.default_rng(3)
+    rows, expect = [], {}
+    for mid in range(12):
+        n_samp = int(rng.integers(5, 40))  # some clips shorter than n_fft
+        ch = 1 + mid % 2
+        s = rng.integers(-32768, 32767, size=(n_samp, ch)).astype(np.int16)
+        rows.append((mid, encode_wav(s, sample_rate=8000)))
+        c0 = np.zeros(8, dtype=np.int64)
+        c0[: min(8, n_samp)] = s[:8, 0]
+        sgn = np.array([1, -1] * 4)
+        q = np.array([1, 0, -1, 0] * 2)
+        qi = np.array([0, -1, 0, 1] * 2)
+        expect[(mid, 0)] = (int(c0.sum()), 0)
+        expect[(mid, 2)] = (int((c0 * q).sum()), int((c0 * qi).sum()))
+        expect[(mid, 4)] = (int((c0 * sgn).sum()), 0)
+
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = audio_spectral_bins(df, n_fft=8).collect()
+    assert len(got) == 36
+    for r in got:
+        re, im = expect[(r["media_id"], r["bin"])]
+        assert (r["re"], r["im"]) == (re, im), r
+        assert r["mag_sq"] == re * re + im * im
+
+    # n_fft=16 exercises the generic quarter-frequency indices
+    got16 = {
+        (r["media_id"], r["bin"]): r
+        for r in audio_spectral_bins(df, n_fft=16).collect()
+    }
+    assert {b for _, b in got16} == {0, 4, 8}
+
+    with pytest.raises(ValueError):
+        audio_spectral_bins(df, n_fft=6)
+    with pytest.raises(ValueError):
+        audio_spectral_bins(df, n_fft=0)

@@ -226,6 +226,72 @@ def extract_audio_features(
     )
 
 
+def audio_spectral_bins(
+    media: DataFrame,
+    n_fft: int = 8,
+    decoder: "Callable[[bytes], tuple[np.ndarray, int]] | None" = None,
+) -> DataFrame:
+    """Degenerate-EXACT witness of the audio DFT path: the squared
+    magnitudes of the DC, quarter-frequency and Nyquist bins of an
+    ``n_fft``-point real FFT over the first ``n_fft`` channel-0
+    samples (zero-padded if the clip is shorter).
+
+    Runs the SAME ``np.fft.rfft`` kernel as ``extract_audio_features``
+    — but at bins k ∈ {0, N/4, N/2} every twiddle factor is ±1 or 0,
+    so with int16 samples the true bin values are INTEGERS:
+
+        Re(X_0)   = Σ s_n                  Im(X_0)   = 0
+        Re(X_N/4) = s_0 − s_2 + s_4 − …    Im(X_N/4) = −s_1 + s_3 − …
+        Re(X_N/2) = Σ (−1)^n s_n           Im(X_N/2) = 0
+
+    The FFT's float path lands within ~ε·N·|s| ≈ 1e-10 of those
+    integers (pocketfft's near-exact ±1/±i twiddles), so rounding to
+    long is exact — asserted per value, never silent — and the result
+    is engine-reproducible, which is what lets the workload twin pin
+    the whole decode→DFT chain against literal ±1 coefficient sums in
+    SQL (the same degenerate-twin pattern that pinned k-means / OPQ /
+    one-step LR). The full-spectrum features stay in
+    ``extract_audio_features`` under their NumPy-model gate.
+
+    Returns (media_id, bin, re, im, mag_sq) — three rows per clip, all
+    longs. One narrow Arrow pass; blobs never shuffle. ``n_fft`` must
+    be a positive multiple of 4 so all three witness bins exist.
+    """
+    n = int(n_fft)
+    if n < 4 or n % 4:
+        raise ValueError("n_fft must be a positive multiple of 4")
+    if decoder is None:
+        from vectorsearch_spark.functions.codecs import decode_wav as decoder
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, _rate = decoder(bytes(payload))
+                c0 = s[: n, 0].astype(np.float64)
+                if len(c0) < n:
+                    c0 = np.pad(c0, (0, n - len(c0)))
+                X = np.fft.rfft(c0)
+                for k in (0, n // 4, n // 2):
+                    re, im = X[k].real, X[k].imag
+                    ri, ii = round(re), round(im)
+                    if abs(re - ri) > 1e-6 or abs(im - ii) > 1e-6:
+                        raise AssertionError(
+                            f"quarter-frequency bin {k} not integer-exact: "
+                            f"{X[k]} (non-int16 input?)"
+                        )
+                    rows.append(
+                        (int(mid), k, int(ri), int(ii), int(ri) ** 2 + int(ii) ** 2)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bin", "re", "im", "mag_sq"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        mapper, "media_id long, bin long, re long, im long, mag_sq long"
+    )
+
+
 def image_dhash(
     media: DataFrame,
     decoder: Decoder | None = None,

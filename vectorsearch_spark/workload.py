@@ -7168,8 +7168,15 @@ FROM v LEFT JOIN LATERAL (
 def _mm_media(spark: SparkSession, sf_dir: str):
     from vectorsearch_spark.operators.multimodal import attach_media_metadata
 
+    # ascii-fold before encoding: the oracles index CHARACTERS
+    # (ascii(text[i]), length(text)); one '?' per non-ASCII char makes
+    # byte and codepoint semantics agree by construction (both engines
+    # run the same code-point regexp)
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id",
+        F.encode(
+            F.regexp_replace("text", r"[^\x00-\x7f]", "?"), "UTF-8"
+        ).alias("payload"),
     )
     return attach_media_metadata(docs, id_col="doc_id", payload_col="payload")
 
@@ -7213,11 +7220,14 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (n // floor(sqrt(n))) * floor(sqrt(n)) bytes, zero-pad to a multiple
 # of 8, chunk-mean, cast to FLOAT (same IEEE rounding as numpy f32).
 MM_FEATURES_SQL = """
-WITH base AS (
+WITH src AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
+  FROM documents),
+base AS (
   SELECT doc_id AS media_id, length(text) AS n,
          list_transform(range(1, length(text) + 1),
                         i -> CAST(ascii(text[i]) AS DOUBLE)) AS bytes
-  FROM documents),
+  FROM src),
 trunc AS (
   SELECT media_id, n,
          CASE WHEN n = 0 THEN [0.0]
@@ -7299,7 +7309,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 w, h = 5 + did % 12, 4 + did % 9
                 k = np.arange(w * h * 3)
                 pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
@@ -7358,7 +7368,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 w, h = 5 + did % 12, 4 + did % 9
                 k = np.arange(w * h * 3)
                 pix = b[k % len(b)] if len(b) else np.zeros(k.size, dtype=np.uint8)
@@ -7415,7 +7425,7 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 ch = 1 + did % 2
                 ns = 200 + did % 100
                 k = np.arange(ns * ch)
@@ -7449,7 +7459,9 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_WAV_FEATURES_SQL = """
 WITH base AS (
-  SELECT doc_id AS media_id, text, length(text) AS n,
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         length(text) AS n,
          1 + doc_id % 2 AS ch, 200 + doc_id % 100 AS ns,
          8000 + 1000 * (doc_id % 3) AS rate
   FROM documents),
@@ -7496,7 +7508,7 @@ def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 ch = 1 + did % 2
                 ns = 200 + did % 100
                 k = np.arange(ns * ch)
@@ -7509,6 +7521,97 @@ def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return extract_audio_features(media)
+
+
+def mm_audio_dft_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-exact DFT twin for the audio-spectral family (r11 —
+    operators/multimodal.py audio_spectral_bins): the same WAV corpus
+    as mm_audio_spectral (ascii-replace folded so the char-codepoint
+    oracle matches byte semantics by construction) through the REAL
+    RIFF codec and the REAL ``np.fft.rfft`` kernel, reduced to the
+    N=8 bins whose twiddle factors are ±1/0 — DC, quarter frequency,
+    Nyquist — where int16 inputs make the float FFT integer-exact
+    (asserted, then rounded to long). The DuckDB twin recomputes the
+    three bins as literal signed sums over the channel-0 samples it
+    derives straight from the text characters: a WAV interleave bug, a
+    channel-order swap, an FFT sign-convention drift or an off-by-one
+    in the sample window all hash-fail. Closes the last
+    no-oracle-of-any-form family: every registry family is now pinned
+    by at least one exact oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import encode_wav
+    from vectorsearch_spark.operators.multimodal import audio_spectral_bins
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
+                ch = 1 + did % 2
+                ns = 200 + did % 100
+                k = np.arange(ns * ch)
+                base = (
+                    b[k % len(b)].astype(np.int32)
+                    if len(b)
+                    else np.zeros(ns * ch, dtype=np.int32)
+                )
+                v = ((base - 128) * 256 + (k % 127)).astype(np.int16)
+                rows.append(
+                    (
+                        int(did),
+                        encode_wav(
+                            v.reshape(ns, ch), sample_rate=8000 + 1000 * (did % 3)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return audio_spectral_bins(media, n_fft=8)
+
+
+# channel-0 sample n lives at flat index n·ch of the interleaved
+# stream: s_n = (code[(n·ch) % len] − 128)·256 + (n·ch) % 127
+MM_AUDIO_DFT_BINS_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, length(text) AS n, 1 + doc_id % 2 AS ch,
+         list_transform(range(0, length(text)),
+           i -> CASE WHEN ascii(text[CAST(i AS BIGINT) + 1]) < 128
+                     THEN ascii(text[CAST(i AS BIGINT) + 1]) ELSE 63 END) AS codes
+  FROM documents),
+samp AS (
+  SELECT media_id,
+         list_transform(range(0, 8),
+           j -> ((CASE WHEN n = 0 THEN 0
+                       ELSE codes[CAST((j * ch) % n AS BIGINT) + 1] END) - 128) * 256
+                + (j * ch) % 127) AS s
+  FROM base),
+bins AS (
+  SELECT media_id, 0 AS bin,
+         CAST(s[1]+s[2]+s[3]+s[4]+s[5]+s[6]+s[7]+s[8] AS BIGINT) AS re,
+         CAST(0 AS BIGINT) AS im
+  FROM samp
+  UNION ALL
+  SELECT media_id, 2,
+         CAST(s[1]-s[3]+s[5]-s[7] AS BIGINT),
+         CAST(-s[2]+s[4]-s[6]+s[8] AS BIGINT)
+  FROM samp
+  UNION ALL
+  SELECT media_id, 4,
+         CAST(s[1]-s[2]+s[3]-s[4]+s[5]-s[6]+s[7]-s[8] AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM samp)
+SELECT media_id, CAST(bin AS BIGINT) AS bin, re, im,
+       re * re + im * im AS mag_sq
+FROM bins
+"""
 
 
 def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7836,7 +7939,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 bw, bh = 1 + did % 4, 1 + did % 3  # blocks
                 blocks = np.arange(bw * bh)
                 vals = (
@@ -7903,7 +8006,7 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
                 bw, bh = 1 + did % 3, 1 + did % 2
                 nf = 3 + did % 4
                 nb = bw * bh
@@ -7949,7 +8052,9 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the position-weighted checksum are mode-independent
 MM_MJPEG_FRAMES_SQL = """
 WITH base AS (
-  SELECT doc_id AS media_id, text, length(text) AS n,
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         length(text) AS n,
          1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
   FROM documents),
 frames AS (
@@ -7976,7 +8081,9 @@ FROM pix
 # same block-constant gray raster the SQL derives from the raw bytes
 MM_JPEG_DECODE_SQL = """
 WITH base AS (
-  SELECT doc_id AS media_id, text, length(text) AS n,
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         length(text) AS n,
          1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
   FROM documents),
 pix AS (
@@ -8000,7 +8107,9 @@ FROM pix
 
 MM_PNG_DECODE_SQL = """
 WITH base AS (
-  SELECT doc_id AS media_id, text, length(text) AS n,
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         length(text) AS n,
          5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
   FROM documents),
 pix AS (
@@ -8022,7 +8131,9 @@ FROM pix
 
 MM_IMAGE_DECODE_SQL = """
 WITH base AS (
-  SELECT doc_id AS media_id, text, length(text) AS n,
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         length(text) AS n,
          5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
   FROM documents),
 pix AS (
@@ -8059,6 +8170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r4/r5 cohort fills the window; nothing is older than r5
     # after this round).
     return {
+        "mm_audio_dft_bins": mm_audio_dft_bins,
         "mm_image_neardup": mm_image_neardup,
         "doc_html_extract_bytes": doc_html_extract_bytes,
         "knn_range_ivf_distributed": knn_range_ivf_distributed,
@@ -8354,6 +8466,7 @@ def oracle_sql() -> dict[str, str]:
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "mm_image_dhash": MM_IMAGE_DHASH_SQL,
         "mm_image_neardup": MM_IMAGE_NEARDUP_SQL,
+        "mm_audio_dft_bins": MM_AUDIO_DFT_BINS_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
         "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
