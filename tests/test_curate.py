@@ -876,3 +876,56 @@ def test_length_bucket_batches_known_values(spark):
     # cap 8192 > B: batch_size clamps to 1 → one doc per batch, id order
     assert out[8] == (8192, 0, 3192)
     assert out[9] == (8192, 1, 2192)
+
+
+def test_length_bucket_batches_bpe_counts_cap_edges(spark):
+    """Tokenizer-true bucketing: real apply_bpe_merges counts feed
+    length_bucket_batches(count_col=...), with documents engineered so
+    the REAL token counts land exactly on power-of-two cap edges
+    (16→16, 17→32, 32→32, 33→64) — the float-log2 mis-bucketing case
+    the integer bit-length exists for, now exercised with actual
+    tokenizer output instead of the estimator."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.bpe import apply_bpe_merges
+    from vectorsearch_spark.operators.curate import length_bucket_batches
+
+    merges = [(0, "t", "h", 0), (1, "th", "e", 0), (2, "i", "n", 0)]
+    # per-word counts under this table: 'the'->1, 'thin'->2 (th+in),
+    # 'a'->1, 'xy'->2; '7'->1 (non-alpha passes through whole)
+    docs = [
+        (1, "the " * 16),            # 16 tokens -> cap 16
+        (2, "the " * 16 + "a"),      # 17 -> cap 32
+        (3, "thin " * 16),           # 32 -> cap 32
+        (4, "thin " * 16 + "7"),     # 33 -> cap 64
+        (5, "xy"),                   # 2 -> min_cap floor 16
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    enc = apply_bpe_merges(df, merges)
+    counts = enc.groupBy("doc_id").agg(
+        F.sum(F.size("toks")).cast("long").alias("n_bpe")
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bucket_cap"], r["pad_tokens"])
+        for r in length_bucket_batches(
+            counts, batch_tokens=64, count_col="n_bpe"
+        ).collect()
+    }
+    assert got == {
+        1: (16, 16, 0),
+        2: (17, 32, 15),
+        3: (32, 32, 0),
+        4: (33, 64, 31),
+        5: (2, 16, 14),
+    }
+    # within-bucket batching: cap 16 holds batch_size 64//16 = 4 -> docs
+    # 1 and 5 share batch 0; cap 32 holds 2 -> docs 2 and 3 share batch 0
+    batches = {
+        r["doc_id"]: (r["bucket_cap"], r["batch_in_bucket"])
+        for r in length_bucket_batches(
+            counts, batch_tokens=64, count_col="n_bpe"
+        ).collect()
+    }
+    assert batches[1] == (16, 0) and batches[5] == (16, 0)
+    assert batches[2] == (32, 0) and batches[3] == (32, 0)
+    assert batches[4] == (64, 0)

@@ -4928,6 +4928,66 @@ FROM r
 """
 
 
+def training_length_batches_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching on ACTUAL TOKENIZER counts (r11 —
+    the tokenizer-true wiring of training_length_batches): every
+    document is encoded through the REAL BPE application path
+    (operators/bpe.py apply_bpe_merges — dictionary-sized Arrow encode,
+    broadcast join-back), per-doc token counts are summed, and
+    ``length_bucket_batches(count_col=...)`` buckets on those counts
+    instead of the n_subword_est heuristic — the production shape for
+    inference/encoder batching, where padding waste is measured in real
+    tokens. The merge table here is a FIXED literal
+    [(t,h), (th,e), (i,n)] rather than the corpus-learned one, which is
+    what makes the twin exact: each leftmost-non-overlapping fold over
+    symbols is equivalent to one sentinel-char ``replace`` at string
+    level (multi-char symbols are single sentinels, so adjacent symbols
+    ≡ adjacent chars), and token counts become plain SQL. The
+    learned-table encode keeps its pure-Python model gate
+    (bpe_encode_stats); the code path here is IDENTICAL — only the
+    table is pinned."""
+    from vectorsearch_spark.operators.bpe import apply_bpe_merges
+    from vectorsearch_spark.operators.curate import length_bucket_batches
+
+    merges = [(0, "t", "h", 0), (1, "th", "e", 0), (2, "i", "n", 0)]
+    enc = apply_bpe_merges(_t(spark, sf_dir, "documents"), merges)
+    counts = enc.groupBy("doc_id").agg(
+        F.sum(F.size("toks")).cast("long").alias("n_bpe_tokens")
+    )
+    return length_bucket_batches(
+        counts, batch_tokens=2048, count_col="n_bpe_tokens"
+    )
+
+
+TRAINING_LENGTH_BATCHES_BPE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS w
+  FROM documents),
+enc AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(w, '^[a-z]+$')
+              THEN length(replace(replace(replace(w,
+                     'th', chr(1)), chr(1) || 'e', chr(2)), 'in', chr(3)))
+              ELSE 1 END AS n_tok
+  FROM toks),
+c AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM enc GROUP BY 1),
+b AS (SELECT doc_id, n_tokens FROM c WHERE n_tokens > 0),
+k AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN n_tokens <= 16 THEN 16
+              ELSE 1 << length(bin(n_tokens - 1)) END AS BIGINT) AS bucket_cap
+  FROM b),
+r AS (
+  SELECT doc_id, n_tokens, bucket_cap,
+         row_number() OVER (PARTITION BY bucket_cap ORDER BY doc_id) - 1 AS rn0
+  FROM k)
+SELECT doc_id, n_tokens, bucket_cap,
+       CAST(rn0 // greatest(1, 2048 // bucket_cap) AS BIGINT) AS batch_in_bucket,
+       CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens
+FROM r
+"""
+
+
 TRAINING_PACK_SEQUENCES_SQL = rf"""
 WITH base AS (
   SELECT doc_id,
@@ -8170,6 +8230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r4/r5 cohort fills the window; nothing is older than r5
     # after this round).
     return {
+        "training_length_batches_bpe": training_length_batches_bpe,
         "mm_audio_dft_bins": mm_audio_dft_bins,
         "mm_image_neardup": mm_image_neardup,
         "doc_html_extract_bytes": doc_html_extract_bytes,
@@ -8464,6 +8525,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
+        "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
         "mm_image_dhash": MM_IMAGE_DHASH_SQL,
         "mm_image_neardup": MM_IMAGE_NEARDUP_SQL,
         "mm_audio_dft_bins": MM_AUDIO_DFT_BINS_SQL,
