@@ -179,6 +179,11 @@ HEADLINE = [
     "bpe_pair_counts",
     "knn_range_batch",
     "knn_range_ivf",
+    # round-11 additions
+    "mm_image_neardup",
+    "doc_html_extract_bytes",
+    "mm_audio_dft_bins",
+    "training_length_batches_bpe",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",
@@ -334,12 +339,28 @@ def main() -> None:
     registry = dict(workload.queries())
     registry.update({k: v for k, v in EXTRA.items() if v is not None})
 
-    # prior-round medians for the automatic >1.3x recheck (host-variance
-    # triage used to be re-litigated by hand every round); only
-    # comparable if the prior detail file ran at the SAME sf
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+
+    # Two recheck baselines (the r10 drift lesson — the same-day diff
+    # missed a touched entry that had moved 1.37x since the PRIOR
+    # round's seal):
+    #  - prior_run: the last run at this sf (BENCH_DETAIL.json) —
+    #    catches same-day suite drift;
+    #  - prior_round: the most recent BENCH_HISTORY.jsonl run at this
+    #    sf from a DIFFERENT commit — the prior-round seal proxy, so
+    #    cross-round movement is caught even after several same-commit
+    #    re-runs overwrote the detail file.
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    history_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
     prior: dict[str, float] = {}
     try:
         with open(detail_path) as f:
@@ -348,11 +369,41 @@ def main() -> None:
             prior = prior_detail.get("queries", {})
     except Exception:
         pass
+    prior_round: dict[str, float] = {}
+    prior_round_commit = None
+    try:
+        with open(history_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("sf") == sf and rec.get("commit") not in (commit, None):
+                    prior_round = rec.get("queries", {})
+                    prior_round_commit = rec.get("commit")
+    except Exception:
+        pass
+
+    # Per-round-seeded order randomization: suite-position effects
+    # (JVM/GC pollution from a heavy neighbor) decorrelate across
+    # rounds instead of biasing the same victims every run. Seeded by
+    # commit so one round's runs are mutually comparable and the order
+    # is recorded for attribution.
+    import random
+    import zlib
+
+    order_seed = int(
+        os.environ.get("SPARK_GRAFT_BENCH_SEED", zlib.crc32(commit.encode()))
+    )
+    order = HEADLINE + list(EXTRA)
+    random.Random(order_seed).shuffle(order)
 
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
-    for name in HEADLINE + list(EXTRA):
+    env: dict[str, dict] = {}
+    for name in order:
         fn = registry[name]
+        env[name] = {
+            "t0": round(time.time(), 1),
+            "load1": round(os.getloadavg()[0], 2),
+        }
         samples = []
         for _ in range(reps):
             t0 = time.time()
@@ -362,22 +413,25 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         minima[name] = round(min(samples), 3)
 
-    # Self-triage: every entry whose suite median moved >1.3x vs the
-    # prior round (above a 0.15 s job-floor) is re-run STANDALONE with a
+    # Self-triage: every entry whose suite median moved >1.3x vs EITHER
+    # baseline (above a 0.15 s job-floor) is re-run STANDALONE with a
     # warm-up rep at the end of the suite. A standalone time back at the
-    # prior level is mechanical evidence of suite-position/host noise; a
-    # standalone time that confirms the move is a real regression. Both
-    # numbers land in BENCH_DETAIL["recheck"] so the attribution is
-    # recorded, not re-argued.
+    # baseline level is mechanical evidence of suite-position/host
+    # noise; a standalone time that confirms the move is a real
+    # regression. All numbers land in BENCH_DETAIL["recheck"] so the
+    # attribution is recorded, not re-argued.
+    def _ratio(n: str, base: dict[str, float]) -> float:
+        return timings[n] / base[n] if base.get(n, 0) > 0.15 else 0.0
+
     recheck: dict[str, dict] = {}
     suspects = sorted(
         (
             n
-            for n, med in timings.items()
-            if prior.get(n, 0) > 0.15 and med > 1.3 * prior[n]
+            for n in timings
+            if _ratio(n, prior) > 1.3 or _ratio(n, prior_round) > 1.3
         ),
-        key=lambda n: -(timings[n] / prior[n]),
-    )[:10]
+        key=lambda n: -max(_ratio(n, prior), _ratio(n, prior_round)),
+    )[:12]
     for name in suspects:
         fn = registry[name]
         fn(spark, sf_dir).collect()  # warm-up: plan + codegen + caches
@@ -387,7 +441,9 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             samples.append(time.time() - t0)
         recheck[name] = {
-            "prior_median": prior[name],
+            "prior_median": prior.get(name),
+            "prior_round_median": prior_round.get(name),
+            "prior_round_commit": prior_round_commit,
             "suite_median": timings[name],
             "standalone_median": round(statistics.median(samples), 3),
         }
@@ -403,7 +459,29 @@ def main() -> None:
         "micro": _micro_kernels(spark),
         "reps": reps,
         "sf": sf,
+        "commit": commit,
+        "order_seed": order_seed,
+        "order": order,
+        "env": env,
     }
+    try:
+        with open(history_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": round(time.time(), 1),
+                        "commit": commit,
+                        "sf": sf,
+                        "reps": reps,
+                        "value": total,
+                        "queries": timings,
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+    except Exception:
+        pass
     # Per-query detail goes to a file: the driver's stdout tail buffer is
     # ~2.2 KB and the full dict (~90 queries x 2) is ~4 KB, which truncated
     # the head of the JSON line in r4 (BENCH_r04 parsed: null). The LAST

@@ -8221,75 +8221,39 @@ FROM pix
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver samples the FIRST
     # 50 entries. Rotated each round so every entry eventually appears
-    # in a driver artifact (r10: the six NEW oracled entries lead
-    # (distributed/cosine radius search, the SemDeDup/OPQ degenerate
-    # twins, HTML extraction), then every entry whose code path was
-    # touched this round (range family, ANN empty-guard/collect-bounded,
-    # stream-quantile oracle Inf fix, mmr group guard, knn_join guard),
-    # then the full tail sorted by oldest last-driver-sample round —
-    # the r4/r5 cohort fills the window; nothing is older than r5
-    # after this round).
+    # in a driver artifact (r11: the four NEW oracled entries lead
+    # (BPE-count bucketing, audio DFT bins, image near-dup, bytes HTML
+    # extraction), then every entry whose code path or oracle changed
+    # this round (the ascii-replace mm sweep, the html parser
+    # skip-stack fix, the magnitude-aware blocked-GEMM band), then the
+    # round-5 cohort (the rotation boundary), then the rest sorted
+    # oldest-last-driver-sample first — the r6 cohort fills the
+    # window; r10's freshly-sampled entries go to the back).
     return {
         "training_length_batches_bpe": training_length_batches_bpe,
         "mm_audio_dft_bins": mm_audio_dft_bins,
         "mm_image_neardup": mm_image_neardup,
         "doc_html_extract_bytes": doc_html_extract_bytes,
-        "knn_range_ivf_distributed": knn_range_ivf_distributed,
-        "knn_range_cosine": knn_range_cosine,
-        "knn_range_ivf_cosine": knn_range_ivf_cosine,
-        "dedup_semantic_exact": dedup_semantic_exact,
-        "embedding_opq_identity": embedding_opq_identity,
         "doc_html_extract": doc_html_extract,
-        "doc_text_normalize": doc_text_normalize,
-        "training_length_batches": training_length_batches,
         "mm_image_dhash": mm_image_dhash,
-        "dedup_embedding_radius": dedup_embedding_radius,
-        "knn_range_batch": knn_range_batch,
-        "knn_range_ivf": knn_range_ivf,
-        "stream_value_quantiles": stream_value_quantiles,
-        "stream_type_quantiles": stream_type_quantiles,
-        "ann_ivf_exhaustive": ann_ivf_exhaustive,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
-        "ann_ivfpq_topk": ann_ivfpq_topk,
-        "knn_mmr_maxrel": knn_mmr_maxrel,
-        "knn_mmr_rerank": knn_mmr_rerank,
-        "knn_l2_batch": knn_l2_batch,
-        "knn_cosine_batch": knn_cosine_batch,
-        "knn_filtered_batch": knn_filtered_batch,
-        "knn_topk_single": knn_topk_single,
-        "top_customers_per_nation": top_customers_per_nation,
-        "label_centroids": label_centroids,
-        "corpus_vocab_stats": corpus_vocab_stats,
-        "top_tokens_per_lang": top_tokens_per_lang,
-        "part_zorder_values": part_zorder_values,
-        "part_copurchase_pairs": part_copurchase_pairs,
-        "events_variant_props": events_variant_props,
-        "doc_lm_perplexity": doc_lm_perplexity,
-        "events_value_outliers": events_value_outliers,
-        "pipeline_chunk_shards": pipeline_chunk_shards,
-        "part_reachability": part_reachability,
-        "bpe_merge_table": bpe_merge_table,
-        "bpe_encode_stats": bpe_encode_stats,
-        "lineitem_corr_matrix": lineitem_corr_matrix,
-        "part_price_histogram": part_price_histogram,
-        "events_interpolated": events_interpolated,
-        "embedding_kmeans": embedding_kmeans,
-        "order_top_line_lateral": order_top_line_lateral,
-        "events_type_dow_chisq": events_type_dow_chisq,
-        "copurchase_triangles": copurchase_triangles,
-        "customer_fuzzy_pairs": customer_fuzzy_pairs,
-        "customer_name_pagerank": customer_name_pagerank,
+        "mm_resize_pipeline": mm_resize_pipeline,
+        "mm_wav_features": mm_wav_features,
+        "mm_feature_extract": mm_feature_extract,
+        "mm_media_metadata": mm_media_metadata,
+        "mm_frame_sample": mm_frame_sample,
         "mm_image_decode": mm_image_decode,
         "mm_png_decode": mm_png_decode,
         "mm_jpeg_decode": mm_jpeg_decode,
-        "mm_resize_pipeline": mm_resize_pipeline,
-        "mm_wav_features": mm_wav_features,
+        "mm_mjpeg_frames": mm_mjpeg_frames,
         "mm_audio_spectral": mm_audio_spectral,
+        "knn_range_ivf_distributed": knn_range_ivf_distributed,
+        "knn_range_ivf_cosine": knn_range_ivf_cosine,
+        "knn_range_cosine": knn_range_cosine,
+        "dedup_embedding_radius": dedup_embedding_radius,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
-        "orders_validation": orders_validation,
-        "lineitem_price_drift": lineitem_price_drift,
         "events_next_purchase": events_next_purchase,
+        "lineitem_price_drift": lineitem_price_drift,
+        "orders_validation": orders_validation,
         "vector_norms": vector_norms,
         "embedding_pca": embedding_pca,
         "corpus_token_mix": corpus_token_mix,
@@ -8324,8 +8288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_sessions": events_error_sessions,
         "events_session_windows": events_session_windows,
         "lang_id_scores": lang_id_scores,
-        "mm_feature_extract": mm_feature_extract,
-        "mm_media_metadata": mm_media_metadata,
         "pii_redaction": pii_redaction,
         "q10_returned_items": q10_returned_items,
         "q8_market_share": q8_market_share,
@@ -8370,8 +8332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shuffle_shards": training_shuffle_shards,
         "dedup_simhash": dedup_simhash,
         "dedup_incremental": dedup_incremental,
-        "mm_mjpeg_frames": mm_mjpeg_frames,
-        "mm_frame_sample": mm_frame_sample,
         "bucketed_revenue_join": bucketed_revenue_join,
         "stream_window_rollup": stream_window_rollup,
         "events_incremental_rollup": events_incremental_rollup,
@@ -8425,6 +8385,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_revenue": bloom_pruned_revenue,
         "customer_balance_ranks": customer_balance_ranks,
         "documents_profile": documents_profile,
+        "dedup_semantic_exact": dedup_semantic_exact,
+        "embedding_opq_identity": embedding_opq_identity,
+        "doc_text_normalize": doc_text_normalize,
+        "training_length_batches": training_length_batches,
+        "knn_range_batch": knn_range_batch,
+        "knn_range_ivf": knn_range_ivf,
+        "stream_value_quantiles": stream_value_quantiles,
+        "stream_type_quantiles": stream_type_quantiles,
+        "ann_ivf_exhaustive": ann_ivf_exhaustive,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
+        "knn_mmr_maxrel": knn_mmr_maxrel,
+        "knn_mmr_rerank": knn_mmr_rerank,
+        "knn_l2_batch": knn_l2_batch,
+        "knn_cosine_batch": knn_cosine_batch,
+        "knn_filtered_batch": knn_filtered_batch,
+        "knn_topk_single": knn_topk_single,
+        "top_customers_per_nation": top_customers_per_nation,
+        "label_centroids": label_centroids,
+        "corpus_vocab_stats": corpus_vocab_stats,
+        "top_tokens_per_lang": top_tokens_per_lang,
+        "part_zorder_values": part_zorder_values,
+        "part_copurchase_pairs": part_copurchase_pairs,
+        "events_variant_props": events_variant_props,
+        "doc_lm_perplexity": doc_lm_perplexity,
+        "events_value_outliers": events_value_outliers,
+        "pipeline_chunk_shards": pipeline_chunk_shards,
+        "part_reachability": part_reachability,
+        "bpe_merge_table": bpe_merge_table,
+        "bpe_encode_stats": bpe_encode_stats,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
+        "part_price_histogram": part_price_histogram,
+        "events_interpolated": events_interpolated,
+        "embedding_kmeans": embedding_kmeans,
+        "order_top_line_lateral": order_top_line_lateral,
+        "events_type_dow_chisq": events_type_dow_chisq,
+        "copurchase_triangles": copurchase_triangles,
+        "customer_fuzzy_pairs": customer_fuzzy_pairs,
+        "customer_name_pagerank": customer_name_pagerank,
     }
 
 
