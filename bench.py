@@ -184,6 +184,10 @@ HEADLINE = [
     "doc_html_extract_bytes",
     "mm_audio_dft_bins",
     "training_length_batches_bpe",
+    "doc_url_canonicalize",
+    "dedup_url_exact",
+    "curate_host_cap",
+    "doc_quality_gopher",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

@@ -148,6 +148,14 @@ PROBES = [
     # linear or the collapse is broken.
     "mm_image_neardup",
     "doc_html_extract_bytes",
+    "training_length_batches_bpe",
+    # URL/quality tier (r11): canonicalize is one codegen projection,
+    # url dedup one aggregate, host_cap two bounded windows, gopher one
+    # barrier + projection — all must probe ≈linear
+    "doc_url_canonicalize",
+    "dedup_url_exact",
+    "curate_host_cap",
+    "doc_quality_gopher",
 ]
 
 

@@ -189,3 +189,75 @@ def test_normalize_text_known_values(spark):
     low = {r["doc_id"]: r["text_norm"]
            for r in normalize_text(df, lowercase=True).collect()}
     assert low[1] == "café time"
+
+
+def _py_gopher(text: str) -> dict:
+    """Independent pure-Python model of the Gopher rules (same pinned
+    definitions as the operator docstring; no Spark, no shared code)."""
+    import re
+
+    words = [w for w in re.split(r"[ \t\n\r\f\v]+", text) if w]
+    lines = [l for l in text.split("\n") if l.strip()]
+    n_words, n_lines = len(words), len(lines)
+    w1, l1 = max(n_words, 1), max(n_lines, 1)
+    mean_len = round(sum(len(w) for w in words) / w1, 4)
+    symbol = round(sum(w.count("#") + w.count("…") for w in words) / w1, 4)
+    bullet = round(sum(bool(re.match(r"^[•*-]", l.lstrip())) for l in lines) / l1, 4)
+    ellip = round(
+        sum(bool(re.search(r"(…|\.\.\.)$", l.rstrip())) for l in lines) / l1, 4
+    )
+    alpha = round(sum(bool(re.search("[A-Za-z]", w)) for w in words) / w1, 4)
+    folded = {re.sub(r"^[^a-z]+|[^a-z]+$", "", w.lower()) for w in words}
+    stops = len(folded & {"the", "be", "to", "of", "and", "that", "have", "with"})
+    return dict(
+        n_words=n_words, mean_word_len=mean_len, symbol_ratio=symbol,
+        bullet_frac=bullet, ellipsis_frac=ellip, alpha_word_frac=alpha,
+        stop_hits=stops,
+    )
+
+
+def test_gopher_quality_matches_python_model(spark):
+    from vectorsearch_spark.operators.text import gopher_quality
+
+    texts = [
+        "the quick brown fox and that fox have gone to be with friends " * 5,
+        "• a\n• b\n• c\nonly bullets here",
+        "ends with dots...\nends with ellipsis…\nplain",
+        "### #tags# everywhere # " * 10,
+        "12345 67890 !!! ???",
+        "the of and to be that have with",
+        "x",
+        "   \n  \n",
+        "word " * 200000,  # > 100k words: f_word_count upper bound
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    for i, t in enumerate(texts):
+        exp = _py_gopher(t)
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+        # flags recompute from the emitted (rounded) metrics
+        assert got[i]["f_word_count"] == (50 <= exp["n_words"] <= 100_000)
+        assert got[i]["f_mean_word_len"] == (3.0 <= exp["mean_word_len"] <= 10.0)
+        assert got[i]["f_symbol_ratio"] == (exp["symbol_ratio"] <= 0.1)
+        assert got[i]["f_bullet"] == (exp["bullet_frac"] <= 0.9)
+        assert got[i]["f_ellipsis"] == (exp["ellipsis_frac"] <= 0.3)
+        assert got[i]["f_alpha_words"] == (exp["alpha_word_frac"] >= 0.8)
+        assert got[i]["f_stop_words"] == (exp["stop_hits"] >= 2)
+        assert got[i]["keep"] == all(
+            got[i][f] for f in got[i] if f.startswith("f_")
+        )
+
+
+def test_gopher_quality_paper_thresholds_keep_good_prose(spark):
+    from vectorsearch_spark.operators.text import gopher_quality
+
+    good = (
+        "the morning train was late and that meant we have to be quick "
+        "with our plans of the day " * 3
+    )
+    df = spark.createDataFrame([(1, good)], ["doc_id", "text"])
+    row = gopher_quality(df).collect()[0]
+    assert row["keep"] is True, row.asDict()

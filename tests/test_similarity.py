@@ -615,3 +615,49 @@ def test_ivf_range_join_large_codebook_fallback(spark):
         query_mode="distributed",
     ).collect()))
     assert a and a == b
+
+
+def test_ivf_range_join_ids_payload_equals_vectors_bitwise(spark):
+    """survivor_payload="ids" (the shuffle-lean re-join variant) is
+    bit-identical to the default carrying mode for L2 + cosine — the
+    grid's selection is unchanged and the exact re-score runs the same
+    codegen distance over the SAME vectors, only re-attached by key."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    _, _, vec, qdf = _range_fixture(spark)
+    for metric, r in [(Metric.L2, 7.0), (Metric.COSINE, 0.3)]:
+        base = sorted(
+            map(tuple, ivf_range_join(
+                vec, qdf, radius=r, n_centroids=8, metric=metric,
+                id_col="vec_id", query_mode="distributed",
+            ).collect())
+        )
+        ids = sorted(
+            map(tuple, ivf_range_join(
+                vec, qdf, radius=r, n_centroids=8, metric=metric,
+                id_col="vec_id", query_mode="distributed",
+                survivor_payload="ids",
+            ).collect())
+        )
+        assert base and base == ids, metric
+
+
+def test_ivf_range_join_ids_payload_self_dedup_no_collect(spark):
+    """ids-payload distributed mode with max_driver_queries=0 on the
+    corpus-as-queries shape — the zero-collect proof holds for the
+    re-join variant too, and it matches the carrying mode exactly."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    x, _, vec, _ = _range_fixture(spark, zero_rows=False)
+    qdf = vec.select(F.col("vec_id").alias("query_id"), "embedding")
+    kw = dict(
+        radius=3.0, n_centroids=8, id_col="vec_id",
+        query_mode="distributed", max_driver_queries=0,
+    )
+    base = sorted(map(tuple, ivf_range_join(vec, qdf, **kw).collect()))
+    ids = sorted(
+        map(tuple, ivf_range_join(vec, qdf, survivor_payload="ids", **kw).collect())
+    )
+    assert base and base == ids

@@ -1,0 +1,183 @@
+"""URL canonicalization / URL dedup / per-host cap (operators/urls.py).
+
+Model checks use a pure-Python canonicalizer built on urllib.parse
+(stdlib) — an INDEPENDENT implementation of the same RFC 3986 §6
+rules, so a shared regex bug can't self-confirm.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_spark.operators.urls import (
+    TRACKING_PARAM_RE,
+    canonicalize_url,
+    host_cap,
+    is_absolute_url,
+    url_dedup,
+    url_host,
+)
+
+import re
+
+
+def _py_canon(url: str, strip_www: bool = False) -> str:
+    """Independent stdlib-based model of the canonicalization rules."""
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", url):
+        return url
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    if strip_www and netloc.startswith("www."):
+        netloc = netloc[4:]
+    path = parts.path or "/"
+    kept = sorted(
+        p
+        for p in parts.query.split("&")
+        if p and not re.match(TRACKING_PARAM_RE, p)
+    )
+    q = ("?" + "&".join(kept)) if kept else ""
+    return f"{scheme}://{netloc}{path}{q}"
+
+
+CASES = [
+    "HTTP://WWW.Example.COM:80/A/b?utm_source=x&b=2&a=1#frag",
+    "https://example.com:443/",
+    "https://example.com",
+    "http://example.com/path/?z=1&y=2&z=0",
+    "http://example.com/?utm_campaign=spring&utm_medium=email",
+    "http://example.com/?fbclid=abc123",
+    "http://example.com/?gclid=1&real=2&msclkid=3&mc_eid=4&igshid=5",
+    "HTTPS://API.Example.org:8443/v1?b=2&a=1",
+    "ftp://Files.Example.net/pub",
+    "http://example.com/a%20b?q=hello%20world",
+    "http://example.com/##double",
+    "not a url at all",
+    "relative/path?utm_source=x",
+    "http://example.com/?&&a=1&&",
+    "http://example.com/?utm_",
+]
+
+
+@pytest.mark.parametrize("strip_www", [False, True])
+def test_canonicalize_matches_stdlib_model(spark, strip_www):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(CASES)], ["i", "url"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url("url", strip_www=strip_www).alias("c")
+        ).collect()
+    }
+    for i, u in enumerate(CASES):
+        assert got[i] == _py_canon(u, strip_www=strip_www), (u, got[i])
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(CASES)], ["i", "url"])
+    once = df.select("i", canonicalize_url("url").alias("url"))
+    twice = once.select("i", canonicalize_url("url").alias("url"))
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_is_absolute_and_host(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "HTTP://WWW.Example.COM:80/x"),
+            (1, "https://sub.domain.org/y"),
+            (2, "nope"),
+        ],
+        ["i", "url"],
+    )
+    rows = {
+        r["i"]: (r["abs"], r["h"], r["hw"])
+        for r in df.select(
+            "i",
+            is_absolute_url("url").alias("abs"),
+            url_host("url").alias("h"),
+            url_host("url", strip_www=True).alias("hw"),
+        ).collect()
+    }
+    assert rows[0] == (True, "www.example.com", "example.com")
+    assert rows[1] == (True, "sub.domain.org", "sub.domain.org")
+    assert rows[2][0] is False
+
+
+def test_url_dedup_min_id_keeper(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "HTTP://WWW.E.COM:80/a?utm_source=x&b=2&a=1"),
+            (3, "http://e.com/a?a=1&b=2"),
+            (9, "http://e.com/a?b=2&a=1#frag"),
+            (7, "http://other.com/"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {r["url"]: (r["keeper_doc_id"], r["n_fetches"]) for r in url_dedup(df).collect()}
+    assert out == {
+        "http://e.com/a?a=1&b=2": (3, 3),
+        "http://other.com/": (7, 1),
+    }
+
+
+def test_host_cap_matches_naive_model(spark):
+    # 3 hosts; one "mega" host with 200 rows so the pre-truncate phase
+    # actually drops rows before the final rank
+    rows = []
+    for i in range(200):
+        rows.append((i, "mega.com", float(i % 17)))
+    for i in range(200, 210):
+        rows.append((i, "small.org", float(i)))
+    rows.append((999, "single.net", 1.0))
+    df = spark.createDataFrame(rows, ["doc_id", "host", "score"])
+    cap = 5
+    got = {
+        (r["host"], r["doc_id"], r["host_rank"])
+        for r in host_cap(df, cap=cap, priority_col="score").collect()
+    }
+    # naive model: sort by (-score, doc_id) within host, take cap
+    expect = set()
+    by_host: dict[str, list[tuple[float, int]]] = {}
+    for doc_id, host, score in rows:
+        by_host.setdefault(host, []).append((score, doc_id))
+    for host, hs in by_host.items():
+        hs.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, doc_id) in enumerate(hs[:cap], start=1):
+            expect.add((host, doc_id, rank))
+    assert got == expect
+
+
+def test_host_cap_no_priority_keeps_lowest_ids(spark):
+    df = spark.createDataFrame(
+        [(i, "h") for i in range(50)], ["doc_id", "host"]
+    )
+    kept = sorted(r["doc_id"] for r in host_cap(df, cap=3).collect())
+    assert kept == [0, 1, 2]
+
+
+def test_host_cap_pre_truncate_is_superset_invariant(spark):
+    # adversarial: every row in the mega host has the SAME priority, so
+    # ties break purely on doc_id — a wrong salt/pre-truncate order
+    # would surface here as a changed kept set
+    df = spark.createDataFrame(
+        [(i, "h", 1.0) for i in range(500)], ["doc_id", "host", "score"]
+    )
+    kept = sorted(r["doc_id"] for r in host_cap(df, cap=7, priority_col="score").collect())
+    assert kept == list(range(7))
+
+
+def test_canonicalize_is_single_projection_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "http://a.com/?b=1&a=2")], ["i", "url"])
+    plan = (
+        df.select(canonicalize_url("url").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -960,6 +960,7 @@ def ivf_range_join(
     query_mode: str = "auto",
     max_driver_queries: int = 65536,
     block_size: int = 4096,
+    survivor_payload: str = "vectors",
 ) -> DataFrame:
     """EXACT radius search with IVF cell pruning — same results as the
     brute ``knn.range_join``, scanning only the cells that can contain
@@ -999,6 +1000,16 @@ def ivf_range_join(
     (``_range_prune_threshold``), so both return the brute result set
     exactly — bit-identical distances included.
 
+    **survivor_payload** (distributed mode only): ``"vectors"``
+    (default) ships both vectors with each surviving pair out of the
+    GEMM grid — zero extra joins, 2·d·8 bytes per pair; ``"ids"``
+    ships bare (query_id, id) pairs and re-joins the payloads by key
+    before the exact re-score — two hash joins, but each vector
+    crosses the shuffle once however many pairs reference it. Pick
+    ``"ids"`` when expected pairs × d outgrows the corpus (dense
+    loose-ε dedup at d ≥ a few hundred); results are bit-identical
+    either way (tested).
+
     Build: k-means centroids (driver O(k·d) on a bounded sample),
     codegen cell assignment (``ivf_assign`` — no shuffle), one ≤ k-row
     aggregate for the cell radii. Returns (query_id, id, distance,
@@ -1012,6 +1023,8 @@ def ivf_range_join(
         raise ValueError("radius must be ≥ 0")
     if query_mode not in ("auto", "driver", "distributed"):
         raise ValueError("query_mode must be auto|driver|distributed")
+    if survivor_payload not in ("vectors", "ids"):
+        raise ValueError("survivor_payload must be vectors|ids")
     spark = vectors.sparkSession
     empty = spark.createDataFrame(
         [], "query_id long, id long, distance double, score double"
@@ -1189,6 +1202,7 @@ def ivf_range_join(
         return _blocked_range_score(
             assigned, routed, vcount, metric, r,
             id_col=id_col, vec_col=vec_col, block_size=block_size,
+            carry_vectors=(survivor_payload == "vectors"),
         )
 
     cand = assigned.join(routed, "bucket")
@@ -1236,6 +1250,7 @@ def _blocked_candidates(
     vec_col: str,
     block_size: int,
     select_pairs,
+    carry_vectors: bool = True,
 ) -> DataFrame | None:
     """Block-partitioned GEMM candidate scan shared by the distributed
     radius and top-k paths — the grid form of a distance join: within
@@ -1245,10 +1260,16 @@ def _blocked_candidates(
     its ≤ B×B pairs with the NumPy GEMM kernel (the ``knn_join`` batch
     path — ~100× the per-row HOF rate) and emits the pairs
     ``select_pairs(d_matrix, noise) -> (vi, qi)`` chooses (within-radius+band,
-    or per-query banded top-k). Survivors carry BOTH vectors so the
-    caller can re-score them with the SAME codegen distance expression
-    the driver mode uses — block selection noise cannot change final
-    results as long as select_pairs keeps a band-superset.
+    or per-query banded top-k). With ``carry_vectors=True`` survivors
+    carry BOTH vectors so the caller can re-score them with the SAME
+    codegen distance expression the driver mode uses — block selection
+    noise cannot change final results as long as select_pairs keeps a
+    band-superset. With ``carry_vectors=False`` survivors are bare
+    (query_id, id) pairs — the caller re-joins the vectors by id before
+    the exact re-score (``_blocked_range_score`` does this) — trading
+    two hash joins for 2·d doubles of shuffle per surviving pair: the
+    right side of the trade once expected pairs × d outgrows the
+    corpus (dense ε-dedup at d ≥ a few hundred).
     ``select_pairs(d, noise)`` also receives the block's
     magnitude-aware GEMM error bound (from the actual row norms — see
     ``_gemm_noise``) so its band covers large-norm inputs, where the
@@ -1339,37 +1360,37 @@ def _blocked_candidates(
 
     def score_block(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
         if not len(lpdf) or not len(rpdf):
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "id": pd.Series([], dtype="int64"),
-                 "_v": pd.Series([], dtype="object"),
-                 "_q": pd.Series([], dtype="object")}
-            )
+            cols = {"query_id": pd.Series([], dtype="int64"),
+                    "id": pd.Series([], dtype="int64")}
+            if carry_vectors:
+                cols["_v"] = pd.Series([], dtype="object")
+                cols["_q"] = pd.Series([], dtype="object")
+            return pd.DataFrame(cols)
         vmat = np.stack(lpdf[vec_col].to_numpy()).astype(np.float64)
         ids = lpdf[id_col].to_numpy()
         qmat = np.stack(rpdf["_qvec"].to_numpy()).astype(np.float64)
         qids = rpdf["query_id"].to_numpy()
         d = _batch_distances(vmat, qmat, metric)  # (n_v, n_q) GEMM
         vi, qi = select_pairs(d, _gemm_noise(vmat, qmat, metric))
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(qids[qi], dtype="int64"),
-                "id": pd.Series(ids[vi], dtype="int64"),
-                "_v": pd.Series([vmat[i].tolist() for i in vi], dtype="object"),
-                "_q": pd.Series([qmat[j].tolist() for j in qi], dtype="object"),
-            }
-        )
+        cols = {
+            "query_id": pd.Series(qids[qi], dtype="int64"),
+            "id": pd.Series(ids[vi], dtype="int64"),
+        }
+        if carry_vectors:
+            cols["_v"] = pd.Series([vmat[i].tolist() for i in vi], dtype="object")
+            cols["_q"] = pd.Series([qmat[j].tolist() for j in qi], dtype="object")
+        return pd.DataFrame(cols)
 
     n_part = 2 * spark.sparkContext.defaultParallelism
     keys = ["bucket", "vsalt", "qsalt"]
+    schema = "query_id long, id long"
+    if carry_vectors:
+        schema += ", _v array<double>, _q array<double>"
     return (
         left.repartition(n_part, *keys)
         .groupBy(*keys)
         .cogroup(right.repartition(n_part, *keys).groupBy(*keys))
-        .applyInPandas(
-            score_block,
-            schema="query_id long, id long, _v array<double>, _q array<double>",
-        )
+        .applyInPandas(score_block, schema=schema)
     )
 
 
@@ -1382,6 +1403,7 @@ def _blocked_range_score(
     id_col: str,
     vec_col: str,
     block_size: int,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """Radius instance of ``_blocked_candidates``: keep pairs within
     r plus an fp band, re-score survivors with the exact codegen
@@ -1389,7 +1411,14 @@ def _blocked_range_score(
     The band is magnitude-aware (``_gemm_noise`` from the block's
     actual row norms), not a fixed constant — large-norm inputs carry
     proportionally larger expanded-form cancellation error. False
-    keeps are re-filtered exactly."""
+    keeps are re-filtered exactly.
+
+    ``carry_vectors=False`` is the shuffle-lean variant for DENSE
+    survivor sets (loose-ε dedup at large d): the grid emits bare
+    (query_id, id) pairs — 16 bytes each instead of 16 + 2·d·8 — and
+    the two vector payloads are re-attached here with hash joins
+    against the corpus / distinct-query sides before the SAME exact
+    re-score, so results are bit-identical to the carrying mode."""
 
     def within_radius(d, noise):
         return np.nonzero(d <= r + 1e-6 + 1e-9 * r + 2.0 * noise)
@@ -1397,12 +1426,25 @@ def _blocked_range_score(
     surv = _blocked_candidates(
         assigned, routed, vcount, metric,
         id_col=id_col, vec_col=vec_col, block_size=block_size,
-        select_pairs=within_radius,
+        select_pairs=within_radius, carry_vectors=carry_vectors,
     )
     if surv is None:
         return assigned.sparkSession.createDataFrame(
             [], "query_id long, id long, distance double, score double"
         )
+    if not carry_vectors:
+        # re-attach payloads by key: each corpus/query vector crosses
+        # the join shuffle ONCE, however many pairs reference it. A
+        # query routed to several cells appears once per cell in
+        # `routed` — dropDuplicates on the key (not the array) keeps
+        # one copy; pair keys are already unique (one cell per member).
+        vvecs = assigned.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
+        )
+        qvecs = routed.select("query_id", F.col("_qvec").alias("_q")).dropDuplicates(
+            ["query_id"]
+        )
+        surv = surv.join(vvecs, "id").join(qvecs, "query_id")
     dist = distance_for_metric(F.col("_v"), F.col("_q"), metric)
     return (
         surv.withColumn("distance", dist)

@@ -717,3 +717,126 @@ def normalize_text(
     return df.select(id_col, text_col).mapInPandas(
         mapper, schema=f"{id_col} long, text_norm string, n_chars long"
     )
+
+
+# the eight Gopher "must contain ≥2 of these" stop words (Rae et al.
+# 2021, Appendix A1.1 — public); mirrored literally into the SQL oracle
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A1.1 — the
+    public filter set every later web pipeline starts from): per-doc
+    metrics, one boolean flag per rule, and the composite ``keep``.
+
+    Rules, verbatim from the paper (defaults are the paper's):
+      word count in [50, 100 000]; mean word length in [3, 10];
+      symbol-to-word ratio ('#' and '…') ≤ 0.1; < 90 % of lines
+      bullet-started; ≤ 30 % of lines ellipsis-ended; ≥ 80 % of words
+      contain an alphabetic character; ≥ 2 of the eight stop words
+      present.
+
+    Definitions this implementation (and its SQL oracle) pins down
+    where the paper is loose — both engines apply EXACTLY these:
+      * words = text split on ASCII whitespace runs, empties dropped;
+      * lines = text split on '\\n', whitespace-only lines dropped;
+      * bullet-started = ltrimmed line begins with '•', '*' or '-';
+      * ellipsis-ended = rtrimmed line ends with '…' or '...';
+      * stop-word hit = case-folded word, stripped of non-alpha
+        edge characters, equal to one of GOPHER_STOPWORDS (distinct
+        membership — repeats count once, as in the paper).
+
+    Plan shape: the word/line arrays materialize ONCE below a
+    repartition barrier (the doc_stats tokenize-once pattern — Catalyst
+    re-evaluates HOF lambda subtrees otherwise), then every rule is
+    codegen'd attribute arithmetic above it. No UDF, no Python, one
+    linear doc-keyed shuffle: scan-rate at any corpus size.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\r\f\v]+"), lambda w: w != ""
+        ).alias("__words"),
+        F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda l: F.trim(l) != "",
+        ).alias("__lines"),
+    ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+
+    words = F.col("__words")
+    lines = F.col("__lines")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    w1 = F.greatest(n_words, F.lit(1))
+    l1 = F.greatest(n_lines, F.lit(1))
+    mean_word_len = (
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / w1
+    )
+    symbol_ratio = (
+        F.aggregate(
+            words,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.length(w)
+            - F.length(F.translate(w, "#…", "")),
+        )
+        / w1
+    )
+    bullet_frac = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•*-]"))) / l1
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(…|\.\.\.)$"))) / l1
+    )
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / w1
+    folded = F.array_distinct(
+        F.transform(
+            words,
+            lambda w: F.regexp_replace(F.lower(w), r"^[^a-z]+|[^a-z]+$", ""),
+        )
+    )
+    stop_hits = F.size(
+        F.array_intersect(folded, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    ).cast("long")
+
+    m = base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    # flags test the ROUNDED metrics so the keep decision is
+    # reproducible from the emitted columns (and engine-portable:
+    # the oracle applies the same thresholds to the same rounding)
+    flags = {
+        "f_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "f_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "f_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "f_bullet": F.col("bullet_frac") <= max_bullet_frac,
+        "f_ellipsis": F.col("ellipsis_frac") <= max_ellipsis_frac,
+        "f_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "f_stop_words": F.col("stop_hits") >= min_stop_hits,
+    }
+    out = m.select("*", *[v.alias(k) for k, v in flags.items()])
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.select("*", keep.alias("keep"))

@@ -1,0 +1,186 @@
+"""URL canonicalization and URL-keyed curation for web-crawl corpora
+(north-star extension per BASELINE.json; no reference analog — the
+reference, vectorsearch.proto, has no web/document surface at all).
+
+Why this exists: CommonCrawl-style pipelines dedup and cap documents
+by URL *before* any content pass — the same page is fetched under
+`HTTP://WWW.Example.COM:80/a?utm_source=x&b=2&a=1#frag` and
+`http://example.com/a?a=1&b=2`, and per-host caps (RefinedWeb §3.1,
+Penedo et al. 2023; FineWeb, Penedo et al. 2024 — both public) bound
+any single domain's contribution to the training mix. Both need a
+canonical form first.
+
+Canonicalization rules (RFC 3986 §6 syntax-based normalization plus
+the tracking-parameter strip every production crawler applies):
+
+1. scheme and host lowercased (RFC 3986 §6.2.2.1);
+2. default port stripped (`:80` for http, `:443` for https — §6.2.3);
+3. fragment dropped (never sent to the server);
+4. tracking parameters removed: ``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``mc_eid``, ``igshid`` (the public "UTM" family);
+5. remaining query parameters sorted bytewise by their full ``k=v``
+   text (param order is almost always semantically irrelevant; sorting
+   makes the form canonical);
+6. empty path normalized to ``/`` (§6.2.3), empty query dropped;
+7. optionally the ``www.`` host prefix stripped (`strip_www=True`) —
+   not RFC normalization, but standard dedup policy (the same origin
+   serves both in practice).
+
+Everything is built-in Spark string/array functions — regexp_extract
+for the split, ``filter``/``array_sort``/``array_join`` HOFs for the
+query rewrite — so the whole operator is one codegen'd projection:
+no UDF, no shuffle, linear scan at any corpus size. The DuckDB oracle
+mirrors each rule with the same regexes (workload.py URL_* SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# one regex family, shared verbatim (documented) with the SQL oracle
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+# tracking ("click-id") parameters every major pipeline strips; the
+# param is matched against its full `k=v` text
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
+
+
+def canonicalize_url(url: Column | str, strip_www: bool = False) -> Column:
+    """Canonical form of an absolute http(s)-style URL as ONE codegen
+    column expression (rules 1-7 in the module docstring).
+
+    Non-URL strings (no ``scheme://``) pass through unchanged — the
+    caller filters or flags them with ``is_absolute_url``.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    authority = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
+    # default-port strip happens against the LOWERCASED authority
+    host = (
+        F.when(
+            (scheme == "http") & authority.endswith(":80"),
+            authority.substr(F.lit(1), F.length(authority) - 3),
+        )
+        .when(
+            (scheme == "https") & authority.endswith(":443"),
+            authority.substr(F.lit(1), F.length(authority) - 4),
+        )
+        .otherwise(authority)
+    )
+    if strip_www:
+        host = F.when(
+            host.startswith("www."), host.substr(F.lit(5), F.length(host))
+        ).otherwise(host)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", u  # not an absolute URL: pass through
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qtail))
+
+
+def is_absolute_url(url: Column | str) -> Column:
+    """True iff the string starts with an RFC 3986 scheme + ``://``."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(u, _SCHEME_RE, 1) != ""
+
+
+def url_host(url: Column | str, strip_www: bool = False) -> Column:
+    """Lowercased host (authority minus any port) of an absolute URL —
+    the per-domain key for host caps and host-level stats."""
+    u = F.col(url) if isinstance(url, str) else url
+    authority = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
+    host = F.regexp_extract(authority, r"^([^:]*)", 1)
+    if strip_www:
+        host = F.when(
+            host.startswith("www."), host.substr(F.lit(5), F.length(host))
+        ).otherwise(host)
+    return host
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Exact URL-level dedup: canonicalize, keep the min-id fetch of
+    each canonical URL, report the duplicate count.
+
+    ONE map-side-combinable aggregate (the workload.py:2456 min-id
+    keeper shape — no self-join, no window): shuffle is one row per
+    distinct canonical URL, partial aggregation absorbs the duplicate
+    mass map-side. Linear at any crawl size.
+    """
+    canon = df.select(
+        F.col(id_col), canonicalize_url(url_col, strip_www=strip_www).alias("url")
+    )
+    return canon.groupBy("url").agg(
+        F.min(id_col).alias("keeper_" + id_col),
+        F.count("*").alias("n_fetches"),
+    )
+
+
+def host_cap(
+    df: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-host document cap: keep at most ``cap`` documents per host,
+    best-first (RefinedWeb/FineWeb's per-domain contribution bound).
+
+    Order within a host: ``priority_col`` DESC when given (e.g. a
+    quality score), then ``id_col`` ASC — a total order, so the kept
+    set is deterministic.
+
+    Scale shape — two-phase rank so one mega-host cannot serialise
+    into a single window task (CommonCrawl hosts reach 10⁷ pages;
+    a plain `row_number() over (partition by host)` puts all of them
+    in one task):
+
+    1. *pre-truncate*: rank within (host, shuffle-salt) — the salt is
+       a hash-spread of the id, so a mega-host fans out across
+       ``salt_buckets`` tasks — and keep rank ≤ cap per salt. This is
+       a provable superset of the global top-cap (any row in the
+       global top-cap is in its salt's top-cap).
+    2. *final rank*: row_number over host on the surviving
+       ≤ salt_buckets·cap rows per host — bounded per-task work no
+       matter how large the host was.
+
+    Both phases are windows over exchanged keys; everything stays in
+    the JVM. Output: the input rows that survive, plus ``host_rank``.
+    """
+    order = (
+        [F.col(priority_col).desc(), F.col(id_col).asc()]
+        if priority_col
+        else [F.col(id_col).asc()]
+    )
+    salt_buckets = 64
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w_pre = Window.partitionBy(host_col, "__salt").orderBy(*order)
+    pre = (
+        salted.withColumn("__pre_rank", F.row_number().over(w_pre))
+        .filter(F.col("__pre_rank") <= cap)
+        .drop("__pre_rank", "__salt")
+    )
+    w_final = Window.partitionBy(host_col).orderBy(*order)
+    return pre.withColumn("host_rank", F.row_number().over(w_final)).filter(
+        F.col("host_rank") <= cap
+    )

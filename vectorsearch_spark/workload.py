@@ -4557,6 +4557,269 @@ FROM blocks
 """
 
 
+def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL corpus synthesized IN-PLAN from the
+    documents table (the mm_* witness pattern): four fetch variants by
+    ``doc_id % 4`` exercising every canonicalization rule — uppercase
+    scheme/host, default ports, ``www.`` prefix, tracking params,
+    unsorted query, fragment. Variants 0 and 1 canonicalize to the
+    SAME url whenever two doc_ids share (source, doc_id % 7), so the
+    dedup entry has real duplicate mass. Mirrored verbatim by
+    ``_URL_CORPUS_SQL``."""
+    docs = _t(spark, sf_dir, "documents")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.col("source"), F.lit(".COM:80/p/"), k7,
+                F.lit("?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".com/p/"), k7, F.lit("?a=1&b=2")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".COM:443/p/"), k7,
+                F.lit("?b=2&utm_campaign=x&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"), k7)
+        )
+    )
+    return docs.select("doc_id", raw.alias("raw_url"))
+
+
+_URL_CORPUS_SQL = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/p/' || (doc_id % 7)
+                       || '?utm_source=feed&b=2&a=1#frag'
+           WHEN 1 THEN 'http://' || source || '.com/p/' || (doc_id % 7) || '?a=1&b=2'
+           WHEN 2 THEN 'https://' || source || '.COM:443/p/' || (doc_id % 7)
+                       || '?b=2&utm_campaign=x&a=1'
+           ELSE 'https://' || source || '.com/p/' || (doc_id % 7)
+         END AS raw_url
+  FROM documents
+"""
+
+# RFC 3986 §6 canonicalization in DuckDB SQL — the SAME regexes and
+# rule order as operators/urls.py canonicalize_url (strip_www=True),
+# applied to a `raw_url` column supplied by the enclosing CTE
+_URL_CANON_SQL = r"""
+  SELECT doc_id, raw_url,
+         scheme || '://' || host ||
+         (CASE WHEN path = '' THEN '/' ELSE path END) ||
+         (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+           AS url,
+         host
+  FROM (
+    SELECT doc_id, raw_url, scheme, path,
+           CASE WHEN h0 LIKE 'www.%' THEN substr(h0, 5) ELSE h0 END AS host,
+           list_sort(list_filter(string_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+               '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))) AS kept
+    FROM (
+      SELECT doc_id, raw_url, scheme, path, query,
+             CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
+                    THEN substr(auth, 1, length(auth) - 3)
+                  WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN substr(auth, 1, length(auth) - 4)
+                  ELSE auth END AS h0
+      FROM (
+        SELECT doc_id, raw_url,
+               lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+               regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+               regexp_extract(raw_url, '\?([^#]*)', 1) AS query
+        FROM raw) p0) p1) p2
+"""
+
+
+def doc_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r11 — operators/urls.py): RFC 3986 §6
+    syntax normalization + tracking-param strip + query sort over a
+    messy-URL corpus synthesized in-plan. ONE codegen projection — no
+    UDF, no shuffle (plan-asserted in tests/test_urls.py); the oracle
+    re-implements every rule in SQL with the same regexes. No
+    reference analog (the reference has no web/document surface) —
+    north-star LLM-pipeline tier per BASELINE.json."""
+    from vectorsearch_spark.operators.urls import canonicalize_url, url_host
+
+    raw = _url_corpus(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        "raw_url",
+        canonicalize_url("raw_url", strip_www=True).alias("url"),
+        url_host("raw_url", strip_www=True).alias("host"),
+    )
+
+
+DOC_URL_CANONICALIZE_SQL = f"""
+WITH raw AS ({_URL_CORPUS_SQL})
+SELECT doc_id, raw_url, url, host FROM ({_URL_CANON_SQL}) c
+"""
+
+
+def dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (r11 — operators/urls.py url_dedup):
+    canonicalize, then ONE map-side-combinable min-id-keeper aggregate
+    (the workload.py:2456 shape — no self-join, no window; shuffle is
+    one row per distinct canonical URL). The synthesized corpus makes
+    variants 0/1 of each (source, doc_id%7) cell collide, so the
+    keeper/count columns carry real duplicate structure."""
+    from vectorsearch_spark.operators.urls import url_dedup
+
+    raw = _url_corpus(spark, sf_dir)
+    return url_dedup(raw, id_col="doc_id", url_col="raw_url", strip_www=True)
+
+
+DEDUP_URL_EXACT_SQL = f"""
+WITH raw AS ({_URL_CORPUS_SQL})
+SELECT url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       count(*) AS n_fetches
+FROM ({_URL_CANON_SQL}) c
+GROUP BY url
+"""
+
+
+def curate_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (r11 — operators/urls.py host_cap):
+    RefinedWeb §3.1 / FineWeb per-domain contribution bound — keep the
+    best ``cap`` documents per host (priority n_chars DESC, doc_id
+    tiebreak). The host column is synthesized SKEWED (60 % of docs on
+    one mega-host) to exercise the two-phase rank: a salted
+    pre-truncate fans the mega-host across 64 tasks and keeps a
+    provable superset (≤ 64·cap rows/host) before the final bounded
+    row_number — no single-task mega-host window at any corpus size.
+    Oracle: one plain window (correctness is order-semantics, which
+    the salting provably preserves)."""
+    from vectorsearch_spark.operators.urls import host_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("mega.example.com"))
+        .otherwise(
+            F.concat(F.lit("site"), (F.col("doc_id") % 37).cast("string"), F.lit(".org"))
+        )
+        .alias("host"),
+    )
+    out = host_cap(d, cap=8, host_col="host", id_col="doc_id", priority_col="n_chars")
+    return out.select(
+        "doc_id", "host", "n_chars", F.col("host_rank").cast("long").alias("host_rank")
+    )
+
+
+CURATE_HOST_CAP_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 10 < 6 THEN 'mega.example.com'
+              ELSE 'site' || (doc_id % 37) || '.org' END AS host
+  FROM documents),
+r AS (
+  SELECT doc_id, host, n_chars,
+         row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id ASC)
+           AS host_rank
+  FROM d)
+SELECT doc_id, host, n_chars, CAST(host_rank AS BIGINT) AS host_rank
+FROM r WHERE host_rank <= 8
+"""
+
+
+def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (r11 — operators/text.py gopher_quality;
+    Rae et al. 2021 Appendix A1.1, the public filter set): word-count /
+    mean-word-length / symbol-ratio / bullet-line / ellipsis-line /
+    alpha-word / stop-word rules, each emitted as a metric + flag plus
+    the composite ``keep``. The corpus word counts straddle the 50-word
+    minimum naturally (10–99 at sf0.01); the line/symbol rules are
+    exercised by decorating each doc IN-PLAN with one of three line
+    suffixes by ``doc_id % 3`` (bullets / ellipsis endings / '#' tags).
+    The oracle recomputes every metric AND flag in SQL with the same
+    split/regex definitions."""
+    from vectorsearch_spark.operators.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                m == 0,
+                F.lit(
+                    "\n• first bullet\n• second bullet\nthe closing line"
+                    " can have that and more to be with"
+                ),
+            )
+            .when(m == 1, F.lit("\nto be continued…\nand then...\nthe end"))
+            .otherwise(F.lit("\n# tags: #one #two #three")),
+        ).alias("text"),
+    )
+    return gopher_quality(decorated)
+
+
+DOC_QUALITY_GOPHER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN chr(10) || chr(8226) || ' first bullet' || chr(10)
+                       || chr(8226) || ' second bullet' || chr(10)
+                       || 'the closing line can have that and more to be with'
+           WHEN 1 THEN chr(10) || 'to be continued' || chr(8230) || chr(10)
+                       || 'and then...' || chr(10) || 'the end'
+           ELSE chr(10) || '# tags: #one #two #three'
+         END AS t
+  FROM documents),
+arrs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '[ \t\n\r\f\v]+'), w -> w <> '') AS words,
+         list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+  FROM d),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+               / greatest(len(words), 1), 4) AS mean_word_len,
+         round(CAST(list_sum(list_transform(words,
+                 w -> length(w) - length(replace(replace(w, '#', ''), chr(8230), ''))))
+               AS DOUBLE) / greatest(len(words), 1), 4) AS symbol_ratio,
+         round(CAST(len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[' || chr(8226) || '*-]'))) AS DOUBLE)
+               / greatest(len(lines), 1), 4) AS bullet_frac,
+         round(CAST(len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '(' || chr(8230) || '|\\.\\.\\.)$'))) AS DOUBLE)
+               / greatest(len(lines), 1), 4) AS ellipsis_frac,
+         round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(words), 1), 4) AS alpha_word_frac,
+         CAST(len(list_intersect(
+                 list_distinct(list_transform(words,
+                   w -> regexp_replace(lower(w), '^[^a-z]+|[^a-z]+$', '', 'g'))),
+                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+  FROM arrs),
+f AS (
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_mean_word_len,
+         (symbol_ratio <= 0.1) AS f_symbol_ratio,
+         (bullet_frac <= 0.9) AS f_bullet,
+         (ellipsis_frac <= 0.3) AS f_ellipsis,
+         (alpha_word_frac >= 0.8) AS f_alpha_words,
+         (stop_hits >= 2) AS f_stop_words
+  FROM m)
+SELECT *, (f_word_count AND f_mean_word_len AND f_symbol_ratio AND f_bullet
+           AND f_ellipsis AND f_alpha_words AND f_stop_words) AS keep
+FROM f
+"""
+
+
 def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-tokenization Unicode normalization (r10 — operators/text.py
     normalize_text): NFC composition, typographic-quote/dash folding,
@@ -8234,6 +8497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_dft_bins": mm_audio_dft_bins,
         "mm_image_neardup": mm_image_neardup,
         "doc_html_extract_bytes": doc_html_extract_bytes,
+        "doc_url_canonicalize": doc_url_canonicalize,
+        "dedup_url_exact": dedup_url_exact,
+        "curate_host_cap": curate_host_cap,
+        "doc_quality_gopher": doc_quality_gopher,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -8523,6 +8790,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
         "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
+        "doc_url_canonicalize": DOC_URL_CANONICALIZE_SQL,
+        "dedup_url_exact": DEDUP_URL_EXACT_SQL,
+        "curate_host_cap": CURATE_HOST_CAP_SQL,
+        "doc_quality_gopher": DOC_QUALITY_GOPHER_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
