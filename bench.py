@@ -188,6 +188,8 @@ HEADLINE = [
     "dedup_url_exact",
     "curate_host_cap",
     "doc_quality_gopher",
+    "stream_url_dedup_fold",
+    "doc_c4_clean",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

@@ -156,6 +156,8 @@ PROBES = [
     "dedup_url_exact",
     "curate_host_cap",
     "doc_quality_gopher",
+    "stream_url_dedup_fold",
+    "doc_c4_clean",
 ]
 
 

@@ -261,3 +261,52 @@ def test_gopher_quality_paper_thresholds_keep_good_prose(spark):
     df = spark.createDataFrame([(1, good)], ["doc_id", "text"])
     row = gopher_quality(df).collect()[0]
     assert row["keep"] is True, row.asDict()
+
+
+def test_c4_clean_matches_python_model(spark):
+    """c4_clean vs an independent pure-Python model of the same pinned
+    C4 §2.2 definitions (terminal punct, ≥5 words, no 'javascript'
+    line; ≥3 sentences, no 'lorem ipsum', no '{' doc)."""
+    import re
+
+    from vectorsearch_spark.operators.text import c4_clean
+
+    texts = [
+        "This is a good first sentence here.\nAnd a second full sentence too!\n"
+        "Is this a third proper sentence?\nshort no punct\nbullet item",
+        "Accept cookies to continue browsing now.\nEnable javascript to view this site.\n"
+        "One more complete and useful sentence here.\nAnother complete and useful sentence follows.",
+        "Contains lorem ipsum dolor sit amet filler.\nA perfectly fine sentence right here.\n"
+        "Another perfectly fine sentence right here.\nA third perfectly fine sentence here.",
+        'function() { return 1; }\nA first real sentence is right here.\n'
+        "A second real sentence is right here.\nA third real sentence is right here.",
+        'He said "this quoted line should survive fine."\nToo short.\n'
+        "Ends with a question mark after five words?\nEnds with an exclamation over five words!",
+        "",
+        "no newline no punct",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in c4_clean(df).collect()}
+    for i, t in enumerate(texts):
+        lines = [l for l in t.split("\n") if l.strip()]
+        keep_line = lambda l: (
+            bool(re.search(r'[.!?"]$', l.rstrip()))
+            and len([w for w in re.split(r"[ \t\r\f\v]+", l) if w]) >= 5
+            and "javascript" not in l.lower()
+        )
+        kept = [l for l in lines if keep_line(l)]
+        assert got[i]["n_lines"] == len(lines), i
+        assert got[i]["n_kept_lines"] == len(kept), i
+        assert got[i]["text_clean"] == "\n".join(kept), i
+        f_sent = len(kept) >= 3
+        f_lorem = "lorem ipsum" not in t.lower()
+        f_brace = "{" not in t
+        assert got[i]["f_min_sentences"] == f_sent, i
+        assert got[i]["f_no_lorem"] == f_lorem, i
+        assert got[i]["f_no_brace"] == f_brace, i
+        assert got[i]["keep"] == (f_sent and f_lorem and f_brace), i
+    # spot semantics: doc 0 keeps 3 lines -> keep; doc 1 drops the
+    # javascript line; docs 2/3 rejected at doc level
+    assert got[0]["keep"] is True
+    assert "javascript" not in got[1]["text_clean"].lower()
+    assert got[2]["keep"] is False and got[3]["keep"] is False

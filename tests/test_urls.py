@@ -181,3 +181,94 @@ def test_canonicalize_is_single_projection_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_fold_url_dedup_batches_replay_and_crash(spark, tmp_path_factory):
+    """Streaming URL-frontier dedup: canonical-equal fetches across
+    batches drop against persisted state; within-batch keeps the
+    min-id; a replayed epoch is a no-op; a crash BEFORE the marker
+    commit replays into identical state."""
+    import os
+
+    from vectorsearch_spark.operators.urls import fold_url_dedup_batch
+
+    schema = "doc_id long, url string"
+    b1 = [
+        (1, "http://a.com/x?b=2&a=1"),
+        (2, "HTTP://WWW.A.COM:80/x?a=1&b=2&utm_source=z"),  # canon-dup of 1 -> drop (2 > 1)
+        (3, "https://b.org/"),
+    ]
+    b2 = [
+        (10, "http://a.com/x?a=1&b=2#frag"),  # canon-dup of accepted 1 -> drop
+        (11, "https://c.net/fresh"),
+    ]
+    b3 = [
+        (20, "https://B.ORG:443/"),  # canon-dup of accepted 3 -> drop
+        (21, "https://d.io/new"),
+    ]
+    state = str(tmp_path_factory.mktemp("url_state")) + "/st"
+    os.makedirs(state, exist_ok=True)
+
+    for i, rows in enumerate([b1, b2, b3]):
+        fold_url_dedup_batch(spark.createDataFrame(rows, schema), i, state)
+
+    acc = {
+        r["doc_id"]: r["canonical_url"]
+        for r in spark.read.parquet(f"{state}/accepted").collect()
+    }
+    assert sorted(acc) == [1, 3, 11, 21]
+    assert acc[1] == "http://a.com/x?a=1&b=2"
+    assert acc[3] == "https://b.org/"
+
+    # replay of an applied epoch: no-op (identical state)
+    fold_url_dedup_batch(spark.createDataFrame(b3, schema), 2, state)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    ) == [1, 3, 11, 21]
+
+    # crash injection: write a partial epoch=3 dir WITHOUT the marker
+    # commit, then replay epoch 3 — the partial dirs must be invisible
+    # to the replay (no self-collision) and the final state correct
+    b4 = [(30, "https://e.gov/a"), (31, "https://E.GOV/a")]
+    spark.createDataFrame(
+        [(30, "https://e.gov/a", "https://e.gov/a")],
+        "doc_id long, url string, canonical_url string",
+    ).write.mode("overwrite").parquet(f"{state}/accepted/epoch=3")
+    spark.createDataFrame([("https://e.gov/a",)], "_curl string").write.mode(
+        "overwrite"
+    ).parquet(f"{state}/urls/epoch=3")
+    fold_url_dedup_batch(spark.createDataFrame(b4, schema), 3, state)
+    acc2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    )
+    assert acc2 == [1, 3, 11, 21, 30]
+
+
+def test_stream_url_dedup_streaming_query(spark, tmp_path_factory):
+    """End-to-end availableNow stream: the foreachBatch wiring feeds
+    the same fold; accepted set equals the batch-operator result."""
+    import os
+
+    from vectorsearch_spark.operators.urls import stream_url_dedup, url_dedup
+
+    tmp = tmp_path_factory.mktemp("url_stream")
+    src, state, ckpt = str(tmp / "src"), str(tmp / "state"), str(tmp / "ckpt")
+    rows = [
+        (1, "http://a.com/x?b=2&a=1"),
+        (2, "HTTP://WWW.A.COM:80/x?a=1&b=2"),
+        (3, "https://b.org/"),
+        (4, "https://b.org:443/?utm_campaign=x"),
+        (5, "https://c.net/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, url string").parquet(src)
+    q = stream_url_dedup(stream, state, ckpt)
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    )
+    exp = sorted(
+        r["keeper_doc_id"] for r in url_dedup(df).collect()
+    )
+    assert got == exp == [1, 3, 5]

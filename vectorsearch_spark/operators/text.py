@@ -840,3 +840,69 @@ def gopher_quality(
     for k in flags:
         keep = F.col(k) if keep is None else (keep & F.col(k))
     return out.select("*", keep.alias("keep"))
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the public filter
+    set behind the C4 corpus): line-level retention + document-level
+    rejection, returning the CLEANED text alongside the decision.
+
+    Line rules (a line survives iff ALL hold):
+      * ends in a terminal punctuation mark — '.', '!', '?' or '"'
+        (after rtrim);
+      * has ≥ ``min_line_words`` whitespace words;
+      * does not contain the word "javascript" (case-insensitive —
+        the boilerplate tell).
+
+    Document rules (flags + composite ``keep``):
+      * ≥ ``min_sentences`` surviving lines (C4 counts sentences; this
+        implementation pins sentence := surviving line);
+      * no "lorem ipsum" anywhere (case-insensitive);
+      * no '{' anywhere (code tell).
+
+    Output: (id, text_clean = surviving lines joined with '\\n',
+    n_lines, n_kept_lines, f_min_sentences, f_no_lorem, f_no_brace,
+    keep). Same plan shape as ``gopher_quality``: the line array
+    materializes once below a repartition barrier; every rule above it
+    is codegen'd HOF/attribute arithmetic — no UDF, no Python, one
+    linear doc-keyed shuffle.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+        ).alias("__lines"),
+    ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+
+    def line_ok(l):
+        words = F.filter(F.split(l, r"[ \t\r\f\v]+"), lambda w: w != "")
+        return (
+            F.rtrim(l).rlike(r'[.!?"]$')
+            & (F.size(words) >= min_line_words)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(F.col("__lines"), line_ok)
+    out = base.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        (F.size(kept) >= min_sentences).alias("f_min_sentences"),
+        (~F.lower(F.col(text_col)).contains("lorem ipsum")).alias("f_no_lorem"),
+        (~F.col(text_col).contains("{")).alias("f_no_brace"),
+    )
+    return out.select(
+        "*",
+        (F.col("f_min_sentences") & F.col("f_no_lorem") & F.col("f_no_brace")).alias(
+            "keep"
+        ),
+    )

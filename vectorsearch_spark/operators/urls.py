@@ -184,3 +184,110 @@ def host_cap(
     return pre.withColumn("host_rank", F.row_number().over(w_final)).filter(
         F.col("host_rank") <= cap
     )
+
+
+def fold_url_dedup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    strip_www: bool = True,
+) -> None:
+    """One micro-batch fold of streaming URL-frontier dedup (the
+    foreachBatch body, exposed for crash-injection tests): the shape a
+    crawler/ingest frontier runs — accept a fetch only if its CANONICAL
+    url has never been accepted before.
+
+    Per batch: canonicalize, drop rows whose canonical url is already
+    in the accepted state (one left-anti hash join — equality, so no
+    verify stage is needed, unlike the MinHash fold), keep the min-id
+    row per canonical url within the batch, append survivors. State is
+    one ``urls/epoch=<id>/`` dir of distinct canonical urls per applied
+    batch plus the accepted rows — O(batch) writes per fold, never a
+    history rewrite.
+
+    At scale the anti-join's state side is the full url set; it streams
+    through the join distributed (never collected), and because the key
+    is an equality hash the join is the cheapest shape Spark has. The
+    100 TB refinement — persisting the state bucketed by url hash so
+    the anti-join co-locates without a shuffle — changes the sink
+    layout, not this fold's semantics.
+
+    Exactly-once (the shared epoch protocol, incremental.py): state
+    reads filter to ``epoch < epoch_id`` so a crashed attempt's partial
+    dirs are invisible to its replay; per-epoch dirs rewrite
+    idempotently; the applied-epoch marker commits last via atomic
+    rename; a replay after the marker committed is a no-op.
+    """
+    import os
+
+    from vectorsearch_spark.operators.incremental import (
+        commit_epoch,
+        epoch_already_applied,
+    )
+
+    spark = batch_df.sparkSession
+    marker = os.path.join(state_path, "_last_epoch.json")
+    if epoch_already_applied(marker, epoch_id, state_path):
+        return
+    batch = batch_df.localCheckpoint()  # stream sources are single-pass
+    canon = batch.withColumn(
+        "_curl", canonicalize_url(url_col, strip_www=strip_www)
+    )
+
+    root = os.path.join(state_path, "urls")
+    dirs = (
+        [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    if dirs:
+        seen = spark.read.schema("_curl string").parquet(*dirs)
+        canon = canon.join(seen, "_curl", "left_anti")
+
+    # within-batch: min-id keeper per canonical url — ONE map-side
+    # combinable aggregate + a semi join back on the (url, id) pair
+    keepers = canon.groupBy("_curl").agg(F.min(id_col).alias(id_col))
+    accepted = canon.join(keepers, ["_curl", id_col], "left_semi").localCheckpoint(
+        eager=False
+    )
+
+    ep = f"epoch={int(epoch_id)}"
+    accepted.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(url_col),
+        F.col("_curl").alias("canonical_url"),
+    ).write.mode("overwrite").parquet(os.path.join(state_path, "accepted", ep))
+    accepted.select("_curl").distinct().write.mode("overwrite").parquet(
+        os.path.join(root, ep)
+    )
+    commit_epoch(state_path, epoch_id)
+
+
+def stream_url_dedup(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Keep a URL-deduplicated accepted set current from a fetch stream
+    (see ``fold_url_dedup_batch``). Returns the StreamingQuery; the
+    accepted rows are ``spark.read.parquet(f"{state_path}/accepted")``."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_url_dedup_batch(batch_df, epoch_id, state_path, **kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -4733,6 +4733,129 @@ FROM r WHERE host_rank <= 8
 """
 
 
+def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (r11 — operators/text.py c4_clean; Raffel et
+    al. 2020 §2.2): terminal-punctuation / ≥5-word / no-javascript line
+    retention plus ≥3-sentence / no-lorem-ipsum / no-brace document
+    flags, returning the cleaned text. Four in-plan decoration cohorts
+    by ``doc_id % 4`` exercise every rule (clean sentences / a
+    javascript line / a lorem-ipsum line / a braced code line); the
+    oracle recomputes lines, retention, cleaned text, and every flag in
+    SQL with the same split/regex definitions."""
+    from vectorsearch_spark.operators.text import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                m == 0,
+                F.lit(
+                    ".\nA first proper sentence right here.\n"
+                    "A second proper sentence right here.\n"
+                    "A third proper sentence right here."
+                ),
+            )
+            .when(
+                m == 1,
+                F.lit(
+                    "\nEnable javascript to view this site.\n"
+                    "A good sentence with enough words here.\n"
+                    "Another good sentence with enough words here.\n"
+                    "A third good sentence with enough words here."
+                ),
+            )
+            .when(m == 2, F.lit("\nlorem ipsum dolor sit amet filler text."))
+            .otherwise(
+                F.lit(
+                    "\nfunction() { return 1; }\nshort line\n"
+                    "A complete sentence with enough words here."
+                )
+            ),
+        ).alias("text"),
+    )
+    return c4_clean(decorated)
+
+
+DOC_C4_CLEAN_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN '.' || chr(10) || 'A first proper sentence right here.'
+                       || chr(10) || 'A second proper sentence right here.'
+                       || chr(10) || 'A third proper sentence right here.'
+           WHEN 1 THEN chr(10) || 'Enable javascript to view this site.'
+                       || chr(10) || 'A good sentence with enough words here.'
+                       || chr(10) || 'Another good sentence with enough words here.'
+                       || chr(10) || 'A third good sentence with enough words here.'
+           WHEN 2 THEN chr(10) || 'lorem ipsum dolor sit amet filler text.'
+           ELSE chr(10) || 'function() { return 1; }' || chr(10) || 'short line'
+                || chr(10) || 'A complete sentence with enough words here.'
+         END AS t
+  FROM documents),
+l AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines
+  FROM d),
+k AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines, x ->
+           regexp_matches(rtrim(x), '[.!?"]$')
+           AND len(list_filter(string_split_regex(x, '[ \t\r\f\v]+'), w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text_clean,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (len(kept) >= 3) AS f_min_sentences,
+       (NOT contains(lower(t), 'lorem ipsum')) AS f_no_lorem,
+       (NOT contains(t, '{')) AS f_no_brace,
+       ((len(kept) >= 3) AND (NOT contains(lower(t), 'lorem ipsum'))
+        AND (NOT contains(t, '{'))) AS keep
+FROM k
+"""
+
+
+def stream_url_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-frontier dedup fold (r11 — operators/urls.py
+    fold_url_dedup_batch): the messy-URL corpus arrives as two epochs
+    split by doc id; later fetches of an already-accepted canonical URL
+    drop against the persisted state. Splitting by id makes arrival
+    order = id order, so the folded accepted set equals the batch
+    ``url_dedup`` keeper set on the full corpus — the fold shares the
+    batch operator's exact SQL oracle (batching-independence IS the
+    correctness claim, the stream_line_dedup_fold pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_spark.operators.urls import fold_url_dedup_batch
+
+    corpus = _url_corpus(spark, sf_dir).select("doc_id", F.col("raw_url").alias("url"))
+    tag = sf_dir.strip("/").replace("/", "_")
+    state = os.path.join(tempfile.gettempdir(), f"url_fold_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    mid = 250
+    fold_url_dedup_batch(corpus.where(F.col("doc_id") % 1000000 < mid), 0, state)
+    fold_url_dedup_batch(corpus.where(F.col("doc_id") % 1000000 >= mid), 1, state)
+    return spark.read.parquet(os.path.join(state, "accepted")).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+STREAM_URL_DEDUP_FOLD_SQL = f"""
+WITH raw AS ({_URL_CORPUS_SQL}),
+c AS ({_URL_CANON_SQL}),
+k AS (SELECT url, min(doc_id) AS m FROM c GROUP BY url)
+SELECT c.doc_id, c.raw_url AS url, c.url AS canonical_url
+FROM c JOIN k ON c.url = k.url AND c.doc_id = k.m
+"""
+
+
 def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (r11 — operators/text.py gopher_quality;
     Rae et al. 2021 Appendix A1.1, the public filter set): word-count /
@@ -8484,14 +8607,16 @@ FROM pix
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver samples the FIRST
     # 50 entries. Rotated each round so every entry eventually appears
-    # in a driver artifact (r11: the four NEW oracled entries lead
+    # in a driver artifact (r11: the NINE new oracled entries lead
     # (BPE-count bucketing, audio DFT bins, image near-dup, bytes HTML
-    # extraction), then every entry whose code path or oracle changed
-    # this round (the ascii-replace mm sweep, the html parser
-    # skip-stack fix, the magnitude-aware blocked-GEMM band), then the
-    # round-5 cohort (the rotation boundary), then the rest sorted
-    # oldest-last-driver-sample first — the r6 cohort fills the
-    # window; r10's freshly-sampled entries go to the back).
+    # extraction, URL canonicalize/dedup/host-cap, Gopher rules, the
+    # streaming URL fold), then every entry whose code path or oracle
+    # changed this round (the ascii-replace mm sweep, the html parser
+    # skip-stack fix, the magnitude-aware band + survivor_payload
+    # refactor of the blocked-GEMM grid), then the round-5 cohort (the
+    # rotation boundary), then the rest sorted oldest-last-driver-
+    # sample first — the r6 cohort fills the window; r10's
+    # freshly-sampled entries go to the back).
     return {
         "training_length_batches_bpe": training_length_batches_bpe,
         "mm_audio_dft_bins": mm_audio_dft_bins,
@@ -8501,6 +8626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_exact": dedup_url_exact,
         "curate_host_cap": curate_host_cap,
         "doc_quality_gopher": doc_quality_gopher,
+        "stream_url_dedup_fold": stream_url_dedup_fold,
+        "doc_c4_clean": doc_c4_clean,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -8794,6 +8921,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_exact": DEDUP_URL_EXACT_SQL,
         "curate_host_cap": CURATE_HOST_CAP_SQL,
         "doc_quality_gopher": DOC_QUALITY_GOPHER_SQL,
+        "stream_url_dedup_fold": STREAM_URL_DEDUP_FOLD_SQL,
+        "doc_c4_clean": DOC_C4_CLEAN_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
