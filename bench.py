@@ -190,6 +190,7 @@ HEADLINE = [
     "doc_quality_gopher",
     "stream_url_dedup_fold",
     "doc_c4_clean",
+    "curate_blocklist_filter",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

@@ -158,6 +158,7 @@ PROBES = [
     "doc_quality_gopher",
     "stream_url_dedup_fold",
     "doc_c4_clean",
+    "curate_blocklist_filter",
 ]
 
 

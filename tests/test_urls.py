@@ -272,3 +272,44 @@ def test_stream_url_dedup_streaming_query(spark, tmp_path_factory):
         r["keeper_doc_id"] for r in url_dedup(df).collect()
     )
     assert got == exp == [1, 3, 5]
+
+
+def test_domain_suffixes_and_blocklist(spark):
+    from vectorsearch_spark.operators.urls import blocklist_filter, domain_suffixes
+
+    df = spark.createDataFrame(
+        [
+            (1, "a.b.example.com"),
+            (2, "example.com"),
+            (3, "safe.org"),
+            (4, "notexample.com"),   # suffix match is per-LABEL, not substring
+            (5, "sub.bad.net"),
+            (6, None),               # NULL host: kept
+        ],
+        "doc_id long, host string",
+    )
+    sfx = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", domain_suffixes("host").alias("s")).collect()
+    }
+    assert sfx[1] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert sfx[2] == ["example.com", "com"]
+    assert sfx[6] is None
+
+    bl = spark.createDataFrame([("example.com",), ("bad.net",)], ["domain"])
+    kept = sorted(r["doc_id"] for r in blocklist_filter(df, bl).collect())
+    assert kept == [3, 4, 6]
+
+
+def test_blocklist_filter_is_broadcast_no_corpus_shuffle(spark):
+    from vectorsearch_spark.operators.urls import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(i, f"h{i}.example{i % 5}.org") for i in range(100)],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame([("example0.org",)], ["domain"])
+    plan = (
+        blocklist_filter(df, bl)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -291,3 +291,58 @@ def stream_url_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def domain_suffixes(host: Column | str) -> Column:
+    """All dot-suffix domains of a host, most-specific first:
+    ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
+    com]. Bounded by the label count (hosts have ≤ ~10 labels), so the
+    explode this feeds is O(labels), not data-dependent."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose host IS a blocklisted domain or is a SUBDOMAIN
+    of one (the standard adult/malware/spam domain-list gate every
+    crawl pipeline runs; suffix semantics because lists name registered
+    domains while crawls carry full hostnames).
+
+    Plan: explode each host into its ≤ labels dot-suffixes (bounded
+    fan-out, no data-dependent blowup), BROADCAST-anti-join the
+    (id, suffix) pairs against the blocklist, and anti-join the hit ids
+    back onto the input. Blocklists are ~10⁵-10⁶ rows — far under the
+    broadcast threshold — so the suffix probe never shuffles the
+    corpus; the id anti-join keys on ``id_col`` alone, so the operator
+    is agnostic to the row's other column types. One scan-rate pass at
+    any corpus size.
+
+    Rows with a NULL host are KEPT (no evidence to block on — the
+    caller gates unparseable URLs separately via ``is_absolute_url``).
+    """
+    hit_ids = (
+        df.select(
+            F.col(id_col), F.explode(domain_suffixes(F.col(host_col))).alias("__sfx")
+        )
+        .join(
+            F.broadcast(
+                blocklist.select(F.col(domain_col).alias("__sfx")).dropDuplicates()
+            ),
+            "__sfx",
+            "left_semi",
+        )
+        .select(id_col)
+        .dropDuplicates()
+    )
+    return df.join(hit_ids, id_col, "left_anti")

@@ -4733,6 +4733,40 @@ FROM r WHERE host_rank <= 8
 """
 
 
+def curate_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gate (r11 — operators/urls.py
+    blocklist_filter): drop fetches whose host is a blocklisted
+    registered domain OR any subdomain of one — suffix semantics via a
+    bounded per-label explode + a BROADCAST anti join (the corpus never
+    shuffles). Hosts come from the messy-URL corpus WITHOUT www
+    stripping, so the ``www.srcN.com`` variants exercise the subdomain
+    match (blocking ``src3.com`` must also drop ``www.src3.com``); the
+    oracle re-implements the dot-suffix expansion with SQL list ops."""
+    from vectorsearch_spark.operators.urls import blocklist_filter, url_host
+
+    raw = _url_corpus(spark, sf_dir)
+    d = raw.select("doc_id", url_host("raw_url", strip_www=False).alias("host"))
+    bl = spark.createDataFrame([("src3.com",), ("src7.com",)], ["domain"])
+    return blocklist_filter(d, bl)
+
+
+CURATE_BLOCKLIST_FILTER_SQL = f"""
+WITH raw AS ({_URL_CORPUS_SQL}),
+h AS (
+  SELECT doc_id,
+         lower(regexp_extract(regexp_extract(raw_url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host
+  FROM raw)
+SELECT doc_id, host FROM h
+WHERE len(list_filter(
+        list_transform(range(1, len(string_split(host, '.')) + 1),
+          i -> array_to_string(
+                 list_slice(string_split(host, '.'), i,
+                            len(string_split(host, '.'))), '.')),
+        s -> s IN ('src3.com', 'src7.com'))) = 0
+"""
+
+
 def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (r11 — operators/text.py c4_clean; Raffel et
     al. 2020 §2.2): terminal-punctuation / ≥5-word / no-javascript line
@@ -8628,6 +8662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gopher": doc_quality_gopher,
         "stream_url_dedup_fold": stream_url_dedup_fold,
         "doc_c4_clean": doc_c4_clean,
+        "curate_blocklist_filter": curate_blocklist_filter,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -8923,6 +8958,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_gopher": DOC_QUALITY_GOPHER_SQL,
         "stream_url_dedup_fold": STREAM_URL_DEDUP_FOLD_SQL,
         "doc_c4_clean": DOC_C4_CLEAN_SQL,
+        "curate_blocklist_filter": CURATE_BLOCKLIST_FILTER_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
