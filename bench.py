@@ -191,6 +191,7 @@ HEADLINE = [
     "stream_url_dedup_fold",
     "doc_c4_clean",
     "curate_blocklist_filter",
+    "pipeline_web_curation",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

@@ -159,6 +159,7 @@ PROBES = [
     "stream_url_dedup_fold",
     "doc_c4_clean",
     "curate_blocklist_filter",
+    "pipeline_web_curation",
 ]
 
 

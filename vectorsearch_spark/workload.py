@@ -4890,6 +4890,30 @@ FROM c JOIN k ON c.url = k.url AND c.doc_id = k.m
 """
 
 
+def _gopher_decorated(docs: DataFrame) -> DataFrame:
+    """documents decorated IN-PLAN with one of three line suffixes by
+    ``doc_id % 3`` (bullets+stopwords / ellipsis endings / '#' tags) —
+    the shared input of ``doc_quality_gopher`` and the quality stage of
+    ``pipeline_web_curation``. Mirrored verbatim by
+    ``_GOPHER_DECOR_SQL``; any extra input columns pass through."""
+    m = F.col("doc_id") % 3
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                m == 0,
+                F.lit(
+                    "\n• first bullet\n• second bullet\nthe closing line"
+                    " can have that and more to be with"
+                ),
+            )
+            .when(m == 1, F.lit("\nto be continued…\nand then...\nthe end"))
+            .otherwise(F.lit("\n# tags: #one #two #three")),
+        ),
+    )
+
+
 def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (r11 — operators/text.py gopher_quality;
     Rae et al. 2021 Appendix A1.1, the public filter set): word-count /
@@ -4904,36 +4928,22 @@ def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.operators.text import gopher_quality
 
     docs = _t(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 3
-    decorated = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                m == 0,
-                F.lit(
-                    "\n• first bullet\n• second bullet\nthe closing line"
-                    " can have that and more to be with"
-                ),
-            )
-            .when(m == 1, F.lit("\nto be continued…\nand then...\nthe end"))
-            .otherwise(F.lit("\n# tags: #one #two #three")),
-        ).alias("text"),
-    )
-    return gopher_quality(decorated)
+    return gopher_quality(_gopher_decorated(docs))
 
 
-DOC_QUALITY_GOPHER_SQL = """
-WITH d AS (
-  SELECT doc_id,
-         text || CASE CAST(doc_id % 3 AS INTEGER)
+# the gopher decoration as a SQL expression over a `text` column
+_GOPHER_DECOR_SQL = """text || CASE CAST(doc_id % 3 AS INTEGER)
            WHEN 0 THEN chr(10) || chr(8226) || ' first bullet' || chr(10)
                        || chr(8226) || ' second bullet' || chr(10)
                        || 'the closing line can have that and more to be with'
            WHEN 1 THEN chr(10) || 'to be continued' || chr(8230) || chr(10)
                        || 'and then...' || chr(10) || 'the end'
            ELSE chr(10) || '# tags: #one #two #three'
-         END AS t
+         END"""
+
+DOC_QUALITY_GOPHER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_GOPHER_DECOR_SQL} AS t
   FROM documents),
 arrs AS (
   SELECT doc_id,
@@ -4974,6 +4984,140 @@ f AS (
 SELECT *, (f_word_count AND f_mean_word_len AND f_symbol_ratio AND f_bullet
            AND f_ellipsis AND f_alpha_words AND f_stop_words) AS keep
 FROM f
+"""
+
+
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FineWeb-style web-curation funnel (r11): blocklist →
+    canonical-URL dedup → per-host cap → Gopher quality gate, composed
+    from the REAL operators (operators/urls.py blocklist_filter /
+    host_cap, operators/text.py gopher_quality) over the messy-URL
+    corpus joined to the decorated documents. Output is the per-doc
+    FUNNEL ATTRIBUTION — (doc_id, stage) where stage is the first
+    rejecting stage ('blocklist' | 'url_duplicate' | 'host_cap' |
+    'quality') or 'kept' — the report a pipeline operator actually
+    watches. Every stage's decision is recomputed in ONE chained SQL
+    oracle (suffix blocklist, min-id keeper, rank window, the full
+    Gopher rule chain), so the composition is hash-exact end to end,
+    not just each piece in isolation.
+
+    Scale: stage 1 is a broadcast anti join; stage 2 one aggregate +
+    semi join; stage 3 the two-phase salted rank; stage 4 codegen
+    flags over the tokenize-once barrier. The funnel attribution adds
+    four anti joins on the doc id — each a broadcast/shuffle of ID
+    COLUMNS only, never text."""
+    from vectorsearch_spark.operators.text import gopher_quality
+    from vectorsearch_spark.operators.urls import (
+        blocklist_filter,
+        canonicalize_url,
+        host_cap,
+        url_host,
+    )
+
+    docs = _gopher_decorated(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "n_chars"
+    )
+    raw = _url_corpus(spark, sf_dir)
+    d0 = raw.join(docs, "doc_id").select(
+        "doc_id",
+        canonicalize_url("raw_url", strip_www=True).alias("url"),
+        url_host("raw_url", strip_www=False).alias("host_b"),
+        url_host("raw_url", strip_www=True).alias("host"),
+        "text",
+        "n_chars",
+    )
+    bl = spark.createDataFrame([("src3.com",), ("src7.com",)], ["domain"])
+    s1 = blocklist_filter(d0, bl, host_col="host_b")
+    keepers = s1.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(keepers, ["url", "doc_id"], "left_semi")
+    s3 = host_cap(s2, cap=5, host_col="host", id_col="doc_id", priority_col="n_chars")
+    q = gopher_quality(s3.select("doc_id", "text"))
+    s4 = s3.join(q.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+
+    def ids(df):
+        return df.select("doc_id")
+
+    def stage(survivors_before, survivors_after, name):
+        return (
+            ids(survivors_before)
+            .join(ids(survivors_after), "doc_id", "left_anti")
+            .withColumn("stage", F.lit(name))
+        )
+
+    return (
+        stage(d0, s1, "blocklist")
+        .unionByName(stage(s1, s2, "url_duplicate"))
+        .unionByName(stage(s2, s3, "host_cap"))
+        .unionByName(stage(s3, s4, "quality"))
+        .unionByName(ids(s4).withColumn("stage", F.lit("kept")))
+    )
+
+
+PIPELINE_WEB_CURATION_SQL = f"""
+WITH raw AS ({_URL_CORPUS_SQL}),
+c AS ({_URL_CANON_SQL}),
+d0 AS (
+  SELECT c.doc_id, c.url, c.host,
+         lower(regexp_extract(regexp_extract(c.raw_url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host_b,
+         {_GOPHER_DECOR_SQL.replace("text", "doc.text").replace("doc_id", "c.doc_id")} AS t,
+         doc.n_chars
+  FROM c JOIN documents doc ON doc.doc_id = c.doc_id),
+s1 AS (
+  SELECT * FROM d0
+  WHERE len(list_filter(
+          list_transform(range(1, len(string_split(host_b, '.')) + 1),
+            i -> array_to_string(
+                   list_slice(string_split(host_b, '.'), i,
+                              len(string_split(host_b, '.'))), '.')),
+          s -> s IN ('src3.com', 'src7.com'))) = 0),
+k2 AS (SELECT url, min(doc_id) AS m FROM s1 GROUP BY url),
+s2 AS (SELECT s1.* FROM s1 JOIN k2 ON s1.url = k2.url AND s1.doc_id = k2.m),
+r3 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id ASC)
+            AS rn
+  FROM s2),
+s3 AS (SELECT * FROM r3 WHERE rn <= 5),
+arrs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '[ \t\n\r\f\v]+'), w -> w <> '') AS words,
+         list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+  FROM s3),
+g AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+               / greatest(len(words), 1), 4) AS mean_word_len,
+         round(CAST(list_sum(list_transform(words,
+                 w -> length(w) - length(replace(replace(w, '#', ''), chr(8230), ''))))
+               AS DOUBLE) / greatest(len(words), 1), 4) AS symbol_ratio,
+         round(CAST(len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[' || chr(8226) || '*-]'))) AS DOUBLE)
+               / greatest(len(lines), 1), 4) AS bullet_frac,
+         round(CAST(len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '(' || chr(8230) || '|\\.\\.\\.)$'))) AS DOUBLE)
+               / greatest(len(lines), 1), 4) AS ellipsis_frac,
+         round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(words), 1), 4) AS alpha_word_frac,
+         CAST(len(list_intersect(
+                 list_distinct(list_transform(words,
+                   w -> regexp_replace(lower(w), '^[^a-z]+|[^a-z]+$', '', 'g'))),
+                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+  FROM arrs),
+s4 AS (
+  SELECT doc_id FROM g
+  WHERE (n_words >= 50 AND n_words <= 100000)
+    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+    AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+    AND (ellipsis_frac <= 0.3) AND (alpha_word_frac >= 0.8)
+    AND (stop_hits >= 2))
+SELECT d0.doc_id,
+       CASE WHEN d0.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'blocklist'
+            WHEN d0.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'url_duplicate'
+            WHEN d0.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'host_cap'
+            WHEN d0.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'quality'
+            ELSE 'kept' END AS stage
+FROM d0
 """
 
 
@@ -8663,6 +8807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_url_dedup_fold": stream_url_dedup_fold,
         "doc_c4_clean": doc_c4_clean,
         "curate_blocklist_filter": curate_blocklist_filter,
+        "pipeline_web_curation": pipeline_web_curation,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -8959,6 +9104,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_url_dedup_fold": STREAM_URL_DEDUP_FOLD_SQL,
         "doc_c4_clean": DOC_C4_CLEAN_SQL,
         "curate_blocklist_filter": CURATE_BLOCKLIST_FILTER_SQL,
+        "pipeline_web_curation": PIPELINE_WEB_CURATION_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
