@@ -661,3 +661,25 @@ def test_ivf_range_join_ids_payload_self_dedup_no_collect(spark):
         map(tuple, ivf_range_join(vec, qdf, survivor_payload="ids", **kw).collect())
     )
     assert base and base == ids
+
+
+def test_ivf_range_join_auto_payload_picks_by_dim(spark):
+    """survivor_payload="auto" matches both explicit modes bitwise at
+    d=64 (auto → vectors) and a high-d slice (auto → ids): the policy
+    can never change results, only the re-attachment plan."""
+    from vectorsearch_spark.operators.similarity import ivf_range_join
+
+    _, _, vec, qdf = _range_fixture(spark)
+    kw = dict(radius=7.0, n_centroids=8, id_col="vec_id", query_mode="distributed")
+    a = sorted(map(tuple, ivf_range_join(vec, qdf, survivor_payload="auto", **kw).collect()))
+    v = sorted(map(tuple, ivf_range_join(vec, qdf, survivor_payload="vectors", **kw).collect()))
+    assert a and a == v
+
+    # widen to d = 256 by tiling the 16-d vectors x16 (distances scale
+    # by sqrt(16) = 4 -- radius x4): auto routes through the ids re-join
+    wide = vec.select("vec_id", F.flatten(F.array(*[F.col("embedding")] * 16)).alias("embedding"))
+    wq = qdf.select("query_id", F.flatten(F.array(*[F.col("embedding")] * 16)).alias("embedding"))
+    kw2 = dict(radius=28.0, n_centroids=8, id_col="vec_id", query_mode="distributed")
+    aw = sorted(map(tuple, ivf_range_join(wide, wq, survivor_payload="auto", **kw2).collect()))
+    iw = sorted(map(tuple, ivf_range_join(wide, wq, survivor_payload="ids", **kw2).collect()))
+    assert aw and aw == iw

@@ -960,7 +960,7 @@ def ivf_range_join(
     query_mode: str = "auto",
     max_driver_queries: int = 65536,
     block_size: int = 4096,
-    survivor_payload: str = "vectors",
+    survivor_payload: str = "auto",
 ) -> DataFrame:
     """EXACT radius search with IVF cell pruning — same results as the
     brute ``knn.range_join``, scanning only the cells that can contain
@@ -1000,15 +1000,18 @@ def ivf_range_join(
     (``_range_prune_threshold``), so both return the brute result set
     exactly — bit-identical distances included.
 
-    **survivor_payload** (distributed mode only): ``"vectors"``
-    (default) ships both vectors with each surviving pair out of the
-    GEMM grid — zero extra joins, 2·d·8 bytes per pair; ``"ids"``
-    ships bare (query_id, id) pairs and re-joins the payloads by key
-    before the exact re-score — two hash joins, but each vector
-    crosses the shuffle once however many pairs reference it. Pick
-    ``"ids"`` when expected pairs × d outgrows the corpus (dense
-    loose-ε dedup at d ≥ a few hundred); results are bit-identical
-    either way (tested).
+    **survivor_payload** (distributed mode only): ``"vectors"`` ships
+    both vectors with each surviving pair out of the GEMM grid — zero
+    extra joins, 2·d·8 bytes per pair; ``"ids"`` ships bare
+    (query_id, id) pairs and re-joins the payloads by key before the
+    exact re-score — two hash joins, but each vector crosses the
+    shuffle once however many pairs reference it. ``"auto"`` (default)
+    picks ``"ids"`` at d ≥ 256 and ``"vectors"`` below: measured at
+    d=512 with 4.5·10⁵ dense pairs (N=3000 corpus-self radius), ids
+    ran 18 s vs vectors 77 s warm (4.3×) — the per-pair 2·d·8-byte
+    Arrow output dominates everything at large d — while at d=64
+    (bench corpus) the extra joins cost more than the payload saves.
+    Results are bit-identical in all three modes (tested).
 
     Build: k-means centroids (driver O(k·d) on a bounded sample),
     codegen cell assignment (``ivf_assign`` — no shuffle), one ≤ k-row
@@ -1023,8 +1026,8 @@ def ivf_range_join(
         raise ValueError("radius must be ≥ 0")
     if query_mode not in ("auto", "driver", "distributed"):
         raise ValueError("query_mode must be auto|driver|distributed")
-    if survivor_payload not in ("vectors", "ids"):
-        raise ValueError("survivor_payload must be vectors|ids")
+    if survivor_payload not in ("auto", "vectors", "ids"):
+        raise ValueError("survivor_payload must be auto|vectors|ids")
     spark = vectors.sparkSession
     empty = spark.createDataFrame(
         [], "query_id long, id long, distance double, score double"
@@ -1199,10 +1202,13 @@ def ivf_range_join(
             routed = scored.where(F.col("_d") <= F.col("_thr")).select(
                 "query_id", "_qvec", "bucket"
             ).localCheckpoint(eager=False)
+        carry = survivor_payload == "vectors" or (
+            survivor_payload == "auto" and cents.shape[1] < 256
+        )
         return _blocked_range_score(
             assigned, routed, vcount, metric, r,
             id_col=id_col, vec_col=vec_col, block_size=block_size,
-            carry_vectors=(survivor_payload == "vectors"),
+            carry_vectors=carry,
         )
 
     cand = assigned.join(routed, "bucket")
