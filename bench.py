@@ -192,6 +192,7 @@ HEADLINE = [
     "doc_c4_clean",
     "curate_blocklist_filter",
     "pipeline_web_curation",
+    "split_leakage_check",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

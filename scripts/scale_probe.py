@@ -160,6 +160,7 @@ PROBES = [
     "doc_c4_clean",
     "curate_blocklist_filter",
     "pipeline_web_curation",
+    "split_leakage_check",
 ]
 
 

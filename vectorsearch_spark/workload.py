@@ -5641,6 +5641,59 @@ _DEDUP_CORPUS_SQL = """
 """
 
 
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage QA (r11): after hash-band train/val/test
+    assignment (operators/curate.py assign_splits — a pure function of
+    doc_id), find normalized-text fingerprints whose COPIES land in
+    more than one split — exactly the eval-contamination a
+    dedup-then-split pipeline exists to prevent, run as the
+    post-assignment audit. The duplicate-injected corpus guarantees
+    leakage exists (verbatim copies carry new doc_ids, so they hash to
+    other splits). ONE aggregate over (fingerprint): shuffle is one row
+    per distinct text, count/min/set all map-side combinable —
+    scan-rate at any corpus size."""
+    from vectorsearch_spark.operators.curate import assign_splits
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    assigned = assign_splits(corpus, {"train": 0.8, "val": 0.1, "test": 0.1})
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = assigned.select(F.md5(norm).alias("fingerprint"), "split", "doc_id")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.array_join(F.sort_array(F.collect_set("split")), ",").alias("splits"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+SPLIT_LEAKAGE_CHECK_SQL = rf"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+a AS (
+  SELECT doc_id, text,
+         CASE WHEN h < 800000 THEN 'train'
+              WHEN h < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000000 AS h
+        FROM corpus)),
+f AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         split, doc_id
+  FROM a)
+SELECT fingerprint,
+       CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+       count(*) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM f GROUP BY fingerprint HAVING count(DISTINCT split) > 1
+"""
+
+
 def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global passage dedup (operators/curate.py passage_dedup):
     non-overlapping 64-token chunks, globally-first occurrence kept,
@@ -8808,6 +8861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_clean": doc_c4_clean,
         "curate_blocklist_filter": curate_blocklist_filter,
         "pipeline_web_curation": pipeline_web_curation,
+        "split_leakage_check": split_leakage_check,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -9105,6 +9159,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_c4_clean": DOC_C4_CLEAN_SQL,
         "curate_blocklist_filter": CURATE_BLOCKLIST_FILTER_SQL,
         "pipeline_web_curation": PIPELINE_WEB_CURATION_SQL,
+        "split_leakage_check": SPLIT_LEAKAGE_CHECK_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
