@@ -193,6 +193,7 @@ HEADLINE = [
     "curate_blocklist_filter",
     "pipeline_web_curation",
     "split_leakage_check",
+    "mm_audio_neardup",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

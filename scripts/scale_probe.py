@@ -161,6 +161,7 @@ PROBES = [
     "curate_blocklist_filter",
     "pipeline_web_curation",
     "split_leakage_check",
+    "mm_audio_neardup",
 ]
 
 

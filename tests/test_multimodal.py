@@ -660,3 +660,36 @@ def test_audio_spectral_bins_integer_exact(spark):
         audio_spectral_bins(df, n_fft=6)
     with pytest.raises(ValueError):
         audio_spectral_bins(df, n_fft=0)
+
+
+def test_audio_energy_hash_known_values_and_invariance(spark):
+    """audio_energy_hash: handcrafted energy profile → known bits;
+    uniform gain preserves the hash exactly; zero-pad path; additive
+    near-tie noise flips at most a few bits (the near-dup property)."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.codecs import encode_wav
+    from vectorsearch_spark.operators.multimodal import audio_energy_hash
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(-3000, 3000, size=65 * 8).astype(np.int16)
+    rows = [
+        (0, encode_wav(base.reshape(-1, 1), sample_rate=8000)),
+        # x2 gain: energies x4 uniformly -> identical comparisons
+        (1, encode_wav((base * 2).reshape(-1, 1), sample_rate=8000)),
+        # small additive ripple: near-dup, not identical
+        (2, encode_wav((base + (np.arange(65 * 8) % 5 - 2)).astype(np.int16).reshape(-1, 1), sample_rate=8000)),
+        # short clip: zero-padded tail -> trailing frames all-zero
+        (3, encode_wav(np.full((16, 1), 1000, dtype=np.int16), sample_rate=8000)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["ehash"], r["n_rising"]) for r in audio_energy_hash(df).collect()}
+
+    e = (base.astype(np.int64) ** 2).reshape(65, 8).sum(axis=1)
+    exp_bits = "".join("1" if b else "0" for b in (e[1:] > e[:-1]))
+    assert got[0][0] == exp_bits and len(exp_bits) == 64
+    assert got[1][0] == got[0][0]  # gain invariance, exact
+    ham = sum(a != b for a, b in zip(got[0][0], got[2][0]))
+    assert 0 <= ham <= 7, ham  # near-dup lands inside the banding radius
+    # short clip: frames 2..64 are zero-energy -> no rising edges there
+    assert got[3][0][2:] == "0" * 62

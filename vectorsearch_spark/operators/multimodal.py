@@ -352,3 +352,55 @@ def image_dhash(
     return media.select("media_id", "payload").mapInPandas(
         mapper, "media_id long, dhash string, n_gradient_bits long"
     )
+
+
+def audio_energy_hash(
+    media: DataFrame,
+    n_frames: int = 65,
+    frame_len: int = 8,
+    decoder: "Callable[[bytes], tuple[np.ndarray, int]] | None" = None,
+) -> DataFrame:
+    """Integer frame-energy difference hash — the AUDIO sibling of
+    ``image_dhash``: decode → first ``n_frames · frame_len`` channel-0
+    samples (zero-padded if shorter) → int64 frame energies
+    e_i = Σ s² → one bit per neighbor pair (e_{i+1} > e_i), MSB-first.
+    The energy-ORDER profile survives uniform gain changes exactly
+    (energies scale together) and small additive noise up to
+    near-ties, which is what makes it a near-dup signature rather than
+    a checksum; corpus-scale pairing reuses the bit-string banding
+    machinery (``dedup.bitstring_near_dup``), exactly like the image
+    path.
+
+    All-integer (int16 samples → int64 energies, no float anywhere),
+    so the fingerprint is bit-reproducible across engines — the
+    workload twin recomputes the whole chain from the synthesized
+    samples in SQL. Returns (media_id, ehash — the (n_frames−1)
+    gradient bits as a '0'/'1' string — and n_rising, the popcount).
+    One narrow Arrow pass; blobs never shuffle.
+    """
+    nf, fl = int(n_frames), int(frame_len)
+    if nf < 2 or fl < 1:
+        raise ValueError("need n_frames ≥ 2 and frame_len ≥ 1")
+    if decoder is None:
+        from vectorsearch_spark.functions.codecs import decode_wav as decoder
+
+    total = nf * fl
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, _rate = decoder(bytes(payload))
+                c0 = s[:total, 0].astype(np.int64)
+                if len(c0) < total:
+                    c0 = np.pad(c0, (0, total - len(c0)))
+                e = (c0 * c0).reshape(nf, fl).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.uint8)
+                rows.append(
+                    (int(mid), "".join("1" if b else "0" for b in bits), int(bits.sum()))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "ehash", "n_rising"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        mapper, schema="media_id long, ehash string, n_rising long"
+    )

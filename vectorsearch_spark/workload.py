@@ -8291,6 +8291,124 @@ FROM bins
 """
 
 
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio near-dup dedup (r11 — the audio granularity of
+    the dedup story, completing the modality symmetry: text has seven,
+    image landed this round): deterministic mono WAVs from the
+    documents table (520 samples, the mm synthesis formula), PLUS an
+    additive-ripple variant (s + (j % 5) − 2, the near-tie
+    perturbation) for every third doc → REAL RIFF decode →
+    ``audio_energy_hash`` 64-bit frame-energy gradient fingerprints →
+    ``dedup.bitstring_near_dup`` (8-band multi-index candidate join,
+    recall-complete for Hamming ≤ 7, codegen verify, min-id keeper).
+    All-integer end to end; the DuckDB twin recomputes samples →
+    energies → bits for BOTH variants from the source characters and
+    takes the ALL-PAIRS Hamming ≤ 7 min."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.codecs import encode_wav
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+    from vectorsearch_spark.operators.multimodal import audio_energy_hash
+    from vectorsearch_spark.operators.text import fan_out
+
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
+                j = np.arange(520)
+                base = (
+                    b[j % len(b)].astype(np.int64)
+                    if len(b)
+                    else np.zeros(520, dtype=np.int64)
+                )
+                v = (base - 128) * 256 + (j % 127)
+                rows.append(
+                    (
+                        int(did) * 2,
+                        encode_wav(
+                            np.clip(v, -32768, 32767).astype(np.int16).reshape(-1, 1),
+                            sample_rate=8000,
+                        ),
+                    )
+                )
+                if did % 3 == 0:
+                    w = v + (j % 5) - 2
+                    rows.append(
+                        (
+                            int(did) * 2 + 1,
+                            encode_wav(
+                                np.clip(w, -32768, 32767).astype(np.int16).reshape(-1, 1),
+                                sample_rate=8000,
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    eh = audio_energy_hash(media)
+    out = bitstring_near_dup(
+        eh, id_col="media_id", hash_col="ehash", n_bits=64, max_hamming=7
+    )
+    return out.select(
+        "media_id",
+        F.col("keep").cast("long").alias("keep"),
+        F.col("min_neighbor_id").cast("long").alias("min_neighbor_id"),
+    )
+
+
+MM_AUDIO_NEARDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(0, length(text)),
+           i -> CASE WHEN ascii(text[CAST(i AS BIGINT) + 1]) < 128
+                     THEN ascii(text[CAST(i AS BIGINT) + 1]) ELSE 63 END) AS codes
+  FROM documents),
+media AS (
+  SELECT doc_id * 2 AS media_id, 0 AS var, n, codes FROM d
+  UNION ALL
+  SELECT doc_id * 2 + 1, 1, n, codes FROM d WHERE doc_id % 3 = 0),
+samp AS (
+  SELECT media_id,
+         list_transform(range(0, 520),
+           j -> greatest(least(
+                  ((CASE WHEN n = 0 THEN 0
+                         ELSE codes[CAST(j % n AS BIGINT) + 1] END) - 128) * 256
+                  + j % 127 + var * ((j % 5) - 2), 32767), -32768)) AS s
+  FROM media),
+en AS (
+  SELECT media_id,
+         list_transform(range(0, 65),
+           f -> list_aggregate(list_transform(range(0, 8),
+                  j -> s[CAST(f * 8 + j AS BIGINT) + 1]
+                       * s[CAST(f * 8 + j AS BIGINT) + 1]), 'sum')) AS e
+  FROM samp),
+bits AS (
+  SELECT media_id,
+         list_transform(range(0, 64),
+           i -> CASE WHEN e[CAST(i AS BIGINT) + 2] > e[CAST(i AS BIGINT) + 1]
+                THEN 1 ELSE 0 END) AS bl
+  FROM en),
+pairs AS (
+  SELECT a.media_id AS ida, b.media_id AS idb
+  FROM bits a JOIN bits b ON a.media_id <> b.media_id
+  WHERE CAST(list_aggregate(list_transform(range(0, 64),
+          i -> CASE WHEN a.bl[CAST(i AS BIGINT) + 1] <> b.bl[CAST(i AS BIGINT) + 1]
+               THEN 1 ELSE 0 END), 'sum') AS INT) <= 7),
+nb AS (SELECT ida AS media_id, min(idb) AS mn FROM pairs GROUP BY 1)
+SELECT m.media_id,
+       CAST(CASE WHEN least(m.media_id, coalesce(nb.mn, m.media_id)) = m.media_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(least(m.media_id, coalesce(nb.mn, m.media_id)) AS BIGINT) AS min_neighbor_id
+FROM bits m LEFT JOIN nb ON nb.media_id = m.media_id
+"""
+
+
 def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via BUCKETED tables
     (operators/layout.py write_bucketed): orders and lineitem are
@@ -8862,6 +8980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_blocklist_filter": curate_blocklist_filter,
         "pipeline_web_curation": pipeline_web_curation,
         "split_leakage_check": split_leakage_check,
+        "mm_audio_neardup": mm_audio_neardup,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -9160,6 +9279,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_blocklist_filter": CURATE_BLOCKLIST_FILTER_SQL,
         "pipeline_web_curation": PIPELINE_WEB_CURATION_SQL,
         "split_leakage_check": SPLIT_LEAKAGE_CHECK_SQL,
+        "mm_audio_neardup": MM_AUDIO_NEARDUP_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
