@@ -313,3 +313,54 @@ def test_blocklist_filter_is_broadcast_no_corpus_shuffle(spark):
         blocklist_filter(df, bl)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_canonicalize_fuzz_vs_stdlib_model(spark):
+    """400 seeded adversarial URLs (random case, ports, tracking
+    params, fragments with '?' inside, empty segments, multi-'?'
+    queries) — Spark canonicalize_url must equal the independent
+    urllib-based model on every one. This is the test that caught the
+    fragment-'?' bug (a '?' after '#' is fragment, not query)."""
+    import random
+
+    rnd = random.Random(1234)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "www.Example.com", "a.b.C.org", "X.net:80",
+             "x.net:443", "x.net:8080", "WWW.E.com:80"]
+    paths = ["", "/", "/A/b", "/p%20q", "/a/../b", "//double", "/trail/"]
+    params = ["a=1", "b=2", "utm_source=x", "utm_medium=y", "fbclid=z",
+              "gclid=1", "z=", "=v", "", "k=v=w", "q=a?b", "msclkid=7",
+              "mc_eid=8", "igshid=9", "dup=1", "dup=1"]
+    frags = ["", "#f", "#f?notquery=1", "##", "#a#b"]
+    urls = []
+    for _ in range(400):
+        s = rnd.choice(schemes)
+        h = rnd.choice(hosts)
+        p = rnd.choice(paths)
+        n = rnd.randint(0, 5)
+        q = "&".join(rnd.choice(params) for _ in range(n))
+        u = f"{s}://{h}{p}"
+        if rnd.random() < 0.7 and q:
+            u += "?" + q
+        u += rnd.choice(frags)
+        urls.append(u)
+    # targeted edge cases
+    urls += [
+        "http://a.com/p#frag?x=1",      # '?' inside fragment: NOT a query
+        "http://a.com/#?",              # same, empty both
+        "http://a.com/?",               # empty query -> dropped
+        "http://a.com/??a=1",           # query is '?a=1' (first ? wins)
+        "http://a.com#f?utm_source=x",  # tracking text inside fragment
+    ]
+    for strip_www in (False, True):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], ["i", "url"]
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", canonicalize_url("url", strip_www=strip_www).alias("c")
+            ).collect()
+        }
+        for i, u in enumerate(urls):
+            assert got[i] == _py_canon(u, strip_www=strip_www), (u, got[i])

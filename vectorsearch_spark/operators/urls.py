@@ -43,7 +43,11 @@ from pyspark.sql.window import Window
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the query starts at the FIRST '?' and only if it precedes any '#'
+# (everything after '#' is fragment, RFC 3986 §3.5 — a '?' inside the
+# fragment is NOT a query). [^#?]* cannot cross either delimiter, so
+# the match anchors to the first '?' and fails when '#' comes first.
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 # tracking ("click-id") parameters every major pipeline strips; the
 # param is matched against its full `k=v` text
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"

@@ -4636,7 +4636,7 @@ _URL_CANON_SQL = r"""
                lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
                regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-               regexp_extract(raw_url, '\?([^#]*)', 1) AS query
+               regexp_extract(raw_url, '^[^#?]*\?([^#]*)', 1) AS query
         FROM raw) p0) p1) p2
 """
 
