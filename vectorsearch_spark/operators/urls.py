@@ -104,7 +104,12 @@ def is_absolute_url(url: Column | str) -> Column:
 
 def url_host(url: Column | str, strip_www: bool = False) -> Column:
     """Lowercased host (authority minus any port) of an absolute URL —
-    the per-domain key for host caps and host-level stats."""
+    the per-domain key for host caps and host-level stats.
+
+    Scope note: hostnames and IPv4 literals only. A bracketed IPv6
+    literal (``http://[::1]:80/``) truncates at its first ':' — if a
+    corpus carries IPv6-host URLs (vanishingly rare in web crawls),
+    filter them with ``url LIKE '%://[%'`` before keying on host."""
     u = F.col(url) if isinstance(url, str) else url
     authority = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
     host = F.regexp_extract(authority, r"^([^:]*)", 1)
@@ -144,6 +149,7 @@ def host_cap(
     host_col: str = "host",
     id_col: str = "doc_id",
     priority_col: str | None = None,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Per-host document cap: keep at most ``cap`` documents per host,
     best-first (RefinedWeb/FineWeb's per-domain contribution bound).
@@ -159,7 +165,9 @@ def host_cap(
 
     1. *pre-truncate*: rank within (host, shuffle-salt) — the salt is
        a hash-spread of the id, so a mega-host fans out across
-       ``salt_buckets`` tasks — and keep rank ≤ cap per salt. This is
+       ``salt_buckets`` tasks (default 64; size it ≥ the executor
+       count so one host saturates the cluster) — and keep rank ≤ cap
+       per salt. This is
        a provable superset of the global top-cap (any row in the
        global top-cap is in its salt's top-cap).
     2. *final rank*: row_number over host on the surviving
@@ -174,7 +182,6 @@ def host_cap(
         if priority_col
         else [F.col(id_col).asc()]
     )
-    salt_buckets = 64
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     )
