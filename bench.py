@@ -194,6 +194,7 @@ HEADLINE = [
     "pipeline_web_curation",
     "split_leakage_check",
     "mm_audio_neardup",
+    "doc_repetition_gopher",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

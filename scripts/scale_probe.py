@@ -162,6 +162,7 @@ PROBES = [
     "pipeline_web_curation",
     "split_leakage_check",
     "mm_audio_neardup",
+    "doc_repetition_gopher",
 ]
 
 

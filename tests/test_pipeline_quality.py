@@ -310,3 +310,71 @@ def test_c4_clean_matches_python_model(spark):
     assert got[0]["keep"] is True
     assert "javascript" not in got[1]["text_clean"].lower()
     assert got[2]["keep"] is False and got[3]["keep"] is False
+
+
+def test_gopher_repetition_matches_python_model(spark):
+    """gopher_repetition vs an independent Python model of the pinned
+    A1.2 definitions — crafted docs hitting each rule family."""
+    from vectorsearch_spark.operators.text import (
+        GOPHER_REP_THRESHOLDS,
+        gopher_repetition,
+    )
+
+    texts = [
+        # duplicate lines: 'same line' x3 of 4 lines
+        "same line here\nsame line here\nsame line here\nunique closer line",
+        # duplicate paragraphs
+        "para one text\n\npara one text\n\ndifferent paragraph",
+        # heavy top-2gram: 'aa bb' repeated
+        "aa bb " * 30 + "tail",
+        # duplicated 6-gram phrase x3 inside filler
+        ("the exact same six word phrase " * 3) + "plus unique filler words",
+        # clean prose — long enough that a count-1 n-gram cannot cover
+        # >16% of the chars (the A1.1 50-word floor screens shorter docs)
+        " ".join(f"w{i}token" for i in range(60)),
+        "",
+        "one",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+
+    import re
+    from collections import Counter
+
+    for i, t in enumerate(texts):
+        def seg(parts):
+            s = [x.strip() for x in parts if x.strip()]
+            c = Counter(s)
+            return (len(s), sum(v for v in c.values() if v > 1),
+                    sum(len(x) for x in s),
+                    sum(len(k) * v for k, v in c.items() if v > 1))
+        nl, dlo, lc, dlc = seg(t.split("\n"))
+        np_, dpo, pc, dpc = seg(t.split("\n\n"))
+        words = [w for w in re.split(r"[ \t\n\r\f\v]+", t.lower()) if w]
+        wc = len(" ".join(words))
+        exp = {
+            "dup_line_frac": round(dlo / max(nl, 1), 4),
+            "dup_para_frac": round(dpo / max(np_, 1), 4),
+            "dup_line_char_frac": round(dlc / max(lc, 1), 4),
+            "dup_para_char_frac": round(dpc / max(pc, 1), 4),
+        }
+        for n in (2, 3, 4):
+            grams = Counter(" ".join(words[j:j+n]) for j in range(len(words)-n+1))
+            top = max((c * len(g) for g, c in grams.items()), default=0)
+            exp[f"top_{n}gram_char_frac"] = round(top / max(wc, 1), 4)
+        for n in range(5, 11):
+            grams = Counter(" ".join(words[j:j+n]) for j in range(len(words)-n+1))
+            dup = sum(len(g) * c for g, c in grams.items() if c > 1)
+            exp[f"dup_{n}gram_char_frac"] = round(dup / max(wc, 1), 4)
+        for k, v in exp.items():
+            assert abs(got[i][k] - v) < 5e-5, (i, k, got[i][k], v)
+            assert got[i]["f_" + k] == (v <= GOPHER_REP_THRESHOLDS[k]), (i, k)
+        assert got[i]["keep"] == all(
+            got[i][c] for c in got[i] if c.startswith("f_")
+        ), i
+    # semantics spot checks
+    assert got[0]["f_dup_line_frac"] is False     # 3/4 duplicate lines
+    assert got[1]["f_dup_para_frac"] is False     # 2/3 duplicate paras
+    assert got[2]["f_top_2gram_char_frac"] is False
+    assert got[3]["f_dup_6gram_char_frac"] is False
+    assert got[4]["keep"] is True

@@ -906,3 +906,168 @@ def c4_clean(
             "keep"
         ),
     )
+
+
+# Gopher A1.2 thresholds (Rae et al. 2021, Table A1) — mirrored into
+# the SQL oracle and the flag columns
+GOPHER_REP_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021 Appendix A1.2 —
+    the OTHER half of the Gopher filter; ``gopher_quality`` is A1.1):
+    within-document duplicate-line / duplicate-paragraph fractions (by
+    occurrence and by character mass), most-frequent-n-gram character
+    fractions (n = 2, 3, 4), and duplicated-n-gram character fractions
+    (n = 5…10), each with its paper threshold as a flag plus the
+    composite ``keep``.
+
+    Pinned definitions (the paper is loose; BOTH engines apply exactly
+    these):
+      * lines = '\\n' segments, whitespace-only dropped, TRIMMED for
+        comparison and char counts; paragraphs = '\\n\\n' segments,
+        same treatment;
+      * an occurrence is "duplicate" if its (trimmed) text appears ≥ 2
+        times in the doc; occurrence fraction counts every occurrence,
+        char fraction weights by trimmed length over the total trimmed
+        length of all segments;
+      * words = lowercased ASCII-whitespace split; an n-gram's text is
+        its words joined by single spaces; total char mass =
+        length(words joined by single spaces);
+      * top-n-gram char fraction = max over grams of
+        occurrences·length(gram) / total char mass (the max of the
+        product — no tie-break needed);
+      * dup-n-gram char fraction = Σ over ALL occurrences of grams
+        occurring ≥ 2 of length(gram) / total char mass; overlapping
+        occurrences are NOT deduplicated (the common reimplementation
+        simplification, pinned);
+      * empty denominators give fraction 0.0 (greatest(denom, 1)).
+
+    Note: the top-n-gram rules use the most frequent gram at ANY count
+    (count 1 included, as in the public reimplementations), so a very
+    short document can exceed the 16-20 % thresholds with a single
+    occurrence — by design, A1.1's 50-word minimum (``gopher_quality``)
+    screens those documents before this filter is consulted.
+
+    Plan shape: the counting is one Arrow ``mapInPandas`` pass emitting
+    INTEGER numerators/denominators only (the ``repetition_stats``
+    lesson: the pure-Catalyst nested-HOF form is O(G²) interpreted
+    lambdas and re-evaluates the tokenizer per reference — measured
+    20× slower); every fraction, rounding, and flag is computed in
+    Catalyst so ratio semantics stay engine-portable. No shuffle.
+    """
+    import re as _re
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    int_cols = [
+        "n_lines", "dup_line_occ", "line_chars", "dup_line_chars",
+        "n_paras", "dup_para_occ", "para_chars", "dup_para_chars",
+        "word_chars",
+        "top2_prod", "top3_prod", "top4_prod",
+        "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars",
+        "dup9_chars", "dup10_chars",
+    ]
+    schema = f"`{id_col}` long, " + ", ".join(f"`{c}` long" for c in int_cols)
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+
+    def _seg_stats(segs: list[str]) -> tuple[int, int, int, int]:
+        cnt = Counter(segs)
+        total_chars = sum(len(s) for s in segs)
+        dup_occ = sum(c for c in cnt.values() if c > 1)
+        dup_chars = sum(len(s) * c for s, c in cnt.items() if c > 1)
+        return len(segs), dup_occ, total_chars, dup_chars
+
+    def mapper(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                lines = [s.strip() for s in t.split("\n") if s.strip()]
+                paras = [s.strip() for s in t.split("\n\n") if s.strip()]
+                words = [w for w in ws.split(t.lower()) if w]
+                word_chars = len(" ".join(words))
+                rec = [
+                    int(did),
+                    *_seg_stats(lines),
+                    *_seg_stats(paras),
+                    word_chars,
+                ]
+                for n in (2, 3, 4):
+                    grams = [
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    ]
+                    cnt = Counter(grams)
+                    rec.append(
+                        max((c * len(g) for g, c in cnt.items()), default=0)
+                    )
+                for n in range(5, 11):
+                    grams = [
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    ]
+                    cnt = Counter(grams)
+                    rec.append(
+                        sum(len(g) * c for g, c in cnt.items() if c > 1)
+                    )
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[id_col] + int_cols)
+
+    counted = fan_out(df.select(id_col, text_col), id_col).mapInPandas(
+        mapper, schema
+    )
+
+    def frac(num: str, den: str) -> Column:
+        return F.round(F.col(num) / F.greatest(F.col(den), F.lit(1)), 4)
+
+    metrics = {
+        "dup_line_frac": frac("dup_line_occ", "n_lines"),
+        "dup_para_frac": frac("dup_para_occ", "n_paras"),
+        "dup_line_char_frac": frac("dup_line_chars", "line_chars"),
+        "dup_para_char_frac": frac("dup_para_chars", "para_chars"),
+        "top_2gram_char_frac": frac("top2_prod", "word_chars"),
+        "top_3gram_char_frac": frac("top3_prod", "word_chars"),
+        "top_4gram_char_frac": frac("top4_prod", "word_chars"),
+        "dup_5gram_char_frac": frac("dup5_chars", "word_chars"),
+        "dup_6gram_char_frac": frac("dup6_chars", "word_chars"),
+        "dup_7gram_char_frac": frac("dup7_chars", "word_chars"),
+        "dup_8gram_char_frac": frac("dup8_chars", "word_chars"),
+        "dup_9gram_char_frac": frac("dup9_chars", "word_chars"),
+        "dup_10gram_char_frac": frac("dup10_chars", "word_chars"),
+    }
+    m = counted.select(
+        F.col(id_col), *[v.alias(k) for k, v in metrics.items()]
+    )
+    out = m.select(
+        "*",
+        *[
+            (F.col(k) <= thr).alias("f_" + k)
+            for k, thr in GOPHER_REP_THRESHOLDS.items()
+        ],
+    )
+    keep = None
+    for k in GOPHER_REP_THRESHOLDS:
+        c = F.col("f_" + k)
+        keep = c if keep is None else (keep & c)
+    return out.select("*", keep.alias("keep"))

@@ -4987,6 +4987,143 @@ FROM f
 """
 
 
+def doc_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal rules (r11 — operators/text.py
+    gopher_repetition; Rae et al. 2021 Appendix A1.2, completing the
+    Gopher filter whose A1.1 half is ``doc_quality_gopher``):
+    duplicate-line/paragraph fractions by occurrence AND character
+    mass, top-2/3/4-gram char fractions, dup-5…10-gram char fractions,
+    all 13 paper thresholds as flags plus ``keep``. Four in-plan
+    decoration cohorts by ``doc_id % 4`` (duplicated lines / duplicated
+    paragraphs / a ×3-repeated six-gram phrase / natural text); the
+    oracle recomputes every integer numerator/denominator with nested
+    SQL list lambdas and applies the same rounding and thresholds."""
+    from vectorsearch_spark.operators.text import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.lit("\nrepeat me exactly\nrepeat me exactly"))
+            .when(m == 1, F.lit("\n\nsame paragraph body\n\nsame paragraph body"))
+            .when(
+                m == 2,
+                F.lit(" one two three four five six one two three"
+                      " four five six one two three four five six"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_repetition(decorated)
+
+
+_REP_GRAMS_SQL = """list_transform(
+              range(0, greatest(len(words) - {n} + 1, 0)),
+              i -> array_to_string(list_slice(words, CAST(i AS BIGINT) + 1,
+                                              CAST(i AS BIGINT) + {n}), ' '))"""
+
+DOC_REPETITION_GOPHER_SQL = (
+    """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN chr(10) || 'repeat me exactly' || chr(10) || 'repeat me exactly'
+           WHEN 1 THEN chr(10) || chr(10) || 'same paragraph body'
+                       || chr(10) || chr(10) || 'same paragraph body'
+           WHEN 2 THEN ' one two three four five six one two three'
+                       || ' four five six one two three four five six'
+           ELSE ''
+         END AS t
+  FROM documents),
+arrs AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(t, chr(10)),
+           x -> trim(x) <> ''), x -> trim(x)) AS lines,
+         list_transform(list_filter(string_split(t, chr(10) || chr(10)),
+           x -> trim(x) <> ''), x -> trim(x)) AS paras,
+         list_filter(string_split_regex(lower(t), '[ \t\n\r\f\v]+'),
+           w -> w <> '') AS words
+  FROM d),
+ints AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+           x -> len(list_filter(lines, y -> y = x)) > 1)) AS BIGINT) AS dup_line_occ,
+         CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT)
+           AS line_chars,
+         CAST(coalesce(list_sum(list_transform(list_filter(lines,
+           x -> len(list_filter(lines, y -> y = x)) > 1), x -> length(x))), 0)
+           AS BIGINT) AS dup_line_chars,
+         CAST(len(paras) AS BIGINT) AS n_paras,
+         CAST(len(list_filter(paras,
+           x -> len(list_filter(paras, y -> y = x)) > 1)) AS BIGINT) AS dup_para_occ,
+         CAST(coalesce(list_sum(list_transform(paras, x -> length(x))), 0) AS BIGINT)
+           AS para_chars,
+         CAST(coalesce(list_sum(list_transform(list_filter(paras,
+           x -> len(list_filter(paras, y -> y = x)) > 1), x -> length(x))), 0)
+           AS BIGINT) AS dup_para_chars,
+         CAST(length(array_to_string(words, ' ')) AS BIGINT) AS word_chars,
+"""
+    + ",\n".join(
+        f"""         CAST(coalesce(list_max(list_transform({_REP_GRAMS_SQL.format(n=n)},
+           g -> len(list_filter({_REP_GRAMS_SQL.format(n=n)}, h -> h = g)) * length(g))), 0)
+           AS BIGINT) AS top{n}_prod"""
+        for n in (2, 3, 4)
+    )
+    + ",\n"
+    + ",\n".join(
+        f"""         CAST(coalesce(list_sum(list_transform(list_filter({_REP_GRAMS_SQL.format(n=n)},
+           g -> len(list_filter({_REP_GRAMS_SQL.format(n=n)}, h -> h = g)) > 1),
+           g -> length(g))), 0) AS BIGINT) AS dup{n}_chars"""
+        for n in range(5, 11)
+    )
+    + """
+  FROM arrs),
+m AS (
+  SELECT doc_id,
+         round(CAST(dup_line_occ AS DOUBLE) / greatest(n_lines, 1), 4) AS dup_line_frac,
+         round(CAST(dup_para_occ AS DOUBLE) / greatest(n_paras, 1), 4) AS dup_para_frac,
+         round(CAST(dup_line_chars AS DOUBLE) / greatest(line_chars, 1), 4) AS dup_line_char_frac,
+         round(CAST(dup_para_chars AS DOUBLE) / greatest(para_chars, 1), 4) AS dup_para_char_frac,
+         round(CAST(top2_prod AS DOUBLE) / greatest(word_chars, 1), 4) AS top_2gram_char_frac,
+         round(CAST(top3_prod AS DOUBLE) / greatest(word_chars, 1), 4) AS top_3gram_char_frac,
+         round(CAST(top4_prod AS DOUBLE) / greatest(word_chars, 1), 4) AS top_4gram_char_frac,
+         round(CAST(dup5_chars AS DOUBLE) / greatest(word_chars, 1), 4) AS dup_5gram_char_frac,
+         round(CAST(dup6_chars AS DOUBLE) / greatest(word_chars, 1), 4) AS dup_6gram_char_frac,
+         round(CAST(dup7_chars AS DOUBLE) / greatest(word_chars, 1), 4) AS dup_7gram_char_frac,
+         round(CAST(dup8_chars AS DOUBLE) / greatest(word_chars, 1), 4) AS dup_8gram_char_frac,
+         round(CAST(dup9_chars AS DOUBLE) / greatest(word_chars, 1), 4) AS dup_9gram_char_frac,
+         round(CAST(dup10_chars AS DOUBLE) / greatest(word_chars, 1), 4) AS dup_10gram_char_frac
+  FROM ints),
+f AS (
+  SELECT *,
+         (dup_line_frac <= 0.30) AS f_dup_line_frac,
+         (dup_para_frac <= 0.30) AS f_dup_para_frac,
+         (dup_line_char_frac <= 0.20) AS f_dup_line_char_frac,
+         (dup_para_char_frac <= 0.20) AS f_dup_para_char_frac,
+         (top_2gram_char_frac <= 0.20) AS f_top_2gram_char_frac,
+         (top_3gram_char_frac <= 0.18) AS f_top_3gram_char_frac,
+         (top_4gram_char_frac <= 0.16) AS f_top_4gram_char_frac,
+         (dup_5gram_char_frac <= 0.15) AS f_dup_5gram_char_frac,
+         (dup_6gram_char_frac <= 0.14) AS f_dup_6gram_char_frac,
+         (dup_7gram_char_frac <= 0.13) AS f_dup_7gram_char_frac,
+         (dup_8gram_char_frac <= 0.12) AS f_dup_8gram_char_frac,
+         (dup_9gram_char_frac <= 0.11) AS f_dup_9gram_char_frac,
+         (dup_10gram_char_frac <= 0.10) AS f_dup_10gram_char_frac
+  FROM m)
+SELECT *, (f_dup_line_frac AND f_dup_para_frac AND f_dup_line_char_frac
+           AND f_dup_para_char_frac AND f_top_2gram_char_frac
+           AND f_top_3gram_char_frac AND f_top_4gram_char_frac
+           AND f_dup_5gram_char_frac AND f_dup_6gram_char_frac
+           AND f_dup_7gram_char_frac AND f_dup_8gram_char_frac
+           AND f_dup_9gram_char_frac AND f_dup_10gram_char_frac) AS keep
+FROM f
+"""
+)
+
+
 def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end FineWeb-style web-curation funnel (r11): blocklist →
     canonical-URL dedup → per-host cap → Gopher quality gate, composed
@@ -8981,6 +9118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_web_curation": pipeline_web_curation,
         "split_leakage_check": split_leakage_check,
         "mm_audio_neardup": mm_audio_neardup,
+        "doc_repetition_gopher": doc_repetition_gopher,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -9280,6 +9418,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_web_curation": PIPELINE_WEB_CURATION_SQL,
         "split_leakage_check": SPLIT_LEAKAGE_CHECK_SQL,
         "mm_audio_neardup": MM_AUDIO_NEARDUP_SQL,
+        "doc_repetition_gopher": DOC_REPETITION_GOPHER_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
