@@ -195,6 +195,7 @@ HEADLINE = [
     "split_leakage_check",
     "mm_audio_neardup",
     "doc_repetition_gopher",
+    "doc_quality_fineweb",
     # round-10 additions
     "knn_range_ivf_distributed",
     "knn_range_cosine",

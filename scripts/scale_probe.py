@@ -163,6 +163,7 @@ PROBES = [
     "split_leakage_check",
     "mm_audio_neardup",
     "doc_repetition_gopher",
+    "doc_quality_fineweb",
 ]
 
 

@@ -378,3 +378,50 @@ def test_gopher_repetition_matches_python_model(spark):
     assert got[2]["f_top_2gram_char_frac"] is False
     assert got[3]["f_dup_6gram_char_frac"] is False
     assert got[4]["keep"] is True
+
+
+def test_fineweb_quality_matches_python_model(spark):
+    """fineweb_quality (Penedo et al. 2024 §3.6) vs an independent
+    Python model of the three pinned line metrics."""
+    from vectorsearch_spark.operators.text import fineweb_quality
+
+    texts = [
+        # unpunctuated short lines -> fails punct AND short-line rules
+        "nav\nhome\nabout us\ncontact\nblog\nshop",
+        # one long duplicated line x2 of 3 -> fails dup-line-chars
+        ("this exact long line repeats itself verbatim across the page."
+         "\nthis exact long line repeats itself verbatim across the page."
+         "\nshort tail."),
+        # healthy prose: long punctuated distinct lines
+        ("The first sentence of this document is long and ends properly."
+         "\nThe second sentence is also long and ends with a question?"
+         "\nA third distinct line closes the document with a period."),
+        "",
+        "single unpunctuated line that is quite long but has no terminal mark",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in fineweb_quality(df).collect()}
+
+    import re
+    from collections import Counter
+
+    for i, t in enumerate(texts):
+        lines = [l.strip() for l in t.split("\n") if l.strip()]
+        l1 = max(len(lines), 1)
+        punct = round(sum(bool(re.search(r'[.!?"]$', l)) for l in lines) / l1, 4)
+        short = round(sum(len(l) < 30 for l in lines) / l1, 4)
+        cnt = Counter(lines)
+        tot = sum(len(l) for l in lines)
+        dup = round(sum(len(l) for l in lines if cnt[l] > 1) / max(tot, 1), 4)
+        assert got[i]["n_lines"] == len(lines), i
+        assert abs(got[i]["line_punct_frac"] - punct) < 5e-5, i
+        assert abs(got[i]["short_line_frac"] - short) < 5e-5, i
+        assert abs(got[i]["dup_line_char_frac"] - dup) < 5e-5, i
+        assert got[i]["f_line_punct"] == (punct >= 0.12), i
+        assert got[i]["f_short_lines"] == (short <= 0.67), i
+        assert got[i]["f_dup_line_chars"] == (dup <= 0.10), i
+        assert got[i]["keep"] == all(
+            got[i][k] for k in ("f_line_punct", "f_short_lines", "f_dup_line_chars")
+        ), i
+    assert got[0]["keep"] is False and got[1]["keep"] is False
+    assert got[2]["keep"] is True

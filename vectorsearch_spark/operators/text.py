@@ -1071,3 +1071,77 @@ def gopher_repetition(
         c = F.col("f_" + k)
         keep = c if keep is None else (keep & c)
     return out.select("*", keep.alias("keep"))
+
+
+def fineweb_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_punct_frac: float = 0.12,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    max_dup_line_char_frac: float = 0.10,
+) -> DataFrame:
+    """FineWeb's three custom quality filters (Penedo et al. 2024 §3.6
+    — the filters FineWeb adds AFTER Gopher + C4, derived from their
+    ablations; public): a document is kept iff
+
+      * ≥ ``min_line_punct_frac`` of its lines end in terminal
+        punctuation ('.', '!', '?' or '"' — the C4 terminal set);
+      * ≤ ``max_short_line_frac`` of its lines are shorter than
+        ``short_line_chars`` characters;
+      * ≤ ``max_dup_line_char_frac`` of its line character mass is in
+        duplicated lines (same pinned definition as
+        ``gopher_repetition``: trimmed segments, every occurrence of a
+        ≥2-count line counts).
+
+    Pure codegen: the trimmed-line array materializes once below a
+    repartition barrier; all three metrics are HOF arithmetic above it
+    (the duplicate scan is the nested-filter O(L²) form — lines per doc
+    are few, unlike the n-grams that forced ``gopher_repetition``'s
+    Arrow pass). No UDF, no Python, one linear doc-keyed shuffle.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("__lines"),
+    ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+
+    lines = F.col("__lines")
+    n_lines = F.size(lines).cast("long")
+    l1 = F.greatest(n_lines, F.lit(1))
+    punct_frac = F.size(F.filter(lines, lambda l: l.rlike(r'[.!?"]$'))) / l1
+    short_frac = (
+        F.size(F.filter(lines, lambda l: F.length(l) < short_line_chars)) / l1
+    )
+    total_chars = F.aggregate(lines, F.lit(0.0), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    dup_frac = dup_chars / F.greatest(total_chars, F.lit(1.0))
+
+    m = base.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(punct_frac, 4).alias("line_punct_frac"),
+        F.round(short_frac, 4).alias("short_line_frac"),
+        F.round(dup_frac, 4).alias("dup_line_char_frac"),
+    )
+    flags = {
+        "f_line_punct": F.col("line_punct_frac") >= min_line_punct_frac,
+        "f_short_lines": F.col("short_line_frac") <= max_short_line_frac,
+        "f_dup_line_chars": F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+    }
+    out = m.select("*", *[v.alias(k) for k, v in flags.items()])
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.select("*", keep.alias("keep"))

@@ -4987,6 +4987,86 @@ FROM f
 """
 
 
+def doc_quality_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb custom quality filters (r11 — operators/text.py
+    fineweb_quality; Penedo et al. 2024 §3.6): line-terminal-
+    punctuation fraction ≥ 0.12, short-line (<30 chars) fraction
+    ≤ 0.67, duplicated-line character fraction ≤ 0.10 — the three
+    ablation-derived filters FineWeb applies after Gopher + C4, which
+    completes the repo's public-filter-set coverage (C4 ✓ Gopher A1.1 ✓
+    A1.2 ✓ FineWeb ✓). Three decoration cohorts by ``doc_id % 3``
+    (unpunctuated nav stubs / a duplicated boilerplate line /
+    punctuated prose); the oracle recomputes all three metrics and
+    flags with the same trimmed-line definitions in SQL."""
+    from vectorsearch_spark.operators.text import fineweb_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.lit("\nnav\nhome\nabout\nshop\nblog"))
+            .when(
+                m == 1,
+                F.lit(
+                    "\nthis exact long boilerplate line repeats itself verbatim here."
+                    "\nthis exact long boilerplate line repeats itself verbatim here."
+                ),
+            )
+            .otherwise(
+                F.lit(
+                    "\nThe first added sentence is long and ends with a period."
+                    "\nThe second added sentence is long and asks a question?"
+                )
+            ),
+        ).alias("text"),
+    )
+    return fineweb_quality(decorated)
+
+
+DOC_QUALITY_FINEWEB_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN chr(10) || 'nav' || chr(10) || 'home' || chr(10)
+                       || 'about' || chr(10) || 'shop' || chr(10) || 'blog'
+           WHEN 1 THEN chr(10) || 'this exact long boilerplate line repeats itself verbatim here.'
+                       || chr(10) || 'this exact long boilerplate line repeats itself verbatim here.'
+           ELSE chr(10) || 'The first added sentence is long and ends with a period.'
+                || chr(10) || 'The second added sentence is long and asks a question?'
+         END AS t
+  FROM documents),
+arrs AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(t, chr(10)),
+           x -> trim(x) <> ''), x -> trim(x)) AS lines
+  FROM d),
+m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         round(CAST(len(list_filter(lines,
+             l -> regexp_matches(l, '[.!?"]$'))) AS DOUBLE)
+           / greatest(len(lines), 1), 4) AS line_punct_frac,
+         round(CAST(len(list_filter(lines, l -> length(l) < 30)) AS DOUBLE)
+           / greatest(len(lines), 1), 4) AS short_line_frac,
+         round(CAST(coalesce(list_sum(list_transform(list_filter(lines,
+             x -> len(list_filter(lines, y -> y = x)) > 1),
+             x -> length(x))), 0) AS DOUBLE)
+           / greatest(CAST(coalesce(list_sum(list_transform(lines,
+             x -> length(x))), 0) AS DOUBLE), 1.0), 4) AS dup_line_char_frac
+  FROM arrs),
+f AS (
+  SELECT *,
+         (line_punct_frac >= 0.12) AS f_line_punct,
+         (short_line_frac <= 0.67) AS f_short_lines,
+         (dup_line_char_frac <= 0.10) AS f_dup_line_chars
+  FROM m)
+SELECT *, (f_line_punct AND f_short_lines AND f_dup_line_chars) AS keep
+FROM f
+"""
+
+
 def doc_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal rules (r11 — operators/text.py
     gopher_repetition; Rae et al. 2021 Appendix A1.2, completing the
@@ -9119,6 +9199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_check": split_leakage_check,
         "mm_audio_neardup": mm_audio_neardup,
         "doc_repetition_gopher": doc_repetition_gopher,
+        "doc_quality_fineweb": doc_quality_fineweb,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -9419,6 +9500,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_check": SPLIT_LEAKAGE_CHECK_SQL,
         "mm_audio_neardup": MM_AUDIO_NEARDUP_SQL,
         "doc_repetition_gopher": DOC_REPETITION_GOPHER_SQL,
+        "doc_quality_fineweb": DOC_QUALITY_FINEWEB_SQL,
         "doc_text_normalize": DOC_TEXT_NORMALIZE_SQL,
         "training_length_batches": TRAINING_LENGTH_BATCHES_SQL,
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
