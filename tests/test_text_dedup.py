@@ -270,7 +270,11 @@ def test_embedding_near_dup_plan_only_with_dim(spark):
     before = set(tracker.getJobIdsForGroup(None))
     out = embedding_near_dup(df, dim=4)  # plan only — no action yet
     after = set(tracker.getJobIdsForGroup(None))
-    assert before == after, "planning ran Spark jobs"
+    # NO NEW jobs may appear; set difference (not equality) because the
+    # status store retains a bounded window and can EVICT old ids
+    # between the snapshots in a long-running session (flaked once in a
+    # full-suite run as `before` ⊋ `after`)
+    assert after - before == set(), "planning ran Spark jobs"
     # passed-dim results ≡ probed-dim results
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     probed = {
