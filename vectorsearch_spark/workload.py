@@ -5206,67 +5206,122 @@ FROM f
 
 def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end FineWeb-style web-curation funnel (r11): blocklist →
-    canonical-URL dedup → per-host cap → Gopher quality gate, composed
-    from the REAL operators (operators/urls.py blocklist_filter /
-    host_cap, operators/text.py gopher_quality) over the messy-URL
-    corpus joined to the decorated documents. Output is the per-doc
-    FUNNEL ATTRIBUTION — (doc_id, stage) where stage is the first
-    rejecting stage ('blocklist' | 'url_duplicate' | 'host_cap' |
-    'quality') or 'kept' — the report a pipeline operator actually
-    watches. Every stage's decision is recomputed in ONE chained SQL
-    oracle (suffix blocklist, min-id keeper, rank window, the full
-    Gopher rule chain), so the composition is hash-exact end to end,
-    not just each piece in isolation.
+    canonical-URL dedup → per-host cap → Gopher quality gate over the
+    messy-URL corpus + decorated documents, emitting the per-doc FUNNEL
+    ATTRIBUTION — (doc_id, stage) where stage is the first rejecting
+    stage ('blocklist' | 'url_duplicate' | 'host_cap' | 'quality') or
+    'kept' — the report a pipeline operator actually watches.
 
-    Scale: stage 1 is a broadcast anti join; stage 2 one aggregate +
-    semi join; stage 3 the two-phase salted rank; stage 4 codegen
-    flags over the tokenize-once barrier. The funnel attribution adds
-    four anti joins on the doc id — each a broadcast/shuffle of ID
-    COLUMNS only, never text."""
+    This is the FUSED single-pass form of the composable operators
+    (each oracled on its own: curate_blocklist_filter, dedup_url_exact,
+    curate_host_cap, doc_quality_gopher): every stage decision is a
+    boolean COLUMN over one scan — codegen suffix-membership for the
+    literal blocklist, a conditional-min window for the URL keeper, the
+    two-phase salted rank inlined as survivor-first orderings (the
+    host_cap superset argument verbatim), and ONE join back from the
+    gopher Arrow barrier. The first cut attributed stages with four
+    anti joins whose unioned branches re-evaluated the upstream
+    pipeline (gopher pass included) up to 9× and planned 32
+    SortMergeJoins — caught by scripts/plan_audit.py in-round; the
+    fused plan is 3 windows + 1 join. Results are hash-exact against
+    the SAME chained SQL oracle, which recomputes all four stages
+    independently — fused-vs-composed equivalence IS the correctness
+    claim.
+
+    Scale: windows key on (url), (host, salt), (host) — the salted
+    pre-rank keeps mega-hosts fanned out exactly as host_cap does; the
+    quality join is one doc-keyed shuffle. Nothing re-evaluates."""
+    from pyspark.sql.window import Window
+
     from vectorsearch_spark.operators.text import gopher_quality
     from vectorsearch_spark.operators.urls import (
-        blocklist_filter,
         canonicalize_url,
-        host_cap,
+        domain_suffixes,
         url_host,
     )
 
-    docs = _gopher_decorated(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "n_chars"
+    cap, salt_buckets = 5, 64
+    # ONE scan: url synthesis, canonicalization, hosts, gopher
+    # decoration, and priority all project from the same documents read
+    docs = _gopher_decorated(_t(spark, sf_dir, "documents"))
+    k7 = (F.col("doc_id") % 7).cast("string")
+    m4 = F.col("doc_id") % 4
+    raw_url = (
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.col("source"), F.lit(".COM:80/p/"), k7,
+                F.lit("?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".com/p/"), k7, F.lit("?a=1&b=2")),
+        )
+        .when(
+            m4 == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".COM:443/p/"), k7,
+                F.lit("?b=2&utm_campaign=x&a=1"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"), k7))
     )
-    raw = _url_corpus(spark, sf_dir)
-    d0 = raw.join(docs, "doc_id").select(
+    d0 = docs.select(
         "doc_id",
-        canonicalize_url("raw_url", strip_www=True).alias("url"),
-        url_host("raw_url", strip_www=False).alias("host_b"),
-        url_host("raw_url", strip_www=True).alias("host"),
+        canonicalize_url(raw_url, strip_www=True).alias("url"),
+        url_host(raw_url, strip_www=False).alias("host_b"),
+        url_host(raw_url, strip_www=True).alias("host"),
         "text",
         "n_chars",
     )
-    bl = spark.createDataFrame([("src3.com",), ("src7.com",)], ["domain"])
-    s1 = blocklist_filter(d0, bl, host_col="host_b")
-    keepers = s1.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
-    s2 = s1.join(keepers, ["url", "doc_id"], "left_semi")
-    s3 = host_cap(s2, cap=5, host_col="host", id_col="doc_id", priority_col="n_chars")
-    q = gopher_quality(s3.select("doc_id", "text"))
-    s4 = s3.join(q.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
-
-    def ids(df):
-        return df.select("doc_id")
-
-    def stage(survivors_before, survivors_after, name):
-        return (
-            ids(survivors_before)
-            .join(ids(survivors_after), "doc_id", "left_anti")
-            .withColumn("stage", F.lit(name))
+    # stage 1: literal 2-domain blocklist as codegen suffix membership
+    # (the table-driven broadcast form is operators/urls.py
+    # blocklist_filter, oracled by curate_blocklist_filter)
+    blocked = F.exists(
+        domain_suffixes(F.col("host_b")),
+        lambda s: s.isin("src3.com", "src7.com"),
+    )
+    # stage 2: URL keeper — conditional min over the url window (only
+    # unblocked rows compete; min ignores nulls)
+    w_url = Window.partitionBy("url")
+    keeper = (~F.col("blocked")) & (
+        F.col("doc_id")
+        == F.min(F.when(~F.col("blocked"), F.col("doc_id"))).over(w_url)
+    )
+    flags = d0.withColumn("blocked", blocked).withColumn("is_keeper", keeper)
+    # stage 3: host_cap's two-phase salted rank, inlined — survivors
+    # sort FIRST in each window, so row_number restricted to survivor
+    # rows is their rank among survivors (the same superset argument)
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
+    w_pre = Window.partitionBy("host", F.col("__salt")).orderBy(
+        F.col("is_keeper").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_host = Window.partitionBy("host").orderBy(
+        F.col("__pre_ok").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        flags.withColumn("__salt", salt)
+        .withColumn(
+            "__pre_ok",
+            F.col("is_keeper") & (F.row_number().over(w_pre) <= cap),
         )
-
-    return (
-        stage(d0, s1, "blocklist")
-        .unionByName(stage(s1, s2, "url_duplicate"))
-        .unionByName(stage(s2, s3, "host_cap"))
-        .unionByName(stage(s3, s4, "quality"))
-        .unionByName(ids(s4).withColumn("stage", F.lit("kept")))
+        .withColumn(
+            "in_cap", F.col("__pre_ok") & (F.row_number().over(w_host) <= cap)
+        )
+    )
+    # stage 4: gopher keep via the Arrow barrier, ONE join back by id
+    q = gopher_quality(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("keep").alias("__q_keep")
+    )
+    return ranked.join(q, "doc_id").select(
+        "doc_id",
+        F.when(F.col("blocked"), F.lit("blocklist"))
+        .when(~F.col("is_keeper"), F.lit("url_duplicate"))
+        .when(~F.col("in_cap"), F.lit("host_cap"))
+        .when(~F.col("__q_keep"), F.lit("quality"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
     )
 
 
