@@ -942,9 +942,11 @@ def gopher_repetition(
 
     Pinned definitions (the paper is loose; BOTH engines apply exactly
     these):
-      * lines = '\\n' segments, whitespace-only dropped, TRIMMED for
-        comparison and char counts; paragraphs = '\\n\\n' segments,
-        same treatment;
+      * lines = '\\n' segments, space-only-trimmed (ASCII 0x20 — the
+        exact semantics of Spark ``F.trim`` and DuckDB ``trim()``;
+        tab/CR edges count as content) for comparison and char
+        counts, segments empty after that trim dropped; paragraphs =
+        '\\n\\n' segments, same treatment;
       * an occurrence is "duplicate" if its (trimmed) text appears ≥ 2
         times in the doc; occurrence fraction counts every occurrence,
         char fraction weights by trimmed length over the total trimmed
@@ -1003,8 +1005,12 @@ def gopher_repetition(
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 t = text or ""
-                lines = [s.strip() for s in t.split("\n") if s.strip()]
-                paras = [s.strip() for s in t.split("\n\n") if s.strip()]
+                # space-ONLY trim — pinned to match Spark F.trim and
+                # DuckDB trim() defaults (both strip 0x20 only); a
+                # '\t'/'\r'-edged line is content, a '\t'-only line is
+                # a real (non-dropped) line, in ALL THREE engines
+                lines = [s.strip(" ") for s in t.split("\n") if s.strip(" ")]
+                paras = [s.strip(" ") for s in t.split("\n\n") if s.strip(" ")]
                 words = [w for w in ws.split(t.lower()) if w]
                 word_chars = len(" ".join(words))
                 rec = [
@@ -1092,8 +1098,10 @@ def fineweb_quality(
         ``short_line_chars`` characters;
       * ≤ ``max_dup_line_char_frac`` of its line character mass is in
         duplicated lines (same pinned definition as
-        ``gopher_repetition``: trimmed segments, every occurrence of a
-        ≥2-count line counts).
+        ``gopher_repetition``: space-only-trimmed segments — ``F.trim``
+        here, ``str.strip(' ')`` in the Arrow mapper there, DuckDB
+        ``trim()`` in the oracles, all three 0x20-only — every
+        occurrence of a ≥2-count line counts).
 
     Pure codegen: the trimmed-line array materializes once below a
     repartition barrier; all three metrics are HOF arithmetic above it

@@ -5075,7 +5075,8 @@ def doc_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, top-2/3/4-gram char fractions, dup-5…10-gram char fractions,
     all 13 paper thresholds as flags plus ``keep``. Four in-plan
     decoration cohorts by ``doc_id % 4`` (duplicated lines / duplicated
-    paragraphs / a ×3-repeated six-gram phrase / natural text); the
+    paragraphs / a ×3-repeated six-gram phrase / tab-and-CR-edged
+    duplicate lines that pin the space-only trim semantics); the
     oracle recomputes every integer numerator/denominator with nested
     SQL list lambdas and applies the same rounding and thresholds."""
     from vectorsearch_spark.operators.text import gopher_repetition
@@ -5093,7 +5094,11 @@ def doc_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" one two three four five six one two three"
                       " four five six one two three four five six"),
             )
-            .otherwise(F.lit("")),
+            # cohort 3 pins the SPACE-ONLY trim semantics (r12, ADVICE
+            # fix): '\t'-edged duplicate lines and a '\r'-edged line —
+            # they only count as duplicates / distinct content if all
+            # three engines trim 0x20 only
+            .otherwise(F.lit("\n\tedge line\t\n\tedge line\t\nplain\r")),
         ).alias("text"),
     )
     return gopher_repetition(decorated)
@@ -5114,7 +5119,9 @@ WITH d AS (
                        || chr(10) || chr(10) || 'same paragraph body'
            WHEN 2 THEN ' one two three four five six one two three'
                        || ' four five six one two three four five six'
-           ELSE ''
+           ELSE chr(10) || chr(9) || 'edge line' || chr(9)
+                || chr(10) || chr(9) || 'edge line' || chr(9)
+                || chr(10) || 'plain' || chr(13)
          END AS t
   FROM documents),
 arrs AS (
