@@ -24,6 +24,50 @@ from vectorsearch_spark.operators.urls import (
 import re
 
 
+def _py_pct(s: str) -> str:
+    """Model of RFC 3986 §6.2.2.2 — regex-scan based, independent of
+    the engine's split-on-'%' formulation."""
+
+    def fix(m: "re.Match[str]") -> str:
+        h = m.group(1)
+        ch = chr(int(h, 16))
+        if ch.isascii() and (ch.isalnum() or ch in "-._~"):
+            return ch
+        return "%" + h.upper()
+
+    return re.sub(r"%([0-9A-Fa-f]{2})", fix, s)
+
+
+def _py_dot(path: str) -> str:
+    """Model of RFC 3986 §6.2.2.3 — the LITERAL two-buffer algorithm
+    from the RFC pseudocode, independent of the engine's stack fold."""
+    inp, out = path, ""
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            out = out[: out.rfind("/")] if "/" in out else ""
+        elif inp == "/..":
+            inp = "/"
+            out = out[: out.rfind("/")] if "/" in out else ""
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            if i == -1:
+                out, inp = out + inp, ""
+            else:
+                out, inp = out + inp[:i], inp[i:]
+    return out
+
+
 def _py_canon(url: str, strip_www: bool = False) -> str:
     """Independent stdlib-based model of the canonicalization rules."""
     if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", url):
@@ -37,10 +81,10 @@ def _py_canon(url: str, strip_www: bool = False) -> str:
         netloc = netloc[:-4]
     if strip_www and netloc.startswith("www."):
         netloc = netloc[4:]
-    path = parts.path or "/"
+    path = _py_dot(_py_pct(parts.path)) or "/"
     kept = sorted(
         p
-        for p in parts.query.split("&")
+        for p in _py_pct(parts.query).split("&")
         if p and not re.match(TRACKING_PARAM_RE, p)
     )
     q = ("?" + "&".join(kept)) if kept else ""
@@ -63,6 +107,14 @@ CASES = [
     "relative/path?utm_source=x",
     "http://example.com/?&&a=1&&",
     "http://example.com/?utm_",
+    # r12: dot segments + percent-encoding normalization
+    "http://example.com/a/./b",
+    "http://example.com/a/../b",
+    "http://example.com/a/b/..",
+    "http://example.com/../../a",
+    "http://example.com/%7Euser/x",
+    "http://example.com/a%2Fb?q=%2f%41",
+    "http://example.com/%2e%2e/a",
 ]
 
 
@@ -316,24 +368,36 @@ def test_blocklist_filter_is_broadcast_no_corpus_shuffle(spark):
 
 
 def test_canonicalize_fuzz_vs_stdlib_model(spark):
-    """400 seeded adversarial URLs (random case, ports, tracking
+    """600 seeded adversarial URLs (random case, ports, tracking
     params, fragments with '?' inside, empty segments, multi-'?'
-    queries) — Spark canonicalize_url must equal the independent
-    urllib-based model on every one. This is the test that caught the
-    fragment-'?' bug (a '?' after '#' is fragment, not query)."""
+    queries, and — r12 — dot segments, percent escapes of unreserved /
+    reserved / invalid forms, and '%2e' escapes that decode INTO dot
+    segments) — Spark canonicalize_url must equal the independent
+    urllib-based model (which implements §6.2.2.3 as the RFC's literal
+    two-buffer algorithm, not the engine's stack fold) on every one.
+    This is the test that caught the fragment-'?' bug (a '?' after '#'
+    is fragment, not query)."""
     import random
 
     rnd = random.Random(1234)
     schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
     hosts = ["Example.COM", "www.Example.com", "a.b.C.org", "X.net:80",
              "x.net:443", "x.net:8080", "WWW.E.com:80"]
-    paths = ["", "/", "/A/b", "/p%20q", "/a/../b", "//double", "/trail/"]
+    paths = ["", "/", "/A/b", "/p%20q", "/a/../b", "//double", "/trail/",
+             # r12: dot segments (nested, rooted, trailing, empty-seg
+             # interactions) and percent escapes (unreserved, reserved,
+             # lowercase hex, invalid, '%2e' decoding into a dot seg)
+             "/a/./b", "/a/../../b", "/..", "/.", "/a/b/../c/./d",
+             "/a//../b", "/trail/..", "/trail/.", "/..a/../b", "/a/...",
+             "/%7Euser/x", "/a%2Fb/../c", "/%2e%2e/a", "/a/%2E./b",
+             "/%41%6b/x", "/%zz/%4", "/x%", "/%2E", "/a/.././../b"]
     params = ["a=1", "b=2", "utm_source=x", "utm_medium=y", "fbclid=z",
               "gclid=1", "z=", "=v", "", "k=v=w", "q=a?b", "msclkid=7",
-              "mc_eid=8", "igshid=9", "dup=1", "dup=1"]
+              "mc_eid=8", "igshid=9", "dup=1", "dup=1",
+              "q=%7E", "r=%2F%2f", "s=%zz", "t=%41", "u%6b=1"]
     frags = ["", "#f", "#f?notquery=1", "##", "#a#b"]
     urls = []
-    for _ in range(400):
+    for _ in range(600):
         s = rnd.choice(schemes)
         h = rnd.choice(hosts)
         p = rnd.choice(paths)
@@ -351,6 +415,12 @@ def test_canonicalize_fuzz_vs_stdlib_model(spark):
         "http://a.com/?",               # empty query -> dropped
         "http://a.com/??a=1",           # query is '?a=1' (first ? wins)
         "http://a.com#f?utm_source=x",  # tracking text inside fragment
+        "http://a.com/..",              # root pop at end
+        "http://a.com/../",             # root pop, trailing slash
+        "http://a.com/a/%2e%2e/b",      # escaped '..' decodes THEN pops
+        "http://a.com/a/%2E/b",         # escaped '.' decodes then drops
+        "http://a.com/%2f../x",         # '%2F..' is NOT a dot segment
+        "http://a.com/x/%2e%2e",        # escaped trailing '..'
     ]
     for strip_www in (False, True):
         df = spark.createDataFrame(

@@ -24,7 +24,19 @@ the tracking-parameter strip every production crawler applies):
 6. empty path normalized to ``/`` (§6.2.3), empty query dropped;
 7. optionally the ``www.`` host prefix stripped (`strip_www=True`) —
    not RFC normalization, but standard dedup policy (the same origin
-   serves both in practice).
+   serves both in practice);
+8. percent-encoding normalized in path and query (§6.2.2.2): an
+   escape of an UNRESERVED character (ALPHA / DIGIT / ``-._~``) is
+   decoded (``%7Euser`` → ``~user``), every other escape gets
+   uppercase hex (``%2f`` → ``%2F``); a ``%`` not followed by two hex
+   digits passes through literally. Host escapes are out of scope
+   (vanishingly rare in crawls; the host rules above are byte-level);
+9. dot-segments removed from the path (§6.2.2.3, the full RFC
+   ``remove_dot_segments`` algorithm): ``/a/./b`` → ``/a/b``,
+   ``/a/../b`` → ``/b``, excess ``..`` at the root ignored, a
+   trailing ``/.`` or ``/..`` leaves a trailing slash. Runs AFTER
+   rule 8, so ``%2E`` segments decode to ``.`` first, exactly as the
+   RFC orders the normalizations.
 
 Everything is built-in Spark string/array functions — regexp_extract
 for the split, ``filter``/``array_sort``/``array_join`` HOFs for the
@@ -51,6 +63,75 @@ _QUERY_RE = r"^[^#?]*\?([^#]*)"
 # tracking ("click-id") parameters every major pipeline strips; the
 # param is matched against its full `k=v` text
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def pct_normalize(s: Column) -> Column:
+    """Percent-encoding normalization (RFC 3986 §6.2.2.2) as one
+    codegen expression: decode escapes of unreserved characters
+    (ALPHA / DIGIT / ``-._~``), uppercase the hex of every other valid
+    escape, pass invalid ``%`` sequences through literally.
+
+    Shape: split on ``%`` (each later element begins with the escape's
+    candidate hex pair), rewrite each element independently, rejoin.
+    Equivalent to a single left-to-right scan because a rewrite never
+    produces a new ``%`` and never re-examines consumed characters.
+    """
+    parts = F.split(s, "%")
+
+    def fix(e: Column) -> Column:
+        code = (
+            (F.instr(F.lit(_HEX_DIGITS), F.lower(e.substr(1, 1))) - 1) * 16
+            + F.instr(F.lit(_HEX_DIGITS), F.lower(e.substr(2, 1)))
+            - 1
+        )
+        unreserved = (
+            ((code >= 48) & (code <= 57))   # DIGIT
+            | ((code >= 65) & (code <= 90))   # ALPHA upper
+            | ((code >= 97) & (code <= 122))  # ALPHA lower
+            | code.isin(45, 46, 95, 126)      # - . _ ~
+        )
+        valid = e.rlike("^[0-9A-Fa-f]{2}")
+        rest = e.substr(F.lit(3), F.length(e))
+        return (
+            F.when(valid & unreserved, F.concat(F.char(code), rest))
+            .when(valid, F.concat(F.lit("%"), F.upper(e.substr(1, 2)), rest))
+            .otherwise(F.concat(F.lit("%"), e))
+        )
+
+    return F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.transform(F.slice(parts, 2, F.size(parts) - 1), fix), ""
+        ),
+    )
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §6.2.2.3 ``remove_dot_segments`` for an absolute-URL
+    path (starts with ``/`` or empty), as one codegen ``aggregate``
+    fold over the ``/``-split segments — a stack: ``.`` is dropped,
+    ``..`` pops the previous segment (never the leading root), anything
+    else (empty segments included — ``..`` pops those too, as the RFC
+    buffer algorithm does) is pushed. A trailing ``/.`` or ``/..``
+    leaves the trailing slash the RFC output has. Linear per row, no
+    shuffle; the DuckDB oracle twin uses an equivalent prefix-sum
+    formulation over the same split (workload.py ``_dot_sql``)."""
+    segs = F.split(path, "/")
+    stack = F.aggregate(
+        segs,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when((s == "..") & (F.size(acc) > 1), F.slice(acc, 1, F.size(acc) - 1))
+        .when(s == "..", acc)
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    last = F.element_at(segs, -1)
+    return F.concat(
+        F.array_join(stack, "/"),
+        F.when(last.isin(".", ".."), F.lit("/")).otherwise(F.lit("")),
+    )
 
 
 def canonicalize_url(url: Column | str, strip_www: bool = False) -> Column:
@@ -79,9 +160,13 @@ def canonicalize_url(url: Column | str, strip_www: bool = False) -> Column:
         host = F.when(
             host.startswith("www."), host.substr(F.lit(5), F.length(host))
         ).otherwise(host)
-    path = F.regexp_extract(u, _PATH_RE, 1)
+    # §6.2.2.2 then §6.2.2.3, in the RFC's order: '%2E' decodes to '.'
+    # BEFORE dot-segment removal. pct escapes never decode to '/', '?',
+    # '#', '&', '=' or '%' (none are unreserved), so component
+    # boundaries and the param split are unaffected.
+    path = remove_dot_segments(pct_normalize(F.regexp_extract(u, _PATH_RE, 1)))
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, _QUERY_RE, 1)
+    query = pct_normalize(F.regexp_extract(u, _QUERY_RE, 1))
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),

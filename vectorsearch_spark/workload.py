@@ -4557,19 +4557,22 @@ FROM blocks
 """
 
 
-def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic messy-URL corpus synthesized IN-PLAN from the
-    documents table (the mm_* witness pattern): four fetch variants by
+def _raw_url_col() -> Column:
+    """The messy-URL synthesis expression over (doc_id, source) — the
+    SHARED builder of ``_url_corpus`` and ``pipeline_web_curation``
+    (one definition, one SQL mirror). Four fetch variants by
     ``doc_id % 4`` exercising every canonicalization rule — uppercase
     scheme/host, default ports, ``www.`` prefix, tracking params,
-    unsorted query, fragment. Variants 0 and 1 canonicalize to the
-    SAME url whenever two doc_ids share (source, doc_id % 7), so the
-    dedup entry has real duplicate mass. Mirrored verbatim by
-    ``_URL_CORPUS_SQL``."""
-    docs = _t(spark, sf_dir, "documents")
+    unsorted query, fragment, and (r12) dot-segments in the path plus
+    percent escapes of unreserved ('%41' → 'A') and reserved ('%2f' →
+    '%2F') characters. Variants 0 and 1 canonicalize to the SAME url
+    whenever two doc_ids share (source, doc_id % 7) — variant 1's
+    ``/p/x/../`` prefix collapses to variant 0's ``/p/`` — so the
+    dedup entries have real duplicate mass that only the FULL RFC 3986
+    §6.2.2 normalization finds."""
     k7 = (F.col("doc_id") % 7).cast("string")
     m = F.col("doc_id") % 4
-    raw = (
+    return (
         F.when(
             m == 0,
             F.concat(
@@ -4579,20 +4582,33 @@ def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             m == 1,
-            F.concat(F.lit("http://"), F.col("source"), F.lit(".com/p/"), k7, F.lit("?a=1&b=2")),
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".com/p/x/../"), k7,
+                F.lit("?a=1&b=2"),
+            ),
         )
         .when(
             m == 2,
             F.concat(
-                F.lit("https://"), F.col("source"), F.lit(".COM:443/p/"), k7,
+                F.lit("https://"), F.col("source"), F.lit(".COM:443/%7Ep/./"), k7,
                 F.lit("?b=2&utm_campaign=x&a=1"),
             ),
         )
         .otherwise(
-            F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"), k7)
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".com/p/"), k7,
+                F.lit("?q=%2f&r=%41"),
+            )
         )
     )
-    return docs.select("doc_id", raw.alias("raw_url"))
+
+
+def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL corpus synthesized IN-PLAN from the
+    documents table (the mm_* witness pattern) — see ``_raw_url_col``.
+    Mirrored verbatim by ``_URL_CORPUS_SQL``."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _raw_url_col().alias("raw_url"))
 
 
 _URL_CORPUS_SQL = """
@@ -4600,45 +4616,95 @@ _URL_CORPUS_SQL = """
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/p/' || (doc_id % 7)
                        || '?utm_source=feed&b=2&a=1#frag'
-           WHEN 1 THEN 'http://' || source || '.com/p/' || (doc_id % 7) || '?a=1&b=2'
-           WHEN 2 THEN 'https://' || source || '.COM:443/p/' || (doc_id % 7)
+           WHEN 1 THEN 'http://' || source || '.com/p/x/../' || (doc_id % 7) || '?a=1&b=2'
+           WHEN 2 THEN 'https://' || source || '.COM:443/%7Ep/./' || (doc_id % 7)
                        || '?b=2&utm_campaign=x&a=1'
-           ELSE 'https://' || source || '.com/p/' || (doc_id % 7)
+           ELSE 'https://' || source || '.com/p/' || (doc_id % 7) || '?q=%2f&r=%41'
          END AS raw_url
   FROM documents
 """
 
+# percent-encoding normalization (RFC 3986 §6.2.2.2) as a DuckDB
+# expression template — the SAME split-on-'%' shape as
+# operators/urls.py pct_normalize: each post-split element's first two
+# chars are the candidate hex pair; unreserved code points decode,
+# other valid escapes uppercase, invalid '%' passes through
+_PCT_CODE_SQL = (
+    "((strpos('0123456789abcdef', lower(substr(e, 1, 1))) - 1) * 16"
+    " + strpos('0123456789abcdef', lower(substr(e, 2, 1))) - 1)"
+)
+
+
+def _pct_sql(x: str) -> str:
+    c = _PCT_CODE_SQL
+    return (
+        "array_to_string(list_transform(str_split(" + x + ", '%'), (e, i) -> CASE"
+        " WHEN i = 1 THEN e"
+        " WHEN regexp_matches(e, '^[0-9A-Fa-f]{2}') AND (" + c + " BETWEEN 48 AND 57"
+        " OR " + c + " BETWEEN 65 AND 90 OR " + c + " BETWEEN 97 AND 122"
+        " OR " + c + " IN (45, 46, 95, 126))"
+        " THEN chr(CAST(" + c + " AS INTEGER)) || substr(e, 3)"
+        " WHEN regexp_matches(e, '^[0-9A-Fa-f]{2}')"
+        " THEN '%' || upper(substr(e, 1, 2)) || substr(e, 3)"
+        " ELSE '%' || e END), '')"
+    )
+
+
 # RFC 3986 §6 canonicalization in DuckDB SQL — the SAME regexes and
 # rule order as operators/urls.py canonicalize_url (strip_www=True),
-# applied to a `raw_url` column supplied by the enclosing CTE
+# applied to a `raw_url` column supplied by the enclosing CTE.
+# Dot-segment removal (§6.2.2.3) uses a prefix-sum formulation
+# equivalent to the engine's stack fold: with v = 0 for '.', -1 for
+# '..', +1 otherwise, a non-dot segment at index i survives iff the
+# running sum never returns below its own level afterwards
+# (min(P[i:]) >= P[i]); the leading root '' always survives (excess
+# '..' at the root are ignored for absolute paths), and a trailing
+# '/.' or '/..' re-appends the trailing slash the RFC output has.
 _URL_CANON_SQL = r"""
   SELECT doc_id, raw_url,
          scheme || '://' || host ||
-         (CASE WHEN path = '' THEN '/' ELSE path END) ||
+         (CASE WHEN path2 = '' THEN '/' ELSE path2 END) ||
          (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
            AS url,
          host
   FROM (
-    SELECT doc_id, raw_url, scheme, path,
+    SELECT doc_id, raw_url, scheme,
+           array_to_string(list_filter(segs, (s, i) -> i = 1 OR
+               (s NOT IN ('.', '..') AND list_min(P[i:]) >= P[i])), '/')
+             || (CASE WHEN segs[-1] IN ('.', '..') THEN '/' ELSE '' END)
+             AS path2,
            CASE WHEN h0 LIKE 'www.%' THEN substr(h0, 5) ELSE h0 END AS host,
-           list_sort(list_filter(string_split(query, '&'),
+           list_sort(list_filter(string_split(query_n, '&'),
              p -> p <> '' AND NOT regexp_matches(p,
                '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))) AS kept
     FROM (
-      SELECT doc_id, raw_url, scheme, path, query,
-             CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
-                    THEN substr(auth, 1, length(auth) - 3)
-                  WHEN scheme = 'https' AND auth LIKE '%:443'
-                    THEN substr(auth, 1, length(auth) - 4)
-                  ELSE auth END AS h0
+      SELECT *,
+             list_transform(segs, (s, i) -> coalesce(list_sum(
+               list_transform(segs[1:i], x -> CASE WHEN x = '.' THEN 0
+                 WHEN x = '..' THEN -1 ELSE 1 END)), 0)) AS P
       FROM (
-        SELECT doc_id, raw_url,
-               lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-               lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
-               regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-               regexp_extract(raw_url, '^[^#?]*\?([^#]*)', 1) AS query
-        FROM raw) p0) p1) p2
-"""
+        SELECT *, str_split(path_n, '/') AS segs
+        FROM (
+          SELECT doc_id, raw_url, scheme, query_n, path_n,
+                 CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
+                        THEN substr(auth, 1, length(auth) - 3)
+                      WHEN scheme = 'https' AND auth LIKE '%:443'
+                        THEN substr(auth, 1, length(auth) - 4)
+                      ELSE auth END AS h0
+          FROM (
+            SELECT doc_id, raw_url, scheme, auth,
+                   __PCT_PATH__ AS path_n,
+                   __PCT_QUERY__ AS query_n
+            FROM (
+              SELECT doc_id, raw_url,
+                     lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                     regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(raw_url, '^[^#?]*\?([^#]*)', 1) AS query
+              FROM raw) p0) pn) p1) ps) pp) p2
+""".replace("__PCT_PATH__", _pct_sql("path")).replace(
+    "__PCT_QUERY__", _pct_sql("query")
+)
 
 
 def doc_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4873,9 +4939,14 @@ def stream_url_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = os.path.join(tempfile.gettempdir(), f"url_fold_{tag}")
     shutil.rmtree(state, ignore_errors=True)
     os.makedirs(state, exist_ok=True)
+    # split on the RAW id (not a modulo) — the oracle equivalence
+    # requires arrival order == id order, which a modulo would break
+    # once ids exceed its base (a large-id duplicate landing in epoch 0
+    # would beat a smaller-id epoch-1 copy and diverge from the min-id
+    # oracle)
     mid = 250
-    fold_url_dedup_batch(corpus.where(F.col("doc_id") % 1000000 < mid), 0, state)
-    fold_url_dedup_batch(corpus.where(F.col("doc_id") % 1000000 >= mid), 1, state)
+    fold_url_dedup_batch(corpus.where(F.col("doc_id") < mid), 0, state)
+    fold_url_dedup_batch(corpus.where(F.col("doc_id") >= mid), 1, state)
     return spark.read.parquet(os.path.join(state, "accepted")).select(
         "doc_id", "url", "canonical_url"
     )
@@ -5251,29 +5322,7 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan: url synthesis, canonicalization, hosts, gopher
     # decoration, and priority all project from the same documents read
     docs = _gopher_decorated(_t(spark, sf_dir, "documents"))
-    k7 = (F.col("doc_id") % 7).cast("string")
-    m4 = F.col("doc_id") % 4
-    raw_url = (
-        F.when(
-            m4 == 0,
-            F.concat(
-                F.lit("HTTP://WWW."), F.col("source"), F.lit(".COM:80/p/"), k7,
-                F.lit("?utm_source=feed&b=2&a=1#frag"),
-            ),
-        )
-        .when(
-            m4 == 1,
-            F.concat(F.lit("http://"), F.col("source"), F.lit(".com/p/"), k7, F.lit("?a=1&b=2")),
-        )
-        .when(
-            m4 == 2,
-            F.concat(
-                F.lit("https://"), F.col("source"), F.lit(".COM:443/p/"), k7,
-                F.lit("?b=2&utm_campaign=x&a=1"),
-            ),
-        )
-        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"), k7))
-    )
+    raw_url = _raw_url_col()
     d0 = docs.select(
         "doc_id",
         canonicalize_url(raw_url, strip_www=True).alias("url"),
