@@ -777,8 +777,52 @@ def gopher_quality(
         ).alias("__lines"),
     ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
 
-    words = F.col("__words")
-    lines = F.col("__lines")
+    metrics, flags = gopher_quality_exprs(
+        F.col("__words"),
+        F.col("__lines"),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stop_hits=min_stop_hits,
+    )
+    keep = None
+    for k in flags:
+        keep = flags[k] if keep is None else (keep & flags[k])
+    return base.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in metrics.items()],
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality_exprs(
+    words: Column,
+    lines: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> tuple[dict[str, Column], dict[str, Column]]:
+    """The column-expression CORE of ``gopher_quality`` — (metrics,
+    flags) dicts over already-materialized word/line arrays, shared by
+    the standalone operator and the fused ``pipeline_web_curation``
+    funnel (one definition, one oracle mirror; the funnel can't drift
+    from the operator). Flags test the ROUNDED metric expressions so
+    the keep decision is reproducible from the emitted columns and
+    engine-portable. Callers must put the arrays behind a
+    materialization barrier (repartition/exchange) — HOF lambda
+    subtrees re-evaluate per reference otherwise."""
     n_words = F.size(words).cast("long")
     n_lines = F.size(lines).cast("long")
     w1 = F.greatest(n_words, F.lit(1))
@@ -811,35 +855,27 @@ def gopher_quality(
         F.array_intersect(folded, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     ).cast("long")
 
-    m = base.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
-        F.round(alpha_frac, 4).alias("alpha_word_frac"),
-        stop_hits.alias("stop_hits"),
-    )
-    # flags test the ROUNDED metrics so the keep decision is
-    # reproducible from the emitted columns (and engine-portable:
-    # the oracle applies the same thresholds to the same rounding)
-    flags = {
-        "f_word_count": (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words),
-        "f_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "f_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
-        "f_bullet": F.col("bullet_frac") <= max_bullet_frac,
-        "f_ellipsis": F.col("ellipsis_frac") <= max_ellipsis_frac,
-        "f_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
-        "f_stop_words": F.col("stop_hits") >= min_stop_hits,
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_word_len, 4),
+        "symbol_ratio": F.round(symbol_ratio, 4),
+        "bullet_frac": F.round(bullet_frac, 4),
+        "ellipsis_frac": F.round(ellipsis_frac, 4),
+        "alpha_word_frac": F.round(alpha_frac, 4),
+        "stop_hits": stop_hits,
     }
-    out = m.select("*", *[v.alias(k) for k, v in flags.items()])
-    keep = None
-    for k in flags:
-        keep = F.col(k) if keep is None else (keep & F.col(k))
-    return out.select("*", keep.alias("keep"))
+    flags = {
+        "f_word_count": (metrics["n_words"] >= min_words)
+        & (metrics["n_words"] <= max_words),
+        "f_mean_word_len": (metrics["mean_word_len"] >= min_mean_word_len)
+        & (metrics["mean_word_len"] <= max_mean_word_len),
+        "f_symbol_ratio": metrics["symbol_ratio"] <= max_symbol_ratio,
+        "f_bullet": metrics["bullet_frac"] <= max_bullet_frac,
+        "f_ellipsis": metrics["ellipsis_frac"] <= max_ellipsis_frac,
+        "f_alpha_words": metrics["alpha_word_frac"] >= min_alpha_word_frac,
+        "f_stop_words": metrics["stop_hits"] >= min_stop_hits,
+    }
+    return metrics, flags
 
 
 def c4_clean(
@@ -882,7 +918,30 @@ def c4_clean(
         ).alias("__lines"),
     ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
 
-    def line_ok(l):
+    cols = c4_clean_exprs(
+        F.col(text_col),
+        F.col("__lines"),
+        min_line_words=min_line_words,
+        min_sentences=min_sentences,
+    )
+    return base.select(
+        F.col(id_col), *[v.alias(k) for k, v in cols.items()]
+    )
+
+
+def c4_clean_exprs(
+    text: Column,
+    lines: Column,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> dict[str, Column]:
+    """The column-expression CORE of ``c4_clean`` — every output column
+    (text_clean, counts, flags, keep) over the raw text and an
+    already-materialized line array; shared by the standalone operator
+    and the fused ``pipeline_web_curation`` funnel. Callers must put
+    the line array behind a materialization barrier."""
+
+    def line_ok(l: Column) -> Column:
         words = F.filter(F.split(l, r"[ \t\r\f\v]+"), lambda w: w != "")
         return (
             F.rtrim(l).rlike(r'[.!?"]$')
@@ -890,22 +949,19 @@ def c4_clean(
             & ~F.lower(l).contains("javascript")
         )
 
-    kept = F.filter(F.col("__lines"), line_ok)
-    out = base.select(
-        F.col(id_col),
-        F.array_join(kept, "\n").alias("text_clean"),
-        F.size("__lines").cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept_lines"),
-        (F.size(kept) >= min_sentences).alias("f_min_sentences"),
-        (~F.lower(F.col(text_col)).contains("lorem ipsum")).alias("f_no_lorem"),
-        (~F.col(text_col).contains("{")).alias("f_no_brace"),
-    )
-    return out.select(
-        "*",
-        (F.col("f_min_sentences") & F.col("f_no_lorem") & F.col("f_no_brace")).alias(
-            "keep"
-        ),
-    )
+    kept = F.filter(lines, line_ok)
+    f_min_sentences = F.size(kept) >= min_sentences
+    f_no_lorem = ~F.lower(text).contains("lorem ipsum")
+    f_no_brace = ~text.contains("{")
+    return {
+        "text_clean": F.array_join(kept, "\n"),
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "f_min_sentences": f_min_sentences,
+        "f_no_lorem": f_no_lorem,
+        "f_no_brace": f_no_brace,
+        "keep": f_min_sentences & f_no_lorem & f_no_brace,
+    }
 
 
 # Gopher A1.2 thresholds (Rae et al. 2021, Table A1) — mirrored into
@@ -1118,7 +1174,36 @@ def fineweb_quality(
         ).alias("__lines"),
     ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
 
-    lines = F.col("__lines")
+    metrics, flags = fineweb_quality_exprs(
+        F.col("__lines"),
+        min_line_punct_frac=min_line_punct_frac,
+        max_short_line_frac=max_short_line_frac,
+        short_line_chars=short_line_chars,
+        max_dup_line_char_frac=max_dup_line_char_frac,
+    )
+    keep = None
+    for k in flags:
+        keep = flags[k] if keep is None else (keep & flags[k])
+    return base.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in metrics.items()],
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def fineweb_quality_exprs(
+    lines: Column,
+    min_line_punct_frac: float = 0.12,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    max_dup_line_char_frac: float = 0.10,
+) -> tuple[dict[str, Column], dict[str, Column]]:
+    """The column-expression CORE of ``fineweb_quality`` — (metrics,
+    flags) dicts over an already-materialized TRIMMED-line array;
+    shared by the standalone operator and the fused
+    ``pipeline_web_curation`` funnel. Callers must put the array behind
+    a materialization barrier."""
     n_lines = F.size(lines).cast("long")
     l1 = F.greatest(n_lines, F.lit(1))
     punct_frac = F.size(F.filter(lines, lambda l: l.rlike(r'[.!?"]$'))) / l1
@@ -1136,20 +1221,15 @@ def fineweb_quality(
     )
     dup_frac = dup_chars / F.greatest(total_chars, F.lit(1.0))
 
-    m = base.select(
-        F.col(id_col),
-        n_lines.alias("n_lines"),
-        F.round(punct_frac, 4).alias("line_punct_frac"),
-        F.round(short_frac, 4).alias("short_line_frac"),
-        F.round(dup_frac, 4).alias("dup_line_char_frac"),
-    )
-    flags = {
-        "f_line_punct": F.col("line_punct_frac") >= min_line_punct_frac,
-        "f_short_lines": F.col("short_line_frac") <= max_short_line_frac,
-        "f_dup_line_chars": F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+    metrics = {
+        "n_lines": n_lines,
+        "line_punct_frac": F.round(punct_frac, 4),
+        "short_line_frac": F.round(short_frac, 4),
+        "dup_line_char_frac": F.round(dup_frac, 4),
     }
-    out = m.select("*", *[v.alias(k) for k, v in flags.items()])
-    keep = None
-    for k in flags:
-        keep = F.col(k) if keep is None else (keep & F.col(k))
-    return out.select("*", keep.alias("keep"))
+    flags = {
+        "f_line_punct": metrics["line_punct_frac"] >= min_line_punct_frac,
+        "f_short_lines": metrics["short_line_frac"] <= max_short_line_frac,
+        "f_dup_line_chars": metrics["dup_line_char_frac"] <= max_dup_line_char_frac,
+    }
+    return metrics, flags

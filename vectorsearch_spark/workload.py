@@ -5002,8 +5002,11 @@ def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_gopher_decorated(docs))
 
 
-# the gopher decoration as a SQL expression over a `text` column
-_GOPHER_DECOR_SQL = """text || CASE CAST(doc_id % 3 AS INTEGER)
+# the gopher decoration as a SQL expression TEMPLATE over a text and
+# an id column — parameterized with unique __TOKENS__ (never blind
+# substring replacement over SQL literals, which silently corrupts the
+# oracle the moment a literal happens to contain the substring)
+_GOPHER_DECOR_SQL_T = """__TEXT_COL__ || CASE CAST(__ID_COL__ % 3 AS INTEGER)
            WHEN 0 THEN chr(10) || chr(8226) || ' first bullet' || chr(10)
                        || chr(8226) || ' second bullet' || chr(10)
                        || 'the closing line can have that and more to be with'
@@ -5012,9 +5015,16 @@ _GOPHER_DECOR_SQL = """text || CASE CAST(doc_id % 3 AS INTEGER)
            ELSE chr(10) || '# tags: #one #two #three'
          END"""
 
+
+def _gopher_decor_sql(text_col: str = "text", id_col: str = "doc_id") -> str:
+    return _GOPHER_DECOR_SQL_T.replace("__TEXT_COL__", text_col).replace(
+        "__ID_COL__", id_col
+    )
+
+
 DOC_QUALITY_GOPHER_SQL = f"""
 WITH d AS (
-  SELECT doc_id, {_GOPHER_DECOR_SQL} AS t
+  SELECT doc_id, {_gopher_decor_sql()} AS t
   FROM documents),
 arrs AS (
   SELECT doc_id,
@@ -5282,36 +5292,104 @@ FROM f
 )
 
 
+def _web_decorated(docs: DataFrame) -> DataFrame:
+    """The funnel corpus: gopher decoration (``_gopher_decorated``)
+    PLUS a second, independent ``doc_id % 5`` cohort targeting the C4
+    and FineWeb stages — proper multi-word terminal-punctuated
+    sentences (C4 pass), a braced code line (C4 reject), a lorem-ipsum
+    line (C4 reject), sentences followed by unpunctuated nav stubs (C4
+    pass, FineWeb line-punctuation reject), and bare (C4 sentence-count
+    reject). Mirrored by ``_web_decor_sql``."""
+    m5 = F.col("doc_id") % 5
+    s = (
+        "\nGood sentence one with plenty of words here."
+        "\nGood sentence two with plenty of words here."
+        "\nGood sentence three with plenty of words here."
+    )
+    return _gopher_decorated(docs).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(m5 == 0, F.lit(s + "\nGood sentence four with plenty of words here."))
+            .when(m5 == 1, F.lit(s + "\nfunction() { return 0; }"))
+            .when(m5 == 2, F.lit(s + "\nlorem ipsum dolor sit."))
+            .when(
+                m5 == 3,
+                F.lit(s + "\nnav\nhome\nabout\nshop\nblog\nmenu\nlogin\nsearch\ncart\nhelp"),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+_WEB_DECOR_SENT_SQL = (
+    "chr(10) || 'Good sentence one with plenty of words here.'"
+    " || chr(10) || 'Good sentence two with plenty of words here.'"
+    " || chr(10) || 'Good sentence three with plenty of words here.'"
+)
+
+
+def _web_decor_sql(text_col: str = "text", id_col: str = "doc_id") -> str:
+    """SQL mirror of ``_web_decorated`` (gopher decor + the C4/FineWeb
+    cohort), parameterized with unique tokens like
+    ``_gopher_decor_sql``."""
+    s = _WEB_DECOR_SENT_SQL
+    return (
+        _gopher_decor_sql(text_col, id_col)
+        + f""" || CASE CAST(__ID_COL__ % 5 AS INTEGER)
+           WHEN 0 THEN {s} || chr(10) || 'Good sentence four with plenty of words here.'
+           WHEN 1 THEN {s} || chr(10) || 'function() __LB__ return 0; __RB__'
+           WHEN 2 THEN {s} || chr(10) || 'lorem ipsum dolor sit.'
+           WHEN 3 THEN {s} || chr(10) || 'nav' || chr(10) || 'home' || chr(10)
+                       || 'about' || chr(10) || 'shop' || chr(10) || 'blog'
+                       || chr(10) || 'menu' || chr(10) || 'login' || chr(10)
+                       || 'search' || chr(10) || 'cart' || chr(10) || 'help'
+           ELSE ''
+         END""".replace("__ID_COL__", id_col)
+        .replace("__LB__", "{")
+        .replace("__RB__", "}")
+    )
+
+
 def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end FineWeb-style web-curation funnel (r11): blocklist →
-    canonical-URL dedup → per-host cap → Gopher quality gate over the
-    messy-URL corpus + decorated documents, emitting the per-doc FUNNEL
+    """End-to-end FineWeb-style web-curation funnel (r11, extended r12
+    with the C4 and FineWeb stages): blocklist → canonical-URL dedup →
+    per-host cap → Gopher A1.1 → C4 → FineWeb over the messy-URL
+    corpus + decorated documents, emitting the per-doc FUNNEL
     ATTRIBUTION — (doc_id, stage) where stage is the first rejecting
-    stage ('blocklist' | 'url_duplicate' | 'host_cap' | 'quality') or
-    'kept' — the report a pipeline operator actually watches.
+    stage ('blocklist' | 'url_duplicate' | 'host_cap' |
+    'quality_gopher' | 'quality_c4' | 'quality_fineweb') or 'kept' —
+    the report a pipeline operator actually watches, now naming WHICH
+    public filter family rejected each document.
 
     This is the FUSED single-pass form of the composable operators
     (each oracled on its own: curate_blocklist_filter, dedup_url_exact,
-    curate_host_cap, doc_quality_gopher): every stage decision is a
-    boolean COLUMN over one scan — codegen suffix-membership for the
-    literal blocklist, a conditional-min window for the URL keeper, the
-    two-phase salted rank inlined as survivor-first orderings (the
-    host_cap superset argument verbatim), and ONE join back from the
-    gopher Arrow barrier. The first cut attributed stages with four
-    anti joins whose unioned branches re-evaluated the upstream
-    pipeline (gopher pass included) up to 9× and planned 32
-    SortMergeJoins — caught by scripts/plan_audit.py in-round; the
-    fused plan is 3 windows + 1 join. Results are hash-exact against
-    the SAME chained SQL oracle, which recomputes all four stages
-    independently — fused-vs-composed equivalence IS the correctness
-    claim.
+    curate_host_cap, doc_quality_gopher, doc_c4_clean,
+    doc_quality_fineweb): every stage decision is a boolean COLUMN over
+    one scan. The three quality keeps come from the SAME
+    column-expression cores the standalone operators use
+    (gopher_quality_exprs / c4_clean_exprs / fineweb_quality_exprs —
+    the funnel cannot drift from the operators), computed above ONE
+    doc-keyed materialization barrier that tokenizes each document
+    once; only booleans ride the downstream window exchanges (r11
+    carried full text through all three windows — r12 carries ~40
+    bytes/row). The r11 first cut attributed stages with anti joins
+    that re-evaluated the pipeline 9× (32 SortMergeJoins, caught by
+    scripts/plan_audit.py); the r12 form is ONE exchange + 3 windows +
+    ZERO joins. Results are hash-exact against the chained SQL oracle,
+    which recomputes all six stages independently — fused-vs-composed
+    equivalence IS the correctness claim.
 
     Scale: windows key on (url), (host, salt), (host) — the salted
-    pre-rank keeps mega-hosts fanned out exactly as host_cap does; the
-    quality join is one doc-keyed shuffle. Nothing re-evaluates."""
+    pre-rank keeps mega-hosts fanned out exactly as host_cap does.
+    Nothing re-evaluates, nothing joins, one pass over the corpus."""
     from pyspark.sql.window import Window
 
-    from vectorsearch_spark.operators.text import gopher_quality
+    from vectorsearch_spark.operators.text import (
+        c4_clean_exprs,
+        fineweb_quality_exprs,
+        gopher_quality_exprs,
+    )
     from vectorsearch_spark.operators.urls import (
         canonicalize_url,
         domain_suffixes,
@@ -5319,9 +5397,9 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cap, salt_buckets = 5, 64
-    # ONE scan: url synthesis, canonicalization, hosts, gopher
-    # decoration, and priority all project from the same documents read
-    docs = _gopher_decorated(_t(spark, sf_dir, "documents"))
+    # ONE scan: url synthesis, canonicalization, hosts, decorations,
+    # and the tokenized arrays all project from the same documents read
+    docs = _web_decorated(_t(spark, sf_dir, "documents"))
     raw_url = _raw_url_col()
     d0 = docs.select(
         "doc_id",
@@ -5330,13 +5408,49 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host(raw_url, strip_www=True).alias("host"),
         "text",
         "n_chars",
-    )
+        F.filter(
+            F.split(F.col("text"), r"[ \t\n\r\f\v]+"), lambda w: w != ""
+        ).alias("__words"),
+        F.filter(
+            F.split(F.col("text"), "\n"), lambda l: F.trim(l) != ""
+        ).alias("__lines"),
+        F.filter(
+            F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("__tlines"),
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+
+    # quality stages 4-6 from the SHARED expression cores, evaluated
+    # over the materialized arrays (tokenize-once; the barrier above is
+    # the same doc_stats pattern the standalone operators use)
+    _, gf = gopher_quality_exprs(F.col("__words"), F.col("__lines"))
+    g_keep = None
+    for k in gf:
+        g_keep = gf[k] if g_keep is None else (g_keep & gf[k])
+    c4_keep = c4_clean_exprs(F.col("text"), F.col("__lines"))["keep"]
+    _, ff = fineweb_quality_exprs(F.col("__tlines"))
+    fw_keep = None
+    for k in ff:
+        fw_keep = ff[k] if fw_keep is None else (fw_keep & ff[k])
+
     # stage 1: literal 2-domain blocklist as codegen suffix membership
     # (the table-driven broadcast form is operators/urls.py
     # blocklist_filter, oracled by curate_blocklist_filter)
     blocked = F.exists(
         domain_suffixes(F.col("host_b")),
         lambda s: s.isin("src3.com", "src7.com"),
+    )
+    # text and arrays are DROPPED here — only ids, keys, and booleans
+    # cross the window exchanges
+    flags = d0.select(
+        "doc_id",
+        "url",
+        "host",
+        "n_chars",
+        blocked.alias("blocked"),
+        g_keep.alias("__g_keep"),
+        c4_keep.alias("__c4_keep"),
+        fw_keep.alias("__fw_keep"),
     )
     # stage 2: URL keeper — conditional min over the url window (only
     # unblocked rows compete; min ignores nulls)
@@ -5345,7 +5459,7 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id")
         == F.min(F.when(~F.col("blocked"), F.col("doc_id"))).over(w_url)
     )
-    flags = d0.withColumn("blocked", blocked).withColumn("is_keeper", keeper)
+    flags = flags.withColumn("is_keeper", keeper)
     # stage 3: host_cap's two-phase salted rank, inlined — survivors
     # sort FIRST in each window, so row_number restricted to survivor
     # rows is their rank among survivors (the same superset argument)
@@ -5366,16 +5480,14 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_cap", F.col("__pre_ok") & (F.row_number().over(w_host) <= cap)
         )
     )
-    # stage 4: gopher keep via the Arrow barrier, ONE join back by id
-    q = gopher_quality(docs.select("doc_id", "text")).select(
-        "doc_id", F.col("keep").alias("__q_keep")
-    )
-    return ranked.join(q, "doc_id").select(
+    return ranked.select(
         "doc_id",
         F.when(F.col("blocked"), F.lit("blocklist"))
         .when(~F.col("is_keeper"), F.lit("url_duplicate"))
         .when(~F.col("in_cap"), F.lit("host_cap"))
-        .when(~F.col("__q_keep"), F.lit("quality"))
+        .when(~F.col("__g_keep"), F.lit("quality_gopher"))
+        .when(~F.col("__c4_keep"), F.lit("quality_c4"))
+        .when(~F.col("__fw_keep"), F.lit("quality_fineweb"))
         .otherwise(F.lit("kept"))
         .alias("stage"),
     )
@@ -5388,7 +5500,7 @@ d0 AS (
   SELECT c.doc_id, c.url, c.host,
          lower(regexp_extract(regexp_extract(c.raw_url,
            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host_b,
-         {_GOPHER_DECOR_SQL.replace("text", "doc.text").replace("doc_id", "c.doc_id")} AS t,
+         {_web_decor_sql("doc.text", "c.doc_id")} AS t,
          doc.n_chars
   FROM c JOIN documents doc ON doc.doc_id = c.doc_id),
 s1 AS (
@@ -5407,11 +5519,13 @@ r3 AS (
   FROM s2),
 s3 AS (SELECT * FROM r3 WHERE rn <= 5),
 arrs AS (
-  SELECT doc_id,
+  SELECT doc_id, t,
          list_filter(string_split_regex(t, '[ \t\n\r\f\v]+'), w -> w <> '') AS words,
-         list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
-  FROM s3),
-g AS (
+         list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines,
+         list_transform(list_filter(string_split(t, chr(10)),
+           x -> trim(x) <> ''), x -> trim(x)) AS tlines
+  FROM d0),
+qm AS (
   SELECT doc_id,
          CAST(len(words) AS BIGINT) AS n_words,
          round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
@@ -5430,22 +5544,43 @@ g AS (
          CAST(len(list_intersect(
                  list_distinct(list_transform(words,
                    w -> regexp_replace(lower(w), '^[^a-z]+|[^a-z]+$', '', 'g'))),
-                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+         CAST(len(list_filter(lines, x ->
+           regexp_matches(rtrim(x), '[.!?"]$')
+           AND len(list_filter(string_split_regex(x, '[ \t\r\f\v]+'), w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript'))) AS BIGINT) AS n_kept_lines,
+         contains(lower(t), 'lorem ipsum') AS has_lorem,
+         contains(t, chr(123)) AS has_brace,
+         round(CAST(len(list_filter(tlines, l -> regexp_matches(l, '[.!?"]$'))) AS DOUBLE)
+               / greatest(len(tlines), 1), 4) AS line_punct_frac,
+         round(CAST(len(list_filter(tlines, l -> length(l) < 30)) AS DOUBLE)
+               / greatest(len(tlines), 1), 4) AS short_line_frac,
+         round(CAST(coalesce(list_sum(list_transform(list_filter(tlines,
+             x -> len(list_filter(tlines, y -> y = x)) > 1),
+             x -> length(x))), 0) AS DOUBLE)
+           / greatest(CAST(coalesce(list_sum(list_transform(tlines,
+             x -> length(x))), 0) AS DOUBLE), 1.0), 4) AS dup_line_char_frac
   FROM arrs),
-s4 AS (
-  SELECT doc_id FROM g
-  WHERE (n_words >= 50 AND n_words <= 100000)
-    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-    AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
-    AND (ellipsis_frac <= 0.3) AND (alpha_word_frac >= 0.8)
-    AND (stop_hits >= 2))
+q AS (
+  SELECT doc_id,
+         (n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+          AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+          AND stop_hits >= 2) AS g_keep,
+         (n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS c4_keep,
+         (line_punct_frac >= 0.12 AND short_line_frac <= 0.67
+          AND dup_line_char_frac <= 0.10) AS fw_keep
+  FROM qm)
 SELECT d0.doc_id,
        CASE WHEN d0.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'blocklist'
             WHEN d0.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'url_duplicate'
             WHEN d0.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'host_cap'
-            WHEN d0.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'quality'
+            WHEN NOT q.g_keep THEN 'quality_gopher'
+            WHEN NOT q.c4_keep THEN 'quality_c4'
+            WHEN NOT q.fw_keep THEN 'quality_fineweb'
             ELSE 'kept' END AS stage
-FROM d0
+FROM d0 JOIN q ON q.doc_id = d0.doc_id
 """
 
 
