@@ -148,6 +148,11 @@ PROBES = [
     # linear or the collapse is broken.
     "mm_image_neardup",
     "doc_html_extract_bytes",
+    # round-12 additions: the 256-bit near-dup configuration (same
+    # exact-dup-collapse design case as mm_image_neardup; 32-bit bands
+    # bound bucket cardinality at 2^32) and the funnel now carrying the
+    # full six-stage public filter stack
+    "mm_image_neardup_256",
     "training_length_batches_bpe",
     # URL/quality tier (r11): canonicalize is one codegen projection,
     # url dedup one aggregate, host_cap two bounded windows, gopher one

@@ -296,6 +296,128 @@ def test_fold_url_dedup_batches_replay_and_crash(spark, tmp_path_factory):
     assert acc2 == [1, 3, 11, 21, 30]
 
 
+def test_fold_url_dedup_bucketed_state(spark, tmp_path_factory):
+    """state_buckets mode: same fold semantics over the bucketed
+    frontier table — replay no-op, crash-partial partition invisible
+    to its replay, catalog-loss recovery via the external location,
+    and the SCALE claim plan-asserted: the per-fold anti-join plans
+    with exactly ONE exchange (the batch side) — the state side is a
+    bucketed scan that is never re-shuffled."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.urls import (
+        _frontier_table,
+        canonicalize_url,
+        fold_url_dedup_batch,
+        read_accepted,
+    )
+
+    schema = "doc_id long, url string"
+    b1 = [
+        (1, "http://a.com/x?b=2&a=1"),
+        (2, "HTTP://WWW.A.COM:80/x?a=1&b=2&utm_source=z"),  # dup of 1
+        (3, "https://b.org/"),
+    ]
+    b2 = [
+        (10, "http://a.com/x?a=1&b=2#frag"),  # dup of accepted 1
+        (11, "https://c.net/fresh"),
+    ]
+    state = str(tmp_path_factory.mktemp("url_state_b")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    tbl = _frontier_table(state)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    fold_url_dedup_batch(spark.createDataFrame(b1, schema), 0, state, state_buckets=4)
+    fold_url_dedup_batch(spark.createDataFrame(b2, schema), 1, state, state_buckets=4)
+    assert sorted(
+        r["doc_id"] for r in read_accepted(spark, state).collect()
+    ) == [1, 3, 11]
+
+    # plan: the state-side of the fold's anti-join is a bucketed scan
+    # with NO exchange; the only exchange hashes the (tiny) batch side
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = spark.createDataFrame(b2, schema).withColumn(
+            "_curl", canonicalize_url("url", strip_www=True)
+        )
+        seen = spark.table(tbl).where(F.col("epoch") < 2).select("_curl")
+        plan = (
+            batch.join(seen, "_curl", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    # replay of an applied epoch: no-op
+    fold_url_dedup_batch(spark.createDataFrame(b2, schema), 1, state, state_buckets=4)
+    assert sorted(
+        r["doc_id"] for r in read_accepted(spark, state).collect()
+    ) == [1, 3, 11]
+
+    # crash injection: a partial epoch=2 state partition + accepted dir
+    # WITHOUT the marker commit must be invisible to epoch 2's replay
+    b3 = [(20, "https://e.gov/a"), (21, "https://E.GOV/a")]
+    spark.createDataFrame([("https://e.gov/a",)], "_curl string").createOrReplaceTempView(
+        "__crash_partial"
+    )
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {tbl} PARTITION (epoch=2)"
+        " SELECT _curl FROM __crash_partial"
+    )
+    spark.createDataFrame(
+        [(99, "https://e.gov/a", "https://e.gov/a")],
+        "doc_id long, url string, canonical_url string",
+    ).write.mode("overwrite").parquet(f"{state}/accepted/epoch=2")
+    fold_url_dedup_batch(spark.createDataFrame(b3, schema), 2, state, state_buckets=4)
+    assert sorted(
+        r["doc_id"] for r in read_accepted(spark, state).collect()
+    ) == [1, 3, 11, 20]
+
+    # catalog loss: the table entry dies with a session restart, the
+    # EXTERNAL data dir does not — the next fold re-registers from the
+    # location and the accepted set keeps deduping against it
+    spark.sql(f"DROP TABLE {tbl}")
+    b4 = [(30, "https://e.gov/a?utm_source=x"), (31, "https://f.ly/q")]  # 30 dup of 20
+    fold_url_dedup_batch(spark.createDataFrame(b4, schema), 3, state, state_buckets=4)
+    assert sorted(
+        r["doc_id"] for r in read_accepted(spark, state).collect()
+    ) == [1, 3, 11, 20, 31]
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_read_accepted_honours_committed_epoch(spark, tmp_path_factory):
+    """read_accepted must NOT surface a crashed fold's uncommitted
+    partial accepted/ dir (the committed-epoch reader contract)."""
+    import os
+
+    from vectorsearch_spark.operators.urls import (
+        fold_url_dedup_batch,
+        read_accepted,
+    )
+
+    state = str(tmp_path_factory.mktemp("url_state_r")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    fold_url_dedup_batch(
+        spark.createDataFrame([(1, "http://a.com/")], "doc_id long, url string"),
+        0,
+        state,
+    )
+    # a partial epoch=1 accepted dir with NO marker commit
+    spark.createDataFrame(
+        [(9, "https://ghost.io/", "https://ghost.io/")],
+        "doc_id long, url string, canonical_url string",
+    ).write.mode("overwrite").parquet(f"{state}/accepted/epoch=1")
+    assert sorted(r["doc_id"] for r in read_accepted(spark, state).collect()) == [1]
+
+
 def test_stream_url_dedup_streaming_query(spark, tmp_path_factory):
     """End-to-end availableNow stream: the foreachBatch wiring feeds
     the same fold; accepted set equals the batch-operator result."""

@@ -282,6 +282,39 @@ def host_cap(
     )
 
 
+def _frontier_table(state_path: str) -> str:
+    """Catalog name of the bucketed frontier-state table for a state
+    dir (content-addressed so concurrent tests/state dirs never
+    collide)."""
+    import hashlib
+
+    return "url_frontier_" + hashlib.md5(state_path.encode()).hexdigest()[:10]
+
+
+def _ensure_frontier_table(spark, state_path: str, state_buckets: int) -> str:
+    """Register (or recover) the EXTERNAL bucketed frontier table whose
+    data lives at ``{state_path}/urls_bucketed``. The data dir is the
+    durable artifact; the catalog entry is re-derivable — a fresh
+    session (in-memory catalog) re-registers with the same bucketing
+    DDL and recovers partitions, so bucketed state survives restarts
+    exactly like the plain per-epoch dirs do."""
+    import os
+
+    tbl = _frontier_table(state_path)
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    loc = os.path.join(state_path, "urls_bucketed")
+    if os.path.isdir(loc):
+        spark.sql(
+            f"CREATE TABLE {tbl} (_curl STRING, epoch INT) USING PARQUET"
+            f" PARTITIONED BY (epoch) CLUSTERED BY (_curl) SORTED BY (_curl)"
+            f" INTO {int(state_buckets)} BUCKETS LOCATION '{loc}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        return tbl
+    return ""
+
+
 def fold_url_dedup_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -289,6 +322,7 @@ def fold_url_dedup_batch(
     id_col: str = "doc_id",
     url_col: str = "url",
     strip_www: bool = True,
+    state_buckets: "int | None" = None,
 ) -> None:
     """One micro-batch fold of streaming URL-frontier dedup (the
     foreachBatch body, exposed for crash-injection tests): the shape a
@@ -305,10 +339,16 @@ def fold_url_dedup_batch(
 
     At scale the anti-join's state side is the full url set; it streams
     through the join distributed (never collected), and because the key
-    is an equality hash the join is the cheapest shape Spark has. The
-    100 TB refinement — persisting the state bucketed by url hash so
-    the anti-join co-locates without a shuffle — changes the sink
-    layout, not this fold's semantics.
+    is an equality hash the join is the cheapest shape Spark has.
+    ``state_buckets=N`` (r12) enables the 100 TB layout: the url set is
+    persisted as ONE external table partitioned by epoch and CLUSTERED
+    BY ``_curl`` into N buckets (``{state_path}/urls_bucketed``), so
+    the per-fold anti-join scans the state WITHOUT exchanging it — the
+    bucketed scan already satisfies the join's distribution
+    requirement, and the only shuffle left is the batch side hashing
+    into the bucket count: O(batch) per fold instead of O(state).
+    Size N to the cluster (a bucket is one task's state slice). Both
+    layouts share the same fold semantics and crash protocol.
 
     Exactly-once (the shared epoch protocol, incremental.py): state
     reads filter to ``epoch < epoch_id`` so a crashed attempt's partial
@@ -333,18 +373,37 @@ def fold_url_dedup_batch(
     )
 
     root = os.path.join(state_path, "urls")
-    dirs = (
-        [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
-    if dirs:
-        seen = spark.read.schema("_curl string").parquet(*dirs)
-        canon = canon.join(seen, "_curl", "left_anti")
+    if state_buckets:
+        # bucketed-state mode: the accepted-url set lives in ONE
+        # external table partitioned by epoch and CLUSTERED BY _curl —
+        # the partition filter below excludes the current (possibly
+        # crashed-partial) epoch, and the bucketed scan satisfies the
+        # anti-join's distribution requirement with NO exchange on the
+        # state side (plan-asserted in tests/test_urls.py). Per fold
+        # the only shuffle is the batch side hashing into the bucket
+        # count: O(batch), not O(state) — the difference between
+        # scanning the frontier and re-shuffling it at every fold.
+        tbl = _ensure_frontier_table(spark, state_path, state_buckets)
+        if tbl:
+            seen = (
+                spark.table(tbl)
+                .where(F.col("epoch") < int(epoch_id))
+                .select("_curl")
+            )
+            canon = canon.join(seen, "_curl", "left_anti")
+    else:
+        dirs = (
+            [
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+            ]
+            if os.path.isdir(root)
+            else []
+        )
+        if dirs:
+            seen = spark.read.schema("_curl string").parquet(*dirs)
+            canon = canon.join(seen, "_curl", "left_anti")
 
     # within-batch: min-id keeper per canonical url — ONE map-side
     # combinable aggregate + a semi join back on the (url, id) pair
@@ -359,9 +418,39 @@ def fold_url_dedup_batch(
         F.col(url_col),
         F.col("_curl").alias("canonical_url"),
     ).write.mode("overwrite").parquet(os.path.join(state_path, "accepted", ep))
-    accepted.select("_curl").distinct().write.mode("overwrite").parquet(
-        os.path.join(root, ep)
-    )
+    if state_buckets:
+        tbl = _ensure_frontier_table(spark, state_path, state_buckets)
+        distinct_urls = accepted.select("_curl").distinct()
+        if not tbl:
+            # first fold: create the external partitioned+bucketed
+            # table in place (data under state_path, catalog entry
+            # re-derivable — see _ensure_frontier_table)
+            (
+                distinct_urls.withColumn(
+                    "epoch", F.lit(int(epoch_id)).cast("int")
+                )
+                .write.partitionBy("epoch")
+                .bucketBy(int(state_buckets), "_curl")
+                .sortBy("_curl")
+                .option("path", os.path.join(state_path, "urls_bucketed"))
+                .format("parquet")
+                .saveAsTable(_frontier_table(state_path))
+            )
+        else:
+            # later folds and replays: static-partition INSERT
+            # OVERWRITE rewrites exactly this epoch's partition
+            # (idempotent) and writes bucket files per the table spec
+            v = f"__frontier_batch_{tbl}_{int(epoch_id)}"
+            distinct_urls.createOrReplaceTempView(v)
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {tbl} PARTITION (epoch={int(epoch_id)})"
+                f" SELECT _curl FROM {v}"
+            )
+            spark.catalog.dropTempView(v)
+    else:
+        accepted.select("_curl").distinct().write.mode("overwrite").parquet(
+            os.path.join(root, ep)
+        )
     commit_epoch(state_path, epoch_id)
 
 
@@ -372,8 +461,12 @@ def stream_url_dedup(
     **kwargs,
 ):
     """Keep a URL-deduplicated accepted set current from a fetch stream
-    (see ``fold_url_dedup_batch``). Returns the StreamingQuery; the
-    accepted rows are ``spark.read.parquet(f"{state_path}/accepted")``."""
+    (see ``fold_url_dedup_batch``). Returns the StreamingQuery; read
+    the accepted rows with ``read_accepted(spark, state_path)`` — a
+    raw ``spark.read.parquet(f"{state_path}/accepted")`` would also
+    pick up a crashed fold's uncommitted partial epoch dir, violating
+    the committed-epoch reader contract every streaming fold in this
+    repo shares (operators/incremental.py ``committed_epoch``)."""
     import os
 
     os.makedirs(state_path, exist_ok=True)
@@ -387,6 +480,26 @@ def stream_url_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_accepted(spark, state_path: str) -> DataFrame:
+    """The accepted rows of a URL-frontier state dir, honouring the
+    exactly-once crash-window contract: load ONLY epoch dirs
+    ``<= committed_epoch`` — a crashed fold's partial ``accepted/``
+    dir (written before its marker commit) is invisible, exactly as it
+    is to the fold's own replay."""
+    import os
+
+    from vectorsearch_spark.operators.incremental import committed_epoch
+
+    last = committed_epoch(state_path, "read_accepted")
+    root = os.path.join(state_path, "accepted")
+    dirs = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= last
+    ]
+    return spark.read.parquet(*dirs)
 
 
 def domain_suffixes(host: Column | str) -> Column:

@@ -4920,24 +4920,34 @@ FROM k
 
 
 def stream_url_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming URL-frontier dedup fold (r11 — operators/urls.py
-    fold_url_dedup_batch): the messy-URL corpus arrives as two epochs
-    split by doc id; later fetches of an already-accepted canonical URL
-    drop against the persisted state. Splitting by id makes arrival
-    order = id order, so the folded accepted set equals the batch
-    ``url_dedup`` keeper set on the full corpus — the fold shares the
-    batch operator's exact SQL oracle (batching-independence IS the
-    correctness claim, the stream_line_dedup_fold pattern)."""
+    """Streaming URL-frontier dedup fold (r11, r12 bucketed state —
+    operators/urls.py fold_url_dedup_batch): the messy-URL corpus
+    arrives as two epochs split by doc id; later fetches of an
+    already-accepted canonical URL drop against the persisted state,
+    which is the BUCKETED layout (``state_buckets=8``): one external
+    table partitioned by epoch and clustered by canonical url, so each
+    fold's anti-join scans state without exchanging it. Splitting by
+    the raw id makes arrival order = id order, so the folded accepted
+    set equals the batch ``url_dedup`` keeper set on the full corpus —
+    the fold shares the batch operator's exact SQL oracle
+    (batching-independence IS the correctness claim, the
+    stream_line_dedup_fold pattern). Read back via ``read_accepted``
+    (committed-epoch reader contract)."""
     import os
     import shutil
     import tempfile
 
-    from vectorsearch_spark.operators.urls import fold_url_dedup_batch
+    from vectorsearch_spark.operators.urls import (
+        _frontier_table,
+        fold_url_dedup_batch,
+        read_accepted,
+    )
 
     corpus = _url_corpus(spark, sf_dir).select("doc_id", F.col("raw_url").alias("url"))
     tag = sf_dir.strip("/").replace("/", "_")
     state = os.path.join(tempfile.gettempdir(), f"url_fold_{tag}")
     shutil.rmtree(state, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {_frontier_table(state)}")
     os.makedirs(state, exist_ok=True)
     # split on the RAW id (not a modulo) — the oracle equivalence
     # requires arrival order == id order, which a modulo would break
@@ -4945,11 +4955,9 @@ def stream_url_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would beat a smaller-id epoch-1 copy and diverge from the min-id
     # oracle)
     mid = 250
-    fold_url_dedup_batch(corpus.where(F.col("doc_id") < mid), 0, state)
-    fold_url_dedup_batch(corpus.where(F.col("doc_id") >= mid), 1, state)
-    return spark.read.parquet(os.path.join(state, "accepted")).select(
-        "doc_id", "url", "canonical_url"
-    )
+    fold_url_dedup_batch(corpus.where(F.col("doc_id") < mid), 0, state, state_buckets=8)
+    fold_url_dedup_batch(corpus.where(F.col("doc_id") >= mid), 1, state, state_buckets=8)
+    return read_accepted(spark, state).select("doc_id", "url", "canonical_url")
 
 
 STREAM_URL_DEDUP_FOLD_SQL = f"""
@@ -8773,11 +8781,8 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_spark.functions.codecs import encode_wav
     from vectorsearch_spark.operators.dedup import bitstring_near_dup
     from vectorsearch_spark.operators.multimodal import audio_energy_hash
-    from vectorsearch_spark.operators.text import fan_out
 
-    docs = fan_out(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    docs = _media_docs(spark, sf_dir)
 
     def build(batches):
         for pdf in batches:
@@ -9057,17 +9062,50 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ALL-PAIRS Hamming ≤ 7 min — a missed candidate band, a verify
     off-by-one, or a keeper-convention drift all hash-fail. Text dedup
     has seven granularities; this is the image granularity."""
+    from vectorsearch_spark.functions.codecs import decode_media
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+    from vectorsearch_spark.operators.multimodal import image_dhash
+
+    media = _neardup_media(spark, sf_dir)
+    dh = image_dhash(media, decoder=decode_media)
+    out = bitstring_near_dup(
+        dh, id_col="media_id", hash_col="dhash", n_bits=64, max_hamming=7
+    )
+    return out.select(
+        "media_id", F.col("keep").cast("long").alias("keep"), "min_neighbor_id"
+    )
+
+
+def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) source rows for the media near-dup corpora,
+    honouring the ``SPARK_GRAFT_MEDIA_DOCS`` cap that bench.py sets:
+    the near-dup entries' cost is almost entirely REAL codec
+    encode+decode CPU (fixed-cost work already scale-proven by the
+    10× probes), and uncapped they dominated suite wall with the
+    suite's widest host variance (r11 verdict). Correctness runs never
+    set the cap, so oracle parity always covers the full corpus."""
+    import os
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cap = int(os.environ.get("SPARK_GRAFT_MEDIA_DOCS", "0"))
+    if cap > 0:
+        d = d.where(F.col("doc_id") < cap)
+    from vectorsearch_spark.operators.text import fan_out
+
+    return fan_out(d, "doc_id")
+
+
+def _neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared image-near-dup corpus: deterministic BMPs from the
+    documents table plus a brightness-shifted (+16, clipped at 255)
+    recompression-style variant for every third doc — the input of
+    ``mm_image_neardup`` (64-bit) and ``mm_image_neardup_256``."""
     import numpy as np
     import pandas as pd
 
-    from vectorsearch_spark.functions.codecs import decode_media, encode_bmp
-    from vectorsearch_spark.operators.dedup import bitstring_near_dup
-    from vectorsearch_spark.operators.multimodal import image_dhash
-    from vectorsearch_spark.operators.text import fan_out
+    from vectorsearch_spark.functions.codecs import encode_bmp
 
-    docs = fan_out(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    docs = _media_docs(spark, sf_dir)
 
     def build(batches):
         for pdf in batches:
@@ -9087,10 +9125,31 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(build, "media_id long, payload binary")
-    dh = image_dhash(media, decoder=decode_media)
+    return docs.mapInPandas(build, "media_id long, payload binary")
+
+
+def mm_image_neardup_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BILLION-IMAGE configuration of the image near-dup pass (r12
+    — the escape hatch ``bitstring_near_dup``'s own scale note names,
+    now tested rather than just documented): the same BMP corpus →
+    ``image_dhash(hash_size=16)`` 256-BIT fingerprints →
+    ``bitstring_near_dup(n_bits=256, bands=8)`` — 32-bit bands, so
+    per-band bucket cardinality is bounded by 2³² instead of the
+    64-bit/8-band configuration's 256 (which degenerates into a
+    quadratic bucket at ~10⁹ images). Still recall-complete for
+    Hamming ≤ 7 by pigeonhole (8 bands ≥ max_hamming+1); the codegen
+    verify runs 8 conv/xor/bit_count chunks instead of 2. The DuckDB
+    twin recomputes the FULL 17×16-grid dhash chain from the source
+    characters and takes the all-pairs Hamming ≤ 7 min over the
+    256-bit strings."""
+    from vectorsearch_spark.functions.codecs import decode_media
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+    from vectorsearch_spark.operators.multimodal import image_dhash
+
+    media = _neardup_media(spark, sf_dir)
+    dh = image_dhash(media, decoder=decode_media, hash_size=16)
     out = bitstring_near_dup(
-        dh, id_col="media_id", hash_col="dhash", n_bits=64, max_hamming=7
+        dh, id_col="media_id", hash_col="dhash", n_bits=256, max_hamming=7, bands=8
     )
     return out.select(
         "media_id", F.col("keep").cast("long").alias("keep"), "min_neighbor_id"
@@ -9128,6 +9187,53 @@ pairs AS (
   SELECT a.media_id AS ida, b.media_id AS idb
   FROM bits a JOIN bits b ON a.media_id <> b.media_id
   WHERE CAST(list_aggregate(list_transform(range(0, 64),
+          i -> CASE WHEN a.bl[CAST(i AS BIGINT) + 1] <> b.bl[CAST(i AS BIGINT) + 1]
+               THEN 1 ELSE 0 END), 'sum') AS INT) <= 7),
+nb AS (SELECT ida AS media_id, min(idb) AS mn FROM pairs GROUP BY 1)
+SELECT m.media_id,
+       CAST(CASE WHEN least(m.media_id, coalesce(nb.mn, m.media_id)) = m.media_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(least(m.media_id, coalesce(nb.mn, m.media_id)) AS BIGINT) AS min_neighbor_id
+FROM bits m LEFT JOIN nb ON nb.media_id = m.media_id
+"""
+
+
+# the 256-bit twin of MM_IMAGE_NEARDUP_SQL: hash_size 16 → a 17×16
+# sample grid (272 gray values), 256 gradient bits, same all-pairs
+# Hamming ≤ 7 min-id oracle. Grid arithmetic: gray k → y = (k//17)·h//16,
+# x = (k%17)·w//17; bit i → compares gray[(i//16)·17 + i%16 + 1] vs +0
+# (list indices 1-based).
+MM_IMAGE_NEARDUP_256_SQL = """
+WITH d AS (
+  SELECT doc_id, length(text) AS n, 5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h,
+         list_transform(range(0, length(text)),
+           i -> CASE WHEN ascii(text[CAST(i AS BIGINT) + 1]) < 128
+                     THEN ascii(text[CAST(i AS BIGINT) + 1]) ELSE 63 END) AS codes
+  FROM documents),
+media AS (
+  SELECT doc_id * 2 AS media_id, 0 AS shift, n, w, h, codes FROM d
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id, 16 AS shift, n, w, h, codes
+  FROM d WHERE doc_id % 3 = 0),
+gray AS (
+  SELECT media_id,
+    list_transform(range(0, 272),
+      k -> (299 * least((CASE WHEN n = 0 THEN 0 ELSE codes[CAST(((((k // 17) * h // 16) * w + ((k % 17) * w // 17)) * 3 + 0) % n AS BIGINT) + 1] END) + shift, 255)
+          + 587 * least((CASE WHEN n = 0 THEN 0 ELSE codes[CAST(((((k // 17) * h // 16) * w + ((k % 17) * w // 17)) * 3 + 1) % n AS BIGINT) + 1] END) + shift, 255)
+          + 114 * least((CASE WHEN n = 0 THEN 0 ELSE codes[CAST(((((k // 17) * h // 16) * w + ((k % 17) * w // 17)) * 3 + 2) % n AS BIGINT) + 1] END) + shift, 255)
+           ) // 1000) AS g
+  FROM media),
+bits AS (
+  SELECT media_id,
+    list_transform(range(0, 256),
+      i -> CASE WHEN g[CAST((i // 16) * 17 + (i % 16) AS BIGINT) + 2]
+                   > g[CAST((i // 16) * 17 + (i % 16) AS BIGINT) + 1]
+           THEN 1 ELSE 0 END) AS bl
+  FROM gray),
+pairs AS (
+  SELECT a.media_id AS ida, b.media_id AS idb
+  FROM bits a JOIN bits b ON a.media_id <> b.media_id
+  WHERE CAST(list_aggregate(list_transform(range(0, 256),
           i -> CASE WHEN a.bl[CAST(i AS BIGINT) + 1] <> b.bl[CAST(i AS BIGINT) + 1]
                THEN 1 ELSE 0 END), 'sum') AS INT) <= 7),
 nb AS (SELECT ida AS media_id, min(idb) AS mn FROM pairs GROUP BY 1)
@@ -9419,33 +9525,71 @@ FROM pix
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver samples the FIRST
     # 50 entries. Rotated each round so every entry eventually appears
-    # in a driver artifact (r11: the NINE new oracled entries lead
-    # (BPE-count bucketing, audio DFT bins, image near-dup, bytes HTML
-    # extraction, URL canonicalize/dedup/host-cap, Gopher rules, the
-    # streaming URL fold), then every entry whose code path or oracle
-    # changed this round (the ascii-replace mm sweep, the html parser
-    # skip-stack fix, the magnitude-aware band + survivor_payload
-    # refactor of the blocked-GEMM grid), then the round-5 cohort (the
-    # rotation boundary), then the rest sorted oldest-last-driver-
-    # sample first — the r6 cohort fills the window; r10's
-    # freshly-sampled entries go to the back).
+    # in a driver artifact (r12: the 11 entries this round added or
+    # touched lead — the 256-bit near-dup configuration, the six-stage
+    # funnel, the completed URL canonicalization family, the
+    # trim-pinned quality filters, the media-corpus helpers — then the
+    # ENTIRE round-6 cohort (21 entries at the 5-round staleness
+    # boundary, per the r11 verdict rotation directive), then the
+    # round-7 cohort (18), which fills the window exactly; everything
+    # fresher keeps its prior relative order behind it).
     return {
-        "training_length_batches_bpe": training_length_batches_bpe,
-        "mm_audio_dft_bins": mm_audio_dft_bins,
-        "mm_image_neardup": mm_image_neardup,
-        "doc_html_extract_bytes": doc_html_extract_bytes,
+        "mm_image_neardup_256": mm_image_neardup_256,
+        "pipeline_web_curation": pipeline_web_curation,
         "doc_url_canonicalize": doc_url_canonicalize,
         "dedup_url_exact": dedup_url_exact,
-        "curate_host_cap": curate_host_cap,
-        "doc_quality_gopher": doc_quality_gopher,
         "stream_url_dedup_fold": stream_url_dedup_fold,
-        "doc_c4_clean": doc_c4_clean,
-        "curate_blocklist_filter": curate_blocklist_filter,
-        "pipeline_web_curation": pipeline_web_curation,
-        "split_leakage_check": split_leakage_check,
-        "mm_audio_neardup": mm_audio_neardup,
         "doc_repetition_gopher": doc_repetition_gopher,
+        "doc_quality_gopher": doc_quality_gopher,
+        "doc_c4_clean": doc_c4_clean,
         "doc_quality_fineweb": doc_quality_fineweb,
+        "mm_image_neardup": mm_image_neardup,
+        "mm_audio_neardup": mm_audio_neardup,
+        "benchmark_contamination": benchmark_contamination,
+        "compaction_plan_scores": compaction_plan_scores,
+        "corpus_curation": corpus_curation,
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard_ngram": dedup_jaccard_ngram,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_shard_packing": doc_shard_packing,
+        "doc_token_counts": doc_token_counts,
+        "doc_token_stats": doc_token_stats,
+        "events_asof_attribution": events_asof_attribution,
+        "events_error_sessions": events_error_sessions,
+        "events_session_windows": events_session_windows,
+        "index_search_brute": index_search_brute,
+        "index_search_graph": index_search_graph,
+        "index_search_graph_exhaustive": index_search_graph_exhaustive,
+        "index_search_sealed": index_search_sealed,
+        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
+        "lang_id_scores": lang_id_scores,
+        "pii_redaction": pii_redaction,
+        "segment_assignment": segment_assignment,
+        "customer_set_ops": customer_set_ops,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_latest_snapshot": events_latest_snapshot,
+        "events_moving_avg": events_moving_avg,
+        "events_sliding_windows": events_sliding_windows,
+        "orders_cube": orders_cube,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q22_inactive_customers": q22_inactive_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "revenue_grouping_sets": revenue_grouping_sets,
+        "training_length_batches_bpe": training_length_batches_bpe,
+        "mm_audio_dft_bins": mm_audio_dft_bins,
+        "doc_html_extract_bytes": doc_html_extract_bytes,
+        "curate_host_cap": curate_host_cap,
+        "curate_blocklist_filter": curate_blocklist_filter,
+        "split_leakage_check": split_leakage_check,
         "doc_html_extract": doc_html_extract,
         "mm_image_dhash": mm_image_dhash,
         "mm_resize_pipeline": mm_resize_pipeline,
@@ -9480,45 +9624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_join_graph_default": index_search_join_graph_default,
         "index_search_join_beam": index_search_join_beam,
         "embedding_pack_roundtrip": embedding_pack_roundtrip,
-        "index_search_brute": index_search_brute,
-        "index_search_sealed": index_search_sealed,
-        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
-        "index_search_graph": index_search_graph,
-        "index_search_graph_exhaustive": index_search_graph_exhaustive,
-        "segment_assignment": segment_assignment,
-        "compaction_plan_scores": compaction_plan_scores,
-        "benchmark_contamination": benchmark_contamination,
-        "corpus_curation": corpus_curation,
-        "dedup_exact": dedup_exact,
-        "dedup_jaccard_ngram": dedup_jaccard_ngram,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_shard_packing": doc_shard_packing,
-        "doc_token_counts": doc_token_counts,
-        "doc_token_stats": doc_token_stats,
-        "events_asof_attribution": events_asof_attribution,
-        "events_error_sessions": events_error_sessions,
-        "events_session_windows": events_session_windows,
-        "lang_id_scores": lang_id_scores,
-        "pii_redaction": pii_redaction,
-        "q10_returned_items": q10_returned_items,
-        "q8_market_share": q8_market_share,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q22_inactive_customers": q22_inactive_customers,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q20_dominant_suppliers": q20_dominant_suppliers,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "revenue_grouping_sets": revenue_grouping_sets,
-        "orders_cube": orders_cube,
-        "events_hourly_rollup": events_hourly_rollup,
-        "events_moving_avg": events_moving_avg,
-        "events_sliding_windows": events_sliding_windows,
-        "customer_set_ops": customer_set_ops,
-        "events_latest_snapshot": events_latest_snapshot,
         "q12_shipmode_priority": q12_shipmode_priority,
         "training_pack_sequences": training_pack_sequences,
         "index_search_filtered": index_search_filtered,
@@ -9752,6 +9857,7 @@ def oracle_sql() -> dict[str, str]:
         "training_length_batches_bpe": TRAINING_LENGTH_BATCHES_BPE_SQL,
         "mm_image_dhash": MM_IMAGE_DHASH_SQL,
         "mm_image_neardup": MM_IMAGE_NEARDUP_SQL,
+        "mm_image_neardup_256": MM_IMAGE_NEARDUP_256_SQL,
         "mm_audio_dft_bins": MM_AUDIO_DFT_BINS_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
