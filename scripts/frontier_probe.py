@@ -72,6 +72,9 @@ def main() -> None:
         .config("spark.ui.enabled", "true")  # REST metrics source
         .config("spark.ui.port", "4047")
         .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

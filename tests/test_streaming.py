@@ -946,6 +946,137 @@ def test_stream_passage_dedup_folds_equal_batch_operator(spark, tmp_path_factory
     assert got2 == {r[0]: r[2] for r in ref}
 
 
+def test_fold_dedup_bucketed_state_layouts(spark, tmp_path_factory):
+    """EpochBucketedState across the passage and line folds
+    (state_buckets mode): results equal the plain layout / batch
+    operator, replays and crash-partial partitions behave identically,
+    and the SCALE claims are plan-asserted — the passage fold's state
+    anti-join exchanges only the batch side, and the line fold's
+    prior-keycount aggregation runs with NO exchange at all over the
+    bucketed scan."""
+    import json
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.curate import passage_dedup
+    from vectorsearch_spark.operators.dedup import (
+        fold_line_dedup_batch,
+        fold_passage_dedup_batch,
+        read_line_dedup_state,
+    )
+    from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+    CHUNK = 4
+    d = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "iota kappa lam mu nu xi omicron pi",
+        2: "alpha beta gamma delta rho sigma tau upsilon",
+        3: "iota kappa lam mu nu xi omicron pi",
+        4: "phi chi psi omega alef bet gimel dalet",
+        5: "phi chi psi omega rho sigma tau upsilon",
+    }
+    schema = "doc_id long, text string"
+    state = str(tmp_path_factory.mktemp("pdstate_b")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    st = EpochBucketedState(
+        spark, state, "chunks", "`chunk_text` STRING", "chunk_text", 4
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {st.table}")
+
+    for i, ids in enumerate([[0, 1], [2, 3], [4, 5]]):
+        fold_passage_dedup_batch(
+            spark.createDataFrame([(j, d[j]) for j in ids], schema),
+            i, state, chunk_tokens=CHUNK, state_buckets=4,
+        )
+    cols = ["doc_id", "n_chunks", "n_kept", "kept_hash"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/accepted").select(cols).collect()
+    )
+    full = spark.createDataFrame(sorted(d.items()), schema)
+    ref = sorted(
+        tuple(r) for r in passage_dedup(full, chunk_tokens=CHUNK).collect()
+    )
+    assert got == ref
+
+    # crash-partial partition invisible to its replay
+    with open(f"{state}/_last_epoch.json", "w") as fh:
+        json.dump({"epoch": 1}, fh)
+    fold_passage_dedup_batch(
+        spark.createDataFrame([(j, d[j]) for j in [4, 5]], schema),
+        2, state, chunk_tokens=CHUNK, state_buckets=4,
+    )
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/accepted").select(cols).collect()
+    ) == ref
+
+    # plan: state side of the chunk anti-join is a bucketed scan, no
+    # exchange; only the probe side hashes
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        seen = st.read_before(3)
+        probe = spark.createDataFrame(
+            [("alpha beta gamma delta",)], "chunk_text string"
+        )
+        plan = (
+            probe.join(seen, "chunk_text", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    spark.sql(f"DROP TABLE IF EXISTS {st.table}")
+
+    # line fold: bucketed keycounts — results equal plain mode, and the
+    # prior-count aggregation plans with ZERO exchanges
+    lines = {
+        0: "common line\nunique a",
+        1: "common line\nunique b",
+        2: "other line\nunique c",
+        3: "other line\ncommon line",
+    }
+    s_plain = str(tmp_path_factory.mktemp("ldstate_p")) + "/st"
+    s_buck = str(tmp_path_factory.mktemp("ldstate_b")) + "/st"
+    for s, buckets in ((s_plain, None), (s_buck, 4)):
+        os.makedirs(s, exist_ok=True)
+        if buckets:
+            kc = EpochBucketedState(
+                spark, s, "keycounts", "`__key` STRING, `__nd_b` BIGINT",
+                "__key", buckets,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {kc.table}")
+        for i, ids in enumerate([[0, 1], [2, 3]]):
+            fold_line_dedup_batch(
+                spark.createDataFrame([(j, lines[j]) for j in ids], schema),
+                i, s, state_buckets=buckets,
+            )
+    pv = sorted(tuple(r) for r in read_line_dedup_state(spark, s_plain).collect())
+    bv = sorted(tuple(r) for r in read_line_dedup_state(spark, s_buck).collect())
+    assert pv == bv and len(bv) == 4
+
+    kc = EpochBucketedState(
+        spark, s_buck, "keycounts", "`__key` STRING, `__nd_b` BIGINT", "__key", 4
+    )
+    agg_plan = (
+        kc.read_before(2)
+        .groupBy("__key")
+        .agg(F.sum("__nd_b").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in agg_plan, agg_plan
+    assert "Bucketed: true" in agg_plan, agg_plan
+    spark.sql(f"DROP TABLE IF EXISTS {kc.table}")
+
+
 def test_stream_repeated_spans_folds_equal_batch_operator(spark, tmp_path_factory):
     """Streaming repeated-span dedup: 3 micro-batches with cross-batch
     repeats at ARBITRARY offsets — the folded span state must be

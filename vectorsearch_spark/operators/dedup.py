@@ -964,6 +964,7 @@ def fold_passage_dedup_batch(
     chunk_tokens: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    state_buckets: "int | None" = None,
 ) -> None:
     """One micro-batch fold of the streaming PASSAGE-dedup ingest (the
     foreachBatch body, exposed for crash-injection tests): chunk the
@@ -1017,18 +1018,33 @@ def fold_passage_dedup_batch(
     w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
     ch = chunks.withColumn("__rn", F.row_number().over(w))
 
-    root = os.path.join(state_path, "chunks")
-    dirs = (
-        [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
-    if dirs:
-        corpus_ch = spark.read.schema("chunk_text string").parquet(*dirs)
+    # state_buckets (r12): the surviving-chunk state lives in an
+    # EpochBucketedState table clustered by chunk_text, so BOTH state
+    # joins below (anti + semi on chunk_text) consume the bucketed scan
+    # without exchanging the corpus state — per-fold shuffle stays
+    # O(batch) as the accumulated corpus grows (incremental.py).
+    corpus_ch = None
+    if state_buckets:
+        from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+        corpus_ch = EpochBucketedState(
+            spark, state_path, "chunks", "`chunk_text` STRING",
+            "chunk_text", state_buckets,
+        ).read_before(epoch_id)
+    else:
+        root = os.path.join(state_path, "chunks")
+        dirs = (
+            [
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+            ]
+            if os.path.isdir(root)
+            else []
+        )
+        if dirs:
+            corpus_ch = spark.read.schema("chunk_text string").parquet(*dirs)
+    if corpus_ch is not None:
         ch = ch.join(corpus_ch, "chunk_text", "left_anti").unionByName(
             # corpus-matched chunks stay in the per-doc accounting as
             # non-survivors (n_chunks counts them; n_kept does not)
@@ -1068,7 +1084,17 @@ def fold_passage_dedup_batch(
 
     ep = f"epoch={int(epoch_id)}"
     out.write.mode("overwrite").parquet(os.path.join(state_path, "accepted", ep))
-    surviving.write.mode("overwrite").parquet(os.path.join(state_path, "chunks", ep))
+    if state_buckets:
+        from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+        EpochBucketedState(
+            spark, state_path, "chunks", "`chunk_text` STRING",
+            "chunk_text", state_buckets,
+        ).write_epoch(surviving, epoch_id)
+    else:
+        surviving.write.mode("overwrite").parquet(
+            os.path.join(state_path, "chunks", ep)
+        )
     commit_epoch(state_path, epoch_id)
 
 
@@ -1239,6 +1265,7 @@ def fold_line_dedup_batch(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    state_buckets: "int | None" = None,
 ) -> None:
     """One micro-batch fold of streaming LINE-level boilerplate dedup
     (the foreachBatch body, exposed for crash-injection tests) —
@@ -1305,13 +1332,34 @@ def fold_line_dedup_batch(
             if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
         ]
 
-    kc_dirs = _dirs("keycounts")
-    if kc_dirs:
-        prior = (
-            spark.read.schema("__key string, __nd_b long")
-            .parquet(*kc_dirs)
-            .groupBy("__key")
-            .agg(F.sum("__nd_b").alias("__nd_p"))
+    # state_buckets (r12): keycounts is THE per-fold O(state) exchange
+    # of this fold — a groupBy-sum over every key ever seen. Clustered
+    # by __key (EpochBucketedState) the bucketed scan already satisfies
+    # the aggregation's distribution requirement, so prior counts
+    # aggregate in place with no exchange; only the batch's keys
+    # shuffle (incremental.py).
+    kc_state = None
+    if state_buckets:
+        from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+        kc_state = EpochBucketedState(
+            spark, state_path, "keycounts",
+            "`__key` STRING, `__nd_b` BIGINT", "__key", state_buckets,
+        )
+    prior_rows = (
+        kc_state.read_before(epoch_id)
+        if kc_state is not None
+        else (
+            spark.read.schema("__key string, __nd_b long").parquet(
+                *_dirs("keycounts")
+            )
+            if _dirs("keycounts")
+            else None
+        )
+    )
+    if prior_rows is not None:
+        prior = prior_rows.groupBy("__key").agg(
+            F.sum("__nd_b").alias("__nd_p")
         )
     else:
         prior = spark.createDataFrame([], "__key string, __nd_p long")
@@ -1354,9 +1402,12 @@ def fold_line_dedup_batch(
     bl.select(id_col, "pos", "line", "__key").write.mode("overwrite").parquet(
         os.path.join(state_path, "lines", ep)
     )
-    batch_counts.write.mode("overwrite").parquet(
-        os.path.join(state_path, "keycounts", ep)
-    )
+    if kc_state is not None:
+        kc_state.write_epoch(batch_counts, epoch_id)
+    else:
+        batch_counts.write.mode("overwrite").parquet(
+            os.path.join(state_path, "keycounts", ep)
+        )
     out.write.mode("overwrite").parquet(os.path.join(state_path, "spans", ep))
     commit_epoch(state_path, epoch_id)
 

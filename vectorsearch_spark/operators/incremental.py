@@ -99,6 +99,116 @@ def committed_epoch(state_path: str, reader: str) -> int:
         return int(json.load(fh)["epoch"])
 
 
+class EpochBucketedState:
+    """The 100 TB layout for a streaming fold's keyed state (r12): one
+    EXTERNAL parquet table per state substore, PARTITIONED BY ``epoch``
+    and CLUSTERED BY the state's join/aggregation key into a fixed
+    bucket count, living at ``{state_path}/{name}_bucketed``.
+
+    Why: the folds' per-batch state reads are keyed — an anti-join on
+    canonical url (URL frontier), an anti+semi join on chunk_text
+    (passage dedup), a groupBy-sum on line key (line dedup). Over plain
+    per-epoch parquet dirs each of those re-EXCHANGES the entire state
+    at every fold; over this layout the bucketed scan already satisfies
+    the join/aggregation distribution requirement, so the state is
+    scanned but never shuffled and the per-fold exchange is O(batch).
+    Size ``buckets`` to the cluster (a bucket is one task's state
+    slice).
+
+    Exactly-once mechanics match the plain layout one-for-one:
+      * reads filter ``epoch < epoch_id`` (partition pruning), so a
+        crashed attempt's partial CURRENT partition is invisible to
+        its own replay;
+      * writes are static-partition ``INSERT OVERWRITE`` — idempotent
+        per-epoch rewrite, exactly like the dirs' mode=overwrite;
+      * the fold's marker still commits last (this class never touches
+        the marker).
+    The catalog entry is re-derivable: the data dir is the durable
+    artifact, and a fresh session (in-memory catalog) re-registers the
+    same DDL and recovers partitions, so bucketed state survives
+    restarts exactly like the plain dirs do.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_path: str,
+        name: str,
+        schema_ddl: str,
+        key: str,
+        buckets: int,
+    ) -> None:
+        import hashlib
+        import os
+
+        self.spark = spark
+        self.name = name
+        self.schema_ddl = schema_ddl  # data columns only, no epoch
+        self.key = key
+        self.buckets = int(buckets)
+        self.loc = os.path.join(state_path, f"{name}_bucketed")
+        digest = hashlib.md5(self.loc.encode()).hexdigest()[:12]
+        self.table = f"fold_state_{name}_{digest}"
+        self.cols = [
+            c.strip().split()[0].strip("`") for c in schema_ddl.split(",")
+        ]
+
+    def _ensure(self) -> bool:
+        """Register (or recover) the table; False if no state exists yet."""
+        import os
+
+        if self.spark.catalog.tableExists(self.table):
+            return True
+        if not os.path.isdir(self.loc):
+            return False
+        cols = ", ".join(
+            f"`{c.strip().split()[0].strip('`')}` {' '.join(c.strip().split()[1:])}"
+            for c in self.schema_ddl.split(",")
+        )
+        self.spark.sql(
+            f"CREATE TABLE {self.table} ({cols}, epoch INT) USING PARQUET"
+            f" PARTITIONED BY (epoch) CLUSTERED BY (`{self.key}`)"
+            f" SORTED BY (`{self.key}`) INTO {self.buckets} BUCKETS"
+            f" LOCATION '{self.loc}'"
+        )
+        self.spark.sql(f"MSCK REPAIR TABLE {self.table}")
+        return True
+
+    def read_before(self, epoch_id: int) -> "DataFrame | None":
+        """State rows of epochs strictly before ``epoch_id`` as a
+        bucketed scan (None when no state exists yet)."""
+        if not self._ensure():
+            return None
+        return (
+            self.spark.table(self.table)
+            .where(F.col("epoch") < int(epoch_id))
+            .select(*self.cols)
+        )
+
+    def write_epoch(self, df: DataFrame, epoch_id: int) -> None:
+        """Idempotently (re)write ``epoch_id``'s rows."""
+        if not self._ensure():
+            (
+                df.select(*self.cols)
+                .withColumn("epoch", F.lit(int(epoch_id)).cast("int"))
+                .write.partitionBy("epoch")
+                .bucketBy(self.buckets, self.key)
+                .sortBy(self.key)
+                .option("path", self.loc)
+                .format("parquet")
+                .saveAsTable(self.table)
+            )
+            return
+        v = f"__{self.table}_e{int(epoch_id)}"
+        df.select(*self.cols).createOrReplaceTempView(v)
+        cols = ", ".join(f"`{c}`" for c in self.cols)
+        self.spark.sql(
+            f"INSERT OVERWRITE TABLE {self.table}"
+            f" PARTITION (epoch={int(epoch_id)}) SELECT {cols} FROM {v}"
+        )
+        self.spark.catalog.dropTempView(v)
+
+
 def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Aggregate a batch into mergeable per-group state:
     (keys…, n_rows, total, vmin, vmax) over ``value_col`` (NULL values

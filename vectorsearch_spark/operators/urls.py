@@ -285,34 +285,21 @@ def host_cap(
 def _frontier_table(state_path: str) -> str:
     """Catalog name of the bucketed frontier-state table for a state
     dir (content-addressed so concurrent tests/state dirs never
-    collide)."""
+    collide) — the ``EpochBucketedState`` naming for the 'urls'
+    substore, computable without a session (tests/registry cleanup)."""
     import hashlib
-
-    return "url_frontier_" + hashlib.md5(state_path.encode()).hexdigest()[:10]
-
-
-def _ensure_frontier_table(spark, state_path: str, state_buckets: int) -> str:
-    """Register (or recover) the EXTERNAL bucketed frontier table whose
-    data lives at ``{state_path}/urls_bucketed``. The data dir is the
-    durable artifact; the catalog entry is re-derivable — a fresh
-    session (in-memory catalog) re-registers with the same bucketing
-    DDL and recovers partitions, so bucketed state survives restarts
-    exactly like the plain per-epoch dirs do."""
     import os
 
-    tbl = _frontier_table(state_path)
-    if spark.catalog.tableExists(tbl):
-        return tbl
     loc = os.path.join(state_path, "urls_bucketed")
-    if os.path.isdir(loc):
-        spark.sql(
-            f"CREATE TABLE {tbl} (_curl STRING, epoch INT) USING PARQUET"
-            f" PARTITIONED BY (epoch) CLUSTERED BY (_curl) SORTED BY (_curl)"
-            f" INTO {int(state_buckets)} BUCKETS LOCATION '{loc}'"
-        )
-        spark.sql(f"MSCK REPAIR TABLE {tbl}")
-        return tbl
-    return ""
+    return "fold_state_urls_" + hashlib.md5(loc.encode()).hexdigest()[:12]
+
+
+def _frontier_state(spark, state_path: str, state_buckets: int):
+    from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+    return EpochBucketedState(
+        spark, state_path, "urls", "`_curl` STRING", "_curl", state_buckets
+    )
 
 
 def fold_url_dedup_batch(
@@ -383,13 +370,10 @@ def fold_url_dedup_batch(
         # the only shuffle is the batch side hashing into the bucket
         # count: O(batch), not O(state) — the difference between
         # scanning the frontier and re-shuffling it at every fold.
-        tbl = _ensure_frontier_table(spark, state_path, state_buckets)
-        if tbl:
-            seen = (
-                spark.table(tbl)
-                .where(F.col("epoch") < int(epoch_id))
-                .select("_curl")
-            )
+        seen = _frontier_state(spark, state_path, state_buckets).read_before(
+            epoch_id
+        )
+        if seen is not None:
             canon = canon.join(seen, "_curl", "left_anti")
     else:
         dirs = (
@@ -419,34 +403,9 @@ def fold_url_dedup_batch(
         F.col("_curl").alias("canonical_url"),
     ).write.mode("overwrite").parquet(os.path.join(state_path, "accepted", ep))
     if state_buckets:
-        tbl = _ensure_frontier_table(spark, state_path, state_buckets)
-        distinct_urls = accepted.select("_curl").distinct()
-        if not tbl:
-            # first fold: create the external partitioned+bucketed
-            # table in place (data under state_path, catalog entry
-            # re-derivable — see _ensure_frontier_table)
-            (
-                distinct_urls.withColumn(
-                    "epoch", F.lit(int(epoch_id)).cast("int")
-                )
-                .write.partitionBy("epoch")
-                .bucketBy(int(state_buckets), "_curl")
-                .sortBy("_curl")
-                .option("path", os.path.join(state_path, "urls_bucketed"))
-                .format("parquet")
-                .saveAsTable(_frontier_table(state_path))
-            )
-        else:
-            # later folds and replays: static-partition INSERT
-            # OVERWRITE rewrites exactly this epoch's partition
-            # (idempotent) and writes bucket files per the table spec
-            v = f"__frontier_batch_{tbl}_{int(epoch_id)}"
-            distinct_urls.createOrReplaceTempView(v)
-            spark.sql(
-                f"INSERT OVERWRITE TABLE {tbl} PARTITION (epoch={int(epoch_id)})"
-                f" SELECT _curl FROM {v}"
-            )
-            spark.catalog.dropTempView(v)
+        _frontier_state(spark, state_path, state_buckets).write_epoch(
+            accepted.select("_curl").distinct(), epoch_id
+        )
     else:
         accepted.select("_curl").distinct().write.mode("overwrite").parquet(
             os.path.join(root, ep)

@@ -6866,7 +6866,10 @@ def stream_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     retroactively REVISE epoch-0 docs, so the folded view equals the
     batch operator on the full corpus — and therefore shares
     dedup_lines' exact SQL oracle (batching-independence IS the
-    correctness claim)."""
+    correctness claim). r12: keycounts state runs the BUCKETED layout
+    (``state_buckets=8`` — EpochBucketedState), so the per-fold
+    prior-count aggregation consumes the bucketed scan without
+    exchanging the accumulated key table."""
     import os
     import shutil
     import tempfile
@@ -6875,6 +6878,7 @@ def stream_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold_line_dedup_batch,
         read_line_dedup_state,
     )
+    from vectorsearch_spark.operators.incremental import EpochBucketedState
 
     corpus = _line_corpus(spark, sf_dir)
     # fixed per-sf path, wiped per run: reruns must not see the previous
@@ -6883,10 +6887,24 @@ def stream_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_")
     state = os.path.join(tempfile.gettempdir(), f"ld_fold_{tag}")
     shutil.rmtree(state, ignore_errors=True)
+    spark.sql(
+        "DROP TABLE IF EXISTS "
+        + EpochBucketedState(
+            spark, state, "keycounts", "`__key` STRING, `__nd_b` BIGINT",
+            "__key", 8,
+        ).table
+    )
     os.makedirs(state, exist_ok=True)
+    # split on the RAW id (not a modulo) — arrival order must equal id
+    # order for the batch-operator oracle to apply (the same latent
+    # large-id hazard the r11 ADVICE flagged on the URL fold)
     mid = 250
-    fold_line_dedup_batch(corpus.where(F.col("doc_id") % 1000000 < mid), 0, state)
-    fold_line_dedup_batch(corpus.where(F.col("doc_id") % 1000000 >= mid), 1, state)
+    fold_line_dedup_batch(
+        corpus.where(F.col("doc_id") < mid), 0, state, state_buckets=8
+    )
+    fold_line_dedup_batch(
+        corpus.where(F.col("doc_id") >= mid), 1, state, state_buckets=8
+    )
     return read_line_dedup_state(spark, state).select(
         "doc_id", "n_lines", "n_kept", "n_boiler", "kept_hash"
     )
