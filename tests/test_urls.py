@@ -144,6 +144,9 @@ def test_is_absolute_and_host(spark):
             (0, "HTTP://WWW.Example.COM:80/x"),
             (1, "https://sub.domain.org/y"),
             (2, "nope"),
+            (3, "http://x.net:8080/p"),        # ANY port strips from host
+            (4, "http://[::1]:8080/p"),        # bracketed IPv6 + port
+            (5, "https://[2001:DB8::1]/p"),    # bracketed IPv6, no port
         ],
         ["i", "url"],
     )
@@ -159,6 +162,9 @@ def test_is_absolute_and_host(spark):
     assert rows[0] == (True, "www.example.com", "example.com")
     assert rows[1] == (True, "sub.domain.org", "sub.domain.org")
     assert rows[2][0] is False
+    assert rows[3][1] == "x.net"
+    assert rows[4][1] == "[::1]"
+    assert rows[5][1] == "[2001:db8::1]"
 
 
 def test_url_dedup_min_id_keeper(spark):

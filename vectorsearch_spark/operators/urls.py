@@ -188,16 +188,18 @@ def is_absolute_url(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str, strip_www: bool = False) -> Column:
-    """Lowercased host (authority minus any port) of an absolute URL —
-    the per-domain key for host caps and host-level stats.
-
-    Scope note: hostnames and IPv4 literals only. A bracketed IPv6
-    literal (``http://[::1]:80/``) truncates at its first ':' — if a
-    corpus carries IPv6-host URLs (vanishingly rare in web crawls),
-    filter them with ``url LIKE '%://[%'`` before keying on host."""
+    """Lowercased host (authority minus ANY port — default or not) of
+    an absolute URL — the per-domain key for host caps and host-level
+    stats. A bracketed IPv6 literal (``http://[::1]:8080/``) keys as
+    its bracketed form ``[::1]`` (RFC 3986 §3.2.2 keeps the brackets
+    in the authority; the port starts only after ``]``), so IPv6-host
+    URLs group correctly instead of truncating at the first ':'."""
     u = F.col(url) if isinstance(url, str) else url
     authority = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
-    host = F.regexp_extract(authority, r"^([^:]*)", 1)
+    host = F.when(
+        authority.startswith("["),
+        F.regexp_extract(authority, r"^(\[[^\]]*\])", 1),
+    ).otherwise(F.regexp_extract(authority, r"^([^:]*)", 1))
     if strip_www:
         host = F.when(
             host.startswith("www."), host.substr(F.lit(5), F.length(host))

@@ -4596,7 +4596,7 @@ def _raw_url_col() -> Column:
         )
         .otherwise(
             F.concat(
-                F.lit("https://"), F.col("source"), F.lit(".com/p/"), k7,
+                F.lit("https://"), F.col("source"), F.lit(".com:8080/p/"), k7,
                 F.lit("?q=%2f&r=%41"),
             )
         )
@@ -4619,7 +4619,7 @@ _URL_CORPUS_SQL = """
            WHEN 1 THEN 'http://' || source || '.com/p/x/../' || (doc_id % 7) || '?a=1&b=2'
            WHEN 2 THEN 'https://' || source || '.COM:443/%7Ep/./' || (doc_id % 7)
                        || '?b=2&utm_campaign=x&a=1'
-           ELSE 'https://' || source || '.com/p/' || (doc_id % 7) || '?q=%2f&r=%41'
+           ELSE 'https://' || source || '.com:8080/p/' || (doc_id % 7) || '?q=%2f&r=%41'
          END AS raw_url
   FROM documents
 """
@@ -4662,7 +4662,7 @@ def _pct_sql(x: str) -> str:
 # '/.' or '/..' re-appends the trailing slash the RFC output has.
 _URL_CANON_SQL = r"""
   SELECT doc_id, raw_url,
-         scheme || '://' || host ||
+         scheme || '://' || rhost ||
          (CASE WHEN path2 = '' THEN '/' ELSE path2 END) ||
          (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
            AS url,
@@ -4673,7 +4673,8 @@ _URL_CANON_SQL = r"""
                (s NOT IN ('.', '..') AND list_min(P[i:]) >= P[i])), '/')
              || (CASE WHEN segs[-1] IN ('.', '..') THEN '/' ELSE '' END)
              AS path2,
-           CASE WHEN h0 LIKE 'www.%' THEN substr(h0, 5) ELSE h0 END AS host,
+           CASE WHEN h0 LIKE 'www.%' THEN substr(h0, 5) ELSE h0 END AS rhost,
+           CASE WHEN hp LIKE 'www.%' THEN substr(hp, 5) ELSE hp END AS host,
            list_sort(list_filter(string_split(query_n, '&'),
              p -> p <> '' AND NOT regexp_matches(p,
                '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))) AS kept
@@ -4690,7 +4691,10 @@ _URL_CANON_SQL = r"""
                         THEN substr(auth, 1, length(auth) - 3)
                       WHEN scheme = 'https' AND auth LIKE '%:443'
                         THEN substr(auth, 1, length(auth) - 4)
-                      ELSE auth END AS h0
+                      ELSE auth END AS h0,
+                 CASE WHEN auth LIKE '[%'
+                        THEN regexp_extract(auth, '^(\[[^\]]*\])', 1)
+                      ELSE regexp_extract(auth, '^([^:]*)', 1) END AS hp
           FROM (
             SELECT doc_id, raw_url, scheme, auth,
                    __PCT_PATH__ AS path_n,
@@ -5506,8 +5510,13 @@ WITH raw AS ({_URL_CORPUS_SQL}),
 c AS ({_URL_CANON_SQL}),
 d0 AS (
   SELECT c.doc_id, c.url, c.host,
-         lower(regexp_extract(regexp_extract(c.raw_url,
-           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host_b,
+         CASE WHEN lower(regexp_extract(c.raw_url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) LIKE '[%'
+              THEN regexp_extract(lower(regexp_extract(c.raw_url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^(\\[[^\\]]*\\])', 1)
+              ELSE regexp_extract(lower(regexp_extract(c.raw_url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^([^:]*)', 1)
+         END AS host_b,
          {_web_decor_sql("doc.text", "c.doc_id")} AS t,
          doc.n_chars
   FROM c JOIN documents doc ON doc.doc_id = c.doc_id),
