@@ -399,6 +399,85 @@ def test_fold_url_dedup_bucketed_state(spark, tmp_path_factory):
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_compact_url_frontier(spark, tmp_path_factory):
+    """Frontier compaction: epochs <= upto merge into one partition,
+    older partitions drop from catalog AND disk, dedup behaviour and
+    the exchange-free bucketed plan survive, and a re-run (crash
+    re-entrancy) is a no-op."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.urls import (
+        _frontier_table,
+        canonicalize_url,
+        compact_url_frontier,
+        fold_url_dedup_batch,
+        read_accepted,
+    )
+
+    schema = "doc_id long, url string"
+    state = str(tmp_path_factory.mktemp("url_state_c")) + "/st"
+    os.makedirs(state, exist_ok=True)
+    tbl = _frontier_table(state)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    batches = [
+        [(1, "http://a.com/1"), (2, "http://a.com/2")],
+        [(10, "http://a.com/3")],
+        [(20, "http://a.com/4")],
+    ]
+    for i, rows in enumerate(batches):
+        fold_url_dedup_batch(
+            spark.createDataFrame(rows, schema), i, state, state_buckets=4
+        )
+    assert spark.sql(f"SHOW PARTITIONS {tbl}").count() == 3
+
+    for _ in range(2):  # second run = crash re-entrancy no-op
+        compact_url_frontier(spark, state, 4, upto_epoch=2)
+        parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {tbl}").collect()]
+        assert parts == ["epoch=2"], parts
+        dirs = sorted(
+            d
+            for d in os.listdir(f"{state}/urls_bucketed")
+            if d.startswith("epoch=")
+        )
+        assert dirs == ["epoch=2"], dirs
+        assert spark.table(tbl).count() == 4
+
+    # dedup against the compacted state still works and stays bucketed
+    fold_url_dedup_batch(
+        spark.createDataFrame(
+            [(30, "http://a.com/1"), (31, "http://a.com/5")], schema
+        ),
+        3,
+        state,
+        state_buckets=4,
+    )
+    assert sorted(r["doc_id"] for r in read_accepted(spark, state).collect()) == [
+        1, 2, 10, 20, 31,
+    ]
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = spark.createDataFrame(batches[0], schema).withColumn(
+            "_curl", canonicalize_url("url", strip_www=True)
+        )
+        seen = spark.table(tbl).where(F.col("epoch") < 9).select("_curl")
+        plan = (
+            batch.join(seen, "_curl", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_read_accepted_honours_committed_epoch(spark, tmp_path_factory):
     """read_accepted must NOT surface a crashed fold's uncommitted
     partial accepted/ dir (the committed-epoch reader contract)."""

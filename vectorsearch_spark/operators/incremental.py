@@ -208,6 +208,64 @@ class EpochBucketedState:
         )
         self.spark.catalog.dropTempView(v)
 
+    def compact_epochs(self, upto_epoch: int) -> None:
+        """LSM-style maintenance: merge every epoch ≤ ``upto_epoch``
+        into partition ``upto_epoch`` (distinct rows) and remove the
+        older partitions, bounding partition/file counts as folds
+        accumulate. Call BETWEEN folds.
+
+        SET-SEMANTICS STATE ONLY (membership rows — url frontier,
+        surviving chunks): every step keeps the row SET of
+        ``epoch ≤ upto`` reads invariant, so a crash at ANY point (or
+        an MSCK recovery resurrecting a not-yet-deleted dir) leaves
+        readers correct — duplicates across partitions cannot change
+        an anti/semi join. Do NOT compact additive state (the line
+        fold's keycounts): duplicate count rows would double-sum.
+
+        Order of operations (each idempotent, re-entrant on crash):
+        1. INSERT OVERWRITE partition ``upto`` with the distinct union
+           of epochs ≤ upto (detached via localCheckpoint — Spark
+           forbids overwriting a table being read);
+        2. per older epoch: DROP PARTITION from the catalog FIRST,
+           then delete the dir (never the reverse — a catalog entry
+           pointing at a deleted dir breaks scans; an orphan dir
+           without a catalog entry is invisible until an MSCK, and
+           set-safe even then).
+        """
+        import os
+        import shutil
+
+        if not self._ensure():
+            return
+        upto = int(upto_epoch)
+        merged = (
+            self.spark.table(self.table)
+            .where(F.col("epoch") <= upto)
+            .select(*self.cols)
+            .distinct()
+            .localCheckpoint()
+        )
+        v = f"__{self.table}_compact_{upto}"
+        merged.createOrReplaceTempView(v)
+        cols = ", ".join(f"`{c}`" for c in self.cols)
+        self.spark.sql(
+            f"INSERT OVERWRITE TABLE {self.table}"
+            f" PARTITION (epoch={upto}) SELECT {cols} FROM {v}"
+        )
+        self.spark.catalog.dropTempView(v)
+        # older partitions: disk is the source of truth for what still
+        # needs cleanup (re-entrancy after a crash mid-loop)
+        for d in sorted(os.listdir(self.loc)):
+            if not d.startswith("epoch="):
+                continue
+            e = int(d.split("=", 1)[1])
+            if e >= upto:
+                continue
+            self.spark.sql(
+                f"ALTER TABLE {self.table} DROP IF EXISTS PARTITION (epoch={e})"
+            )
+            shutil.rmtree(os.path.join(self.loc, d), ignore_errors=True)
+
 
 def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Aggregate a batch into mergeable per-group state:

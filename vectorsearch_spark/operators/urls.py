@@ -443,6 +443,18 @@ def stream_url_dedup(
     )
 
 
+def compact_url_frontier(
+    spark, state_path: str, state_buckets: int, upto_epoch: int
+) -> None:
+    """Merge the bucketed frontier's epoch partitions ≤ ``upto_epoch``
+    into one (``EpochBucketedState.compact_epochs``) — run between
+    folds so a long-lived crawl frontier keeps a bounded partition/file
+    count instead of one partition per micro-batch. Crash-safe because
+    the frontier is SET state: at every step the accepted-url SET any
+    reader observes is unchanged."""
+    _frontier_state(spark, state_path, state_buckets).compact_epochs(upto_epoch)
+
+
 def read_accepted(spark, state_path: str) -> DataFrame:
     """The accepted rows of a URL-frontier state dir, honouring the
     exactly-once crash-window contract: load ONLY epoch dirs
