@@ -473,3 +473,43 @@ def test_bitstring_near_dup_boundary_and_width(spark):
         for r in bitstring_near_dup(df, n_bits=40, max_hamming=2).collect()
     }
     assert got1 == {1: 1, 2: 1, 3: 0}
+
+
+def test_bitstring_near_dup_band_cap_prunes_hot_band_keeps_quiet_pairs(spark):
+    """max_band_freq on bitstring_near_dup — the production lever for
+    hot-band-bucket growth (correlated fingerprints share whole bands,
+    so within-bucket candidate pairs grow quadratically; the r12 256-bit
+    probe measured 74x pair growth at 10x data on the synthetic corpus).
+    The cap prunes band buckets above the threshold, which costs
+    recall-completeness ONLY for pairs whose every agreeing band is hot:
+    a pair that also agrees on a quiet band is still found (multi-index
+    property)."""
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+
+    # 16 bits, 2 bands of 8. Hot band 0: every row shares '00000000'.
+    # Rows 0/1 ALSO share band 1 (quiet: only they collide there), so
+    # their Hamming-0... make them Hamming-1 apart in band 0? No —
+    # keep them identical in band 1, differing by 1 bit in band 0.
+    rows = [
+        (0, "00000000" + "10101010"),
+        (1, "00000001" + "10101010"),  # d=1 vs row 0; band 1 matches row 0
+    ] + [
+        # 30 fillers: hot band 0 shared, band 1 unique per row and far
+        # from everything (distinct high nibbles)
+        (10 + i, "00000000" + format(i + 3, "04b") + format(15 - (i % 8), "04b")[::-1])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash string")
+    capped = {
+        r["media_id"]: (r["keep"], r["min_neighbor_id"])
+        for r in bitstring_near_dup(
+            df, n_bits=16, max_hamming=1, bands=2, max_band_freq=5
+        ).collect()
+    }
+    # band 0 bucket has 10 members > cap 5 -> pruned; rows 0/1 still
+    # pair through their QUIET band-1 bucket
+    assert capped[0] == (1, 0)
+    assert capped[1] == (0, 0)
+    # fillers survive as their own keepers (nothing within Hamming 1)
+    for i in range(8):
+        assert capped[10 + i][0] == 1
