@@ -163,7 +163,13 @@ def canonicalize_url(url: Column | str, strip_www: bool = False) -> Column:
     # §6.2.2.2 then §6.2.2.3, in the RFC's order: '%2E' decodes to '.'
     # BEFORE dot-segment removal. pct escapes never decode to '/', '?',
     # '#', '&', '=' or '%' (none are unreserved), so component
-    # boundaries and the param split are unaffected.
+    # boundaries and the param split are unaffected. The full rewrites
+    # cost ~1.5-2x vs the r11 partial normalization on URL-bound plans
+    # (still one codegen projection, linear at 10x); an identity
+    # short-circuit variant (skip pct when no '%', skip dot removal
+    # when no '.' segment) was A/B-measured SLOWER (0.63 vs 0.45 s/5M
+    # rows) — the per-row guard rlike/contains costs more than the
+    # branches save, so the straight form is the fast one.
     path = remove_dot_segments(pct_normalize(F.regexp_extract(u, _PATH_RE, 1)))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = pct_normalize(F.regexp_extract(u, _QUERY_RE, 1))
