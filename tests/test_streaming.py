@@ -780,6 +780,94 @@ def test_stream_dedup_ingest_folds_replay_and_crash(spark, tmp_path_factory):
     ) == got
 
 
+def test_stream_dedup_ingest_bucketed_band_state(spark, tmp_path_factory):
+    """MinHash ingest fold with state_buckets: the buckets substore
+    moves to the band_key-clustered layout — same accepted set as the
+    plain layout, crash replay intact, and BOTH per-fold O(state)
+    operations plan exchange-free over the bucketed scan: the hot-band
+    count window and the candidate join on band_key."""
+    import json
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_spark.operators.dedup import (
+        _cap_band_freq,
+        fold_dedup_ingest_batch,
+    )
+    from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away tonight",
+        "pack my box with five dozen liquor jugs before the morning train leaves",
+        "sphinx of black quartz judge my vow while the river flows gently north",
+        "a completely different document about distributed query engines and joins",
+    ]
+    b1 = [(i, base[i]) for i in range(4)]
+    b2 = [
+        (10, base[0]),
+        (11, "totally new text about parquet row groups and column pruning at scale"),
+        (12, base[1] + " extra"),
+    ]
+    schema = "doc_id long, text string"
+    kw = dict(shingle_n=2, num_hashes=16, bands=8, threshold=0.5)
+
+    results = {}
+    for mode, buckets in (("plain", None), ("bucketed", 4)):
+        state = str(tmp_path_factory.mktemp(f"mh_{mode}")) + "/st"
+        os.makedirs(state, exist_ok=True)
+        if buckets:
+            st = EpochBucketedState(
+                spark, state, "buckets",
+                "`doc_id` BIGINT, `band_key` STRING", "band_key", buckets,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {st.table}")
+        for i, rows in enumerate([b1, b2]):
+            fold_dedup_ingest_batch(
+                spark.createDataFrame(rows, schema), i, state,
+                state_buckets=buckets, **kw,
+            )
+        results[mode] = sorted(
+            r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+        )
+        if buckets:
+            # crash replay with bucketed band state
+            with open(f"{state}/_last_epoch.json", "w") as fh:
+                json.dump({"epoch": 0}, fh)
+            fold_dedup_ingest_batch(
+                spark.createDataFrame(b2, schema), 1, state,
+                state_buckets=buckets, **kw,
+            )
+            assert sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(f"{state}/accepted").collect()
+            ) == results[mode]
+            # plan: hot-band count window + band_key probe join, no
+            # exchange above the bucketed state scan
+            old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                state_scan = st.read_before(2)
+                capped = _cap_band_freq(state_scan, 5000)
+                probe = spark.createDataFrame(
+                    [("0|x",), ("1|y",)], "band_key string"
+                )
+                plan = (
+                    probe.join(capped, "band_key", "left_semi")
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+                assert "Bucketed: true" in plan, plan
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+            spark.sql(f"DROP TABLE IF EXISTS {st.table}")
+    assert results["plain"] == results["bucketed"]
+    assert 10 not in results["plain"] and 12 not in results["plain"]
+
+
 def test_stream_dedup_ingest_streaming_query(spark, tmp_path_factory):
     """The writeStream wrapper end-to-end: duplicate docs across two
     micro-batches collapse to the first-accepted copy."""

@@ -811,6 +811,7 @@ def fold_dedup_ingest_batch(
     bands: int = 8,
     threshold: float = 0.5,
     max_band_freq: int | None = MAX_BAND_FREQ_DEFAULT,
+    state_buckets: "int | None" = None,
 ) -> None:
     """One micro-batch fold of the streaming dedup ingest (the
     foreachBatch body, exposed for crash-injection tests): check the
@@ -824,6 +825,16 @@ def fold_dedup_ingest_batch(
     - ``accepted/`` — surviving (id, text) rows, the corpus;
     - ``buckets/`` — their (doc_id, band_key) LSH buckets;
     - ``shingles/`` — their shingle sets (the verify side).
+
+    ``state_buckets=N`` (r12) moves the ``buckets/`` substore to the
+    bucketed layout (``EpochBucketedState``, CLUSTERED BY band_key):
+    the two per-fold O(state) operations — the hot-band count
+    (``_cap_band_freq``'s groupBy over every persisted bucket row) and
+    the candidate join on band_key — both consume the bucketed scan
+    without exchanging the accumulated state; only the batch's bucket
+    rows shuffle. ``shingles/`` stays a plain dir: its only state-side
+    join probes with the (small) candidate set, which broadcasts, so
+    the shingle state is scanned but never exchanged in either layout.
 
     Persisted buckets+shingles are what make the per-batch cost
     O(|batch| tokens + matched buckets) INDEPENDENT of corpus size —
@@ -867,10 +878,29 @@ def fold_dedup_ingest_batch(
             if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
         ]
 
+    bk_state = None
+    if state_buckets:
+        from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+        bk_state = EpochBucketedState(
+            spark, state_path, "buckets",
+            "`doc_id` BIGINT, `band_key` STRING", "band_key", state_buckets,
+        )
+
     drop = None
-    bdirs, sdirs = _epochs("buckets"), _epochs("shingles")
-    if bdirs:
-        bk_c = spark.read.schema("doc_id long, band_key string").parquet(*bdirs)
+    sdirs = _epochs("shingles")
+    bk_c = (
+        bk_state.read_before(epoch_id)
+        if bk_state is not None
+        else (
+            spark.read.schema("doc_id long, band_key string").parquet(
+                *_epochs("buckets")
+            )
+            if _epochs("buckets")
+            else None
+        )
+    )
+    if bk_c is not None:
         sh_c = spark.read.schema("doc_id long, shingles array<string>").parquet(*sdirs)
         cand = (
             bk_b.select(F.col("doc_id").alias("batch_id"), "band_key")
@@ -924,9 +954,14 @@ def fold_dedup_ingest_batch(
     accepted.select(F.col(id_col).cast("long").alias("doc_id"), text_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(state_path, "accepted", ep))
-    bk_a.select(F.col("doc_id").cast("long"), "band_key").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_path, "buckets", ep))
+    if bk_state is not None:
+        bk_state.write_epoch(
+            bk_a.select(F.col("doc_id").cast("long"), "band_key"), epoch_id
+        )
+    else:
+        bk_a.select(F.col("doc_id").cast("long"), "band_key").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_path, "buckets", ep))
     sh_a.select(F.col("doc_id").cast("long"), "shingles").write.mode(
         "overwrite"
     ).parquet(os.path.join(state_path, "shingles", ep))
