@@ -503,6 +503,61 @@ def test_read_accepted_honours_committed_epoch(spark, tmp_path_factory):
     assert sorted(r["doc_id"] for r in read_accepted(spark, state).collect()) == [1]
 
 
+def test_stream_url_dedup_auto_compaction(spark, tmp_path_factory):
+    """compact_every with bucketed state: a 4-epoch availableNow run
+    (maxFilesPerTrigger=1) compacts at epochs 1 and 3, leaving ONE
+    frontier partition; the accepted set still equals the batch
+    operator's keeper set."""
+    import os
+
+    from vectorsearch_spark.operators.urls import (
+        _frontier_table,
+        read_accepted,
+        stream_url_dedup,
+        url_dedup,
+    )
+
+    tmp = tmp_path_factory.mktemp("url_stream_c")
+    src, state, ckpt = str(tmp / "src"), str(tmp / "state"), str(tmp / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        (1, "http://a.com/x?b=2&a=1"),
+        (2, "HTTP://WWW.A.COM:80/x?a=1&b=2"),
+        (3, "https://b.org/"),
+        (4, "https://b.org:443/?utm_campaign=x"),
+        (5, "https://c.net/z"),
+        (6, "http://a.com/p/../x?a=1&b=2"),   # dot-segment dup of 1
+        (7, "https://d.io/unique"),
+        (8, "https://c.net/z#frag"),
+    ]
+    schema = "doc_id long, url string"
+    tbl = _frontier_table(state)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # one file per 2 rows -> 4 micro-batches with maxFilesPerTrigger=1
+    for i in range(4):
+        spark.createDataFrame(rows[2 * i : 2 * i + 2], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = stream_url_dedup(
+        stream, state, ckpt, compact_every=2, state_buckets=4
+    )
+    q.awaitTermination(180)
+    got = sorted(r["doc_id"] for r in read_accepted(spark, state).collect())
+    exp = sorted(
+        r["keeper_doc_id"]
+        for r in url_dedup(spark.createDataFrame(rows, schema)).collect()
+    )
+    assert got == exp
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {tbl}").collect()]
+    assert parts == ["epoch=3"], parts
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_stream_url_dedup_streaming_query(spark, tmp_path_factory):
     """End-to-end availableNow stream: the foreachBatch wiring feeds
     the same fold; accepted set equals the batch-operator result."""

@@ -425,6 +425,7 @@ def stream_url_dedup(
     docs: DataFrame,
     state_path: str,
     checkpoint: str,
+    compact_every: "int | None" = None,
     **kwargs,
 ):
     """Keep a URL-deduplicated accepted set current from a fetch stream
@@ -433,13 +434,27 @@ def stream_url_dedup(
     raw ``spark.read.parquet(f"{state_path}/accepted")`` would also
     pick up a crashed fold's uncommitted partial epoch dir, violating
     the committed-epoch reader contract every streaming fold in this
-    repo shares (operators/incremental.py ``committed_epoch``)."""
+    repo shares (operators/incremental.py ``committed_epoch``).
+
+    ``compact_every=N`` (requires ``state_buckets``): after every Nth
+    applied epoch the frontier's epoch partitions merge into one
+    (``compact_url_frontier``), so a long-lived crawl keeps a bounded
+    partition/file count automatically. Compaction runs AFTER the
+    fold's marker commit and is set-invariant at every step, so a
+    crash mid-compaction never changes what any reader or replay
+    observes — the next trigger just folds on (a later compaction
+    re-absorbs any leftover partitions)."""
     import os
 
     os.makedirs(state_path, exist_ok=True)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_url_dedup_batch(batch_df, epoch_id, state_path, **kwargs)
+        sb = kwargs.get("state_buckets")
+        if sb and compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            compact_url_frontier(
+                batch_df.sparkSession, state_path, sb, int(epoch_id)
+            )
 
     return (
         docs.writeStream.foreachBatch(_apply)
