@@ -182,6 +182,7 @@ HEADLINE = [
     # round-11 additions
     "mm_image_neardup",
     "mm_image_neardup_256",
+    "mm_video_scenecut",
     "doc_html_extract_bytes",
     "mm_audio_dft_bins",
     "training_length_batches_bpe",

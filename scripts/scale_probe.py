@@ -153,6 +153,7 @@ PROBES = [
     # bound bucket cardinality at 2^32) and the funnel now carrying the
     # full six-stage public filter stack
     "mm_image_neardup_256",
+    "mm_video_scenecut",
     "training_length_batches_bpe",
     # URL/quality tier (r11): canonicalize is one codegen projection,
     # url dedup one aggregate, host_cap two bounded windows, gopher one

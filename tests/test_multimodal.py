@@ -693,3 +693,52 @@ def test_audio_energy_hash_known_values_and_invariance(spark):
     assert 0 <= ham <= 7, ham  # near-dup lands inside the banding radius
     # short clip: frames 2..64 are zero-energy -> no rising edges there
     assert got[3][0][2:] == "0" * 62
+
+
+def test_video_scene_cuts_known_values(spark):
+    """video_scene_cuts on handcrafted frames: exact luma sums, the
+    strict-inequality threshold edge, frame 0 never a cut, grayscale
+    (nf, h, w) decoder output handled, and a real M-JPEG round trip."""
+    import numpy as np
+
+    from vectorsearch_spark.functions.jpeg import decode_mjpeg, encode_mjpeg
+    from vectorsearch_spark.operators.multimodal import video_scene_cuts
+
+    # fake decoder: payload byte i is frame i's constant gray value,
+    # 2x2 frames -> luma_sum = 4 * value
+    def dec(payload: bytes):
+        vals = np.frombuffer(payload, dtype=np.uint8)
+        return np.stack([np.full((2, 2), v, dtype=np.uint8) for v in vals])
+
+    # values 10, 10, 35, 36: deltas 0, 100, 4 -> cuts with thr=4: only
+    # |100| > 4; |4| is NOT > 4 (strict)
+    df = spark.createDataFrame(
+        [(1, bytearray([10, 10, 35, 36]))], "media_id long, payload binary"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["luma_sum"], r["is_cut"])
+        for r in video_scene_cuts(df, decoder=dec, threshold=4).collect()
+    }
+    assert got == {
+        (1, 0): (40, 0),
+        (1, 1): (40, 0),
+        (1, 2): (140, 1),
+        (1, 3): (144, 0),
+    }
+
+    # real codec round trip: two constant 8x8 frames, gray mode
+    frames = [
+        np.full((8, 8), 50, dtype=np.uint8),
+        np.full((8, 8), 200, dtype=np.uint8),
+    ]
+    mj = encode_mjpeg(frames, quant=1)
+    df2 = spark.createDataFrame(
+        [(2, bytearray(mj))], "media_id long, payload binary"
+    )
+    got2 = {
+        r["frame_idx"]: (r["luma_sum"], r["is_cut"])
+        for r in video_scene_cuts(
+            df2, decoder=decode_mjpeg, threshold=1000
+        ).collect()
+    }
+    assert got2 == {0: (50 * 64, 0), 1: (200 * 64, 1)}

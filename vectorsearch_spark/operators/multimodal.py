@@ -404,3 +404,59 @@ def audio_energy_hash(
     return media.select("media_id", "payload").mapInPandas(
         mapper, schema="media_id long, ehash string, n_rising long"
     )
+
+
+def video_scene_cuts(
+    media: DataFrame,
+    decoder: Decoder | None = None,
+    threshold: int = 0,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Luma-difference scene-cut detection over a video payload column
+    — the first pass of every video curation pipeline (segmenting long
+    videos into clips for frame sampling / clip dedup; the classic
+    absolute-frame-difference detector, e.g. PySceneDetect's
+    "threshold" mode, restricted here to the integer luma SUM so the
+    decision is bit-reproducible across engines).
+
+    Per frame: integer ITU-601 luma ((299R + 587G + 114B) // 1000,
+    the image_dhash convention) summed over the raster; frame i > 0 is
+    a CUT iff |luma_sum_i − luma_sum_{i−1}| > ``threshold``. Returns
+    one row per frame: (id, frame_idx, luma_sum, is_cut int) — the
+    per-clip grouping key is ``sum(is_cut) over (order by frame_idx)``
+    downstream.
+
+    One narrow Arrow pass; a video's frames stay inside their task and
+    blobs never shuffle (the shared multimodal contract). ``decoder``
+    maps payload bytes → (n_frames, h, w, 3) or (n_frames, h, w)
+    arrays (``functions.jpeg.decode_mjpeg`` for M-JPEG).
+    """
+    dec = _require_decoder(decoder, "video_scene_cuts")
+    thr = int(threshold)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = np.asarray(dec(bytes(payload)))
+                if frames.ndim == 3:  # grayscale: (nf, h, w)
+                    frames = np.repeat(frames[..., None], 3, axis=-1)
+                a = frames.astype(np.int64)
+                luma = (
+                    299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]
+                ) // 1000
+                sums = luma.reshape(luma.shape[0], -1).sum(axis=1)
+                prev = None
+                for fi, s in enumerate(sums):
+                    cut = int(prev is not None and abs(int(s) - prev) > thr)
+                    rows.append((int(mid), fi, int(s), cut))
+                    prev = int(s)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "luma_sum", "is_cut"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        mapper,
+        schema=f"{id_col} long, frame_idx long, luma_sum long, is_cut long",
+    )

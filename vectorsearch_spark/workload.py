@@ -9468,6 +9468,93 @@ FROM pix
 """
 
 
+def mm_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL M-JPEG video (r12 —
+    operators/multimodal.py video_scene_cuts): per document a 6-9
+    frame stream with SCENE STRUCTURE — frames within a 3-frame scene
+    share their base block bytes plus a tiny per-frame wiggle (+f%3,
+    clipped), scene boundaries jump to fresh bytes — is built by the
+    shipped encoder, decoded back by the shipped M-JPEG decoder, and
+    the integer luma-sum difference detector flags cuts at
+    |Δ| > 384 = 64·max_blocks, the largest possible within-scene step,
+    so a within-scene flag is impossible by construction while byte
+    jumps at boundaries usually (data-dependently) trip. All-integer
+    end to end (block-constant q=1 JPEG is exact; R=G=B makes luma ≡
+    the block value), so the DuckDB twin recomputes every frame's
+    luma sum straight from the document bytes and applies the same
+    lag/threshold — agreement covers the codec round-trip, the frame
+    walk, AND the detector. The per-clip segmentation downstream is
+    ``sum(is_cut) over (order by frame_idx)``."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.jpeg import decode_mjpeg, encode_mjpeg
+    from vectorsearch_spark.operators.multimodal import video_scene_cuts
+
+    docs = _media_docs(spark, sf_dir)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
+                bw, bh = 1 + did % 3, 1 + did % 2
+                nb = bw * bh
+                nf = 6 + did % 4
+                frames = []
+                for f in range(nf):
+                    sc = f // 3
+                    if len(b):
+                        idx = (sc * nb + np.arange(nb)) % len(b)
+                        vals = b[idx].astype(np.int64)
+                    else:
+                        vals = np.zeros(nb, dtype=np.int64)
+                    vals = np.minimum(vals + f % 3, 255).astype(np.uint8)
+                    gray = np.kron(
+                        vals.reshape(bh, bw), np.ones((8, 8), dtype=np.uint8)
+                    )
+                    mode = did % 3
+                    frames.append(
+                        gray if mode == 0 else np.repeat(gray[..., None], 3, axis=2)
+                    )
+                sub = "4:2:0" if did % 3 == 2 else "4:4:4"
+                rows.append(
+                    (int(did), encode_mjpeg(frames, quant=1, subsampling=sub))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return video_scene_cuts(media, decoder=decode_mjpeg, threshold=384)
+
+
+MM_VIDEO_SCENECUT_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         length(text) AS n,
+         (1 + doc_id % 3) * (1 + doc_id % 2) AS nb,
+         6 + doc_id % 4 AS nf
+  FROM documents),
+fr AS (
+  SELECT media_id, text, n, nb,
+         CAST(unnest(range(0, nf)) AS BIGINT) AS frame_idx
+  FROM base),
+s AS (
+  SELECT media_id, frame_idx,
+         64 * CAST(coalesce(list_sum(list_transform(range(0, nb),
+           j -> least((CASE WHEN n = 0 THEN 0 ELSE ascii(text[
+                  CAST(((frame_idx // 3) * nb + j) % n AS BIGINT) + 1
+                ]) END) + frame_idx % 3, 255))), 0) AS BIGINT) AS luma_sum
+  FROM fr)
+SELECT media_id, frame_idx, luma_sum,
+       CAST(CASE WHEN frame_idx = 0 THEN 0
+            WHEN abs(luma_sum - lag(luma_sum) OVER
+                   (PARTITION BY media_id ORDER BY frame_idx)) > 384 THEN 1
+            ELSE 0 END AS BIGINT) AS is_cut
+FROM s
+"""
+
+
 # mode-independent by construction: every coding mode must decode to the
 # same block-constant gray raster the SQL derives from the raw bytes
 MM_JPEG_DECODE_SQL = """
@@ -9562,6 +9649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresher keeps its prior relative order behind it).
     return {
         "mm_image_neardup_256": mm_image_neardup_256,
+        "mm_video_scenecut": mm_video_scenecut,
         "pipeline_web_curation": pipeline_web_curation,
         "doc_url_canonicalize": doc_url_canonicalize,
         "dedup_url_exact": dedup_url_exact,
@@ -9885,6 +9973,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_dhash": MM_IMAGE_DHASH_SQL,
         "mm_image_neardup": MM_IMAGE_NEARDUP_SQL,
         "mm_image_neardup_256": MM_IMAGE_NEARDUP_256_SQL,
+        "mm_video_scenecut": MM_VIDEO_SCENECUT_SQL,
         "mm_audio_dft_bins": MM_AUDIO_DFT_BINS_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
