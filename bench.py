@@ -183,6 +183,7 @@ HEADLINE = [
     "mm_image_neardup",
     "mm_image_neardup_256",
     "mm_video_scenecut",
+    "mm_video_neardup",
     "doc_html_extract_bytes",
     "mm_audio_dft_bins",
     "training_length_batches_bpe",

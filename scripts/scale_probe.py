@@ -154,6 +154,9 @@ PROBES = [
     # full six-stage public filter stack
     "mm_image_neardup_256",
     "mm_video_scenecut",
+    # verbatim copies collapse to one distinct vhash before banding —
+    # the same exact-dup-collapse design case as mm_image_neardup
+    "mm_video_neardup",
     "training_length_batches_bpe",
     # URL/quality tier (r11): canonicalize is one codegen projection,
     # url dedup one aggregate, host_cap two bounded windows, gopher one

@@ -460,3 +460,59 @@ def video_scene_cuts(
         mapper,
         schema=f"{id_col} long, frame_idx long, luma_sum long, is_cut long",
     )
+
+
+def video_luma_hash(
+    media: DataFrame,
+    decoder: Decoder | None = None,
+    n_frames: int = 33,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-luma difference hash — the VIDEO sibling of ``image_dhash``
+    and ``audio_energy_hash``, completing the near-dup modality set:
+    decode → integer per-frame luma sums (the ``video_scene_cuts``
+    convention) → first ``n_frames`` sums (zero-padded when the video
+    is shorter, so the hash width is FIXED and bandable) → one bit per
+    neighbor pair (s_{i+1} > s_i), MSB-first. The luma-ORDER profile
+    survives uniform brightness shifts exactly (sums shift together
+    until clipping) and re-encodes that preserve block means — the
+    same exactness argument as the audio energy hash's gain
+    invariance. Compose with ``dedup.bitstring_near_dup`` for corpus-
+    scale pair generation (banded multi-index Hamming).
+
+    Returns (id, vhash — ``n_frames − 1`` '0'/'1' bits — and
+    n_rising, the popcount). One narrow Arrow pass; blobs never
+    shuffle."""
+    dec = _require_decoder(decoder, "video_luma_hash")
+    nf = int(n_frames)
+    if nf < 2:
+        raise ValueError("n_frames must be ≥ 2")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = np.asarray(dec(bytes(payload)))
+                if frames.ndim == 3:
+                    frames = np.repeat(frames[..., None], 3, axis=-1)
+                a = frames.astype(np.int64)
+                luma = (
+                    299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]
+                ) // 1000
+                sums = luma.reshape(luma.shape[0], -1).sum(axis=1)[:nf]
+                if len(sums) < nf:
+                    sums = np.pad(sums, (0, nf - len(sums)))
+                bits = (sums[1:] > sums[:-1]).astype(np.uint8)
+                rows.append(
+                    (
+                        int(mid),
+                        "".join("1" if b else "0" for b in bits),
+                        int(bits.sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "vhash", "n_rising"])
+
+    return media.select(id_col, payload_col).mapInPandas(
+        mapper, schema=f"{id_col} long, vhash string, n_rising long"
+    )

@@ -9527,6 +9527,97 @@ def mm_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_scene_cuts(media, decoder=decode_mjpeg, threshold=384)
 
 
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video near-dup dedup (r12 — completing the modality
+    symmetry: text has seven granularities, image and audio landed
+    r11, video lands here): deterministic 33-frame single-block M-JPEG
+    videos from the documents table, PLUS a brightness-shifted
+    re-encode-style variant (+16 per pixel, clipped at 255) for every
+    third doc → REAL M-JPEG decode → ``video_luma_hash`` 32-bit
+    frame-luma gradient fingerprints (exactly invariant to uniform
+    brightness shifts until clipping — the audio gain-invariance
+    argument) → ``dedup.bitstring_near_dup`` with 4 bands of 8 bits:
+    recall-complete for Hamming ≤ 3 by pigeonhole, chunked codegen
+    verify, min-id keeper. All-integer end to end, so the DuckDB twin
+    recomputes the luma-order bits for BOTH variants straight from the
+    document bytes and takes the ALL-PAIRS Hamming ≤ 3 min."""
+    import numpy as np
+    import pandas as pd
+
+    from vectorsearch_spark.functions.jpeg import decode_mjpeg, encode_mjpeg
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+    from vectorsearch_spark.operators.multimodal import video_luma_hash
+
+    docs = _media_docs(spark, sf_dir)
+    NF = 33
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
+                vals = (
+                    b[np.arange(NF) % len(b)].astype(np.int64)
+                    if len(b)
+                    else np.zeros(NF, dtype=np.int64)
+                )
+                for vid, shift in ((int(did) * 2, 0), (int(did) * 2 + 1, 16)):
+                    if shift and did % 3 != 0:
+                        continue
+                    v = np.minimum(vals + shift, 255).astype(np.uint8)
+                    frames = [np.full((8, 8), x, dtype=np.uint8) for x in v]
+                    rows.append((vid, encode_mjpeg(frames, quant=1)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    dh = video_luma_hash(media, decoder=decode_mjpeg, n_frames=NF)
+    out = bitstring_near_dup(
+        dh, id_col="media_id", hash_col="vhash", n_bits=NF - 1,
+        max_hamming=3, bands=4,
+    )
+    return out.select(
+        "media_id", F.col("keep").cast("long").alias("keep"), "min_neighbor_id"
+    )
+
+
+MM_VIDEO_NEARDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         length(text) AS n
+  FROM documents),
+media AS (
+  SELECT doc_id * 2 AS media_id, 0 AS shift, text, n FROM d
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id, 16 AS shift, text, n
+  FROM d WHERE doc_id % 3 = 0),
+vals AS (
+  SELECT media_id,
+         list_transform(range(0, 33),
+           f -> least((CASE WHEN n = 0 THEN 0 ELSE ascii(text[
+                  CAST(f % n AS BIGINT) + 1]) END) + shift, 255)) AS v
+  FROM media),
+bits AS (
+  SELECT media_id,
+         list_transform(range(0, 32),
+           i -> CASE WHEN v[CAST(i AS BIGINT) + 2] > v[CAST(i AS BIGINT) + 1]
+                THEN 1 ELSE 0 END) AS bl
+  FROM vals),
+pairs AS (
+  SELECT a.media_id AS ida, b.media_id AS idb
+  FROM bits a JOIN bits b ON a.media_id <> b.media_id
+  WHERE CAST(list_aggregate(list_transform(range(0, 32),
+          i -> CASE WHEN a.bl[CAST(i AS BIGINT) + 1] <> b.bl[CAST(i AS BIGINT) + 1]
+               THEN 1 ELSE 0 END), 'sum') AS INT) <= 3),
+nb AS (SELECT ida AS media_id, min(idb) AS mn FROM pairs GROUP BY 1)
+SELECT m.media_id,
+       CAST(CASE WHEN least(m.media_id, coalesce(nb.mn, m.media_id)) = m.media_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(least(m.media_id, coalesce(nb.mn, m.media_id)) AS BIGINT) AS min_neighbor_id
+FROM bits m LEFT JOIN nb ON nb.media_id = m.media_id
+"""
+
+
 MM_VIDEO_SCENECUT_SQL = """
 WITH base AS (
   SELECT doc_id AS media_id,
@@ -9650,6 +9741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mm_image_neardup_256": mm_image_neardup_256,
         "mm_video_scenecut": mm_video_scenecut,
+        "mm_video_neardup": mm_video_neardup,
         "pipeline_web_curation": pipeline_web_curation,
         "doc_url_canonicalize": doc_url_canonicalize,
         "dedup_url_exact": dedup_url_exact,
@@ -9974,6 +10066,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_neardup": MM_IMAGE_NEARDUP_SQL,
         "mm_image_neardup_256": MM_IMAGE_NEARDUP_256_SQL,
         "mm_video_scenecut": MM_VIDEO_SCENECUT_SQL,
+        "mm_video_neardup": MM_VIDEO_NEARDUP_SQL,
         "mm_audio_dft_bins": MM_AUDIO_DFT_BINS_SQL,
         "dedup_embedding_radius": DEDUP_EMBEDDING_RADIUS_SQL,
         "doc_token_stats": DOC_STATS_SQL,
