@@ -48,6 +48,14 @@ _SLOW_TESTS = {
     "test_logistic_fit_matches_numpy_model",
     "test_stream_scd2_maintain_equals_batch_and_survives_replay",
     "test_stream_passage_dedup_folds_equal_batch_operator",
+    # r12 additions: bucketed fold state, frontier compaction, and the
+    # canonicalization fuzz are DDL/fold-heavy (30-70 s each)
+    "test_fold_url_dedup_bucketed_state",
+    "test_compact_url_frontier",
+    "test_stream_url_dedup_auto_compaction",
+    "test_fold_dedup_bucketed_state_layouts",
+    "test_stream_dedup_ingest_bucketed_band_state",
+    "test_canonicalize_fuzz_vs_stdlib_model",
 }
 
 
