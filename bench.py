@@ -182,6 +182,7 @@ HEADLINE = [
     # round-11 additions
     "mm_image_neardup",
     "mm_image_neardup_256",
+    "mm_image_neardup_256_capped",
     "mm_video_scenecut",
     "mm_video_neardup",
     "doc_html_extract_bytes",
@@ -210,6 +211,11 @@ HEADLINE = [
     "doc_text_normalize",
     "training_length_batches",
     "mm_image_dhash",
+    # round-13 additions (r12 VERDICT #7: real user paths that were
+    # outside the HEADLINE set)
+    "index_search_brute",
+    "ann_lsh_topk",
+    "pipeline_c4_text",
     # index_lifecycle_registry is a CORRECTNESS entry only: bench
     # already times the same delete->vacuum->compact path end-to-end
     # as index_maintenance; duplicating a ~6 s lifecycle here would
@@ -345,6 +351,26 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Load gate (r13): a sealed run should start on a quiet host —
+    # r11/r12 both burned attribution effort separating host-load
+    # noise from real regressions. SPARK_GRAFT_MAX_LOAD1=N waits (up
+    # to SPARK_GRAFT_LOAD1_TIMEOUT s, default 900) for load1 <= N
+    # before starting; on timeout it proceeds and records the fact.
+    gate = os.environ.get("SPARK_GRAFT_MAX_LOAD1")
+    load_gate = {"requested": None}
+    if gate:
+        limit = float(gate)
+        deadline = time.time() + float(
+            os.environ.get("SPARK_GRAFT_LOAD1_TIMEOUT", "900")
+        )
+        while os.getloadavg()[0] > limit and time.time() < deadline:
+            time.sleep(15)
+        load_gate = {
+            "requested": limit,
+            "load1_at_start": round(os.getloadavg()[0], 2),
+            "timed_out": os.getloadavg()[0] > limit,
+        }
+
     # Cap the media near-dup corpora (r12, VERDICT r11 #4): their cost
     # is real codec encode+decode CPU — fixed-cost work whose scale
     # evidence lives in scripts/scale_probe.py, not here — and uncapped
@@ -484,6 +510,7 @@ def main() -> None:
         "order_seed": order_seed,
         "order": order,
         "env": env,
+        "load_gate": load_gate,
     }
     try:
         with open(history_path, "a") as f:

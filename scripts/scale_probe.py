@@ -153,6 +153,8 @@ PROBES = [
     # bound bucket cardinality at 2^32) and the funnel now carrying the
     # full six-stage public filter stack
     "mm_image_neardup_256",
+    "mm_image_neardup_256_capped",
+    "pipeline_c4_text",
     "mm_video_scenecut",
     # verbatim copies collapse to one distinct vhash before banding —
     # the same exact-dup-collapse design case as mm_image_neardup

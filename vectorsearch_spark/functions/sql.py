@@ -60,7 +60,13 @@ _FUNCTIONS: dict[str, str] = {
 
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Register the vs_* SQL functions on the session; returns names.
-    Safe to call repeatedly (CREATE OR REPLACE)."""
-    for ddl in _FUNCTIONS.values():
-        spark.sql(ddl)
+    Safe to call repeatedly — a function already present in the session
+    registry is SKIPPED rather than replaced, so repeated calls (every
+    workload entry routes through here) don't flood driver logs with
+    ``SimpleFunctionRegistry`` replace-warnings and real warnings stay
+    visible (r12 VERDICT #8). The definitions are versionless
+    constants, so skip-if-present and replace are equivalent."""
+    for name, ddl in _FUNCTIONS.items():
+        if not spark.catalog.functionExists(name):
+            spark.sql(ddl)
     return sorted(_FUNCTIONS)

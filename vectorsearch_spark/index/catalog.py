@@ -222,16 +222,14 @@ class VectorIndex:
 
     @staticmethod
     def _atomic_write_json(path: str, obj) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix="._meta_tmp_")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(obj, f)
-            os.replace(tmp, path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        """Marker/metadata publish through the state-FS seam
+        (vectorsearch_spark.fsio — atomic co-located replace)."""
+        from vectorsearch_spark.fsio import get_state_fs, write_file_atomic
+
+        get_state_fs().makedirs(os.path.dirname(path))
+        write_file_atomic(
+            os.path.dirname(path), os.path.basename(path), json.dumps(obj)
+        )
 
     _KEEP = object()  # sentinel: "preserve the stored value"
 

@@ -869,14 +869,9 @@ def fold_dedup_ingest_batch(
     bk_b = _cap_band_freq(_minhash_buckets(sh_b, num_hashes, bands), max_band_freq)
 
     def _epochs(sub: str) -> list[str]:
-        root = os.path.join(state_path, sub)
-        if not os.path.isdir(root):
-            return []
-        return [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
+        from vectorsearch_spark.fsio import epoch_dirs
+
+        return epoch_dirs(os.path.join(state_path, sub), below=epoch_id)
 
     bk_state = None
     if state_buckets:
@@ -979,7 +974,9 @@ def stream_dedup_ingest(
     accepted corpus is ``spark.read.parquet(f"{state_path}/accepted")``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_dedup_ingest_batch(batch_df, epoch_id, state_path, **kwargs)
@@ -1067,16 +1064,9 @@ def fold_passage_dedup_batch(
             "chunk_text", state_buckets,
         ).read_before(epoch_id)
     else:
-        root = os.path.join(state_path, "chunks")
-        dirs = (
-            [
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-            ]
-            if os.path.isdir(root)
-            else []
-        )
+        from vectorsearch_spark.fsio import epoch_dirs
+
+        dirs = epoch_dirs(os.path.join(state_path, "chunks"), below=epoch_id)
         if dirs:
             corpus_ch = spark.read.schema("chunk_text string").parquet(*dirs)
     if corpus_ch is not None:
@@ -1145,7 +1135,9 @@ def stream_passage_dedup(
     ``spark.read.parquet(f"{state_path}/accepted")``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_passage_dedup_batch(batch_df, epoch_id, state_path, **kwargs)
@@ -1228,16 +1220,9 @@ def fold_repeated_spans_batch(
     base = _tokenized_base(batch, id_col, text_col)
     grams = _gram_slide(base, span_tokens, id_col)
 
-    root = os.path.join(state_path, "grams")
-    dirs = (
-        [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
-        if os.path.isdir(root)
-        else []
-    )
+    from vectorsearch_spark.fsio import epoch_dirs
+
+    dirs = epoch_dirs(os.path.join(state_path, "grams"), below=epoch_id)
     marked = _mark_occurrences(grams, id_col)
     if dirs:
         corpus = spark.read.schema("__h string").parquet(*dirs).withColumn(
@@ -1280,7 +1265,9 @@ def stream_repeated_spans(
     ``spark.read.parquet(f"{state_path}/spans")``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_repeated_spans_batch(batch_df, epoch_id, state_path, **kwargs)
@@ -1358,14 +1345,9 @@ def fold_line_dedup_batch(
     batch_counts = _line_doc_counts(bl, id_col).withColumnRenamed("__nd", "__nd_b")
 
     def _dirs(sub: str) -> "list[str]":
-        root = os.path.join(state_path, sub)
-        if not os.path.isdir(root):
-            return []
-        return [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-        ]
+        from vectorsearch_spark.fsio import epoch_dirs
+
+        return epoch_dirs(os.path.join(state_path, sub), below=epoch_id)
 
     # state_buckets (r12): keycounts is THE per-fold O(state) exchange
     # of this fold — a groupBy-sum over every key ever seen. Clustered
@@ -1377,10 +1359,7 @@ def fold_line_dedup_batch(
     if state_buckets:
         from vectorsearch_spark.operators.incremental import EpochBucketedState
 
-        kc_state = EpochBucketedState(
-            spark, state_path, "keycounts",
-            "`__key` STRING, `__nd_b` BIGINT", "__key", state_buckets,
-        )
+        kc_state = _keycounts_state(spark, state_path, state_buckets)
     prior_rows = (
         kc_state.read_before(epoch_id)
         if kc_state is not None
@@ -1458,13 +1437,11 @@ def read_line_dedup_state(spark, state_path: str, id_col: str = "doc_id") -> Dat
 
     from vectorsearch_spark.operators.incremental import committed_epoch
 
+    from vectorsearch_spark.fsio import epoch_dirs
+
     committed = committed_epoch(state_path, "read_line_dedup_state")
     root = os.path.join(state_path, "spans")
-    dirs = [
-        os.path.join(root, d)
-        for d in sorted(os.listdir(root))
-        if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= committed
-    ]
+    dirs = epoch_dirs(root, at_most=committed)
     spans = spark.read.option("basePath", root).parquet(*dirs)
     w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
     return (
@@ -1474,21 +1451,66 @@ def read_line_dedup_state(spark, state_path: str, id_col: str = "doc_id") -> Dat
     )
 
 
+def _keycounts_state(spark, state_path: str, state_buckets: int):
+    """The line fold's keycounts substore: ADDITIVE state (folds SUM
+    ``__nd_b`` across epochs), declared via ``sum_cols`` so compaction
+    takes the staged-swap path — the append-only set merge would
+    double-count (incremental.py compact_epochs)."""
+    from vectorsearch_spark.operators.incremental import EpochBucketedState
+
+    return EpochBucketedState(
+        spark, state_path, "keycounts",
+        "`__key` STRING, `__nd_b` BIGINT", "__key", state_buckets,
+        sum_cols=["__nd_b"],
+    )
+
+
+def compact_line_keycounts(
+    spark, state_path: str, state_buckets: int, upto_epoch: int
+) -> None:
+    """Merge the line fold's keycounts epoch partitions ≤ ``upto_epoch``
+    into one summed partition (additive compaction — per-group totals
+    replace per-epoch increments, so every subsequent fold's
+    prior-count aggregation reads one partition instead of the whole
+    epoch history). Run BETWEEN folds; crash-safe via the marker-gated
+    staged swap in ``EpochBucketedState.compact_epochs``."""
+    _keycounts_state(spark, state_path, state_buckets).compact_epochs(upto_epoch)
+
+
 def stream_line_dedup(
     docs: DataFrame,
     state_path: str,
     checkpoint: str,
+    compact_every: "int | None" = None,
     **kwargs,
 ):
     """Keep a line-deduped corpus view current from a document stream
     (see ``fold_line_dedup_batch``). Returns the StreamingQuery; the
-    folded per-doc rows are ``read_line_dedup_state(spark, state_path)``."""
+    folded per-doc rows are ``read_line_dedup_state(spark, state_path)``.
+
+    ``compact_every=N`` (requires ``state_buckets``): after every Nth
+    applied epoch the keycounts partitions merge into one summed
+    partition (``compact_line_keycounts`` — the additive staged-swap
+    path), bounding the fold's state-partition count on a long-lived
+    stream."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    if compact_every and not kwargs.get("state_buckets"):
+        raise ValueError(
+            "compact_every requires state_buckets (compaction operates "
+            "on the bucketed keycounts layout)"
+        )
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_line_dedup_batch(batch_df, epoch_id, state_path, **kwargs)
+        sb = kwargs.get("state_buckets")
+        if sb and compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            compact_line_keycounts(
+                batch_df.sparkSession, state_path, sb, int(epoch_id)
+            )
 
     return (
         docs.writeStream.foreachBatch(_apply)

@@ -33,12 +33,13 @@ def epoch_already_applied(marker: str, epoch_id: int, state_desc: str) -> bool:
     replays would silently drop every batch against existing state
     (checkpoint and state lifetimes are coupled — fail loudly)."""
     import json
-    import os
 
-    if not os.path.exists(marker):
+    from vectorsearch_spark.fsio import get_state_fs
+
+    fs = get_state_fs()
+    if not fs.exists(marker):
         return False
-    with open(marker) as fh:
-        last = json.load(fh)["epoch"]
+    last = json.loads(fs.read_text(marker))["epoch"]
     if last == epoch_id:
         return True
     if epoch_id < last:
@@ -57,31 +58,25 @@ def prior_epochs(root: str, epoch_id: int) -> "list[int]":
     every fold (read the max of these, never ``epoch_id`` itself: a
     crashed attempt's partial dir for the CURRENT epoch must not feed
     its own replay)."""
-    import os
+    from vectorsearch_spark.fsio import epoch_ids
 
-    if not os.path.isdir(root):
-        return []
-    return [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-    ]
+    return epoch_ids(root, below=epoch_id)
 
 
 def commit_epoch(state_path: str, epoch_id: int) -> None:
     """Marker-commits-last: atomically publish ``epoch_id`` as the
-    committed epoch via tempfile + ``os.replace`` — the final step of
-    every fold's exactly-once protocol (state dirs written first; a
-    crash before this leaves the previous marker, so readers and
-    replays never see the partial epoch)."""
+    committed epoch (fsio.write_file_atomic — co-located temp +
+    atomic replace) — the final step of every fold's exactly-once
+    protocol (state dirs written first; a crash before this leaves the
+    previous marker, so readers and replays never see the partial
+    epoch)."""
     import json
-    import os
-    import tempfile
 
-    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._epoch_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
-    os.replace(tmp, os.path.join(state_path, "_last_epoch.json"))
+    from vectorsearch_spark.fsio import write_file_atomic
+
+    write_file_atomic(
+        state_path, "_last_epoch.json", json.dumps({"epoch": int(epoch_id)})
+    )
 
 
 def committed_epoch(state_path: str, reader: str) -> int:
@@ -92,11 +87,41 @@ def committed_epoch(state_path: str, reader: str) -> int:
     import json
     import os
 
+    from vectorsearch_spark.fsio import get_state_fs
+
+    fs = get_state_fs()
     marker = os.path.join(state_path, "_last_epoch.json")
-    if not os.path.exists(marker):
+    if not fs.exists(marker):
         raise ValueError(f"{reader}: no committed epoch at {state_path}")
-    with open(marker) as fh:
-        return int(json.load(fh)["epoch"])
+    return int(json.loads(fs.read_text(marker))["epoch"])
+
+
+def _split_ddl(schema_ddl: str) -> "list[str]":
+    """Split a column-DDL string on TOP-LEVEL commas only — commas
+    inside ``()`` / ``<>`` (DECIMAL(10,2), ARRAY<...>, STRUCT<...>)
+    belong to the type, not the column list. Validates that every
+    piece carries a name and a type (r12 ADVICE: a naive split(',')
+    silently produced a corrupt CREATE TABLE for nested types)."""
+    pieces, depth, cur = [], 0, []
+    for ch in schema_ddl:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            pieces.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    pieces.append("".join(cur).strip())
+    if depth != 0:
+        raise ValueError(f"unbalanced brackets in schema DDL: {schema_ddl!r}")
+    for p in pieces:
+        if len(p.split(None, 1)) != 2:
+            raise ValueError(
+                f"schema DDL piece {p!r} is not '<name> <type>': {schema_ddl!r}"
+            )
+    return pieces
 
 
 class EpochBucketedState:
@@ -129,6 +154,25 @@ class EpochBucketedState:
     restarts exactly like the plain dirs do.
     """
 
+    @staticmethod
+    def location_for(state_path: str, name: str) -> str:
+        """The on-disk location of substore ``name`` under a state dir
+        — THE single source of the layout's naming scheme (r12 ADVICE:
+        urls._frontier_table re-derived it independently)."""
+        import os
+
+        return os.path.join(state_path, f"{name}_bucketed")
+
+    @staticmethod
+    def table_for(state_path: str, name: str) -> str:
+        """Catalog table name for substore ``name`` (content-addressed
+        by location so concurrent state dirs never collide) — derivable
+        without a session, for tests/registry cleanup."""
+        import hashlib
+
+        loc = EpochBucketedState.location_for(state_path, name)
+        return f"fold_state_{name}_" + hashlib.md5(loc.encode()).hexdigest()[:12]
+
     def __init__(
         self,
         spark,
@@ -137,33 +181,49 @@ class EpochBucketedState:
         schema_ddl: str,
         key: str,
         buckets: int,
+        sum_cols: "list[str] | None" = None,
     ) -> None:
-        import hashlib
-        import os
-
         self.spark = spark
         self.name = name
         self.schema_ddl = schema_ddl  # data columns only, no epoch
         self.key = key
         self.buckets = int(buckets)
-        self.loc = os.path.join(state_path, f"{name}_bucketed")
-        digest = hashlib.md5(self.loc.encode()).hexdigest()[:12]
-        self.table = f"fold_state_{name}_{digest}"
-        self.cols = [
-            c.strip().split()[0].strip("`") for c in schema_ddl.split(",")
-        ]
+        self.loc = self.location_for(state_path, name)
+        self.table = self.table_for(state_path, name)
+        pieces = _split_ddl(schema_ddl)
+        self.cols = [p.split(None, 1)[0].strip("`") for p in pieces]
+        self._types = {
+            p.split(None, 1)[0].strip("`"): p.split(None, 1)[1] for p in pieces
+        }
+        # semantics flag (r12 ADVICE + VERDICT #5): None → SET state
+        # (membership rows; duplicates are harmless to anti/semi joins);
+        # a list → ADDITIVE state (these columns are summed monoids and
+        # the remaining columns are the group key; duplicates would
+        # double-sum, so compaction must be the staged-swap path).
+        self.sum_cols = list(sum_cols) if sum_cols else None
+        if self.sum_cols:
+            bad = [c for c in self.sum_cols if c not in self.cols]
+            if bad:
+                raise ValueError(f"sum_cols not in schema: {bad}")
+            if self.key in self.sum_cols:
+                # also guarantees a non-empty group-key set: the
+                # cluster key is always a grouping column
+                raise ValueError("the cluster key cannot be a summed column")
 
     def _ensure(self) -> bool:
-        """Register (or recover) the table; False if no state exists yet."""
-        import os
+        """Register (or recover) the table; False if no state exists
+        yet. Always finishes a committed-but-interrupted compaction
+        FIRST — every read and write path flows through here, so no
+        reader can observe the mid-swap partition gap."""
+        from vectorsearch_spark.fsio import get_state_fs
 
         if self.spark.catalog.tableExists(self.table):
+            self._finish_compact()
             return True
-        if not os.path.isdir(self.loc):
+        if not get_state_fs().isdir(self.loc):
             return False
         cols = ", ".join(
-            f"`{c.strip().split()[0].strip('`')}` {' '.join(c.strip().split()[1:])}"
-            for c in self.schema_ddl.split(",")
+            f"`{c}` {self._types[c]}" for c in self.cols
         )
         self.spark.sql(
             f"CREATE TABLE {self.table} ({cols}, epoch INT) USING PARQUET"
@@ -172,6 +232,7 @@ class EpochBucketedState:
             f" LOCATION '{self.loc}'"
         )
         self.spark.sql(f"MSCK REPAIR TABLE {self.table}")
+        self._finish_compact()
         return True
 
     def read_before(self, epoch_id: int) -> "DataFrame | None":
@@ -208,63 +269,160 @@ class EpochBucketedState:
         )
         self.spark.catalog.dropTempView(v)
 
+    def _live_epochs(self) -> "list[int]":
+        from vectorsearch_spark.fsio import epoch_ids
+
+        return epoch_ids(self.loc)
+
+    def _drop_partition(self, e: int) -> None:
+        """Catalog first, then dir (never the reverse — a catalog entry
+        pointing at a deleted dir breaks scans; an orphan dir without a
+        catalog entry is invisible until an MSCK)."""
+        import os
+
+        from vectorsearch_spark.fsio import get_state_fs
+
+        self.spark.sql(
+            f"ALTER TABLE {self.table} DROP IF EXISTS PARTITION (epoch={e})"
+        )
+        get_state_fs().rmtree(os.path.join(self.loc, f"epoch={e}"))
+
     def compact_epochs(self, upto_epoch: int) -> None:
         """LSM-style maintenance: merge every epoch ≤ ``upto_epoch``
-        into partition ``upto_epoch`` (distinct rows) and remove the
-        older partitions, bounding partition/file counts as folds
-        accumulate. Call BETWEEN folds.
+        into partition ``upto_epoch`` and remove the older partitions,
+        bounding partition/file counts as folds accumulate. Call
+        BETWEEN folds (single-writer: the fold owner runs compaction;
+        concurrent external readers during a compaction are outside
+        the contract, exactly as for the folds' own epoch protocol).
 
-        SET-SEMANTICS STATE ONLY (membership rows — url frontier,
-        surviving chunks): every step keeps the row SET of
-        ``epoch ≤ upto`` reads invariant, so a crash at ANY point (or
-        an MSCK recovery resurrecting a not-yet-deleted dir) leaves
-        readers correct — duplicates across partitions cannot change
-        an anti/semi join. Do NOT compact additive state (the line
-        fold's keycounts): duplicate count rows would double-sum.
+        Two crash-safe paths by state semantics (r12 ADVICE high — the
+        old path INSERT OVERWROTE the live ``upto`` partition from a
+        non-durable localCheckpoint, so a crash mid-write job lost that
+        epoch's committed rows forever):
 
-        Order of operations (each idempotent, re-entrant on crash):
-        1. INSERT OVERWRITE partition ``upto`` with the distinct union
-           of epochs ≤ upto (detached via localCheckpoint — Spark
-           forbids overwriting a table being read);
-        2. per older epoch: DROP PARTITION from the catalog FIRST,
-           then delete the dir (never the reverse — a catalog entry
-           pointing at a deleted dir breaks scans; an orphan dir
-           without a catalog entry is invisible until an MSCK, and
-           set-safe even then).
+        SET state (``sum_cols=None``; membership rows — url frontier,
+        surviving chunks): APPEND-ONLY merge. INSERT INTO partition
+        ``upto`` the distinct rows of epochs STRICTLY OLDER, then drop
+        the older partitions. No step ever deletes committed data
+        before the new copy is table-visible (INSERT INTO commits via
+        the staging protocol; a failed job leaves the partition
+        unchanged), and every crash window at worst leaves DUPLICATE
+        rows across or within partitions — set-safe: an anti/semi join
+        or distinct read is invariant under duplication. Re-entrant:
+        a replay re-inserts only partitions still on disk.
+
+        ADDITIVE state (``sum_cols=[...]``; e.g. the line fold's
+        keycounts, where folds SUM rows across epochs and a duplicate
+        would double-count): marker-gated staged swap, the rollup
+        fold's discipline lifted to the bucketed layout.
+          1. INSERT OVERWRITE the merged per-group sums of epochs ≤
+             ``upto`` into a private STAGING table with identical
+             bucketing (no readers → overwrite is harmless; bucket
+             file names stay valid for the rename below);
+          2. commit point: atomically publish ``_compact_commit.json``
+             (tempfile + os.replace) naming ``upto``;
+          3. ``_finish_compact``: drop live partitions ≤ upto, RENAME
+             the staged partition dir into place, re-add the
+             partition, remove the marker.
+        A crash before 2 changes nothing readers see (staging is
+        private; re-entrant overwrite). A crash after 2 is completed
+        by ``_finish_compact`` from ``_ensure`` before ANY read or
+        write touches the table, and each recovery step is idempotent
+        — including the one subtle window: after the rename consumed
+        the staged dir, recovery must NOT drop the live ``upto``
+        partition again, which is why the staged dir's existence picks
+        the branch.
         """
-        import os
-        import shutil
-
         if not self._ensure():
             return
         upto = int(upto_epoch)
-        merged = (
-            self.spark.table(self.table)
-            .where(F.col("epoch") <= upto)
-            .select(*self.cols)
-            .distinct()
-            .localCheckpoint()
-        )
-        v = f"__{self.table}_compact_{upto}"
-        merged.createOrReplaceTempView(v)
-        cols = ", ".join(f"`{c}`" for c in self.cols)
-        self.spark.sql(
-            f"INSERT OVERWRITE TABLE {self.table}"
-            f" PARTITION (epoch={upto}) SELECT {cols} FROM {v}"
-        )
-        self.spark.catalog.dropTempView(v)
-        # older partitions: disk is the source of truth for what still
-        # needs cleanup (re-entrancy after a crash mid-loop)
-        for d in sorted(os.listdir(self.loc)):
-            if not d.startswith("epoch="):
-                continue
-            e = int(d.split("=", 1)[1])
-            if e >= upto:
-                continue
+        if self.sum_cols is None:
+            older = [e for e in self._live_epochs() if e < upto]
+            if not older:
+                return
+            cols = ", ".join(f"`{c}`" for c in self.cols)
             self.spark.sql(
-                f"ALTER TABLE {self.table} DROP IF EXISTS PARTITION (epoch={e})"
+                f"INSERT INTO TABLE {self.table} PARTITION (epoch={upto})"
+                f" SELECT DISTINCT {cols} FROM {self.table}"
+                f" WHERE epoch < {upto}"
             )
-            shutil.rmtree(os.path.join(self.loc, d), ignore_errors=True)
+            for e in older:
+                self._drop_partition(e)
+            return
+
+        # additive: stage merged sums durably, then marker-gated swap
+        import json
+
+        from vectorsearch_spark.fsio import write_file_atomic
+
+        if not any(e <= upto for e in self._live_epochs()):
+            return
+        group_cols = [c for c in self.cols if c not in self.sum_cols]
+        aggs = ", ".join(
+            f"CAST(sum(`{c}`) AS {self._types[c]}) AS `{c}`"
+            for c in self.sum_cols
+        )
+        gcols = ", ".join(f"`{c}`" for c in group_cols)
+        cols = ", ".join(f"`{c}`" for c in self.cols)
+        stage_table, stage_loc = self._stage_names()
+        if not self.spark.catalog.tableExists(stage_table):
+            ddl_cols = ", ".join(f"`{c}` {self._types[c]}" for c in self.cols)
+            self.spark.sql(
+                f"CREATE TABLE {stage_table} ({ddl_cols}, epoch INT)"
+                f" USING PARQUET PARTITIONED BY (epoch)"
+                f" CLUSTERED BY (`{self.key}`) SORTED BY (`{self.key}`)"
+                f" INTO {self.buckets} BUCKETS LOCATION '{stage_loc}'"
+            )
+        self.spark.sql(
+            f"INSERT OVERWRITE TABLE {stage_table} PARTITION (epoch={upto})"
+            f" SELECT {cols} FROM (SELECT {gcols}, {aggs} FROM {self.table}"
+            f" WHERE epoch <= {upto} GROUP BY {gcols})"
+        )
+        write_file_atomic(
+            self.loc, "_compact_commit.json", json.dumps({"upto": upto})
+        )
+        self._finish_compact()
+
+    def _stage_names(self) -> "tuple[str, str]":
+        return f"{self.table}__cstage", f"{self.loc}__cstage"
+
+    def _finish_compact(self) -> None:
+        """Complete (or recover) a marker-committed additive
+        compaction — see ``compact_epochs``. Idempotent; no-op without
+        a pending marker."""
+        import json
+        import os
+
+        from vectorsearch_spark.fsio import get_state_fs
+
+        fs = get_state_fs()
+        marker = os.path.join(self.loc, "_compact_commit.json")
+        if not fs.exists(marker):
+            return
+        upto = int(json.loads(fs.read_text(marker))["upto"])
+        _, stage_loc = self._stage_names()
+        staged = os.path.join(stage_loc, f"epoch={upto}")
+        live = os.path.join(self.loc, f"epoch={upto}")
+        if fs.isdir(staged):
+            # staged copy not yet consumed: clear ≤ upto (incl. the
+            # live upto — its content is IN the staged sums), move in
+            for e in self._live_epochs():
+                if e <= upto:
+                    self._drop_partition(e)
+            fs.rmtree(live)
+            fs.rename(staged, live)
+        else:
+            # rename already happened on a prior attempt: the live
+            # upto dir IS the merged state — only older partitions
+            # (and only those still on disk) remain to clean up
+            for e in self._live_epochs():
+                if e < upto:
+                    self._drop_partition(e)
+        self.spark.sql(
+            f"ALTER TABLE {self.table} ADD IF NOT EXISTS"
+            f" PARTITION (epoch={upto})"
+        )
+        fs.remove(marker)
 
 
 def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
@@ -379,40 +537,42 @@ def fold_rollup_batch(
 ) -> None:
     """One micro-batch fold (the foreachBatch body, exposed for direct
     crash-injection testing): staged write + atomic rename with the
-    applied-epoch marker riding inside the renamed dir."""
+    applied-epoch marker riding inside the renamed dir (fsio
+    swap_dir_in / restore_swap_backup)."""
     import json
     import os
-    import shutil
 
+    from vectorsearch_spark.fsio import (
+        get_state_fs,
+        restore_swap_backup,
+        swap_dir_in,
+    )
+
+    fs = get_state_fs()
     spark = batch_df.sparkSession
-    old = state_path + ".old"
     # crash recovery: a crash between the two renames leaves no
     # live state but a complete .old — restore it before anything
-    if not os.path.exists(state_path) and os.path.exists(old):
-        os.rename(old, state_path)
+    restore_swap_backup(state_path)
     marker = os.path.join(state_path, "_last_epoch.json")
     if epoch_already_applied(marker, epoch_id, state_path):
         return  # replayed epoch: already folded in
     delta = rollup_state(batch_df, keys, value_col)
-    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+    if fs.exists(os.path.join(state_path, "_SUCCESS")):
         prev = spark.read.parquet(state_path)
         merged = merge_rollup_states([prev, delta], keys)
     else:
         merged = delta
     tmp = state_path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.rmtree(tmp)
     merged.write.mode("overwrite").parquet(tmp)
     # the applied-epoch marker rides INSIDE the renamed dir, so
     # state content and marker swap in the same atomic rename — a
     # crash can never pair new state with an old marker (which a
-    # replay would double-merge)
+    # replay would double-merge); writing it into the UNPUBLISHED tmp
+    # dir needs no atomicity of its own
     with open(os.path.join(tmp, "_last_epoch.json"), "w") as fh:
         json.dump({"epoch": int(epoch_id)}, fh)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_dir_in(tmp, state_path)
 
 
 # ---------------------------------------------------------------------------
@@ -456,15 +616,19 @@ def fold_scd2_batch(
     """
     import json
     import os
-    import shutil
 
+    from vectorsearch_spark.fsio import (
+        get_state_fs,
+        restore_swap_backup,
+        swap_dir_in,
+    )
+
+    fs = get_state_fs()
     spark = batch_df.sparkSession
     from vectorsearch_spark.operators.events import changelog_to_scd2
 
     dim_path = os.path.join(state_path, "dim")
-    old = dim_path + ".old"
-    if not os.path.exists(dim_path) and os.path.exists(old):
-        os.rename(old, dim_path)
+    restore_swap_backup(dim_path)
     marker = os.path.join(dim_path, "_last_epoch.json")
     if epoch_already_applied(marker, epoch_id, dim_path):
         return  # replayed epoch: already folded in
@@ -472,7 +636,7 @@ def fold_scd2_batch(
     clog_root = os.path.join(state_path, "changelog")
     epoch_dir = os.path.join(clog_root, f"epoch={int(epoch_id)}")
     batch.write.mode("overwrite").parquet(epoch_dir)  # idempotent on replay
-    have_dim = os.path.exists(os.path.join(dim_path, "_SUCCESS"))
+    have_dim = fs.exists(os.path.join(dim_path, "_SUCCESS"))
     touched = batch.select(on).distinct()
     full_clog = spark.read.schema(batch.schema).parquet(f"{clog_root}/epoch=*")
     if have_dim:
@@ -484,15 +648,11 @@ def fold_scd2_batch(
     else:
         scd_out = changelog_to_scd2(full_clog, on, ts=ts, tiebreak=tiebreak)
     tmp = dim_path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.rmtree(tmp)
     scd_out.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_last_epoch.json"), "w") as fh:
         json.dump({"epoch": int(epoch_id)}, fh)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(dim_path):
-        os.rename(dim_path, old)
-    os.rename(tmp, dim_path)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_dir_in(tmp, dim_path)
 
 
 def stream_scd2_maintain(

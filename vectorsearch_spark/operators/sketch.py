@@ -327,7 +327,9 @@ def stream_heavy_hitters(
     estimates with ``read_heavy_hitters_state``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_heavy_hitters_batch(batch_df, epoch_id, state_path, col, **kwargs)
@@ -629,7 +631,9 @@ def stream_value_histogram(
     estimates with ``read_quantile_state``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_value_histogram_batch(batch_df, epoch_id, state_path, col, **kwargs)
@@ -936,7 +940,9 @@ def stream_group_value_histogram(
     read estimates with ``read_group_quantile_state``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_group_value_histogram_batch(
@@ -1080,7 +1086,9 @@ def stream_distinct_count(
     the estimate with ``read_distinct_count_state``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_distinct_count_batch(batch_df, epoch_id, state_path, col, **kwargs)
@@ -1296,7 +1304,9 @@ def stream_group_heavy_hitters(
     read with ``read_group_heavy_hitters_state``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_group_heavy_hitters_batch(
@@ -1446,7 +1456,9 @@ def stream_group_distinct_count(
     StreamingQuery; read with ``read_group_distinct_count_state``."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_group_distinct_count_batch(

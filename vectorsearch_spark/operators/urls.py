@@ -292,14 +292,13 @@ def host_cap(
 
 def _frontier_table(state_path: str) -> str:
     """Catalog name of the bucketed frontier-state table for a state
-    dir (content-addressed so concurrent tests/state dirs never
-    collide) — the ``EpochBucketedState`` naming for the 'urls'
-    substore, computable without a session (tests/registry cleanup)."""
-    import hashlib
-    import os
+    dir — delegates to ``EpochBucketedState.table_for`` (the single
+    source of the naming scheme; r12 ADVICE flagged the independent
+    re-derivation here), computable without a session
+    (tests/registry cleanup)."""
+    from vectorsearch_spark.operators.incremental import EpochBucketedState
 
-    loc = os.path.join(state_path, "urls_bucketed")
-    return "fold_state_urls_" + hashlib.md5(loc.encode()).hexdigest()[:12]
+    return EpochBucketedState.table_for(state_path, "urls")
 
 
 def _frontier_state(spark, state_path: str, state_buckets: int):
@@ -384,15 +383,9 @@ def fold_url_dedup_batch(
         if seen is not None:
             canon = canon.join(seen, "_curl", "left_anti")
     else:
-        dirs = (
-            [
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-            ]
-            if os.path.isdir(root)
-            else []
-        )
+        from vectorsearch_spark.fsio import epoch_dirs
+
+        dirs = epoch_dirs(root, below=epoch_id)
         if dirs:
             seen = spark.read.schema("_curl string").parquet(*dirs)
             canon = canon.join(seen, "_curl", "left_anti")
@@ -446,7 +439,14 @@ def stream_url_dedup(
     re-absorbs any leftover partitions)."""
     import os
 
-    os.makedirs(state_path, exist_ok=True)
+    if compact_every and not kwargs.get("state_buckets"):
+        raise ValueError(
+            "compact_every requires state_buckets (compaction operates "
+            "on the bucketed frontier layout)"
+        )
+    from vectorsearch_spark.fsio import get_state_fs
+
+    get_state_fs().makedirs(state_path)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         fold_url_dedup_batch(batch_df, epoch_id, state_path, **kwargs)
@@ -484,15 +484,11 @@ def read_accepted(spark, state_path: str) -> DataFrame:
     is to the fold's own replay."""
     import os
 
+    from vectorsearch_spark.fsio import epoch_dirs
     from vectorsearch_spark.operators.incremental import committed_epoch
 
     last = committed_epoch(state_path, "read_accepted")
-    root = os.path.join(state_path, "accepted")
-    dirs = [
-        os.path.join(root, d)
-        for d in os.listdir(root)
-        if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= last
-    ]
+    dirs = epoch_dirs(os.path.join(state_path, "accepted"), at_most=last)
     return spark.read.parquet(*dirs)
 
 

@@ -50,7 +50,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -67,11 +66,12 @@ def _intent_path(index: VectorIndex) -> str:
 
 
 def _read_intent(index: VectorIndex) -> dict | None:
-    try:
-        with open(_intent_path(index)) as f:
-            return json.load(f)
-    except FileNotFoundError:
+    from vectorsearch_spark.fsio import get_state_fs
+
+    fs = get_state_fs()
+    if not fs.exists(_intent_path(index)):
         return None
+    return json.loads(fs.read_text(_intent_path(index)))
 
 
 def _write_intent(index: VectorIndex, stream_id: str, epoch_id: int) -> None:
@@ -92,8 +92,10 @@ def _scrub_orphans(index: VectorIndex, min_gid: int) -> int:
     are unregistered after the snapshot restore). Whole-orphan partitions
     are dropped; a partially-orphaned partition (the then-ACTIVE segment)
     is rewritten keeping its committed rows. Returns rows removed."""
+    from vectorsearch_spark.fsio import get_state_fs
+
     spark = index.spark
-    if not os.path.isdir(index.vectors_path):
+    if not get_state_fs().isdir(index.vectors_path):
         return 0
     raw = spark.read.schema(VECTORS_SCHEMA).parquet(index.vectors_path)
     per_seg = (
@@ -111,7 +113,7 @@ def _scrub_orphans(index: VectorIndex, min_gid: int) -> int:
         removed += int(r["orphans"])
         part_dir = f"{index.vectors_path}/seg_id={int(r['seg_id'])}"
         if int(r["keep"]) == 0:
-            shutil.rmtree(part_dir, ignore_errors=True)
+            get_state_fs().rmtree(part_dir)
         else:
             rewrite_segs.append(int(r["seg_id"]))
     if rewrite_segs:

@@ -5505,7 +5505,7 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIPELINE_WEB_CURATION_SQL = f"""
+_WEB_FUNNEL_CTES_SQL = f"""
 WITH raw AS ({_URL_CORPUS_SQL}),
 c AS ({_URL_CANON_SQL}),
 d0 AS (
@@ -5589,6 +5589,9 @@ q AS (
          (line_punct_frac >= 0.12 AND short_line_frac <= 0.67
           AND dup_line_char_frac <= 0.10) AS fw_keep
   FROM qm)
+"""
+
+_WEB_FUNNEL_STAGE_SELECT_SQL = """
 SELECT d0.doc_id,
        CASE WHEN d0.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'blocklist'
             WHEN d0.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'url_duplicate'
@@ -5599,6 +5602,66 @@ SELECT d0.doc_id,
             ELSE 'kept' END AS stage
 FROM d0 JOIN q ON q.doc_id = d0.doc_id
 """
+
+PIPELINE_WEB_CURATION_SQL = _WEB_FUNNEL_CTES_SQL + _WEB_FUNNEL_STAGE_SELECT_SQL
+
+# The C4 line-retention rule, shared between the funnel CTEs and the
+# cleaned-text projection below (text.py c4_clean_exprs line_ok).
+_C4_LINE_OK_SQL = """x ->
+  regexp_matches(rtrim(x), '[.!?"]$')
+  AND len(list_filter(string_split_regex(x, '[ \t\r\f\v]+'), w -> w <> '')) >= 5
+  AND NOT contains(lower(x), 'javascript')"""
+
+PIPELINE_C4_TEXT_SQL = (
+    _WEB_FUNNEL_CTES_SQL
+    + ",\nstage AS ("
+    + _WEB_FUNNEL_STAGE_SELECT_SQL
+    + f""")
+SELECT a.doc_id,
+       array_to_string(list_filter(a.lines, {_C4_LINE_OK_SQL}), chr(10))
+         AS text_clean,
+       CAST(len(list_filter(a.lines, {_C4_LINE_OK_SQL})) AS BIGINT)
+         AS n_kept_lines
+FROM arrs a JOIN stage s ON s.doc_id = a.doc_id
+WHERE s.stage = 'kept'
+"""
+)
+
+
+def pipeline_c4_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's PAYLOAD, end-to-end (r13, r12 VERDICT #4): the
+    cleaned TEXT of every document the six-stage funnel kept — not
+    just the keep-flags. ``pipeline_web_curation`` attributes stages
+    with text dropped before the window exchanges (the r12 scale
+    design); this entry then rejoins the surviving ids to a second
+    documents projection that applies C4's line retention
+    (text.py c4_clean_exprs) and emits ``text_clean`` itself, so the
+    oracle hash covers the actual training-data bytes a pipeline would
+    ship. Two scans + one doc_id-keyed join is the honest 100 TB
+    shape: either the text rides every funnel exchange (r11's
+    rejected form) or survivors re-read it once — re-reading wins."""
+    from vectorsearch_spark.operators.text import c4_clean_exprs
+
+    kept = (
+        pipeline_web_curation(spark, sf_dir)
+        .where(F.col("stage") == "kept")
+        .select("doc_id")
+    )
+    docs = _web_decorated(_t(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.filter(
+            F.split(F.col("text"), "\n"), lambda l: F.trim(l) != ""
+        ).alias("__lines"),
+    )
+    cols = c4_clean_exprs(F.col("text"), F.col("__lines"))
+    cleaned = d.select(
+        "doc_id",
+        cols["text_clean"].alias("text_clean"),
+        cols["n_kept_lines"].alias("n_kept_lines"),
+    )
+    return cleaned.join(kept, "doc_id", "left_semi")
 
 
 def doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6870,24 +6933,30 @@ SELECT doc_id, source, round(score, 6) AS score FROM r WHERE rn <= ceil(0.2 * n)
 
 def stream_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming line-dedup fold (operators/dedup.py
-    fold_line_dedup_batch): the line corpus arrives as two epochs split
-    by doc id; lines crossing the min_docs threshold in epoch 1
-    retroactively REVISE epoch-0 docs, so the folded view equals the
-    batch operator on the full corpus — and therefore shares
+    fold_line_dedup_batch): the line corpus arrives as THREE epochs
+    split by doc id; lines crossing the min_docs threshold in a later
+    epoch retroactively REVISE earlier docs, so the folded view equals
+    the batch operator on the full corpus — and therefore shares
     dedup_lines' exact SQL oracle (batching-independence IS the
     correctness claim). r12: keycounts state runs the BUCKETED layout
     (``state_buckets=8`` — EpochBucketedState), so the per-fold
     prior-count aggregation consumes the bucketed scan without
-    exchanging the accumulated key table."""
+    exchanging the accumulated key table. r13: ADDITIVE COMPACTION runs
+    between epochs 1 and 2 (``compact_line_keycounts`` — the
+    marker-gated staged-swap merge of per-epoch count increments into
+    one summed partition), so epoch 2's threshold math reads the
+    COMPACTED state; the oracle hashing the final view is therefore an
+    end-to-end proof that compaction preserved the counts."""
     import os
     import shutil
     import tempfile
 
     from vectorsearch_spark.operators.dedup import (
+        _keycounts_state,
+        compact_line_keycounts,
         fold_line_dedup_batch,
         read_line_dedup_state,
     )
-    from vectorsearch_spark.operators.incremental import EpochBucketedState
 
     corpus = _line_corpus(spark, sf_dir)
     # fixed per-sf path, wiped per run: reruns must not see the previous
@@ -6896,23 +6965,26 @@ def stream_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_")
     state = os.path.join(tempfile.gettempdir(), f"ld_fold_{tag}")
     shutil.rmtree(state, ignore_errors=True)
-    spark.sql(
-        "DROP TABLE IF EXISTS "
-        + EpochBucketedState(
-            spark, state, "keycounts", "`__key` STRING, `__nd_b` BIGINT",
-            "__key", 8,
-        ).table
-    )
+    kc = _keycounts_state(spark, state, 8)
+    spark.sql(f"DROP TABLE IF EXISTS {kc.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {kc._stage_names()[0]}")
     os.makedirs(state, exist_ok=True)
     # split on the RAW id (not a modulo) — arrival order must equal id
     # order for the batch-operator oracle to apply (the same latent
     # large-id hazard the r11 ADVICE flagged on the URL fold)
-    mid = 250
+    cuts = (170, 340)
     fold_line_dedup_batch(
-        corpus.where(F.col("doc_id") < mid), 0, state, state_buckets=8
+        corpus.where(F.col("doc_id") < cuts[0]), 0, state, state_buckets=8
     )
     fold_line_dedup_batch(
-        corpus.where(F.col("doc_id") >= mid), 1, state, state_buckets=8
+        corpus.where(
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+        ),
+        1, state, state_buckets=8,
+    )
+    compact_line_keycounts(spark, state, 8, 1)
+    fold_line_dedup_batch(
+        corpus.where(F.col("doc_id") >= cuts[1]), 2, state, state_buckets=8
     )
     return read_line_dedup_state(spark, state).select(
         "doc_id", "n_lines", "n_kept", "n_boiler", "kept_hash"
@@ -9230,6 +9302,37 @@ FROM bits m LEFT JOIN nb ON nb.media_id = m.media_id
 # Hamming ≤ 7 min-id oracle. Grid arithmetic: gray k → y = (k//17)·h//16,
 # x = (k%17)·w//17; bit i → compares gray[(i//16)·17 + i%16 + 1] vs +0
 # (list indices 1-based).
+def mm_image_neardup_256_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION configuration of the 256-bit image near-dup pass
+    (r13 — the r12 verdict's one super-linear plan, fixed): identical
+    to ``mm_image_neardup_256`` but with the hot-band cap ON
+    (``max_band_freq=16``). The uncapped entry is measured
+    super-linear on this synthetic corpus because correlated
+    fingerprints share whole 32-bit bands (74× candidate-pair growth
+    at 10× data); the cap drops any band bucket larger than 16
+    DISTINCT hashes before the self-join, restoring the linear plan —
+    and the semantics stay EXACT under the multi-index contract: a
+    pair is reported iff it agrees on at least one QUIET band
+    (bucket ≤ cap). The DuckDB twin implements precisely that
+    contract — per-band bucket counts over distinct hashes, candidate
+    pairs only through quiet buckets, Hamming ≤ 7 verify — so this
+    entry is hash-exact, not rows-only: capping is a semantics,
+    not an approximation, once the oracle speaks it."""
+    from vectorsearch_spark.functions.codecs import decode_media
+    from vectorsearch_spark.operators.dedup import bitstring_near_dup
+    from vectorsearch_spark.operators.multimodal import image_dhash
+
+    media = _neardup_media(spark, sf_dir)
+    dh = image_dhash(media, decoder=decode_media, hash_size=16)
+    out = bitstring_near_dup(
+        dh, id_col="media_id", hash_col="dhash", n_bits=256, max_hamming=7,
+        bands=8, max_band_freq=16,
+    )
+    return out.select(
+        "media_id", F.col("keep").cast("long").alias("keep"), "min_neighbor_id"
+    )
+
+
 MM_IMAGE_NEARDUP_256_SQL = """
 WITH d AS (
   SELECT doc_id, length(text) AS n, 5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h,
@@ -9269,6 +9372,40 @@ SELECT m.media_id,
             THEN 1 ELSE 0 END AS BIGINT) AS keep,
        CAST(least(m.media_id, coalesce(nb.mn, m.media_id)) AS BIGINT) AS min_neighbor_id
 FROM bits m LEFT JOIN nb ON nb.media_id = m.media_id
+"""
+
+
+MM_IMAGE_NEARDUP_256_CAPPED_SQL = MM_IMAGE_NEARDUP_256_SQL[
+    : MM_IMAGE_NEARDUP_256_SQL.index("pairs AS (")
+] + """hs AS (SELECT media_id, array_to_string(bl, '') AS h FROM bits),
+g AS (SELECT h, min(media_id) AS g_min FROM hs GROUP BY h),
+bands AS (
+  SELECT g.h, g.g_min, t.b,
+         substring(g.h, CAST(t.b * 32 + 1 AS BIGINT), 32) AS bk
+  FROM g, range(0, 8) t(b)),
+quiet AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING count(*) <= 16),
+cand AS (
+  SELECT DISTINCT a.h AS ha, a.g_min AS ma, c.h AS hb, c.g_min AS mb
+  FROM bands a
+  JOIN quiet q ON a.b = q.b AND a.bk = q.bk
+  JOIN bands c ON c.b = q.b AND c.bk = q.bk AND a.h < c.h),
+pairs AS (
+  SELECT ha, ma, hb, mb FROM cand
+  WHERE CAST(list_aggregate(list_transform(range(1, 257),
+        i -> CASE WHEN substring(ha, CAST(i AS BIGINT), 1)
+                   <> substring(hb, CAST(i AS BIGINT), 1)
+             THEN 1 ELSE 0 END), 'sum') AS INT) <= 7),
+nbrh AS (
+  SELECT h, min(nm) AS nbr_min FROM (
+    SELECT ha AS h, mb AS nm FROM pairs
+    UNION ALL SELECT hb AS h, ma AS nm FROM pairs) u GROUP BY h)
+SELECT s.media_id,
+       CAST(CASE WHEN least(g.g_min, coalesce(nbrh.nbr_min, g.g_min))
+                      = s.media_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(least(g.g_min, coalesce(nbrh.nbr_min, g.g_min)) AS BIGINT)
+         AS min_neighbor_id
+FROM hs s JOIN g ON g.h = s.h LEFT JOIN nbrh ON nbrh.h = s.h
 """
 
 
@@ -9730,25 +9867,70 @@ FROM pix
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver samples the FIRST
     # 50 entries. Rotated each round so every entry eventually appears
-    # in a driver artifact (r12: the 11 entries this round added or
-    # touched lead — the 256-bit near-dup configuration, the six-stage
-    # funnel, the completed URL canonicalization family, the
-    # trim-pinned quality filters, the media-corpus helpers — then the
-    # ENTIRE round-6 cohort (21 entries at the 5-round staleness
-    # boundary, per the r11 verdict rotation directive), then the
-    # round-7 cohort (18), which fills the window exactly; everything
-    # fresher keeps its prior relative order behind it).
+    # in a driver artifact (r13: the 12 entries this round added or
+    # touched lead — the capped 256-bit near-dup, the funnel's cleaned
+    # TEXT entry, the additive-compaction line fold, the fsio-seam
+    # stream folds, the index registry/metadata writers — then the
+    # ENTIRE round-8 cohort: 38 entries at the staleness boundary, per
+    # the r12 verdict rotation directive, filling the window exactly;
+    # everything fresher keeps its prior relative order behind it).
     return {
+        "mm_image_neardup_256_capped": mm_image_neardup_256_capped,
+        "pipeline_c4_text": pipeline_c4_text,
+        "pipeline_web_curation": pipeline_web_curation,
+        "stream_line_dedup_fold": stream_line_dedup_fold,
+        "stream_url_dedup_fold": stream_url_dedup_fold,
+        "sql_knn_topk": sql_knn_topk,
+        "dedup_lines": dedup_lines,
         "mm_image_neardup_256": mm_image_neardup_256,
+        "index_search_brute": index_search_brute,
+        "index_lifecycle_registry": index_lifecycle_registry,
+        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
+        "doc_c4_clean": doc_c4_clean,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "training_pack_sequences": training_pack_sequences,
+        "index_search_filtered": index_search_filtered,
+        "index_search_join_filtered": index_search_join_filtered,
+        "corpus_importance_sample": corpus_importance_sample,
+        "quality_classifier_scores": quality_classifier_scores,
+        "ann_lsh_exhaustive": ann_lsh_exhaustive,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_multiprobe": ann_lsh_multiprobe,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_repeated_spans": dedup_repeated_spans,
+        "dedup_span_cut": dedup_span_cut,
+        "passage_dedup": passage_dedup,
+        "source_overlap_matrix": source_overlap_matrix,
+        "embedding_opq_quality": embedding_opq_quality,
+        "embedding_sq8_roundtrip": embedding_sq8_roundtrip,
+        "index_search_opq_exhaustive": index_search_opq_exhaustive,
+        "index_search_opq": index_search_opq,
+        "doc_span_corruption": doc_span_corruption,
+        "doc_fim_transform": doc_fim_transform,
+        "corpus_temperature_mix": corpus_temperature_mix,
+        "corpus_ngram_lm": corpus_ngram_lm,
+        "training_shuffle_shards": training_shuffle_shards,
+        "dedup_simhash": dedup_simhash,
+        "dedup_incremental": dedup_incremental,
+        "bucketed_revenue_join": bucketed_revenue_join,
+        "stream_window_rollup": stream_window_rollup,
+        "events_incremental_rollup": events_incremental_rollup,
+        "events_scd2_history": events_scd2_history,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_revenue_change": q6_revenue_change,
+        "q4_order_priority": q4_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q19_discount_revenue": q19_discount_revenue,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "mm_video_scenecut": mm_video_scenecut,
         "mm_video_neardup": mm_video_neardup,
-        "pipeline_web_curation": pipeline_web_curation,
         "doc_url_canonicalize": doc_url_canonicalize,
         "dedup_url_exact": dedup_url_exact,
-        "stream_url_dedup_fold": stream_url_dedup_fold,
         "doc_repetition_gopher": doc_repetition_gopher,
         "doc_quality_gopher": doc_quality_gopher,
-        "doc_c4_clean": doc_c4_clean,
         "doc_quality_fineweb": doc_quality_fineweb,
         "mm_image_neardup": mm_image_neardup,
         "mm_audio_neardup": mm_audio_neardup,
@@ -9765,11 +9947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": events_asof_attribution,
         "events_error_sessions": events_error_sessions,
         "events_session_windows": events_session_windows,
-        "index_search_brute": index_search_brute,
         "index_search_graph": index_search_graph,
         "index_search_graph_exhaustive": index_search_graph_exhaustive,
         "index_search_sealed": index_search_sealed,
-        "index_search_sealed_exhaustive": index_search_sealed_exhaustive,
         "lang_id_scores": lang_id_scores,
         "pii_redaction": pii_redaction,
         "segment_assignment": segment_assignment,
@@ -9831,44 +10011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_join_graph_default": index_search_join_graph_default,
         "index_search_join_beam": index_search_join_beam,
         "embedding_pack_roundtrip": embedding_pack_roundtrip,
-        "q12_shipmode_priority": q12_shipmode_priority,
-        "training_pack_sequences": training_pack_sequences,
-        "index_search_filtered": index_search_filtered,
-        "index_search_join_filtered": index_search_join_filtered,
-        "corpus_importance_sample": corpus_importance_sample,
-        "quality_classifier_scores": quality_classifier_scores,
-        "ann_lsh_exhaustive": ann_lsh_exhaustive,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_lsh_multiprobe": ann_lsh_multiprobe,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_repeated_spans": dedup_repeated_spans,
-        "dedup_span_cut": dedup_span_cut,
-        "passage_dedup": passage_dedup,
-        "source_overlap_matrix": source_overlap_matrix,
-        "embedding_opq_quality": embedding_opq_quality,
-        "embedding_sq8_roundtrip": embedding_sq8_roundtrip,
-        "index_search_opq_exhaustive": index_search_opq_exhaustive,
-        "index_search_opq": index_search_opq,
-        "doc_span_corruption": doc_span_corruption,
-        "doc_fim_transform": doc_fim_transform,
-        "corpus_temperature_mix": corpus_temperature_mix,
-        "corpus_ngram_lm": corpus_ngram_lm,
-        "training_shuffle_shards": training_shuffle_shards,
-        "dedup_simhash": dedup_simhash,
-        "dedup_incremental": dedup_incremental,
-        "bucketed_revenue_join": bucketed_revenue_join,
-        "stream_window_rollup": stream_window_rollup,
-        "events_incremental_rollup": events_incremental_rollup,
-        "events_scd2_history": events_scd2_history,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "q6_revenue_change": q6_revenue_change,
-        "q4_order_priority": q4_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q19_discount_revenue": q19_discount_revenue,
-        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "stream_token_heavy_hitters": stream_token_heavy_hitters,
         "stream_token_heavy_hitters_exact": stream_token_heavy_hitters_exact,
         "source_token_heavy_hitters": source_token_heavy_hitters,
@@ -9881,13 +10023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": bpe_pair_counts,
         "tokenizer_unigram_vocab_chars": tokenizer_unigram_vocab_chars,
         "tokenizer_unigram_encode_chars": tokenizer_unigram_encode_chars,
-        "index_lifecycle_registry": index_lifecycle_registry,
         "tokenizer_unigram_vocab": tokenizer_unigram_vocab,
         "tokenizer_unigram_encode": tokenizer_unigram_encode,
         "corpus_quality_topfrac": corpus_quality_topfrac,
         "events_exact_quantiles": events_exact_quantiles,
-        "dedup_lines": dedup_lines,
-        "stream_line_dedup_fold": stream_line_dedup_fold,
         "event_type_gmean": event_type_gmean,
         "events_distinct_users": events_distinct_users,
         "events_json_props": events_json_props,
@@ -9898,7 +10037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_sample": events_stratified_sample,
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
-        "sql_knn_topk": sql_knn_topk,
         "hybrid_search_rrf": hybrid_search_rrf,
         "text_search_bm25": text_search_bm25,
         "q1_pricing_summary": q1_pricing_summary,
@@ -10055,6 +10193,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_c4_clean": DOC_C4_CLEAN_SQL,
         "curate_blocklist_filter": CURATE_BLOCKLIST_FILTER_SQL,
         "pipeline_web_curation": PIPELINE_WEB_CURATION_SQL,
+        "pipeline_c4_text": PIPELINE_C4_TEXT_SQL,
         "split_leakage_check": SPLIT_LEAKAGE_CHECK_SQL,
         "mm_audio_neardup": MM_AUDIO_NEARDUP_SQL,
         "doc_repetition_gopher": DOC_REPETITION_GOPHER_SQL,
@@ -10065,6 +10204,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_dhash": MM_IMAGE_DHASH_SQL,
         "mm_image_neardup": MM_IMAGE_NEARDUP_SQL,
         "mm_image_neardup_256": MM_IMAGE_NEARDUP_256_SQL,
+        "mm_image_neardup_256_capped": MM_IMAGE_NEARDUP_256_CAPPED_SQL,
         "mm_video_scenecut": MM_VIDEO_SCENECUT_SQL,
         "mm_video_neardup": MM_VIDEO_NEARDUP_SQL,
         "mm_audio_dft_bins": MM_AUDIO_DFT_BINS_SQL,
