@@ -379,6 +379,20 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_MEDIA_DOCS", "1250")
     spark = get_spark("vectorsearch_spark_bench", cpus=cpus)
 
+    # Keep bench stdout signal-bearing (r12 verdict "cosmetic"): the
+    # bounded-row global top-k windows are adjudicated (documented at
+    # each use site — k rows through one task by design), so their
+    # per-query WindowExec warning is noise HERE; real warnings from
+    # anything else stay visible. Bench-only, never set for tests.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the warning
+
     # warm up the JVM + parquet footers so per-query timings measure the work
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 

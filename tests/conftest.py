@@ -67,7 +67,13 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("vectorsearch_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # 16 local threads (r13): the suite is compute-bound in its heavy
+    # tail (graph recall, IVF range joins, codec corpora, fold DDL) and
+    # the host has 32 CPUs — 8→16 measured 1.7× on the five heaviest
+    # files (1029s→620s) with identical results; 16 leaves headroom for
+    # the DuckDB oracle side of the parity tests, which threads on its
+    # own.
+    spark = get_spark("vectorsearch_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     yield spark
 
 

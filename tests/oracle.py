@@ -17,6 +17,12 @@ TABLES = [
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB defaults to every host core; unbounded it thrashes against
+    # the Spark session's 16 threads during the parity module (r13:
+    # dedup_embedding_radius's all-pairs oracle read 8s solo vs 39s
+    # in-suite from exactly this contention). 8 threads is plenty for
+    # sf0.001 oracles and leaves Spark its headroom.
+    con.sql("SET threads TO 8")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

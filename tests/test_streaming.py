@@ -101,7 +101,22 @@ def test_sessionize_stream_vs_batch_oracle(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # The availableNow query stays alive for processing-time timeout
+    # flushes (gap_seconds of WALL time) — r12's awaitTermination(120)
+    # burned the full timeout every run. The deterministic emission (the
+    # in-batch close of user 1's first session) lands in the FIRST
+    # micro-batch: poll for it, then stop; open-tail flushes were always
+    # optional ("MAY also flush" below).
+    import time as _t
+
+    deadline = _t.time() + 90
+    while _t.time() < deadline and q.isActive:
+        if spark.sql("SELECT count(*) FROM sess_out").collect()[0][0] >= 1:
+            break
+        _t.sleep(0.5)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
     got = {
         (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
         for r in spark.sql("SELECT * FROM sess_out").collect()
