@@ -365,6 +365,13 @@ class EpochBucketedState:
         gcols = ", ".join(f"`{c}`" for c in group_cols)
         cols = ", ".join(f"`{c}`" for c in self.cols)
         stage_table, stage_loc = self._stage_names()
+        # pre-create the staging location: Spark's insert path lists the
+        # target partition dir's parent and LOGS a FileNotFoundException
+        # stack (harmless but noisy) when the external location has
+        # never been written
+        from vectorsearch_spark.fsio import get_state_fs
+
+        get_state_fs().makedirs(stage_loc)
         if not self.spark.catalog.tableExists(stage_table):
             ddl_cols = ", ".join(f"`{c}` {self._types[c]}" for c in self.cols)
             self.spark.sql(
