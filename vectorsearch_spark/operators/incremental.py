@@ -247,10 +247,24 @@ class EpochBucketedState:
         )
 
     def write_epoch(self, df: DataFrame, epoch_id: int) -> None:
-        """Idempotently (re)write ``epoch_id``'s rows."""
+        """Idempotently (re)write ``epoch_id``'s rows.
+
+        The batch is REPARTITIONED onto the bucket key first (r13):
+        Spark's bucketed write emits one file per (task × bucket) —
+        without clustering, a 32-task batch × 16 buckets wrote 512
+        files PER EPOCH (measured by scripts/compaction_probe.py; at
+        crawl scale that's millions of state files between
+        compactions). Hash-repartitioning by the key into ``buckets``
+        partitions aligns tasks with bucket ids (both are
+        pmod(hash(key), n)), so each epoch writes exactly ``buckets``
+        files. The exchange is O(batch) — the same size the fold
+        already pays on its join/aggregate side."""
+        clustered = df.select(*self.cols).repartition(
+            self.buckets, F.col(self.key)
+        )
         if not self._ensure():
             (
-                df.select(*self.cols)
+                clustered
                 .withColumn("epoch", F.lit(int(epoch_id)).cast("int"))
                 .write.partitionBy("epoch")
                 .bucketBy(self.buckets, self.key)
@@ -261,7 +275,7 @@ class EpochBucketedState:
             )
             return
         v = f"__{self.table}_e{int(epoch_id)}"
-        df.select(*self.cols).createOrReplaceTempView(v)
+        clustered.createOrReplaceTempView(v)
         cols = ", ".join(f"`{c}`" for c in self.cols)
         self.spark.sql(
             f"INSERT OVERWRITE TABLE {self.table}"
@@ -342,8 +356,12 @@ class EpochBucketedState:
                 return
             cols = ", ".join(f"`{c}`" for c in self.cols)
             self.spark.sql(
+                # REPARTITION hint: align write tasks with bucket ids so
+                # the merged partition lands as `buckets` files, not
+                # (tasks × buckets) — see write_epoch
                 f"INSERT INTO TABLE {self.table} PARTITION (epoch={upto})"
-                f" SELECT DISTINCT {cols} FROM {self.table}"
+                f" SELECT /*+ REPARTITION({self.buckets}, `{self.key}`) */"
+                f" DISTINCT {cols} FROM {self.table}"
                 f" WHERE epoch < {upto}"
             )
             for e in older:
@@ -382,7 +400,8 @@ class EpochBucketedState:
             )
         self.spark.sql(
             f"INSERT OVERWRITE TABLE {stage_table} PARTITION (epoch={upto})"
-            f" SELECT {cols} FROM (SELECT {gcols}, {aggs} FROM {self.table}"
+            f" SELECT /*+ REPARTITION({self.buckets}, `{self.key}`) */"
+            f" {cols} FROM (SELECT {gcols}, {aggs} FROM {self.table}"
             f" WHERE epoch <= {upto} GROUP BY {gcols})"
         )
         write_file_atomic(
