@@ -1347,7 +1347,11 @@ def event_type_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtin agg expressions, as everywhere else in this workload; nor
     can it mix with built-in aggregates in one agg() — Spark plans
     the whole aggregate through the Arrow path).
-    Values are strictly positive by schema contract; round(4) absorbs
+    Geometric mean is defined over positive values only, and the events
+    generator does NOT guarantee positivity (sf0.1 carries value=0.0
+    rows — r13 VERDICT): non-positive rows are excluded BEFORE the
+    aggregate, in this filter and identically in the oracle SQL, so
+    neither engine ever evaluates ln(0). round(4) absorbs
     summation-order fp noise between engines."""
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -1361,7 +1365,8 @@ def event_type_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy("event_type")
+        ev.where(F.col("value") > 0)
+        .groupBy("event_type")
         .agg(F.round(gmean("value"), 4).alias("gmean_value"))
         .orderBy("event_type")
     )
@@ -1370,7 +1375,7 @@ def event_type_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPE_GMEAN_SQL = """
 SELECT event_type,
        round(exp(avg(ln(value))), 4) AS gmean_value
-FROM events GROUP BY 1 ORDER BY 1
+FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1
 """
 
 
