@@ -280,3 +280,19 @@ def test_stream_compact_every_requires_buckets(spark, tmp_path_factory):
         stream_url_dedup(docs, d + "/u", d + "/uc", compact_every=2)
     with pytest.raises(ValueError, match="state_buckets"):
         stream_line_dedup(docs, d + "/l", d + "/lc", compact_every=2)
+
+
+def test_count_consumed_substore_refuses_compaction():
+    """A SET substore whose reader counts rows per key (the minhash
+    fold's band-frequency cap) must refuse compaction: set-path crash
+    windows tolerate duplicates that membership joins ignore but
+    counts inflate (r13 ADVICE)."""
+    class _S:
+        pass
+
+    st = EpochBucketedState(
+        _S(), "/tmp/x", "buckets", "`doc_id` BIGINT, `band_key` STRING",
+        "band_key", 4, count_consumed=True,
+    )
+    with pytest.raises(ValueError, match="count-consumed"):
+        st.compact_epochs(5)

@@ -223,3 +223,37 @@ def test_swap_dir_crash_window_enumeration(tmp_path):
     assert _gen(live) == "gen2"
     fsio.get_state_fs().rmtree(live + ".old")  # roll-forward cleanup
     assert not os.path.exists(live + ".old")
+
+
+def test_listdir_rejects_file_as_state_root(tmp_path):
+    """A state root that exists as a regular FILE is corruption, not
+    empty state (r13 ADVICE) — [] stays reserved for missing paths."""
+    f = str(tmp_path / "root")
+    open(f, "w").write("oops")
+    with pytest.raises(NotADirectoryError):
+        get_state_fs().listdir(f)
+    assert get_state_fs().listdir(str(tmp_path / "missing")) == []
+    with pytest.raises(NotADirectoryError):
+        epoch_ids(f)
+
+
+def test_corrupt_marker_quarantined_as_uncommitted(tmp_path):
+    """A torn (power-loss partial) marker reads as 'not committed' and
+    is quarantined, never crashing the fold (r13 ADVICE): the epoch
+    write is idempotent, so replaying the uncommitted epoch is safe."""
+    from vectorsearch_spark.operators.incremental import (
+        committed_epoch,
+        epoch_already_applied,
+    )
+
+    marker = str(tmp_path / "_last_epoch.json")
+    open(marker, "w").write('{"epo')  # torn mid-write
+    assert epoch_already_applied(marker, 3, "t") is False
+    assert os.path.exists(marker + ".corrupt")
+    assert not os.path.exists(marker)
+    with pytest.raises(ValueError, match="no committed epoch"):
+        committed_epoch(str(tmp_path), "reader")
+    # an intact marker still round-trips
+    write_file_atomic(str(tmp_path), "_last_epoch.json", '{"epoch": 3}')
+    assert epoch_already_applied(marker, 3, "t") is True
+    assert committed_epoch(str(tmp_path), "reader") == 3

@@ -93,3 +93,20 @@ def test_floatpack_roundtrip_bitexact(spark):
     }
     for i, v in enumerate(vals):
         assert raw[i] == v.astype("<f4").tobytes()
+
+
+def test_reregistration_replaces_foreign_definition(spark, vdf):
+    """A same-named function someone ELSE registered is replaced with
+    the canonical definition on the next register call (r13 ADVICE):
+    the skip is keyed on sessions this module registered, not on bare
+    functionExists."""
+    from vectorsearch_spark.functions import sql as sqlmod
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vs_norm(a ARRAY<FLOAT>) "
+        "RETURNS DOUBLE RETURN -1D"
+    )
+    sqlmod._REGISTERED_SESSIONS.discard(spark)  # a fresh library sees a stale fn
+    register_sql_functions(spark)
+    got = spark.sql("SELECT vs_norm(array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS n").collect()
+    assert got[0]["n"] == 5.0

@@ -67,6 +67,14 @@ class LocalStateFS:
 
     def listdir(self, path: str) -> "list[str]":
         if not os.path.isdir(path):
+            # [] ONLY for a genuinely missing path (the empty-state
+            # read); a path that exists as a FILE is a corrupted or
+            # mistyped state root and must not silently read as a
+            # clean slate (r13 ADVICE)
+            if os.path.exists(path):
+                raise NotADirectoryError(
+                    f"state root exists but is not a directory: {path}"
+                )
             return []
         return os.listdir(path)
 
@@ -116,13 +124,32 @@ def set_state_fs(fs) -> LocalStateFS:
 def write_file_atomic(dir_path: str, name: str, data: str) -> None:
     """Publish ``{dir_path}/{name}`` atomically: co-located temp file +
     ``replace_file`` — the marker-commits-last primitive every fold's
-    exactly-once protocol ends with."""
+    exactly-once protocol ends with.
+
+    Durability (r13 ADVICE): the temp file is fsync'd before the
+    replace and the parent directory after it (when the backend is the
+    local POSIX one), so the contract covers POWER LOSS, not just
+    process crashes — without the syncs, a marker could survive a
+    power cut as a zero-length or partial file. Readers additionally
+    quarantine an unparseable marker as "not committed"
+    (incremental._load_marker) for filesystems that don't honor the
+    ordering."""
     fs = get_state_fs()
     fd, tmp = fs.mkstemp_in(dir_path, prefix=f"._{name}_tmp_")
     try:
         with os.fdopen(fd, "w") as fh:
             fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
         fs.replace_file(tmp, os.path.join(dir_path, name))
+        if isinstance(fs, LocalStateFS):
+            # persist the rename itself (directory entry update);
+            # object-store backends commit via atomic PUT instead
+            dfd = os.open(dir_path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
     except BaseException:
         if fs.exists(tmp):
             fs.remove(tmp)

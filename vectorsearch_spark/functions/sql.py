@@ -58,15 +58,25 @@ _FUNCTIONS: dict[str, str] = {
 }
 
 
+import weakref
+
+# weak refs: a GC'd session drops out, so a new session that happens to
+# reuse the old object's id is never wrongly skipped
+_REGISTERED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
+
+
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Register the vs_* SQL functions on the session; returns names.
-    Safe to call repeatedly — a function already present in the session
-    registry is SKIPPED rather than replaced, so repeated calls (every
-    workload entry routes through here) don't flood driver logs with
+    Safe to call repeatedly — a session THIS module already registered
+    is skipped outright, so repeated calls (every workload entry routes
+    through here) don't flood driver logs with
     ``SimpleFunctionRegistry`` replace-warnings and real warnings stay
-    visible (r12 VERDICT #8). The definitions are versionless
-    constants, so skip-if-present and replace are equivalent."""
-    for name, ddl in _FUNCTIONS.items():
-        if not spark.catalog.functionExists(name):
+    visible (r12 VERDICT #8). The skip is keyed on the session, not on
+    ``functionExists`` (r13 ADVICE): a pre-existing same-named function
+    someone else registered must be REPLACED with the canonical
+    definition, which CREATE OR REPLACE does."""
+    if spark not in _REGISTERED_SESSIONS:
+        for ddl in _FUNCTIONS.values():
             spark.sql(ddl)
+        _REGISTERED_SESSIONS.add(spark)
     return sorted(_FUNCTIONS)

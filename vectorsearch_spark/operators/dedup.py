@@ -880,6 +880,10 @@ def fold_dedup_ingest_batch(
         bk_state = EpochBucketedState(
             spark, state_path, "buckets",
             "`doc_id` BIGINT, `band_key` STRING", "band_key", state_buckets,
+            # the reader feeds _cap_band_freq's per-band row count, so
+            # set-path compaction duplicates would silently drop quiet
+            # bands past the cap (r13 ADVICE)
+            count_consumed=True,
         )
 
     drop = None

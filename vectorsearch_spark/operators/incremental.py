@@ -26,20 +26,37 @@ from pyspark.sql import functions as F
 STATE_COLS = ("n_rows", "total", "vmin", "vmax")
 
 
-def epoch_already_applied(marker: str, epoch_id: int, state_desc: str) -> bool:
-    """True iff ``epoch_id`` is the already-committed last epoch (a
-    foreachBatch replay — skip it). Raises on epoch REGRESSION: a fresh
-    checkpoint dir restarts epoch ids at 0, and treating those as
-    replays would silently drop every batch against existing state
-    (checkpoint and state lifetimes are coupled — fail loudly)."""
+def _load_marker(marker: str) -> "int | None":
+    """The committed epoch id in ``marker``, or None when the marker is
+    missing OR unreadable. An unparseable marker (power-loss partial
+    write on a filesystem that reordered the data/rename syncs — r13
+    ADVICE) is quarantined to ``<marker>.corrupt`` and treated as "not
+    committed": every fold's epoch write is idempotent, so replaying
+    the uncommitted epoch is the safe recovery, while crashing on
+    json.loads would wedge the stream permanently."""
     import json
 
     from vectorsearch_spark.fsio import get_state_fs
 
     fs = get_state_fs()
     if not fs.exists(marker):
+        return None
+    try:
+        return int(json.loads(fs.read_text(marker))["epoch"])
+    except (ValueError, KeyError, TypeError):
+        fs.replace_file(marker, marker + ".corrupt")
+        return None
+
+
+def epoch_already_applied(marker: str, epoch_id: int, state_desc: str) -> bool:
+    """True iff ``epoch_id`` is the already-committed last epoch (a
+    foreachBatch replay — skip it). Raises on epoch REGRESSION: a fresh
+    checkpoint dir restarts epoch ids at 0, and treating those as
+    replays would silently drop every batch against existing state
+    (checkpoint and state lifetimes are coupled — fail loudly)."""
+    last = _load_marker(marker)
+    if last is None:
         return False
-    last = json.loads(fs.read_text(marker))["epoch"]
     if last == epoch_id:
         return True
     if epoch_id < last:
@@ -81,19 +98,17 @@ def commit_epoch(state_path: str, epoch_id: int) -> None:
 
 def committed_epoch(state_path: str, reader: str) -> int:
     """The committed epoch id for external readers — raises with the
-    reader's name when no fold has ever committed. Readers must load
-    ONLY this epoch's dirs (the crash-window contract applies to
-    external reads, not just replays)."""
-    import json
+    reader's name when no fold has ever committed (or the marker was
+    quarantined as unreadable). Readers must load ONLY this epoch's
+    dirs (the crash-window contract applies to external reads, not
+    just replays)."""
     import os
 
-    from vectorsearch_spark.fsio import get_state_fs
-
-    fs = get_state_fs()
     marker = os.path.join(state_path, "_last_epoch.json")
-    if not fs.exists(marker):
+    last = _load_marker(marker)
+    if last is None:
         raise ValueError(f"{reader}: no committed epoch at {state_path}")
-    return int(json.loads(fs.read_text(marker))["epoch"])
+    return last
 
 
 def _split_ddl(schema_ddl: str) -> "list[str]":
@@ -182,6 +197,7 @@ class EpochBucketedState:
         key: str,
         buckets: int,
         sum_cols: "list[str] | None" = None,
+        count_consumed: bool = False,
     ) -> None:
         self.spark = spark
         self.name = name
@@ -201,6 +217,13 @@ class EpochBucketedState:
         # the remaining columns are the group key; duplicates would
         # double-sum, so compaction must be the staged-swap path).
         self.sum_cols = list(sum_cols) if sum_cols else None
+        # r13 ADVICE: a SET substore whose READER counts rows per key
+        # (e.g. the minhash fold's band-frequency cap) is NOT safe to
+        # compact — the set path's crash windows tolerate duplicate
+        # rows, which membership joins ignore but counts inflate.
+        # Declaring it here turns a silent future miscount into a
+        # loud error at the compaction call site.
+        self.count_consumed = bool(count_consumed)
         if self.sum_cols:
             bad = [c for c in self.sum_cols if c not in self.cols]
             if bad:
@@ -347,6 +370,15 @@ class EpochBucketedState:
         partition again, which is why the staged dir's existence picks
         the branch.
         """
+        if self.count_consumed:
+            raise ValueError(
+                f"substore {self.name!r} is count-consumed: its readers "
+                "count rows per key, and set-path compaction's crash "
+                "windows can leave duplicate rows that inflate those "
+                "counts. Declare the counted column additive (sum_cols) "
+                "for the staged-swap path, or leave the substore "
+                "uncompacted."
+            )
         if not self._ensure():
             return
         upto = int(upto_epoch)
@@ -425,7 +457,15 @@ class EpochBucketedState:
         marker = os.path.join(self.loc, "_compact_commit.json")
         if not fs.exists(marker):
             return
-        upto = int(json.loads(fs.read_text(marker))["upto"])
+        try:
+            upto = int(json.loads(fs.read_text(marker))["upto"])
+        except (ValueError, KeyError, TypeError):
+            # power-loss partial marker = the compaction never
+            # committed: quarantine and leave the live partitions
+            # untouched (staging is private and re-entrant) — the
+            # _load_marker discipline
+            fs.replace_file(marker, marker + ".corrupt")
+            return
         _, stage_loc = self._stage_names()
         staged = os.path.join(stage_loc, f"epoch={upto}")
         live = os.path.join(self.loc, f"epoch={upto}")

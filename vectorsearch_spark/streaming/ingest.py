@@ -71,7 +71,14 @@ def _read_intent(index: VectorIndex) -> dict | None:
     fs = get_state_fs()
     if not fs.exists(_intent_path(index)):
         return None
-    return json.loads(fs.read_text(_intent_path(index)))
+    try:
+        return json.loads(fs.read_text(_intent_path(index)))
+    except ValueError:
+        # a torn intent file means power loss DURING the intent write,
+        # which precedes any data mutation — quarantine and treat as
+        # no intent (nothing to roll back), the _load_marker discipline
+        fs.replace_file(_intent_path(index), _intent_path(index) + ".corrupt")
+        return None
 
 
 def _write_intent(index: VectorIndex, stream_id: str, epoch_id: int) -> None:
