@@ -634,10 +634,12 @@ def fold_rollup_batch(
     # the applied-epoch marker rides INSIDE the renamed dir, so
     # state content and marker swap in the same atomic rename — a
     # crash can never pair new state with an old marker (which a
-    # replay would double-merge); writing it into the UNPUBLISHED tmp
-    # dir needs no atomicity of its own
-    with open(os.path.join(tmp, "_last_epoch.json"), "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
+    # replay would double-merge); it goes through the seam (not raw
+    # open) so an object-store backend PUTs it like any other state
+    # object
+    from vectorsearch_spark.fsio import write_file_atomic
+
+    write_file_atomic(tmp, "_last_epoch.json", json.dumps({"epoch": int(epoch_id)}))
     swap_dir_in(tmp, state_path)
 
 
@@ -716,8 +718,9 @@ def fold_scd2_batch(
     tmp = dim_path + ".tmp"
     fs.rmtree(tmp)
     scd_out.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_last_epoch.json"), "w") as fh:
-        json.dump({"epoch": int(epoch_id)}, fh)
+    from vectorsearch_spark.fsio import write_file_atomic
+
+    write_file_atomic(tmp, "_last_epoch.json", json.dumps({"epoch": int(epoch_id)}))
     swap_dir_in(tmp, dim_path)
 
 
