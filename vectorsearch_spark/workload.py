@@ -9869,16 +9869,81 @@ FROM pix
 # Registry
 # ---------------------------------------------------------------------------
 
+# Registry order matters: the correctness driver samples the FIRST 50
+# queries() entries. _DRIVER_WINDOW is this round's explicit rotation
+# (r14): the entries this round touched lead (the gmean positivity
+# fix, the fold/compaction protocol entries re-run on the object-store
+# backend, the seam-keyed SQL-function users), then the ENTIRE ≤r9
+# staleness cohort — the two r7 stragglers and the 36-entry r9 block —
+# per the r13 verdict rotation directive, topped up with the oldest
+# r10 entries to fill the window exactly. queries() serves these
+# first; everything else keeps its prior relative order behind them.
+_DRIVER_WINDOW = [
+    # r14-touched
+    "event_type_gmean",
+    "stream_line_dedup_fold",
+    "stream_url_dedup_fold",
+    "events_incremental_rollup",
+    "events_scd2_history",
+    "stream_window_rollup",
+    "dedup_incremental",
+    "dedup_url_exact",
+    "sql_knn_topk",
+    # r7 stragglers
+    "q9_product_profit",
+    "revenue_grouping_sets",
+    # the r9 cohort (36 entries; event_type_gmean above is its 37th)
+    "stream_token_heavy_hitters",
+    "stream_token_heavy_hitters_exact",
+    "source_token_heavy_hitters",
+    "token_heavy_hitters",
+    "stream_distinct_users",
+    "stream_type_distinct_users",
+    "embedding_kmeans_assign",
+    "quality_classifier_onestep",
+    "embedding_pca_cov",
+    "bpe_pair_counts",
+    "tokenizer_unigram_vocab_chars",
+    "tokenizer_unigram_encode_chars",
+    "tokenizer_unigram_vocab",
+    "tokenizer_unigram_encode",
+    "corpus_quality_topfrac",
+    "events_exact_quantiles",
+    "events_distinct_users",
+    "events_json_props",
+    "price_percentiles",
+    "events_type_pivot",
+    "events_gap_fill",
+    "lineitem_unpivot",
+    "events_stratified_sample",
+    "events_funnel",
+    "events_cohort_retention",
+    "hybrid_search_rrf",
+    "text_search_bm25",
+    "q1_pricing_summary",
+    "revenue_rollup",
+    "corpus_splits",
+    "pipeline_pack_curated",
+    "doc_chunking",
+    "bloom_pruned_revenue",
+    "customer_balance_ranks",
+    "documents_profile",
+    # oldest-r10 top-up to fill the 50-entry window
+    "dedup_semantic_exact",
+    "embedding_opq_identity",
+    "doc_text_normalize",
+    "training_length_batches",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the correctness driver samples the FIRST
-    # 50 entries. Rotated each round so every entry eventually appears
-    # in a driver artifact (r13: the 12 entries this round added or
-    # touched lead — the capped 256-bit near-dup, the funnel's cleaned
-    # TEXT entry, the additive-compaction line fold, the fsio-seam
-    # stream folds, the index registry/metadata writers — then the
-    # ENTIRE round-8 cohort: 38 entries at the staleness boundary, per
-    # the r12 verdict rotation directive, filling the window exactly;
-    # everything fresher keeps its prior relative order behind it).
+    base = _all_queries()
+    out = {k: base[k] for k in _DRIVER_WINDOW}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mm_image_neardup_256_capped": mm_image_neardup_256_capped,
         "pipeline_c4_text": pipeline_c4_text,
