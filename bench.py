@@ -186,6 +186,7 @@ HEADLINE = [
     "mm_video_scenecut",
     "mm_video_neardup",
     "doc_html_extract_bytes",
+    "warc_html_extract",
     "mm_audio_dft_bins",
     "training_length_batches_bpe",
     "doc_url_canonicalize",

@@ -4472,6 +4472,32 @@ FROM blocks
 """
 
 
+def _synth_page_bytes(did: int, text: str, src: str) -> bytes:
+    """The charset-by-parity synthetic page over one document row —
+    THE single construction shared by ``doc_html_extract_bytes`` and
+    ``warc_html_extract`` (and mirrored by their common oracle SQL):
+    even doc_ids a UTF-8 page (``<meta charset>`` form) with a
+    non-ASCII 'café' heading, odd doc_ids an ISO-8859-1 page
+    (http-equiv form) with 'résumé' — so the WHATWG sniff front-end is
+    load-bearing, not decorative."""
+    if did % 2 == 0:
+        page = (
+            '<html><head><meta charset="utf-8"><title>t</title>'
+            f"</head><body><h1>café {did}</h1><p>{text}</p>"
+            '<div class="f"><a href="/">home</a></div></body></html>'
+        )
+        return page.encode("utf-8")
+    page = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head>'
+        f"<body><h1>résumé {did}</h1>"
+        f"<p>plain {src} prose body</p>"
+        '<div class="f"><a href="/c">contact</a></div>'
+        "</body></html>"
+    )
+    return page.encode("latin-1")
+
+
 def doc_html_extract_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-sniffing HTML extraction over RAW BYTES (r11 —
     operators/html.py html_extract_bytes): every document becomes a
@@ -4503,23 +4529,7 @@ def doc_html_extract_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, payloads = [], []
             for did, text, src in zip(pdf["doc_id"], pdf["text"], pdf["src"]):
-                if did % 2 == 0:
-                    page = (
-                        '<html><head><meta charset="utf-8"><title>t</title>'
-                        f"</head><body><h1>café {did}</h1><p>{text}</p>"
-                        '<div class="f"><a href="/">home</a></div></body></html>'
-                    )
-                    payloads.append(page.encode("utf-8"))
-                else:
-                    page = (
-                        '<html><head><meta http-equiv="Content-Type" '
-                        'content="text/html; charset=iso-8859-1"></head>'
-                        f"<body><h1>résumé {did}</h1>"
-                        f"<p>plain {src} prose body</p>"
-                        '<div class="f"><a href="/c">contact</a></div>'
-                        "</body></html>"
-                    )
-                    payloads.append(page.encode("latin-1"))
+                payloads.append(_synth_page_bytes(int(did), text, src))
                 ids.append(int(did))
             yield pd.DataFrame(
                 {
@@ -4560,6 +4570,105 @@ SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, text,
        0.0 AS link_density, cs AS charset
 FROM blocks
 """
+
+
+def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container ingestion end-to-end (r13 VERDICT #5 —
+    sources/warc.py): documents pack 32-files-wide into synthetic WARC
+    containers — a ``warcinfo`` header record, one HTTP ``response``
+    record per doc (the ``_synth_page_bytes`` charset-by-parity pages
+    behind an HTTP/1.1 envelope), and a TRUNCATED trailing record per
+    file (declared Content-Length runs past EOF, the partial-fetch
+    shape) — then ``warc_records`` explodes the framing, the
+    type/truncation filter keeps exactly the complete responses,
+    doc_ids come back from WARC-Target-URI, and ``html_extract_bytes``
+    sniffs + extracts. Row parity against the SAME oracle as
+    doc_html_extract_bytes proves the framing is lossless AND that
+    warcinfo/request noise and the truncated tail contributed nothing.
+    Plan shape: one applyInPandas builds containers (per-file
+    parallelism, the natural CommonCrawl unit), one mapInPandas
+    explodes, one extracts — container bytes never shuffle."""
+    from vectorsearch_spark.operators.html import html_extract_bytes
+    from vectorsearch_spark.sources.warc import (
+        build_warc,
+        warc_records,
+        write_warc_record,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.regexp_replace("source", r"[^\x20-\x7e]", "?").alias("src"),
+        (F.col("doc_id") % 32).alias("file_id"),
+    )
+
+    def build_file(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                {"WARC-Type": "warcinfo",
+                 "Content-Type": "application/warc-fields"},
+                b"software: vectorsearch-spark-synth\r\n",
+            )
+        ]
+        for did, text, src in zip(pdf["doc_id"], pdf["text"], pdf["src"]):
+            body = _synth_page_bytes(int(did), text, src)
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"http://ex.com/doc/{int(did)}",
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body,
+                )
+            )
+        data = build_warc(recs)
+        tail = write_warc_record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://ex.invalid/cut",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\n\r\n" + b"Y" * 64,
+        )
+        data += tail[:-24]  # EOF inside the block: a truncated fetch
+        return pd.DataFrame(
+            {"file_id": [int(pdf["file_id"].iloc[0])], "content": [data]}
+        )
+
+    files = docs.groupBy("file_id").applyInPandas(
+        build_file, "file_id long, content binary"
+    )
+    pages = (
+        warc_records(files)
+        .where(
+            (F.col("warc_type") == "response")
+            & ~F.col("truncated")
+            & (F.col("http_status") == 200)
+        )
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "payload",
+        )
+    )
+    out = html_extract_bytes(pages)
+    return out.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        "text",
+        F.round("link_density", 4).alias("link_density"),
+        "charset",
+    )
+
+
+# identical blocks by construction: the WARC framing must be lossless
+WARC_HTML_EXTRACT_SQL = DOC_HTML_EXTRACT_BYTES_SQL
 
 
 def _raw_url_col() -> Column:
@@ -9880,6 +9989,7 @@ FROM pix
 # first; everything else keeps its prior relative order behind them.
 _DRIVER_WINDOW = [
     # r14-touched
+    "warc_html_extract",
     "event_type_gmean",
     "stream_line_dedup_fold",
     "stream_url_dedup_fold",
@@ -9932,7 +10042,6 @@ _DRIVER_WINDOW = [
     "dedup_semantic_exact",
     "embedding_opq_identity",
     "doc_text_normalize",
-    "training_length_batches",
 ]
 
 
@@ -10044,6 +10153,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_length_batches_bpe": training_length_batches_bpe,
         "mm_audio_dft_bins": mm_audio_dft_bins,
         "doc_html_extract_bytes": doc_html_extract_bytes,
+        "warc_html_extract": warc_html_extract,
         "curate_host_cap": curate_host_cap,
         "curate_blocklist_filter": curate_blocklist_filter,
         "split_leakage_check": split_leakage_check,
@@ -10255,6 +10365,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_exhaustive": _knn_sql(Metric.COSINE),
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
         "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
+        "warc_html_extract": WARC_HTML_EXTRACT_SQL,
         "doc_url_canonicalize": DOC_URL_CANONICALIZE_SQL,
         "dedup_url_exact": DEDUP_URL_EXACT_SQL,
         "curate_host_cap": CURATE_HOST_CAP_SQL,
