@@ -106,6 +106,49 @@ def main() -> None:
                  "fold_read_s": round(post_s, 3)},
         "read_speedup": round(pre_s / post_s, 2) if post_s > 0 else None,
     }
+
+    # r13 VERDICT #6: the clustered write (REPARTITION onto the bucket
+    # key before the bucketed INSERT, commit 27cda58) costs one extra
+    # exchange per fold — measured at sf0.1 as +1 s on the line fold.
+    # Record what it costs AND buys at 10x batch: write_epoch wall and
+    # files-per-epoch with clustering on (production) vs off (the
+    # pre-27cda58 direct write), on the same 10x batch.
+    big = rows * 10
+    df10 = spark.range(big).select(
+        F.concat(F.lit("line_"), F.col("id")).alias("__key"),
+        (F.col("id") % 3 + 1).cast("long").alias("__nd_b"),
+    )
+    df10.localCheckpoint()  # materialize the source once
+
+    def _write_files(e: int) -> int:
+        return _files(os.path.join(st.loc, f"epoch={e}"))
+
+    t0 = time.time()
+    st.write_epoch(df10, epochs + 10)
+    clustered_s = time.time() - t0
+    clustered_files = _write_files(epochs + 10)
+
+    # the unclustered variant: same INSERT OVERWRITE, no repartition —
+    # Spark's bucketed write then emits one file per (task x bucket)
+    v = f"__{st.table}_probe_unclustered"
+    df10.createOrReplaceTempView(v)
+    t0 = time.time()
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {st.table}"
+        f" PARTITION (epoch={epochs + 11})"
+        f" SELECT `__key`, `__nd_b` FROM {v}"
+    )
+    unclustered_s = time.time() - t0
+    unclustered_files = _write_files(epochs + 11)
+    spark.catalog.dropTempView(v)
+
+    out["write_epoch_10x"] = {
+        "batch_rows": big,
+        "clustered": {"wall_s": round(clustered_s, 3),
+                      "files": clustered_files},
+        "unclustered": {"wall_s": round(unclustered_s, 3),
+                        "files": unclustered_files},
+    }
     print(json.dumps(out))
     spark.stop()
 
