@@ -557,6 +557,63 @@ def test_transform_with_state_running_totals(spark, tmp_path_factory):
     assert got == exp
 
 
+def test_running_totals_processor_logic_without_tws_transport():
+    """The running-totals FOLD logic asserted directly (r13 VERDICT #8):
+    drive the StatefulProcessor against a stub handle/ValueState — the
+    cumulative state arithmetic, the count(value) NULL convention, and
+    the update-mode changelog emission are all exercised with NO
+    protobuf transport, so this runs in every environment (the
+    end-to-end TWS test above still covers the runner where
+    google.protobuf exists)."""
+    import pandas as pd
+
+    from vectorsearch_spark.streaming.rollup import running_totals_processor
+
+    class StubValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            assert name == "totals" and "n_events" in schema
+            return self.states.setdefault(name, StubValueState())
+
+    proc = running_totals_processor("user_id", "value")
+    handle = StubHandle()
+    proc.init(handle)
+
+    def feed(key, batches):
+        out = list(proc.handleInputRows(key, iter(batches), None))
+        assert len(out) == 1
+        r = out[0].iloc[0]
+        return int(r["n_events"]), float(r["total"])
+
+    # batch 1: two values + a NULL (contributes to neither count nor sum)
+    b1 = pd.DataFrame({"value": [1.0, 2.5, None]})
+    assert feed((7,), [b1]) == (2, 3.5)
+    assert handle.states["totals"].v == (2, 3.5)
+    # batch 2 folds ONTO the persisted state, cumulative emission
+    b2a = pd.DataFrame({"value": [4.0]})
+    b2b = pd.DataFrame({"value": [None, 0.5]})
+    assert feed((7,), [b2a, b2b]) == (4, 8.0)
+    assert handle.states["totals"].v == (4, 8.0)
+    # an all-NULL batch still emits the (unchanged) running value
+    assert feed((7,), [pd.DataFrame({"value": [None]})]) == (4, 8.0)
+    proc.close()
+
+
 def test_stream_rollup_maintenance_and_crash_replay(spark, tmp_path_factory):
     """foreachBatch rollup maintenance: streamed folds == batch
     aggregate; a replayed epoch is skipped (marker rides the atomic

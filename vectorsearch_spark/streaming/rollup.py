@@ -255,36 +255,15 @@ def sessionize_batch(
     )
 
 
-def stream_running_totals(
-    events: DataFrame,
-    key_col: str = "user_id",
-    value_col: str = "value",
-) -> DataFrame:
-    """Per-key RUNNING totals across micro-batches via
-    ``transformWithStateInPandas`` (Spark 4's arbitrary-state API, the
-    successor of ``applyInPandasWithState``): explicit ValueState holds
-    (n_events, total) per key; every batch emits the keys it touched
-    with their cumulative values (Update-mode semantics — a changelog
-    of the running aggregate, the feature-store "online counter"
-    shape).
-
-    vs ``applyInPandasWithState``: typed per-field state handles
-    (ValueState/ListState/MapState), timers decoupled from output, and
-    the RocksDB state store REQUIRED underneath — which is also the
-    production answer to unbounded key cardinality (state spills to
-    disk instead of executor heap; set
-    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
-    provider before starting the query).
-
-    State is O(#keys) and never evicted here (running totals are
-    forever by definition); bound key cardinality upstream or add a
-    TTL via the handle's timer API if keys churn.
-
-    Runtime requirement: the TransformWithState Python runner speaks a
-    protobuf-serialized state protocol — ``google.protobuf`` must
-    import cleanly on driver and executors (standard cluster images
-    have it; the test suite skips where it is absent).
-    """
+def running_totals_processor(key_col: str, value_col: str):
+    """The ``stream_running_totals`` StatefulProcessor, exposed at
+    module level so its FOLD LOGIC (cumulative (n, total) state, the
+    count(value) NULL convention, update-mode changelog emission) is
+    testable by driving ``init``/``handleInputRows`` directly against
+    a stub handle — the TWS *transport* (a protobuf-serialized state
+    protocol between the JVM and the Python runner) is the only part
+    that needs google.protobuf, and environments without it can still
+    assert the operator's semantics (r13 VERDICT #8)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -318,10 +297,43 @@ def stream_running_totals(
         def close(self) -> None:
             pass
 
+    return RunningTotals()
+
+
+def stream_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key RUNNING totals across micro-batches via
+    ``transformWithStateInPandas`` (Spark 4's arbitrary-state API, the
+    successor of ``applyInPandasWithState``): explicit ValueState holds
+    (n_events, total) per key; every batch emits the keys it touched
+    with their cumulative values (Update-mode semantics — a changelog
+    of the running aggregate, the feature-store "online counter"
+    shape).
+
+    vs ``applyInPandasWithState``: typed per-field state handles
+    (ValueState/ListState/MapState), timers decoupled from output, and
+    the RocksDB state store REQUIRED underneath — which is also the
+    production answer to unbounded key cardinality (state spills to
+    disk instead of executor heap; set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider before starting the query).
+
+    State is O(#keys) and never evicted here (running totals are
+    forever by definition); bound key cardinality upstream or add a
+    TTL via the handle's timer API if keys churn.
+
+    Runtime requirement: the TransformWithState Python runner speaks a
+    protobuf-serialized state protocol — ``google.protobuf`` must
+    import cleanly on driver and executors (standard cluster images
+    have it; the test suite skips where it is absent).
+    """
     return (
         events.groupBy(key_col)
         .transformWithStateInPandas(
-            statefulProcessor=RunningTotals(),
+            statefulProcessor=running_totals_processor(key_col, value_col),
             outputStructType=f"{key_col} long, n_events long, total double",
             outputMode="Update",
             timeMode="None",
