@@ -187,6 +187,7 @@ HEADLINE = [
     "mm_video_neardup",
     "doc_html_extract_bytes",
     "warc_html_extract",
+    "curate_robots_filter",
     "mm_audio_dft_bins",
     "training_length_batches_bpe",
     "doc_url_canonicalize",

@@ -168,3 +168,25 @@ def test_warc_to_html_extract_chain(spark):
     assert got[0]["doc_id"] == 7
     assert got[0]["text"] == "résumé 7"
     assert got[0]["charset"] == "iso8859-1"
+
+
+def test_chunked_transfer_decoding():
+    """RFC 9112 chunked bodies decode (WARC blocks are raw wire
+    captures); malformed framing degrades to pass-through of the
+    remainder, never an exception."""
+    from vectorsearch_spark.sources.warc import decode_chunked
+
+    chunked = b"4\r\nWiki\r\n5\r\npedia\r\nE;ext=1\r\n in\r\n\r\nchunks.\r\n0\r\n\r\n"
+    assert decode_chunked(chunked) == b"Wikipedia in\r\n\r\nchunks."
+    # LF-only framing
+    assert decode_chunked(b"3\nabc\n0\n\n") == b"abc"
+    # malformed size line: what decoded + raw remainder
+    assert decode_chunked(b"4\r\nWiki\r\nZZ\r\nrest") == b"WikiZZ\r\nrest"
+    # via the envelope splitter
+    env = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/html\r\n\r\n"
+        b"6\r\n<html>\r\n7\r\n</html>\r\n0\r\n\r\n"
+    )
+    status, hdrs, body = split_http_response(env)
+    assert status == 200 and body == b"<html></html>"

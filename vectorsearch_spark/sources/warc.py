@@ -158,13 +158,51 @@ def iter_warc_records(data: bytes) -> "Iterator[dict]":
             return
 
 
+def decode_chunked(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding: ``size-hex CRLF data
+    CRLF`` repeated, terminated by a zero-size chunk (trailers
+    ignored). Crawlers DO archive chunked responses verbatim (the WARC
+    block is the raw wire capture), and an undecoded body leaves
+    ``3e8\\r\\n`` runs embedded in the HTML that poison every
+    downstream text signal. Liberal on framing (LF-only tolerated);
+    any malformed chunk header stops decoding and returns what decoded
+    plus the undecodable remainder — never an exception, the
+    decode-with-replacement stance of the charset front-end."""
+    out, pos, n = [], 0, len(body)
+    while pos < n:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            out.append(body[pos:])
+            break
+        line = body[pos:nl].strip()
+        # chunk extensions (";...") are legal and ignored
+        size_tok = line.split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            out.append(body[pos:])
+            break
+        pos = nl + 1
+        if size == 0:
+            break  # terminal chunk; trailers (if any) are ignored
+        out.append(body[pos : pos + size])
+        pos += size
+        # consume the CRLF (or LF) after the chunk data
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+    return b"".join(out)
+
+
 def split_http_response(block: bytes) -> "tuple[int | None, dict, bytes]":
     """(status, lowercased headers, body) from an HTTP response block
     (the payload of a WARC response record whose Content-Type is
     ``application/http``). No divider → (None, {}, whole block): the
-    block was not HTTP after all, hand it through untouched.
-    Transfer-Encoding: chunked is NOT decoded (CommonCrawl stores
-    identity payloads; a chunked body passes through verbatim)."""
+    block was not HTTP after all, hand it through untouched. A
+    ``Transfer-Encoding: chunked`` body is decoded (``decode_chunked``)
+    — WARC blocks are raw wire captures, so chunk framing would
+    otherwise leak into the extracted text."""
     div = block.find(b"\r\n\r\n")
     sep = 4
     if div < 0:
@@ -188,6 +226,8 @@ def split_http_response(block: bytes) -> "tuple[int | None, dict, bytes]":
             hdrs[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
                 "latin-1", "replace"
             )
+    if "chunked" in hdrs.get("transfer-encoding", "").lower():
+        body = decode_chunked(body)
     return status, hdrs, body
 
 

@@ -4671,6 +4671,86 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 WARC_HTML_EXTRACT_SQL = DOC_HTML_EXTRACT_BYTES_SQL
 
 
+def curate_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt frontier filtering (r14 — operators/robots.py, RFC
+    9309): per-host robots bodies parse into a rules table; the
+    frontier evaluates longest-match decisions ENTIRELY JVM-side (the
+    rules broadcast as per-host arrays; SQL LIKE + array_max over
+    (plen, allow) structs inside one projection — the frontier is
+    never shuffled). The synthetic corpus exercises every semantic the
+    operator claims: a ``badbot`` group that must be IGNORED for this
+    agent (group selection), a longer Allow overriding a Disallow
+    prefix (longest-match), a ``$``-anchored wildcard rule, a rule
+    that only fires on one path variant, and hosts with rules vs the
+    no-rule default-allow. The oracle replays the decision table
+    analytically from the same arithmetic."""
+    from vectorsearch_spark.operators.robots import (
+        filter_by_robots,
+        robots_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.lower("source"), r"[^a-z0-9]", ""),
+            F.lit(".com"),
+        ).alias("host"),
+        (F.col("doc_id") % 7).cast("string").alias("k7"),
+        (F.col("doc_id") % 3).alias("m"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("m") == 0,
+            F.concat(F.lit("http://"), "host", F.lit("/p/"), "k7", F.lit("?x=1")),
+        )
+        .when(
+            F.col("m") == 1,
+            F.concat(
+                F.lit("http://"), "host", F.lit("/files/f"), "k7", F.lit(".zip")
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://"), "host", F.lit("/pub/"), "k7"))
+        .alias("url"),
+    )
+    robots_txt = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /p/\nAllow: /p/3\n"
+        "Disallow: /*.zip$\nDisallow: /pub/5$\n"
+    )
+    robots_df = docs.select("host").distinct().withColumn(
+        "robots_txt", F.lit(robots_txt)
+    )
+    rules = robots_rules(robots_df, agent="crawler")
+    return (
+        filter_by_robots(urls, rules, keep="all")
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    )
+
+
+CURATE_ROBOTS_FILTER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(source), '[^a-z0-9]', '', 'g') || '.com' AS h,
+         CAST(doc_id % 7 AS VARCHAR) AS k7,
+         doc_id % 3 AS m
+  FROM documents)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'http://' || h || '/p/' || k7 || '?x=1'
+              WHEN 1 THEN 'http://' || h || '/files/f' || k7 || '.zip'
+              ELSE 'http://' || h || '/pub/' || k7 END AS url,
+       -- the RFC 9309 decision table for the synthesized rules:
+       --   /p/<k7>?x=1   : Disallow /p/ (3) vs Allow /p/3 (4) -> k7=3
+       --   /files/*.zip  : Disallow /*.zip$ always matches -> false
+       --   /pub/<k7>     : Disallow /pub/5$ fires only at k7=5
+       CASE m WHEN 0 THEN k7 = '3'
+              WHEN 1 THEN FALSE
+              ELSE k7 <> '5' END AS allowed
+FROM d
+"""
+
+
 def _raw_url_col() -> Column:
     """The messy-URL synthesis expression over (doc_id, source) — the
     SHARED builder of ``_url_corpus`` and ``pipeline_web_curation``
@@ -9990,6 +10070,7 @@ FROM pix
 _DRIVER_WINDOW = [
     # r14-touched
     "warc_html_extract",
+    "curate_robots_filter",
     "event_type_gmean",
     "stream_line_dedup_fold",
     "stream_url_dedup_fold",
@@ -10041,7 +10122,6 @@ _DRIVER_WINDOW = [
     # oldest-r10 top-up to fill the 50-entry window
     "dedup_semantic_exact",
     "embedding_opq_identity",
-    "doc_text_normalize",
 ]
 
 
@@ -10154,6 +10234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_dft_bins": mm_audio_dft_bins,
         "doc_html_extract_bytes": doc_html_extract_bytes,
         "warc_html_extract": warc_html_extract,
+        "curate_robots_filter": curate_robots_filter,
         "curate_host_cap": curate_host_cap,
         "curate_blocklist_filter": curate_blocklist_filter,
         "split_leakage_check": split_leakage_check,
@@ -10366,6 +10447,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
         "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
         "warc_html_extract": WARC_HTML_EXTRACT_SQL,
+        "curate_robots_filter": CURATE_ROBOTS_FILTER_SQL,
         "doc_url_canonicalize": DOC_URL_CANONICALIZE_SQL,
         "dedup_url_exact": DEDUP_URL_EXACT_SQL,
         "curate_host_cap": CURATE_HOST_CAP_SQL,
