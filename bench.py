@@ -188,6 +188,8 @@ HEADLINE = [
     "doc_html_extract_bytes",
     "warc_html_extract",
     "curate_robots_filter",
+    "frontier_sitemap_urls",
+    "frontier_politeness",
     "mm_audio_dft_bins",
     "training_length_batches_bpe",
     "doc_url_canonicalize",

@@ -150,6 +150,8 @@ PROBES = [
     "doc_html_extract_bytes",
     "warc_html_extract",
     "curate_robots_filter",
+    "frontier_sitemap_urls",
+    "frontier_politeness",
     # round-12 additions: the 256-bit near-dup configuration (same
     # exact-dup-collapse design case as mm_image_neardup; 32-bit bands
     # bound bucket cardinality at 2^32) and the funnel now carrying the

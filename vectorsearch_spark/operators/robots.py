@@ -77,6 +77,39 @@ def parse_robots(content: str, agent: str = "*") -> "list[tuple[str, bool]]":
     return [r for u, rs in groups if "*" in u for r in rs]
 
 
+def parse_crawl_delay(content: str, agent: str = "*") -> "float | None":
+    """The ``Crawl-delay`` (seconds) applying to ``agent`` — a de facto
+    extension outside RFC 9309 but honored by major crawlers; group
+    selection follows the same exact-token-else-* rule. None when no
+    group declares one (the crawler's own default applies)."""
+    delays: "dict[str, float]" = {}
+    uas: "list[str]" = []
+    in_rules = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if in_rules:
+                uas, in_rules = [], False
+            uas.append(value.lower())
+        elif field in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if field == "crawl-delay":
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                for u in uas:
+                    delays[u] = d
+    tok = agent.lower()
+    if tok in delays:
+        return delays[tok]
+    return delays.get("*")
+
+
 def _pattern_matches(pattern: str, path: str) -> bool:
     """RFC 9309 §2.2.2 pattern match: anchored at the path start,
     ``*`` = any octets, trailing ``$`` = end anchor."""
@@ -240,3 +273,67 @@ def filter_by_robots(
     if keep == "disallowed":
         return decided.where(~F.col("allowed")).drop("allowed")
     raise ValueError(f"keep must be allowed|disallowed|all, got {keep!r}")
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    url_col: str = "url",
+    default_delay_s: float = 1.0,
+    n_workers: int = 64,
+    delays: "DataFrame | None" = None,
+) -> DataFrame:
+    """Turn an (allowed) frontier into a POLITE fetch schedule: all of
+    a host's URLs go to ONE worker (politeness is per-host serial — a
+    host sharded across workers gets hammered no matter what each
+    worker's delay is), ordered deterministically, each offset by the
+    host's crawl delay.
+
+    Adds: ``fetch_worker`` = pmod(hash(host), n_workers) — the shard
+    assignment that makes the per-host-serial invariant structural;
+    ``fetch_seq`` = the URL's position within its host (ordered by URL
+    for determinism); ``fetch_offset_s`` = fetch_seq x the host's
+    delay (from the optional ``delays`` (host, crawl_delay_s) table —
+    e.g. robots ``Crawl-delay`` via ``parse_crawl_delay`` — else
+    ``default_delay_s``).
+
+    Plan: ONE shuffle, on host (the window's partition key); the
+    optional delays table broadcasts. This is also the right 100 TB
+    shape — the schedule is computed where the fetch queue will be
+    partitioned anyway, and a mega-host (the classic frontier skew) is
+    inherently one worker's serial queue, which the host-cap operator
+    (urls.host_cap) bounds UPSTREAM of this scheduler."""
+    from pyspark.sql import Window
+
+    from vectorsearch_spark.operators.urls import url_host
+
+    u = urls.withColumn("__host", url_host(F.col(url_col)))
+    if delays is not None:
+        u = u.join(
+            F.broadcast(
+                delays.select(
+                    F.col("host").alias("__host"),
+                    F.col("crawl_delay_s").alias("__delay"),
+                )
+            ),
+            "__host",
+            "left",
+        )
+    else:
+        u = u.withColumn("__delay", F.lit(None).cast("double"))
+    w = Window.partitionBy("__host").orderBy(F.col(url_col))
+    return (
+        u.withColumn("fetch_seq", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn(
+            "fetch_offset_s",
+            F.round(
+                F.col("fetch_seq")
+                * F.coalesce(F.col("__delay"), F.lit(float(default_delay_s))),
+                4,
+            ),
+        )
+        .withColumn(
+            "fetch_worker",
+            F.pmod(F.xxhash64(F.col("__host")), F.lit(int(n_workers))).cast("int"),
+        )
+        .drop("__host", "__delay")
+    )

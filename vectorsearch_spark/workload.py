@@ -4751,6 +4751,140 @@ FROM d
 """
 
 
+def frontier_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap frontier discovery (r14 — sources/sitemap.py): documents
+    pack per-host into synthetic ``<urlset>`` XML (one ``<url>`` per
+    doc with loc/lastmod/changefreq/priority, plus a loc-less entry
+    that the spec says to skip), ``sitemap_urls`` explodes the files in
+    one Arrow pass, and doc ids come back from the loc. The oracle
+    recomputes every field from the same arithmetic — parity proves
+    the XML round-trip lossless and the skip rule honored. Per-file
+    parallelism (one group per host), container bytes never shuffle."""
+    from vectorsearch_spark.sources.sitemap import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.lower("source"), r"[^a-z0-9]", ""),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+
+    def build_file(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        host = pdf["host"].iloc[0]
+        freqs = ["daily", "weekly", "monthly"]
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        ]
+        for did in pdf["doc_id"]:
+            did = int(did)
+            parts.append(
+                f"<url><loc>http://{host}/p/{did}</loc>"
+                f"<lastmod>2024-01-{did % 28 + 1:02d}</lastmod>"
+                f"<changefreq>{freqs[did % 3]}</changefreq>"
+                f"<priority>0.{did % 10}</priority></url>"
+            )
+        parts.append("<url><priority>0.5</priority></url>")  # no loc: skipped
+        parts.append("</urlset>")
+        return pd.DataFrame(
+            {
+                "file_id": [hash(host) % (1 << 31)],
+                "content": ["".join(parts).encode("utf-8")],
+            }
+        )
+
+    files = docs.groupBy("host").applyInPandas(
+        build_file, "file_id long, content binary"
+    )
+    return sitemap_urls(files).select(
+        F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        "loc",
+        "lastmod",
+        "changefreq",
+        F.round("priority", 1).alias("priority"),
+    )
+
+
+FRONTIER_SITEMAP_URLS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(source), '[^a-z0-9]', '', 'g') || '.com' AS h
+  FROM documents)
+SELECT doc_id,
+       'http://' || h || '/p/' || doc_id AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       round(CAST(doc_id % 10 AS DOUBLE) / 10, 1) AS priority
+FROM d
+"""
+
+
+def frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite fetch scheduling (r14 — robots.politeness_schedule): the
+    frontier shuffles ONCE onto its window key (host) and each host's URLs
+    sequence serially with that host's crawl delay (the delays table —
+    robots Crawl-delay in production — broadcasts). The oracle replays
+    the schedule with a plain window row_number, proving the operator
+    is exactly the declarative plan it claims. fetch_worker (the
+    per-host shard pin) is exercised in tests but excluded here —
+    xxhash64 has no DuckDB twin."""
+    from vectorsearch_spark.operators.robots import politeness_schedule
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.lower("source"), r"[^a-z0-9]", ""),
+            F.lit(".com"),
+        ).alias("host"),
+        (F.col("doc_id") % 7).cast("string").alias("k7"),
+    )
+    urls = docs.select(
+        "doc_id",
+        "host",
+        F.concat(
+            F.lit("http://"), "host", F.lit("/p/"), "k7",
+            F.lit("/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    delays = docs.select("host").distinct().select(
+        "host",
+        (F.length("host") % 3 + 1).cast("double").alias("crawl_delay_s"),
+    )
+    out = politeness_schedule(
+        urls.drop("host"), default_delay_s=1.0, n_workers=64, delays=delays
+    )
+    return out.select(
+        "doc_id", "url",
+        F.col("fetch_seq").cast("long").alias("fetch_seq"),
+        F.round("fetch_offset_s", 4).alias("fetch_offset_s"),
+    )
+
+
+FRONTIER_POLITENESS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(source), '[^a-z0-9]', '', 'g') || '.com' AS h,
+         CAST(doc_id % 7 AS VARCHAR) AS k7
+  FROM documents),
+u AS (
+  SELECT doc_id, h,
+         'http://' || h || '/p/' || k7 || '/d' || doc_id AS url,
+         CAST(length(h) % 3 + 1 AS DOUBLE) AS delay_s
+  FROM d)
+SELECT doc_id, url,
+       CAST(row_number() OVER (PARTITION BY h ORDER BY url) - 1 AS BIGINT)
+         AS fetch_seq,
+       round((row_number() OVER (PARTITION BY h ORDER BY url) - 1) * delay_s, 4)
+         AS fetch_offset_s
+FROM u
+"""
+
+
 def _raw_url_col() -> Column:
     """The messy-URL synthesis expression over (doc_id, source) — the
     SHARED builder of ``_url_corpus`` and ``pipeline_web_curation``
@@ -10071,6 +10205,8 @@ _DRIVER_WINDOW = [
     # r14-touched
     "warc_html_extract",
     "curate_robots_filter",
+    "frontier_sitemap_urls",
+    "frontier_politeness",
     "event_type_gmean",
     "stream_line_dedup_fold",
     "stream_url_dedup_fold",
@@ -10120,8 +10256,6 @@ _DRIVER_WINDOW = [
     "customer_balance_ranks",
     "documents_profile",
     # oldest-r10 top-up to fill the 50-entry window
-    "dedup_semantic_exact",
-    "embedding_opq_identity",
 ]
 
 
@@ -10235,6 +10369,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html_extract_bytes": doc_html_extract_bytes,
         "warc_html_extract": warc_html_extract,
         "curate_robots_filter": curate_robots_filter,
+        "frontier_sitemap_urls": frontier_sitemap_urls,
+        "frontier_politeness": frontier_politeness,
         "curate_host_cap": curate_host_cap,
         "curate_blocklist_filter": curate_blocklist_filter,
         "split_leakage_check": split_leakage_check,
@@ -10448,6 +10584,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
         "warc_html_extract": WARC_HTML_EXTRACT_SQL,
         "curate_robots_filter": CURATE_ROBOTS_FILTER_SQL,
+        "frontier_sitemap_urls": FRONTIER_SITEMAP_URLS_SQL,
+        "frontier_politeness": FRONTIER_POLITENESS_SQL,
         "doc_url_canonicalize": DOC_URL_CANONICALIZE_SQL,
         "dedup_url_exact": DEDUP_URL_EXACT_SQL,
         "curate_host_cap": CURATE_HOST_CAP_SQL,
