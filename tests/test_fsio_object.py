@@ -372,3 +372,28 @@ def test_rollup_fold_on_object_backend(spark, tmp_path_factory, obj):
     assert got == {"a": (3, 9.0), "b": (1, 2.0)}
     # the protocol paid its round trips through the manifest
     assert fs.stats.get("manifest_put", 0) >= 6  # ≥2 renames per fold
+
+
+def test_rename_onto_tombstoned_garbage_clears_stale_keys(tmp_path):
+    """A rename whose dst carries SUPPRESSED physical leftovers (a
+    prior rename FROM that path crashed mid-delete, same backend
+    instance — no restart recovery ran) must clear them before
+    staging: keys outside the new copy's set would otherwise become
+    visible as part of dst at the commit."""
+    store = FaultStore(ObjectStoreStateFS.MANIFEST)
+    root = str(tmp_path)
+    fs = ObjectStoreStateFS(store, root)
+    live = _mk_tree(root, "live", "old", files=3)  # f0, f2, sub/f1
+    tmp = _mk_tree(root, "live.tmp", "new", files=1)  # f0 only
+    # crash the live -> old rename after its commit, mid source-delete
+    store.arm("delete", 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs.rename(live, os.path.join(root, "old"))
+    store.arm("none", 0)
+    # live is suppressed but physically littered; WITHOUT a restart,
+    # rename tmp -> live (the swap_dir_in second leg)
+    assert not fs.exists(live)
+    fs.rename(tmp, live)
+    assert sorted(fs.listdir(live)) == ["f0"]  # no stale f2/sub leak
+    assert fs.read_text(os.path.join(live, "f0")) == "new-0"
+    assert fs.read_text(os.path.join(root, "old", "f2")) == "old-2"

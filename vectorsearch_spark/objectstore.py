@@ -347,17 +347,20 @@ class ObjectStoreStateFS:
             self.store.is_object(src) or self.store.has_prefix(src)
         ):
             raise FileNotFoundError(f"rename source missing: {src}")
-        if self._covered(dst, m["pending"]):
-            # a prior attempt crashed mid-copy into this dst: clear its
-            # partial objects before staging a fresh copy
+        if self.store.is_object(dst) or self.store.has_prefix(dst):
+            if not self._suppressed(dst, m):
+                raise FileExistsError(f"rename target exists: {dst}")
+            # suppressed physical leftovers under dst — a prior crashed
+            # rename's partial copy (pending) or undeleted source
+            # (tombstone). They must be CLEARED, not overwritten: keys
+            # outside the new copy's set would otherwise become visible
+            # as part of dst at the commit
             self._count("delete_prefix")
             self.store.delete_prefix(dst)
             m["pending"] = [p for p in m["pending"] if p != dst]
+            m["tombstone"] = [t for t in m["tombstone"] if t != dst]
             self._commit(m)
             m = self._load()
-        elif self.store.is_object(dst) or self.store.has_prefix(dst):
-            if not self._suppressed(dst, m):
-                raise FileExistsError(f"rename target exists: {dst}")
 
         # 1. stage: dst suppressed before any byte lands
         m["pending"] = sorted(set(m["pending"]) | {dst})
