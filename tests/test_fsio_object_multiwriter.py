@@ -1,0 +1,246 @@
+"""Multi-writer object-store backend (objectstore.py "MULTI-WRITER:
+CAS + FENCING"): conditional manifest PUTs detect lost updates,
+disjoint concurrent writers converge through CAS retry, same-dst races
+serialize to one winner, fence() performs takeover of a dead writer,
+and a superseded incarnation can never commit again. All
+deterministic interleavings — no threads, the hook fires the second
+writer at the exact read-modify-write window under test."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from vectorsearch_spark.objectstore import (
+    LocalBlobStore,
+    ObjectStoreStateFS,
+    PreconditionFailedError,
+    WriterFencedError,
+)
+
+
+class HookStore(LocalBlobStore):
+    """Fires ``hook`` once, immediately BEFORE the next conditional
+    manifest PUT (outside the CAS lock, so the hook may itself drive a
+    full rename through this same store) — the deterministic stand-in
+    for 'another writer committed between our GET and our PUT'. Also a
+    crash injector: ``arm(op, at)`` raises on the Nth call of an op."""
+
+    def __init__(self):
+        self.hook = None
+        self.fail_op = None
+        self.fail_at = 0
+        self.counts = {}
+
+    def arm(self, op, at):
+        self.fail_op, self.fail_at = op, at
+        self.counts = {}
+
+    def _tick(self, op):
+        self.counts[op] = self.counts.get(op, 0) + 1
+        if op == self.fail_op and self.counts[op] == self.fail_at:
+            raise RuntimeError(f"injected crash at {op}#{self.fail_at}")
+
+    def put_if_match(self, key, data, etag):
+        hook, self.hook = self.hook, None
+        if hook is not None:
+            hook()
+        super().put_if_match(key, data, etag)
+
+    def copy(self, src, dst):
+        self._tick("copy")
+        super().copy(src, dst)
+
+    def put(self, key, data):
+        self._tick("put")
+        super().put(key, data)
+
+    def delete(self, key):
+        self._tick("delete")
+        super().delete(key)
+
+
+def _mk_tree(root, name, tag, files=2):
+    d = os.path.join(root, name)
+    os.makedirs(os.path.join(d, "sub"), exist_ok=True)
+    for i in range(files):
+        with open(os.path.join(d, "sub" if i % 2 else "", f"f{i}"), "w") as fh:
+            fh.write(f"{tag}-{i}")
+    return d
+
+
+def test_conditional_put_detects_lost_update(tmp_path):
+    """The blob-level CAS primitive itself: a PUT conditioned on a
+    stale ETag MUST fail — this is the property every manifest commit
+    leans on, and exactly what an unconditional PUT would silently
+    lose."""
+    store = LocalBlobStore()
+    key = str(tmp_path / "obj")
+    # If-None-Match creation: succeeds once, fails when it exists
+    store.put_if_match(key, b"v1", None)
+    with pytest.raises(PreconditionFailedError):
+        store.put_if_match(key, b"v1b", None)
+    etag = store.etag_of(key)
+    # interloper moves the object; our conditioned write must lose
+    store.put(key, b"v2")
+    with pytest.raises(PreconditionFailedError):
+        store.put_if_match(key, b"v3", etag)
+    assert store.get(key) == b"v2"  # the interloper's write survived
+    store.put_if_match(key, b"v3", store.etag_of(key))
+    assert store.get(key) == b"v3"
+
+
+def test_disjoint_writers_converge_via_cas_retry(tmp_path):
+    """Writer B commits a full rename inside writer A's
+    load→PUT window. A's conditional PUT loses, A retries against the
+    fresh manifest, and BOTH renames land — no lost update, no error
+    surfaced to either caller."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs_a = ObjectStoreStateFS(store, root, owner="a")
+    fs_b = ObjectStoreStateFS(store, root, owner="b")
+    src_a = _mk_tree(root, "src_a", "A")
+    src_b = _mk_tree(root, "src_b", "B")
+    store.hook = lambda: fs_b.rename(src_b, os.path.join(root, "dst_b"))
+    fs_a.rename(src_a, os.path.join(root, "dst_a"))
+    assert fs_a.stats.get("cas_conflict", 0) >= 1
+    for fs in (fs_a, fs_b):
+        assert fs.read_text(os.path.join(root, "dst_a", "f0")) == "A-0"
+        assert fs.read_text(os.path.join(root, "dst_b", "f0")) == "B-0"
+        assert not fs.exists(src_a) and not fs.exists(src_b)
+    # quiescent: no suppressions survive, both writers registered
+    m = json.loads(store.get(fs_a.manifest_key).decode())
+    assert m["pending"] == {} and m["tombstone"] == {}
+    assert set(m["writers"]) == {"a", "b"}
+
+
+def test_same_dst_race_has_one_winner(tmp_path):
+    """B's in-flight rename onto dst (staged, crashed mid-copy, NOT
+    provably dead — its incarnation is still the registered one) must
+    block A from the same dst with FileExistsError, both when physical
+    partial copies exist and when only the manifest entry does. The
+    pre-CAS design silently cleared B's entry here."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs_a = ObjectStoreStateFS(store, root, owner="a")
+    fs_b = ObjectStoreStateFS(store, root, owner="b")
+    dst = os.path.join(root, "dst")
+    # case 1: B staged and copied one object, then crashed
+    src_b = _mk_tree(root, "src_b", "B", files=3)
+    store.arm("copy", 2)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs_b.rename(src_b, dst)
+    store.arm(None, 0)
+    src_a = _mk_tree(root, "src_a", "A")
+    with pytest.raises(FileExistsError, match="live"):
+        fs_a.rename(src_a, dst)
+    # case 2: entry only, no physical residue (B crashed at stage+0 copies)
+    dst2 = os.path.join(root, "dst2")
+    src_b2 = _mk_tree(root, "src_b2", "B2")
+    store.arm("copy", 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs_b.rename(src_b2, dst2)
+    store.arm(None, 0)
+    with pytest.raises(FileExistsError):
+        fs_a.rename(src_a, dst2)
+    # A's own namespace is untouched by the losses
+    fs_a.rename(src_a, os.path.join(root, "dst_a"))
+    assert fs_a.read_text(os.path.join(root, "dst_a", "f0")) == "A-0"
+
+
+def test_fence_takeover_then_zombie_cannot_commit(tmp_path):
+    """After B dies mid-rename, A fences B: the garbage is cleaned,
+    the dst is usable, and B's surviving in-process instance — the
+    zombie — gets WriterFencedError on its next commit instead of
+    corrupting the namespace it lost."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs_a = ObjectStoreStateFS(store, root, owner="a")
+    fs_b = ObjectStoreStateFS(store, root, owner="b")
+    dst = os.path.join(root, "dst")
+    src_b = _mk_tree(root, "src_b", "B", files=3)
+    store.arm("copy", 2)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs_b.rename(src_b, dst)
+    store.arm(None, 0)
+
+    fs_a.fence("b")
+    assert store.list_prefix(dst) == []          # partial copy gone
+    m = json.loads(store.get(fs_a.manifest_key).decode())
+    assert m["pending"] == {} and m["tombstone"] == {}
+
+    src_a = _mk_tree(root, "src_a", "A")
+    fs_a.rename(src_a, dst)                      # dst free for A now
+    assert fs_a.read_text(os.path.join(dst, "f0")) == "A-0"
+
+    # the zombie: still holds incarnation 1, registry says 2
+    other = _mk_tree(root, "src_b3", "B3")
+    with pytest.raises(WriterFencedError):
+        fs_b.rename(other, os.path.join(root, "dst_b3"))
+    # and fencing is not self-applicable
+    with pytest.raises(ValueError):
+        fs_a.fence("a")
+
+
+def test_same_owner_restart_fences_previous_incarnation(tmp_path):
+    """A restart under the SAME owner name registers a fresh
+    incarnation at its first commit; the previous instance's next
+    commit is fenced — split-brain between two processes claiming one
+    fold namespace cannot write twice."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs1 = ObjectStoreStateFS(store, root, owner="writer")
+    s1 = _mk_tree(root, "s1", "g1")
+    fs1.rename(s1, os.path.join(root, "d1"))     # registers inc 1
+
+    fs2 = ObjectStoreStateFS(store, root, owner="writer")  # restart
+    s2 = _mk_tree(root, "s2", "g2")
+    fs2.rename(s2, os.path.join(root, "d2"))     # registers inc 2
+
+    s3 = _mk_tree(root, "s3", "g3")
+    with pytest.raises(WriterFencedError):
+        fs1.rename(s3, os.path.join(root, "d3"))
+    # fs2 (the rightful incarnation) still fully operational
+    fs2.rename(s3, os.path.join(root, "d3"))
+    assert fs2.read_text(os.path.join(root, "d3", "f0")) == "g3-0"
+
+
+def test_legacy_v1_manifest_upgrades_and_recovers(tmp_path):
+    """A v1 manifest (bare path lists, no writers registry) loads as
+    legacy-owned entries, which recovery treats as provably dead:
+    garbage cleaned, manifest rewritten in v2 form."""
+    store = LocalBlobStore()
+    root = str(tmp_path)
+    garbage = _mk_tree(root, "dead_dst", "junk")
+    store.put(
+        os.path.join(root, ObjectStoreStateFS.MANIFEST),
+        json.dumps(
+            {"gen": 7, "pending": [garbage], "tombstone": []}
+        ).encode(),
+    )
+    fs = ObjectStoreStateFS(store, root, owner="w")
+    assert store.list_prefix(garbage) == []
+    m = json.loads(store.get(fs.manifest_key).decode())
+    assert m["pending"] == {} and isinstance(m["tombstone"], dict)
+    assert m["gen"] > 7
+    src = _mk_tree(root, "src", "v2")
+    fs.rename(src, garbage)                      # path reusable
+    assert fs.read_text(os.path.join(garbage, "f0")) == "v2-0"
+
+
+def test_single_writer_round_trips_unchanged(tmp_path):
+    """The cost-model guard for the CAS upgrade: a clean
+    single-writer rename of an N-object tree still costs exactly
+    3 manifest PUTs + N copies + N deletes and suffers zero CAS
+    conflicts — the precondition is free when uncontended."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs = ObjectStoreStateFS(store, root, owner="w")
+    src = _mk_tree(root, "src", "g", files=3)
+    fs.stats = {}
+    fs.rename(src, os.path.join(root, "dst"))
+    assert fs.stats.get("manifest_put") == 3
+    assert fs.stats.get("copy") == 3
+    assert fs.stats.get("cas_conflict", 0) == 0

@@ -59,11 +59,45 @@ following ``replace_file`` uploads the spool in one atomic PUT, which
 is a STRICTLY STRONGER atomicity domain than POSIX same-directory
 rename.
 
-Concurrency: single writer per state namespace — the same ownership
-contract the folds already require (one fold owner per state dir; see
-EpochBucketedState.compact_epochs). A multi-writer port would CAS the
-manifest with S3 conditional writes (If-Match on the manifest ETag);
-the protocol is unchanged, only the PUT acquires a precondition.
+MULTI-WRITER: CAS + FENCING
+
+Every manifest write is a CONDITIONAL PUT (S3 ``If-Match`` on the
+manifest ETag / GCS ``ifGenerationMatch``): the writer loads the
+manifest, applies its delta, and PUTs with the loaded ETag as
+precondition; on ``PreconditionFailedError`` it reloads and re-applies
+— classic CAS, so concurrent writers mutating DISJOINT paths all
+succeed and a lost update is impossible. Two more rules make the
+concurrent case actually safe (the part "just add a precondition"
+glosses over):
+
+* **Ownership.** Every pending/tombstone entry records
+  ``(owner, incarnation)`` of the writer that staged it, and the
+  manifest carries a ``writers`` registry ``{owner: incarnation}``.
+  A writer only auto-clears leftovers it can PROVE dead: its own
+  (same owner — any older incarnation of me is me, restarted) or an
+  entry whose recorded incarnation is below the owner's registered
+  one (that incarnation is fenced — see below). An entry staged by
+  another owner's CURRENT incarnation is a possibly-live in-flight
+  rename: touching its dst raises ``FileExistsError`` instead of
+  silently destroying the concurrent copy. Because the check and the
+  claim land in the same CAS'd stage commit, two writers racing the
+  same dst serialize: exactly one stages, the other errors.
+* **Fencing tokens.** A writer registers ``writers[owner] =
+  incarnation`` lazily, folded into its FIRST commit (so a read-only
+  restart costs nothing and single-writer PUT counts are unchanged).
+  Every subsequent commit re-checks the registry inside the CAS loop;
+  if another incarnation of the same owner has registered since
+  (restart after a partition, a zombie process), the old one's commit
+  raises ``WriterFencedError`` — the zombie cannot corrupt state it
+  no longer owns. ``fence(owner)`` is the explicit takeover: bump the
+  owner's incarnation (one CAS — from that commit on the old
+  incarnation cannot write), then delete its garbage, then clear its
+  entries; crash anywhere mid-takeover is re-runnable.
+
+``recover()`` (at construction) cleans ONLY provably-dead entries
+under these rules; a single-writer deployment (every call site today)
+sees the exact single-writer protocol above, with the same round-trip
+counts.
 
 Cost model (measured by scripts/objectstore_probe.py): reads add one
 manifest GET per fsio call; a rename of an N-object tree costs
@@ -78,9 +112,23 @@ exactly the 100 TB guidance SURVEY.md already gives.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
+import threading
+
+
+class PreconditionFailedError(RuntimeError):
+    """A conditional PUT's precondition did not hold (S3 412)."""
+
+
+class WriterFencedError(RuntimeError):
+    """This writer incarnation has been superseded in the manifest's
+    ``writers`` registry — a newer incarnation of the same owner (or an
+    explicit ``fence()``) owns the namespace now. The safe reaction is
+    to STOP: state this incarnation staged is the new owner's to
+    recover."""
 
 
 class LocalBlobStore:
@@ -117,9 +165,37 @@ class LocalBlobStore:
                 os.remove(tmp)
             raise
 
+    # the emulation of the server-side atomicity S3/GCS give a
+    # conditional write (check + replace as one step); class-level so
+    # every handle to the same local "store" serializes. Only the
+    # conditional path needs it — plain PUT is last-writer-wins on
+    # both the real store and the emulation.
+    _cas_lock = threading.Lock()
+
     def get(self, key: str) -> bytes:  # S3: GetObject
         with open(key, "rb") as fh:
             return fh.read()
+
+    def etag_of(self, key: str) -> "str | None":  # S3: HeadObject ETag
+        """Content ETag of ``key`` (md5, S3's single-part ETag), or
+        None when the object does not exist."""
+        try:
+            return hashlib.md5(self.get(key)).hexdigest()
+        except FileNotFoundError:
+            return None
+
+    def put_if_match(self, key: str, data: bytes, etag: "str | None") -> None:
+        """Conditional PUT — S3 ``PutObject`` with ``If-Match: etag``
+        (``etag=None`` → ``If-None-Match: *``, object must not exist).
+        Raises PreconditionFailedError when the object's current ETag
+        differs; delegates to ``put`` (the same atomic-PUT path) when
+        the precondition holds."""
+        with self._cas_lock:
+            if self.etag_of(key) != etag:
+                raise PreconditionFailedError(
+                    f"conditional PUT lost: {key} moved under us"
+                )
+            self.put(key, data)
 
     def copy(self, src: str, dst: str) -> None:  # S3: CopyObject
         self.put(dst, self.get(src))
@@ -185,9 +261,13 @@ class ObjectStoreStateFS:
 
     MANIFEST = "_fsio_manifest.json"
 
-    def __init__(self, store: LocalBlobStore, root: str) -> None:
+    def __init__(
+        self, store: LocalBlobStore, root: str, owner: str = "writer"
+    ) -> None:
         self.store = store
         self.root = root.rstrip("/")
+        self.owner = owner
+        self._incarnation: "int | None" = None  # set at first commit
         self.manifest_key = os.path.join(self.root, self.MANIFEST)
         self.stats: "dict[str, int]" = {}
         self._spool = tempfile.mkdtemp(prefix="fsio_spool_")
@@ -195,27 +275,83 @@ class ObjectStoreStateFS:
         self.recover()
 
     # -- manifest -----------------------------------------------------
+    # v2 format: {"gen": int, "writers": {owner: incarnation},
+    #             "pending": {path: [owner, incarnation]},
+    #             "tombstone": {path: [owner, incarnation]}}
+    # v1 (lists, no writers) upgrades on read: entries become
+    # ("legacy", 0)-owned, which every rule below treats as dead.
 
     def _count(self, op: str) -> None:
         self.stats[op] = self.stats.get(op, 0) + 1
 
+    @staticmethod
+    def _upgrade(m: dict) -> dict:
+        for k in ("pending", "tombstone"):
+            v = m.get(k, {})
+            m[k] = (
+                {p: ["legacy", 0] for p in v} if isinstance(v, list) else v
+            )
+        m.setdefault("writers", {})
+        m.setdefault("gen", 0)
+        return m
+
     def _load(self) -> dict:
         """GET the manifest — once per public op, modelling a reader
         that may not share memory with the writer."""
+        return self._load_with_etag()[0]
+
+    def _load_with_etag(self) -> "tuple[dict, str | None]":
         self._count("manifest_get")
         try:
-            m = json.loads(self.store.get(self.manifest_key).decode())
+            data = self.store.get(self.manifest_key)
         except FileNotFoundError:
-            m = {"gen": 0, "pending": [], "tombstone": []}
-        return m
+            return (
+                self._upgrade({"gen": 0, "pending": {}, "tombstone": {}}),
+                None,
+            )
+        return (
+            self._upgrade(json.loads(data.decode())),
+            hashlib.md5(data).hexdigest(),
+        )
 
-    def _commit(self, m: dict) -> None:
-        m["gen"] = int(m.get("gen", 0)) + 1
-        self._count("manifest_put")
-        self.store.put(self.manifest_key, json.dumps(m).encode())
+    def _mutate(self, delta) -> dict:
+        """Load → ``delta(m)`` → conditional PUT, retried on CAS
+        conflict (another writer committed in between; ``delta`` must
+        therefore be re-applicable against a fresh manifest — every
+        delta below is). Fencing and lazy registration both live in
+        this loop: a delta from a superseded incarnation raises
+        WriterFencedError instead of committing, and the first commit
+        of this instance registers ``writers[owner] = incarnation`` in
+        the SAME PUT (no extra round trip, no cost to read-only
+        restarts)."""
+        while True:
+            m, etag = self._load_with_etag()
+            current = int(m["writers"].get(self.owner, 0))
+            if self._incarnation is not None and current != self._incarnation:
+                raise WriterFencedError(
+                    f"writer {self.owner}#{self._incarnation} superseded "
+                    f"by #{current}"
+                )
+            claim = self._incarnation
+            if claim is None:
+                claim = current + 1
+                m["writers"][self.owner] = claim
+            if delta(m, claim) is False:  # delta: no commit is needed
+                return m
+            m["gen"] = int(m["gen"]) + 1
+            self._count("manifest_put")
+            try:
+                self.store.put_if_match(
+                    self.manifest_key, json.dumps(m).encode(), etag
+                )
+            except PreconditionFailedError:
+                self._count("cas_conflict")
+                continue
+            self._incarnation = claim
+            return m
 
     @staticmethod
-    def _covered(path: str, prefixes: "list[str]") -> bool:
+    def _covered(path: str, prefixes) -> bool:
         return any(path == p or path.startswith(p + os.sep) for p in prefixes)
 
     def _suppressed(self, path: str, m: dict) -> bool:
@@ -223,22 +359,106 @@ class ObjectStoreStateFS:
             path, m["tombstone"]
         )
 
+    def _dead(self, ent: "list", m: dict) -> bool:
+        """Can this (owner, incarnation) entry be proven crashed? Own
+        entries: yes — any other incarnation of me is a previous me
+        (and a CONCURRENT me is exactly what fencing forbids). Foreign
+        entries: only when the recorded incarnation is below the
+        owner's registered one, i.e. that incarnation is fenced and
+        can never finish its rename."""
+        owner, inc = ent[0], int(ent[1])
+        if owner in ("legacy", self.owner):
+            return True
+        return inc < int(m["writers"].get(owner, 0))
+
     def recover(self) -> None:
         """Delete the physical garbage of crashed renames and clear
-        their manifest entries. Idempotent; the suppressions keep the
+        their manifest entries — but ONLY entries this writer can
+        prove dead (see ``_dead``); a concurrent writer's in-flight
+        rename is left alone. Idempotent; the suppressions keep the
         contract true even BEFORE this runs, so a second crash during
         recovery loses nothing."""
         m = self._load()
-        if not m["pending"] and not m["tombstone"]:
+        mine_p = {
+            p: e for p, e in m["pending"].items() if self._dead(e, m)
+        }
+        mine_t = {
+            p: e for p, e in m["tombstone"].items() if self._dead(e, m)
+        }
+        if not mine_p and not mine_t:
             return
-        for dst in m["pending"]:      # partial copy: dst never committed
+        for dst in sorted(mine_p):    # partial copy: dst never committed
             self._count("delete_prefix")
             self.store.delete_prefix(dst)
-        for src in m["tombstone"]:    # committed: finish the src delete
+        for src in sorted(mine_t):    # committed: finish the src delete
             self._count("delete_prefix")
             self.store.delete_prefix(src)
-        m["pending"], m["tombstone"] = [], []
-        self._commit(m)
+
+        # clear exactly the entries proven dead above — compared by
+        # VALUE, not path: on a CAS retry the path may have been
+        # re-staged by a newer (live) incarnation whose entry must
+        # survive
+        def clear(m: dict, claim: int):
+            m["pending"] = {
+                p: e
+                for p, e in m["pending"].items()
+                if mine_p.get(p) != e
+            }
+            m["tombstone"] = {
+                p: e
+                for p, e in m["tombstone"].items()
+                if mine_t.get(p) != e
+            }
+
+        self._mutate(clear)
+
+    def fence(self, owner: str) -> None:
+        """Explicit takeover of a (presumed-dead) writer: bump its
+        registered incarnation — from that single CAS'd commit on, the
+        old incarnation's commits raise WriterFencedError — then
+        delete its garbage and clear its entries. Re-runnable from any
+        crash point: the bump is idempotent-safe (a second bump fences
+        nothing new) and the cleanup is ``recover``'s."""
+        if owner == self.owner:
+            raise ValueError("a writer cannot fence itself")
+
+        def bump(m: dict, claim: int):
+            m["writers"][owner] = int(m["writers"].get(owner, 0)) + 1
+
+        m = self._mutate(bump)
+        dead_p = {
+            p: e
+            for p, e in m["pending"].items()
+            if e[0] == owner and int(e[1]) < m["writers"][owner]
+        }
+        dead_t = {
+            p: e
+            for p, e in m["tombstone"].items()
+            if e[0] == owner and int(e[1]) < m["writers"][owner]
+        }
+        for dst in sorted(dead_p):
+            self._count("delete_prefix")
+            self.store.delete_prefix(dst)
+        for src in sorted(dead_t):
+            self._count("delete_prefix")
+            self.store.delete_prefix(src)
+
+        # value-compared for the same CAS-retry reason as recover()
+        def clear(m: dict, claim: int):
+            if not (dead_p or dead_t):
+                return False
+            m["pending"] = {
+                p: e
+                for p, e in m["pending"].items()
+                if dead_p.get(p) != e
+            }
+            m["tombstone"] = {
+                p: e
+                for p, e in m["tombstone"].items()
+                if dead_t.get(p) != e
+            }
+
+        self._mutate(clear)
 
     # -- read primitives (physical view + manifest suppressions) ------
 
@@ -298,14 +518,27 @@ class ObjectStoreStateFS:
     def rmtree(self, path: str) -> None:
         self._count("delete_prefix")
         self.store.delete_prefix(path)
+
         # drop any leftover suppression for a tree the caller is
         # explicitly discarding (e.g. swap_dir_in's rmtree(old))
-        m = self._load()
-        pend = [p for p in m["pending"] if not self._covered(p, [path])]
-        tomb = [p for p in m["tombstone"] if not self._covered(p, [path])]
-        if len(pend) != len(m["pending"]) or len(tomb) != len(m["tombstone"]):
+        def clear(m: dict, claim: int):
+            pend = {
+                p: e
+                for p, e in m["pending"].items()
+                if not self._covered(p, [path])
+            }
+            tomb = {
+                p: e
+                for p, e in m["tombstone"].items()
+                if not self._covered(p, [path])
+            }
+            if len(pend) == len(m["pending"]) and len(tomb) == len(
+                m["tombstone"]
+            ):
+                return False
             m["pending"], m["tombstone"] = pend, tomb
-            self._commit(m)
+
+        self._mutate(clear)
 
     def mkstemp_in(self, dir_path: str, prefix: str) -> "tuple[int, str]":
         """LOCAL spool, not an in-store temp: the object store has no
@@ -339,9 +572,23 @@ class ObjectStoreStateFS:
         self._count("delete")
         self.store.delete(src)
 
+    def _overlapping(self, path: str, m: dict) -> "dict[str, list]":
+        """Every pending/tombstone entry whose subtree overlaps
+        ``path`` in either direction (an entry covering it, or one
+        nested under it)."""
+        out = {}
+        for k in ("pending", "tombstone"):
+            for p, e in m[k].items():
+                if self._covered(p, [path]) or self._covered(path, [p]):
+                    out[p] = e
+        return out
+
     def rename(self, src: str, dst: str) -> None:
         """The manifest-commit rename — see the module docstring. Works
-        for a single object or a whole tree; dst must not pre-exist."""
+        for a single object or a whole tree; dst must not pre-exist.
+        Multi-writer: the stage commit is the serialization point —
+        it re-checks, under CAS, that no LIVE writer's in-flight
+        entry overlaps dst while claiming it for this writer."""
         m = self._load()
         if self._suppressed(src, m) or not (
             self.store.is_object(src) or self.store.has_prefix(src)
@@ -350,21 +597,55 @@ class ObjectStoreStateFS:
         if self.store.is_object(dst) or self.store.has_prefix(dst):
             if not self._suppressed(dst, m):
                 raise FileExistsError(f"rename target exists: {dst}")
-            # suppressed physical leftovers under dst — a prior crashed
+            live = {
+                p: e
+                for p, e in self._overlapping(dst, m).items()
+                if not self._dead(e, m)
+            }
+            if live:
+                raise FileExistsError(
+                    f"rename target {dst} is in-flight by a live "
+                    f"writer: {sorted(live)}"
+                )
+            # suppressed physical leftovers under dst — a PROVABLY DEAD
             # rename's partial copy (pending) or undeleted source
             # (tombstone). They must be CLEARED, not overwritten: keys
             # outside the new copy's set would otherwise become visible
             # as part of dst at the commit
             self._count("delete_prefix")
             self.store.delete_prefix(dst)
-            m["pending"] = [p for p in m["pending"] if p != dst]
-            m["tombstone"] = [t for t in m["tombstone"] if t != dst]
-            self._commit(m)
-            m = self._load()
 
-        # 1. stage: dst suppressed before any byte lands
-        m["pending"] = sorted(set(m["pending"]) | {dst})
-        self._commit(m)
+            def clear_dead(m: dict, claim: int):
+                dead = {
+                    p
+                    for p, e in self._overlapping(dst, m).items()
+                    if self._dead(e, m)
+                }
+                if not dead:
+                    return False
+                m["pending"] = {
+                    p: e for p, e in m["pending"].items() if p not in dead
+                }
+                m["tombstone"] = {
+                    p: e for p, e in m["tombstone"].items() if p not in dead
+                }
+
+            self._mutate(clear_dead)
+
+        # 1. stage: dst suppressed — and CLAIMED — before any byte
+        # lands. Any overlapping entry still present at this CAS'd
+        # commit is a race this writer lost (a live writer's in-flight
+        # rename, or fresh leftovers needing the recovery path): error
+        # out, never clobber.
+        def stage(m: dict, claim: int):
+            if self._overlapping(dst, m):
+                raise FileExistsError(
+                    f"rename target {dst} contested at stage: "
+                    f"{sorted(self._overlapping(dst, m))}"
+                )
+            m["pending"][dst] = [self.owner, claim]
+
+        self._mutate(stage)
         # 2. copy (crash here → recover() deletes the partials)
         if self.store.is_object(src):
             self._count("copy")
@@ -375,20 +656,23 @@ class ObjectStoreStateFS:
                 rel = os.path.relpath(k, base)
                 self._count("copy")
                 self.store.copy(k, os.path.join(dst, rel))
-        # 3. COMMIT: one PUT flips dst visible and src suppressed.
-        # Any stale suppression covered by dst (a prior crashed
-        # rename's tombstone whose garbage the copy above just
-        # overwrote) is cleared in the same commit — dst is live now.
-        m = self._load()
-        m["pending"] = [p for p in m["pending"] if p != dst]
-        m["tombstone"] = sorted(
-            {t for t in m["tombstone"] if not self._covered(t, [dst])} | {src}
-        )
-        self._commit(m)
+
+        # 3. COMMIT: one PUT flips dst visible and src suppressed
+        def commit(m: dict, claim: int):
+            m["pending"] = {
+                p: e for p, e in m["pending"].items() if p != dst
+            }
+            m["tombstone"][src] = [self.owner, claim]
+
+        self._mutate(commit)
         # 4. physical delete of the now-invisible src
         self._count("delete_prefix")
         self.store.delete_prefix(src)
+
         # 5. clear the tombstone
-        m = self._load()
-        m["tombstone"] = [p for p in m["tombstone"] if p != src]
-        self._commit(m)
+        def clear(m: dict, claim: int):
+            m["tombstone"] = {
+                p: e for p, e in m["tombstone"].items() if p != src
+            }
+
+        self._mutate(clear)
