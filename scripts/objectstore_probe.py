@@ -126,6 +126,52 @@ def main() -> None:
             "wall_s": round(time.time() - t0, 2), **_delta(fs, s0)
         }
         out["totals"] = dict(fs.stats)
+
+        # --- multi-writer contention: CAS conflicts under forced
+        # interleaving. Writer B commits a FULL rename inside every one
+        # of writer A's load→conditional-PUT windows (the worst
+        # realistic interleave); measured question: how many extra
+        # manifest round trips does contention cost A?
+        class _Interleave(LocalBlobStore):
+            def __init__(self):
+                self.hook = None
+
+            def put_if_match(self, key, data, etag):
+                h, self.hook = self.hook, None
+                if h is not None:
+                    h()
+                super().put_if_match(key, data, etag)
+
+        store2 = _Interleave()
+        root2 = tempfile.mkdtemp(prefix="objprobe_mw_")
+        try:
+            fa = ObjectStoreStateFS(store2, root2, owner="a")
+            fb = ObjectStoreStateFS(store2, root2, owner="b")
+
+            def mk(name: str) -> str:
+                d = os.path.join(root2, name)
+                os.makedirs(d, exist_ok=True)
+                for i in range(4):
+                    with open(os.path.join(d, f"f{i}"), "w") as fh:
+                        fh.write(name)
+                return d
+
+            n_mw = 16
+            t0 = time.time()
+            for i in range(n_mw):
+                sa, sb = mk(f"a_src{i}"), mk(f"b_src{i}")
+                dst_b = os.path.join(root2, f"b_dst{i}")
+                store2.hook = lambda sb=sb, dst_b=dst_b: fb.rename(sb, dst_b)
+                fa.rename(sa, os.path.join(root2, f"a_dst{i}"))
+            out["contended_renames"] = {
+                "renames_per_writer": n_mw,
+                "wall_s": round(time.time() - t0, 2),
+                "a_cas_conflicts": fa.stats.get("cas_conflict", 0),
+                "a_manifest_puts": fa.stats.get("manifest_put", 0),
+                "b_manifest_puts": fb.stats.get("manifest_put", 0),
+            }
+        finally:
+            shutil.rmtree(root2, ignore_errors=True)
     finally:
         set_state_fs(prev)
         shutil.rmtree(root, ignore_errors=True)
