@@ -187,6 +187,7 @@ HEADLINE = [
     "mm_video_neardup",
     "doc_html_extract_bytes",
     "warc_html_extract",
+    "pipeline_crawl_frontier",
     "curate_robots_filter",
     "frontier_sitemap_urls",
     "frontier_politeness",

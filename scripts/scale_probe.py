@@ -149,6 +149,7 @@ PROBES = [
     "mm_image_neardup",
     "doc_html_extract_bytes",
     "warc_html_extract",
+    "pipeline_crawl_frontier",
     "curate_robots_filter",
     "frontier_sitemap_urls",
     "frontier_politeness",

@@ -4751,6 +4751,39 @@ FROM d
 """
 
 
+def _synth_urlset_file(pdf):
+    """Per-host synthetic ``<urlset>`` builder — THE single sitemap
+    construction shared by ``frontier_sitemap_urls`` and
+    ``pipeline_crawl_frontier`` (and mirrored by their oracles): one
+    ``<url>`` per doc with loc/lastmod/changefreq/priority derived from
+    doc_id arithmetic, plus a loc-less entry the spec says to skip."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    host = pdf["host"].iloc[0]
+    freqs = ["daily", "weekly", "monthly"]
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    ]
+    for did in pdf["doc_id"]:
+        did = int(did)
+        parts.append(
+            f"<url><loc>http://{host}/p/{did}</loc>"
+            f"<lastmod>2024-01-{did % 28 + 1:02d}</lastmod>"
+            f"<changefreq>{freqs[did % 3]}</changefreq>"
+            f"<priority>0.{did % 10}</priority></url>"
+        )
+    parts.append("<url><priority>0.5</priority></url>")  # no loc: skipped
+    parts.append("</urlset>")
+    return pd.DataFrame(
+        {
+            "file_id": [hash(host) % (1 << 31)],
+            "content": ["".join(parts).encode("utf-8")],
+        }
+    )
+
+
 def frontier_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap frontier discovery (r14 — sources/sitemap.py): documents
     pack per-host into synthetic ``<urlset>`` XML (one ``<url>`` per
@@ -4770,35 +4803,8 @@ def frontier_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("host"),
     )
 
-    def build_file(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values("doc_id")
-        host = pdf["host"].iloc[0]
-        freqs = ["daily", "weekly", "monthly"]
-        parts = [
-            '<?xml version="1.0" encoding="UTF-8"?>'
-            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-        ]
-        for did in pdf["doc_id"]:
-            did = int(did)
-            parts.append(
-                f"<url><loc>http://{host}/p/{did}</loc>"
-                f"<lastmod>2024-01-{did % 28 + 1:02d}</lastmod>"
-                f"<changefreq>{freqs[did % 3]}</changefreq>"
-                f"<priority>0.{did % 10}</priority></url>"
-            )
-        parts.append("<url><priority>0.5</priority></url>")  # no loc: skipped
-        parts.append("</urlset>")
-        return pd.DataFrame(
-            {
-                "file_id": [hash(host) % (1 << 31)],
-                "content": ["".join(parts).encode("utf-8")],
-            }
-        )
-
     files = docs.groupBy("host").applyInPandas(
-        build_file, "file_id long, content binary"
+        _synth_urlset_file, "file_id long, content binary"
     )
     return sitemap_urls(files).select(
         F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
@@ -4882,6 +4888,119 @@ SELECT doc_id, url,
        round((row_number() OVER (PARTITION BY h ORDER BY url) - 1) * delay_s, 4)
          AS fetch_offset_s
 FROM u
+"""
+
+
+def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl FRONT END composed end-to-end (r14): sitemap
+    discovery → robots filtering → polite scheduling, one chained
+    plan. Stage 1 packs documents per-host into ``<urlset>`` XML (the
+    SAME ``_synth_urlset_file`` builder frontier_sitemap_urls oracles)
+    and ``sitemap_urls`` explodes the discovered locs. Stage 2 parses
+    per-host robots bodies — a ``badbot`` group that group selection
+    must skip, ``Disallow: /p/`` with longest-match ``Allow: /p/1`` /
+    ``/p/3`` overrides, a ``$``-anchored ``Disallow: /p/30$`` that
+    outranks the Allow on exactly one URL, and a per-host
+    ``Crawl-delay`` — and ``filter_by_robots`` prunes the discovered
+    frontier. Stage 3 parses that SAME robots corpus for the delays
+    (``parse_crawl_delay`` over one Arrow pass) and
+    ``politeness_schedule`` emits the per-host-serial fetch plan. The
+    chain is load-bearing: fetch_seq/offset renumber over the
+    robots-surviving set, so a wrong decision ANYWHERE upstream shifts
+    every downstream row. The oracle replays all three stages
+    analytically. Plan shape: container bytes never shuffle (per-host
+    applyInPandas), rules + delays broadcast, ONE frontier exchange
+    (the scheduler's host window)."""
+    from vectorsearch_spark.operators.robots import (
+        filter_by_robots,
+        parse_crawl_delay,
+        politeness_schedule,
+        robots_rules,
+    )
+    from vectorsearch_spark.sources.sitemap import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.lower("source"), r"[^a-z0-9]", ""),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+    # stage 1: discovery — hosts learn their URLs from sitemap XML
+    files = docs.groupBy("host").applyInPandas(
+        _synth_urlset_file, "file_id long, content binary"
+    )
+    discovered = sitemap_urls(files).select("loc")
+
+    # stage 2: per-host robots corpus; Crawl-delay varies by host
+    robots_df = docs.select("host").distinct().withColumn(
+        "robots_txt",
+        F.concat(
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /p/\nAllow: /p/1\nAllow: /p/3\n"
+                "Disallow: /p/30$\nCrawl-delay: "
+            ),
+            (F.length("host") % 3 + 1).cast("string"),
+            F.lit("\n"),
+        ),
+    )
+    rules = robots_rules(robots_df, agent="crawler")
+    allowed = filter_by_robots(discovered, rules, url_col="loc", keep="allowed")
+
+    # stage 3: delays parsed from the SAME robots bodies, then schedule
+    def delays_map(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "crawl_delay_s": [
+                        parse_crawl_delay(str(c), "crawler")
+                        for c in pdf["robots_txt"]
+                    ],
+                }
+            )
+
+    delays = robots_df.mapInPandas(
+        delays_map, "host string, crawl_delay_s double"
+    )
+    sched = politeness_schedule(
+        allowed, url_col="loc", default_delay_s=1.0, n_workers=64,
+        delays=delays,
+    )
+    return sched.select(
+        F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("loc").alias("url"),
+        F.col("fetch_seq").cast("long").alias("fetch_seq"),
+        F.round("fetch_offset_s", 4).alias("fetch_offset_s"),
+    )
+
+
+PIPELINE_CRAWL_FRONTIER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(source), '[^a-z0-9]', '', 'g') || '.com' AS h
+  FROM documents),
+u AS (
+  SELECT doc_id, h,
+         'http://' || h || '/p/' || doc_id AS loc,
+         CAST(doc_id AS VARCHAR) AS s,
+         CAST(length(h) % 3 + 1 AS DOUBLE) AS delay_s
+  FROM d),
+-- the RFC 9309 decision table for the synthesized rules over /p/<id>:
+--   Allow /p/1 and /p/3 (plen 4) outrank Disallow /p/ (plen 3);
+--   Disallow /p/30$ (plen 6) outranks the Allow on exactly /p/30
+a AS (
+  SELECT * FROM u
+  WHERE (s LIKE '1%' OR s LIKE '3%') AND s <> '30')
+SELECT doc_id, loc AS url,
+       CAST(row_number() OVER (PARTITION BY h ORDER BY loc) - 1 AS BIGINT)
+         AS fetch_seq,
+       round((row_number() OVER (PARTITION BY h ORDER BY loc) - 1) * delay_s,
+             4) AS fetch_offset_s
+FROM a
 """
 
 
@@ -10203,6 +10322,7 @@ FROM pix
 # first; everything else keeps its prior relative order behind them.
 _DRIVER_WINDOW = [
     # r14-touched
+    "pipeline_crawl_frontier",
     "warc_html_extract",
     "curate_robots_filter",
     "frontier_sitemap_urls",
@@ -10254,8 +10374,8 @@ _DRIVER_WINDOW = [
     "doc_chunking",
     "bloom_pruned_revenue",
     "customer_balance_ranks",
-    "documents_profile",
-    # oldest-r10 top-up to fill the 50-entry window
+    # documents_profile slid to position 51 when pipeline_crawl_frontier
+    # took the window's head — it leads the r15 rotation
 ]
 
 
@@ -10368,6 +10488,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_dft_bins": mm_audio_dft_bins,
         "doc_html_extract_bytes": doc_html_extract_bytes,
         "warc_html_extract": warc_html_extract,
+        "pipeline_crawl_frontier": pipeline_crawl_frontier,
         "curate_robots_filter": curate_robots_filter,
         "frontier_sitemap_urls": frontier_sitemap_urls,
         "frontier_politeness": frontier_politeness,
@@ -10583,6 +10704,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_html_extract": DOC_HTML_EXTRACT_SQL,
         "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
         "warc_html_extract": WARC_HTML_EXTRACT_SQL,
+        "pipeline_crawl_frontier": PIPELINE_CRAWL_FRONTIER_SQL,
         "curate_robots_filter": CURATE_ROBOTS_FILTER_SQL,
         "frontier_sitemap_urls": FRONTIER_SITEMAP_URLS_SQL,
         "frontier_politeness": FRONTIER_POLITENESS_SQL,
