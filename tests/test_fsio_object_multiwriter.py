@@ -230,6 +230,40 @@ def test_legacy_v1_manifest_upgrades_and_recovers(tmp_path):
     assert fs.read_text(os.path.join(garbage, "f0")) == "v2-0"
 
 
+def test_recover_fences_before_deleting_garbage(tmp_path):
+    """Recovery that cleans a same-owner predecessor's garbage must
+    commit its OWN registration BEFORE the first physical delete — a
+    crash between the two must leave the old incarnation already
+    fenced (writers bumped) with the entries still suppressing dst.
+    Deleting first would leave a window where the predecessor could
+    still commit a rename whose copy was just destroyed."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs1 = ObjectStoreStateFS(store, root, owner="w")
+    src = _mk_tree(root, "src", "g", files=3)
+    dst = os.path.join(root, "dst")
+    store.arm("copy", 2)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs1.rename(src, dst)                     # staged as ("w", 1)
+    # restart: crash recovery at its FIRST physical delete
+    store.arm("delete", 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        ObjectStoreStateFS(store, root, owner="w")
+    store.arm(None, 0)
+    m = json.loads(
+        store.get(os.path.join(root, ObjectStoreStateFS.MANIFEST)).decode()
+    )
+    assert m["writers"]["w"] == 2                # fence committed first
+    assert dst in m["pending"]                   # entry still suppresses dst
+    # the fenced predecessor cannot commit its in-flight rename
+    with pytest.raises(WriterFencedError):
+        fs1.rename(_mk_tree(root, "src2", "h"), os.path.join(root, "d2"))
+    # a clean restart finishes the recovery
+    fs3 = ObjectStoreStateFS(store, root, owner="w")
+    assert store.list_prefix(dst) == []
+    assert fs3.exists(src)
+
+
 def test_single_writer_round_trips_unchanged(tmp_path):
     """The cost-model guard for the CAS upgrade: a clean
     single-writer rename of an N-object tree still costs exactly

@@ -95,9 +95,26 @@ glosses over):
   entries; crash anywhere mid-takeover is re-runnable.
 
 ``recover()`` (at construction) cleans ONLY provably-dead entries
-under these rules; a single-writer deployment (every call site today)
-sees the exact single-writer protocol above, with the same round-trip
-counts.
+under these rules, and when it does clean, it commits its OWN
+registration first — fencing the incarnation whose garbage it is about
+to delete before any byte is touched. A single-writer deployment
+(every call site today) sees the exact single-writer protocol above,
+with the same round-trip counts (+1 manifest PUT only on a recovery
+that actually cleans).
+
+The lease caveat, stated honestly: fencing makes the MANIFEST plane
+airtight — a superseded incarnation can never commit — but data-plane
+writes (the COPY calls of a rename already past its stage commit)
+carry no precondition, so a same-owner restart that races a still-
+RUNNING predecessor can observe that predecessor's late copies land
+under a dst whose entry was already cleared. This is the standard
+storage-lease assumption (HDFS lease recovery, the Hadoop S3A
+committers, Spark's own checkpoint restart make the same one): the
+previous process must be dead, not merely presumed dead. Closing it
+fully would condition every data PUT/COPY (S3 supports If-None-Match
+on objects since late 2024) — the protocol slot for that is
+``put_if_match`` applied to data keys, left as the documented next
+step rather than silently half-done.
 
 Cost model (measured by scripts/objectstore_probe.py): reads add one
 manifest GET per fsio call; a rename of an N-object tree costs
@@ -387,6 +404,13 @@ class ObjectStoreStateFS:
         }
         if not mine_p and not mine_t:
             return
+        # FENCE FIRST: commit this incarnation's registration before
+        # touching any bytes, so the incarnation that staged these
+        # entries can never COMMIT a rename whose partial copy is
+        # about to be deleted (metadata-plane safety; see the lease
+        # caveat in the module docstring for the data plane)
+        if self._incarnation is None:
+            self._mutate(lambda m, claim: None)
         for dst in sorted(mine_p):    # partial copy: dst never committed
             self._count("delete_prefix")
             self.store.delete_prefix(dst)
