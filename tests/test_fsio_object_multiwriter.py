@@ -55,6 +55,12 @@ class HookStore(LocalBlobStore):
 
     def put(self, key, data):
         self._tick("put")
+        kind = (
+            "put_manifest"
+            if os.path.basename(key) == "_fsio_manifest.json"
+            else "put_data"
+        )
+        self._tick(kind)
         super().put(key, data)
 
     def delete(self, key):
@@ -278,3 +284,122 @@ def test_single_writer_round_trips_unchanged(tmp_path):
     assert fs.stats.get("manifest_put") == 3
     assert fs.stats.get("copy") == 3
     assert fs.stats.get("cas_conflict", 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# conditional-data mode: the data-plane close (roll-forward recovery)
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_rollforward_recovery_commits_and_resumes(tmp_path):
+    """conditional_data=True: a rename crashed mid-copy rolls FORWARD
+    at restart — recovery resumes the conditional copy (keys that
+    already landed are SKIPPED, not re-copied) and commits, so the new
+    generation survives, complete and visible, with src gone."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs1 = ObjectStoreStateFS(store, root, owner="w", conditional_data=True)
+    src = _mk_tree(root, "src", "g", files=4)     # f0 f2 + sub/f1 f3
+    dst = os.path.join(root, "dst")
+    # crash after 2 of 4 data puts (conditional copies route via put)
+    store.arm("put_data", 2)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs1.rename(src, dst)
+    store.arm(None, 0)
+
+    fs2 = ObjectStoreStateFS(store, root, owner="w", conditional_data=True)
+    assert fs2.stats.get("roll_forward") == 1
+    assert fs2.stats.get("copy_skipped", 0) >= 1   # resumed, not redone
+    assert not fs2.exists(src)
+    assert sorted(fs2.listdir(dst)) == ["f0", "f2", "sub"]
+    for f, want in [("f0", "g-0"), ("f2", "g-2")]:
+        assert fs2.read_text(os.path.join(dst, f)) == want
+    assert fs2.read_text(os.path.join(dst, "sub", "f1")) == "g-1"
+    m = json.loads(store.get(fs2.manifest_key).decode())
+    assert m["pending"] == {} and m["tombstone"] == {}
+
+
+def test_conditional_zombie_late_copy_cannot_clobber(tmp_path):
+    """After roll-forward, a predecessor's late data write is a
+    conditional create against an existing key: it FAILS, and the
+    visible object keeps its bytes — the exact clobber the
+    unconditional data plane allowed."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs1 = ObjectStoreStateFS(store, root, owner="w", conditional_data=True)
+    src = _mk_tree(root, "src", "g", files=3)
+    dst = os.path.join(root, "dst")
+    store.arm("put_data", 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs1.rename(src, dst)
+    store.arm(None, 0)
+    ObjectStoreStateFS(store, root, owner="w", conditional_data=True)
+    key = os.path.join(dst, "f0")
+    with pytest.raises(PreconditionFailedError):
+        store.put_if_match(key, b"zombie bytes", None)
+    assert store.get(key) == b"g-0"
+
+
+def test_conditional_inprocess_retry_resumes_without_unsuppressing(tmp_path):
+    """A same-(src, dst) retry WITHOUT restart re-claims the pending
+    entry and resumes: landed keys skip, dst never leaves suppression
+    between the attempts (no clear→stage window for late writes to
+    slip through), and the retry converges."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs = ObjectStoreStateFS(store, root, owner="w", conditional_data=True)
+    src = _mk_tree(root, "src", "g", files=4)
+    dst = os.path.join(root, "dst")
+    store.arm("put_data", 3)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs.rename(src, dst)
+    store.arm(None, 0)
+    assert not fs.exists(dst)          # still suppressed
+    before = fs.stats.get("delete_prefix", 0)
+    fs.rename(src, dst)                # resume path, not clear+restage
+    assert fs.stats.get("copy_skipped", 0) >= 2
+    # no rollback delete of dst happened on the resume (only the
+    # post-commit src delete)
+    assert fs.stats.get("delete_prefix", 0) == before + 1
+    assert fs.read_text(os.path.join(dst, "sub", "f3")) == "g-3"
+    assert not fs.exists(src)
+
+
+def test_conditional_rolls_back_when_src_is_gone(tmp_path):
+    """Roll-forward needs an intact src; if the source vanished, the
+    dead pending rename rolls BACK as in default mode — partials
+    deleted, entry cleared."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs1 = ObjectStoreStateFS(store, root, owner="w", conditional_data=True)
+    src = _mk_tree(root, "src", "g", files=3)
+    dst = os.path.join(root, "dst")
+    store.arm("put_data", 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs1.rename(src, dst)
+    store.arm(None, 0)
+    store.delete_prefix(src)           # src lost (operator rmtree'd it)
+    fs2 = ObjectStoreStateFS(store, root, owner="w", conditional_data=True)
+    assert fs2.stats.get("roll_forward", 0) == 0
+    assert store.list_prefix(dst) == []
+    assert not fs2.exists(dst) and not fs2.exists(src)
+
+
+def test_default_mode_stage_entry_records_src_and_rolls_back(tmp_path):
+    """Default (unconditional) mode is untouched by the feature: the
+    stage entry now records src, but recovery still rolls a pre-commit
+    crash BACK — src survives, dst garbage is deleted."""
+    store = HookStore()
+    root = str(tmp_path)
+    fs1 = ObjectStoreStateFS(store, root, owner="w")
+    src = _mk_tree(root, "src", "g", files=3)
+    dst = os.path.join(root, "dst")
+    store.arm("copy", 2)
+    with pytest.raises(RuntimeError, match="injected"):
+        fs1.rename(src, dst)
+    store.arm(None, 0)
+    m = json.loads(store.get(fs1.manifest_key).decode())
+    assert m["pending"][dst][2] == src
+    fs2 = ObjectStoreStateFS(store, root, owner="w")
+    assert fs2.exists(src) and not fs2.exists(dst)
+    assert store.list_prefix(dst) == []

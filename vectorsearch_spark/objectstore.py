@@ -110,11 +110,24 @@ RUNNING predecessor can observe that predecessor's late copies land
 under a dst whose entry was already cleared. This is the standard
 storage-lease assumption (HDFS lease recovery, the Hadoop S3A
 committers, Spark's own checkpoint restart make the same one): the
-previous process must be dead, not merely presumed dead. Closing it
-fully would condition every data PUT/COPY (S3 supports If-None-Match
-on objects since late 2024) — the protocol slot for that is
-``put_if_match`` applied to data keys, left as the documented next
-step rather than silently half-done.
+previous process must be dead, not merely presumed dead.
+
+``conditional_data=True`` CLOSES that window. Every rename copy
+becomes a conditional CREATE (``copy_if_absent`` — S3 PutObject
+``If-None-Match: *``; plain CopyObject cannot carry a dst
+precondition, so server-side the idiom is UploadPartCopy + a
+conditional CompleteMultipartUpload), and recovery rolls a dead
+pending rename FORWARD (the stage entry records src): resume the
+copy — keys that already landed are skipped — then commit. The
+safety argument is content-idempotency: src is immutable for the
+duration of a rename and the fold namespace has one logical owner,
+so EVERY copy of a given key (a predecessor's or a successor's,
+landing in any order) carries identical bytes, and the conditional
+create ensures nothing ever overwrites a visible object. Off by
+default: roll-forward changes which generation survives a pre-commit
+crash (dst instead of src), which suits the bucketed epoch layout
+whose replays are idempotent, but not the whole-dir-swap folds whose
+``restore_swap_backup`` expects roll-back.
 
 Cost model (measured by scripts/objectstore_probe.py): reads add one
 manifest GET per fsio call; a rename of an N-object tree costs
@@ -217,6 +230,15 @@ class LocalBlobStore:
     def copy(self, src: str, dst: str) -> None:  # S3: CopyObject
         self.put(dst, self.get(src))
 
+    def copy_if_absent(self, src: str, dst: str) -> None:
+        """Conditional create of ``dst`` from ``src`` — fails with
+        PreconditionFailedError when dst already exists. On S3 this is
+        NOT plain CopyObject (whose If-* conditions apply to the
+        SOURCE): it is GET + PutObject ``If-None-Match: *``, or a
+        multipart UploadPartCopy finished by a conditional
+        CompleteMultipartUpload (which keeps the bytes server-side)."""
+        self.put_if_match(dst, self.get(src), None)
+
     def delete(self, key: str) -> None:  # S3: DeleteObject (idempotent)
         try:
             os.remove(key)
@@ -279,11 +301,16 @@ class ObjectStoreStateFS:
     MANIFEST = "_fsio_manifest.json"
 
     def __init__(
-        self, store: LocalBlobStore, root: str, owner: str = "writer"
+        self,
+        store: LocalBlobStore,
+        root: str,
+        owner: str = "writer",
+        conditional_data: bool = False,
     ) -> None:
         self.store = store
         self.root = root.rstrip("/")
         self.owner = owner
+        self.conditional_data = conditional_data
         self._incarnation: "int | None" = None  # set at first commit
         self.manifest_key = os.path.join(self.root, self.MANIFEST)
         self.stats: "dict[str, int]" = {}
@@ -411,7 +438,25 @@ class ObjectStoreStateFS:
         # caveat in the module docstring for the data plane)
         if self._incarnation is None:
             self._mutate(lambda m, claim: None)
-        for dst in sorted(mine_p):    # partial copy: dst never committed
+        # conditional-data mode: pending renames whose src is intact
+        # roll FORWARD — resume the conditional copy (landed keys
+        # skip) and commit. This is what makes the data plane safe: a
+        # predecessor's late copies are byte-identical conditional
+        # creates against the SAME dst generation, never clobbers of a
+        # newer one.
+        rolled: "set[str]" = set()
+        if self.conditional_data:
+            for dst, e in sorted(mine_p.items()):
+                rsrc = e[2] if len(e) > 2 else None
+                if rsrc and (
+                    self.store.is_object(rsrc) or self.store.has_prefix(rsrc)
+                ):
+                    self._count("roll_forward")
+                    self._copy_tree(rsrc, dst)
+                    self._finish_rename(rsrc, dst)
+                    rolled.add(dst)
+        for dst in sorted(set(mine_p) - rolled):
+            # partial copy: dst never committed — roll back
             self._count("delete_prefix")
             self.store.delete_prefix(dst)
         for src in sorted(mine_t):    # committed: finish the src delete
@@ -421,12 +466,13 @@ class ObjectStoreStateFS:
         # clear exactly the entries proven dead above — compared by
         # VALUE, not path: on a CAS retry the path may have been
         # re-staged by a newer (live) incarnation whose entry must
-        # survive
+        # survive (roll-forward entries were already cleared by their
+        # own commit)
         def clear(m: dict, claim: int):
             m["pending"] = {
                 p: e
                 for p, e in m["pending"].items()
-                if mine_p.get(p) != e
+                if p in rolled or mine_p.get(p) != e
             }
             m["tombstone"] = {
                 p: e
@@ -631,6 +677,32 @@ class ObjectStoreStateFS:
                     f"rename target {dst} is in-flight by a live "
                     f"writer: {sorted(live)}"
                 )
+            # conditional-data RESUME: the leftovers are OUR OWN dead
+            # rename of the SAME (src, dst) pair — re-claim the entry
+            # (dst stays suppressed throughout, no clear→stage window)
+            # and continue the conditional copy; landed keys skip.
+            ent = m["pending"].get(dst)
+            if (
+                self.conditional_data
+                and ent is not None
+                and len(ent) > 2
+                and ent[2] == src
+                and set(self._overlapping(dst, m)) == {dst}
+            ):
+                def reclaim(m: dict, claim: int):
+                    e = m["pending"].get(dst)
+                    if e is None or not self._dead(e, m) or (
+                        len(e) > 2 and e[2] != src
+                    ):
+                        raise FileExistsError(
+                            f"rename target {dst} contested at resume"
+                        )
+                    m["pending"][dst] = [self.owner, claim, src]
+
+                self._mutate(reclaim)
+                self._copy_tree(src, dst)
+                self._finish_rename(src, dst)
+                return
             # suppressed physical leftovers under dst — a PROVABLY DEAD
             # rename's partial copy (pending) or undeleted source
             # (tombstone). They must be CLEARED, not overwritten: keys
@@ -657,29 +729,56 @@ class ObjectStoreStateFS:
             self._mutate(clear_dead)
 
         # 1. stage: dst suppressed — and CLAIMED — before any byte
-        # lands. Any overlapping entry still present at this CAS'd
-        # commit is a race this writer lost (a live writer's in-flight
-        # rename, or fresh leftovers needing the recovery path): error
-        # out, never clobber.
+        # lands (recording src so recovery can roll the rename FORWARD
+        # in conditional-data mode). Any overlapping entry still
+        # present at this CAS'd commit is a race this writer lost (a
+        # live writer's in-flight rename, or fresh leftovers needing
+        # the recovery path): error out, never clobber.
         def stage(m: dict, claim: int):
             if self._overlapping(dst, m):
                 raise FileExistsError(
                     f"rename target {dst} contested at stage: "
                     f"{sorted(self._overlapping(dst, m))}"
                 )
-            m["pending"][dst] = [self.owner, claim]
+            m["pending"][dst] = [self.owner, claim, src]
 
         self._mutate(stage)
-        # 2. copy (crash here → recover() deletes the partials)
+        # 2. copy (crash here → recover() rolls back, or forward in
+        # conditional-data mode)
+        self._copy_tree(src, dst)
+        # 3-5. commit flip, physical src delete, tombstone clear
+        self._finish_rename(src, dst)
+
+    def _copy_tree(self, src: str, dst: str) -> None:
+        """Copy every object under src to dst. In conditional-data
+        mode every copy is a CONDITIONAL CREATE (copy_if_absent):
+        a key that already exists is SKIPPED — safe because src is
+        immutable for the duration of the rename, so any existing dst
+        key (a predecessor incarnation's landed copy) is byte-identical
+        — which makes retries resumable and late zombie copies
+        harmless instead of corrupting."""
         if self.store.is_object(src):
-            self._count("copy")
-            self.store.copy(src, dst)
+            pairs = [(src, dst)]
         else:
             base = src.rstrip(os.sep)
-            for k in self.store.list_prefix(base):
-                rel = os.path.relpath(k, base)
+            pairs = [
+                (k, os.path.join(dst, os.path.relpath(k, base)))
+                for k in self.store.list_prefix(base)
+            ]
+        for s, d in pairs:
+            if self.conditional_data:
+                try:
+                    self._count("copy_cond")
+                    self.store.copy_if_absent(s, d)
+                except PreconditionFailedError:
+                    self._count("copy_skipped")
+            else:
                 self._count("copy")
-                self.store.copy(k, os.path.join(dst, rel))
+                self.store.copy(s, d)
+
+    def _finish_rename(self, src: str, dst: str) -> None:
+        """Steps 3-5 of the manifest-commit rename — shared by the
+        normal path and conditional-data roll-forward recovery."""
 
         # 3. COMMIT: one PUT flips dst visible and src suppressed
         def commit(m: dict, claim: int):
