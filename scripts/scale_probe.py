@@ -150,6 +150,7 @@ PROBES = [
     "doc_html_extract_bytes",
     "warc_html_extract",
     "pipeline_crawl_frontier",
+    "warc_wet_text",
     "curate_robots_filter",
     "frontier_sitemap_urls",
     "frontier_politeness",

@@ -4671,6 +4671,80 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 WARC_HTML_EXTRACT_SQL = DOC_HTML_EXTRACT_BYTES_SQL
 
 
+def warc_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET path (r14, post-seal): CommonCrawl's extracted-text
+    sibling of WARC — ``conversion`` records whose block is the plain
+    text itself, each record its OWN GZIP MEMBER
+    (``build_warc(gzip_per_record=True)``, the member-per-record
+    layout ``sources/warc.py`` documents), no HTTP envelope to split.
+    Documents pack 32-wide; every container also carries a warcinfo
+    record and a cross-type ``response`` noise record that the
+    type filter must drop. ``warc_records`` explodes the members and
+    conversion payloads decode straight back to text; the oracle is
+    the documents table itself — round-trip losslessness through
+    framing + per-member gzip IS the claim. Same per-file parallelism
+    and no-shuffle plan as warc_html_extract."""
+    from vectorsearch_spark.sources.warc import build_warc, warc_records
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 32).alias("file_id")
+    )
+
+    def build_file(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                {"WARC-Type": "warcinfo",
+                 "Content-Type": "application/warc-fields"},
+                b"software: vectorsearch-spark-wet-synth\r\n",
+            )
+        ]
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Target-URI": f"http://ex.com/doc/{int(did)}",
+                        "Content-Type": "text/plain",
+                    },
+                    str(text).encode("utf-8"),
+                )
+            )
+        recs.append(  # cross-type noise the filter must drop
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": "http://ex.com/noise",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                b"HTTP/1.1 200 OK\r\n\r\n<html>noise</html>",
+            )
+        )
+        data = build_warc(recs, gzip_per_record=True)
+        return pd.DataFrame(
+            {"file_id": [int(pdf["file_id"].iloc[0])], "content": [data]}
+        )
+
+    files = docs.groupBy("file_id").applyInPandas(
+        build_file, "file_id long, content binary"
+    )
+    recs = warc_records(files).where(
+        (F.col("warc_type") == "conversion") & ~F.col("truncated")
+    )
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+
+
+# losslessness through WET framing + per-member gzip: output == input
+WARC_WET_TEXT_SQL = "SELECT doc_id, text FROM documents"
+
+
 def curate_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt frontier filtering (r14 — operators/robots.py, RFC
     9309): per-host robots bodies parse into a rules table; the
@@ -10322,6 +10396,7 @@ FROM pix
 # first; everything else keeps its prior relative order behind them.
 _DRIVER_WINDOW = [
     # r14-touched
+    "warc_wet_text",
     "pipeline_crawl_frontier",
     "warc_html_extract",
     "curate_robots_filter",
@@ -10373,9 +10448,9 @@ _DRIVER_WINDOW = [
     "pipeline_pack_curated",
     "doc_chunking",
     "bloom_pruned_revenue",
-    "customer_balance_ranks",
-    # documents_profile slid to position 51 when pipeline_crawl_frontier
-    # took the window's head — it leads the r15 rotation
+    # customer_balance_ranks and documents_profile slid to positions
+    # 51-52 as r14 post-seal entries took the window's head — they
+    # lead the r15 rotation
 ]
 
 
@@ -10489,6 +10564,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html_extract_bytes": doc_html_extract_bytes,
         "warc_html_extract": warc_html_extract,
         "pipeline_crawl_frontier": pipeline_crawl_frontier,
+        "warc_wet_text": warc_wet_text,
         "curate_robots_filter": curate_robots_filter,
         "frontier_sitemap_urls": frontier_sitemap_urls,
         "frontier_politeness": frontier_politeness,
@@ -10705,6 +10781,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_html_extract_bytes": DOC_HTML_EXTRACT_BYTES_SQL,
         "warc_html_extract": WARC_HTML_EXTRACT_SQL,
         "pipeline_crawl_frontier": PIPELINE_CRAWL_FRONTIER_SQL,
+        "warc_wet_text": WARC_WET_TEXT_SQL,
         "curate_robots_filter": CURATE_ROBOTS_FILTER_SQL,
         "frontier_sitemap_urls": FRONTIER_SITEMAP_URLS_SQL,
         "frontier_politeness": FRONTIER_POLITENESS_SQL,
