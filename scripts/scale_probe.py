@@ -151,6 +151,7 @@ PROBES = [
     "warc_html_extract",
     "pipeline_crawl_frontier",
     "warc_wet_text",
+    "warc_wat_links",
     "curate_robots_filter",
     "frontier_sitemap_urls",
     "frontier_politeness",

@@ -4745,6 +4745,170 @@ def warc_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 WARC_WET_TEXT_SQL = "SELECT doc_id, text FROM documents"
 
 
+def warc_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAT path (r14, post-seal) — the third CommonCrawl container
+    format: ``metadata`` records whose block is a JSON envelope
+    describing the capture (the
+    Envelope→Payload-Metadata→HTTP-Response-Metadata→HTML-Metadata→
+    Links shape real WAT files use). Documents pack 32-wide with
+    per-member gzip; each doc's metadata record carries
+    ``doc_id % 4`` outlinks derived arithmetically. The chain is
+    WARC framing → type filter → JSON parse (typed ``from_json``
+    against the nested envelope schema, JVM-side) → ``posexplode`` of
+    the links array; the oracle regenerates the links from the same
+    arithmetic with an unnested range. Exercises JSON-in-WARC — the
+    one payload kind warc_html_extract (HTTP/HTML) and warc_wet_text
+    (plain text) do not."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from vectorsearch_spark.sources.warc import build_warc, warc_records
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.lower("source"), r"[^a-z0-9]", ""),
+            F.lit(".com"),
+        ).alias("host"),
+        (F.col("doc_id") % 32).alias("file_id"),
+    )
+
+    def build_file(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                {"WARC-Type": "warcinfo",
+                 "Content-Type": "application/warc-fields"},
+                b"software: vectorsearch-spark-wat-synth\r\n",
+            )
+        ]
+        for did, host in zip(pdf["doc_id"], pdf["host"]):
+            did = int(did)
+            env = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": f"http://{host}/p/{did}"
+                    },
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Links": [
+                                    {"url": f"http://{host}/l{j}"}
+                                    for j in range(did % 4)
+                                ]
+                            }
+                        }
+                    },
+                }
+            }
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "metadata",
+                        "WARC-Target-URI": f"http://{host}/p/{did}",
+                        "Content-Type": "application/json",
+                    },
+                    _json.dumps(env).encode("utf-8"),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf["file_id"].iloc[0])],
+                "content": [build_warc(recs, gzip_per_record=True)],
+            }
+        )
+
+    files = docs.groupBy("file_id").applyInPandas(
+        build_file, "file_id long, content binary"
+    )
+    link_schema = StructType(
+        [
+            StructField(
+                "Envelope",
+                StructType(
+                    [
+                        StructField(
+                            "Payload-Metadata",
+                            StructType(
+                                [
+                                    StructField(
+                                        "HTTP-Response-Metadata",
+                                        StructType(
+                                            [
+                                                StructField(
+                                                    "HTML-Metadata",
+                                                    StructType(
+                                                        [
+                                                            StructField(
+                                                                "Links",
+                                                                ArrayType(
+                                                                    StructType(
+                                                                        [
+                                                                            StructField(
+                                                                                "url",
+                                                                                StringType(),
+                                                                            )
+                                                                        ]
+                                                                    )
+                                                                ),
+                                                            )
+                                                        ]
+                                                    ),
+                                                )
+                                            ]
+                                        ),
+                                    )
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+    meta = (
+        warc_records(files)
+        .where((F.col("warc_type") == "metadata") & ~F.col("truncated"))
+        .select(
+            F.regexp_extract("target_uri", r"/p/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.from_json(F.decode("payload", "UTF-8"), link_schema).alias(
+                "env"
+            ),
+        )
+    )
+    links = F.col("env")["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]["HTML-Metadata"]["Links"]
+    return meta.select(
+        "doc_id", F.posexplode(links).alias("link_idx", "l")
+    ).select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.col("l")["url"].alias("link"),
+    )
+
+
+WARC_WAT_LINKS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(source), '[^a-z0-9]', '', 'g') || '.com' AS h
+  FROM documents)
+SELECT doc_id, CAST(t.j AS BIGINT) AS link_idx,
+       'http://' || h || '/l' || t.j AS link
+FROM d, unnest(range(doc_id % 4)) AS t(j)
+"""
+
+
 def curate_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt frontier filtering (r14 — operators/robots.py, RFC
     9309): per-host robots bodies parse into a rules table; the
@@ -10396,6 +10560,7 @@ FROM pix
 # first; everything else keeps its prior relative order behind them.
 _DRIVER_WINDOW = [
     # r14-touched
+    "warc_wat_links",
     "warc_wet_text",
     "pipeline_crawl_frontier",
     "warc_html_extract",
@@ -10447,10 +10612,9 @@ _DRIVER_WINDOW = [
     "corpus_splits",
     "pipeline_pack_curated",
     "doc_chunking",
-    "bloom_pruned_revenue",
-    # customer_balance_ranks and documents_profile slid to positions
-    # 51-52 as r14 post-seal entries took the window's head — they
-    # lead the r15 rotation
+    # bloom_pruned_revenue, customer_balance_ranks and
+    # documents_profile slid to positions 51-53 as r14 post-seal
+    # entries took the window's head — they lead the r15 rotation
 ]
 
 
@@ -10565,6 +10729,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_html_extract": warc_html_extract,
         "pipeline_crawl_frontier": pipeline_crawl_frontier,
         "warc_wet_text": warc_wet_text,
+        "warc_wat_links": warc_wat_links,
         "curate_robots_filter": curate_robots_filter,
         "frontier_sitemap_urls": frontier_sitemap_urls,
         "frontier_politeness": frontier_politeness,
@@ -10782,6 +10947,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_html_extract": WARC_HTML_EXTRACT_SQL,
         "pipeline_crawl_frontier": PIPELINE_CRAWL_FRONTIER_SQL,
         "warc_wet_text": WARC_WET_TEXT_SQL,
+        "warc_wat_links": WARC_WAT_LINKS_SQL,
         "curate_robots_filter": CURATE_ROBOTS_FILTER_SQL,
         "frontier_sitemap_urls": FRONTIER_SITEMAP_URLS_SQL,
         "frontier_politeness": FRONTIER_POLITENESS_SQL,
