@@ -172,6 +172,68 @@ def main() -> None:
             }
         finally:
             shutil.rmtree(root2, ignore_errors=True)
+
+        # --- conditional-data roll-forward vs default roll-back: the
+        # recovery cost of a rename crashed halfway through an N-object
+        # copy. Roll-back pays delete(N/2) + a FULL re-copy on retry;
+        # roll-forward resumes — N/2 conditional creates skip, N/2
+        # land — and commits without a retry.
+        class _CrashStore(LocalBlobStore):
+            def __init__(self):
+                self.fail_after = None
+                self.data_puts = 0
+
+            def put(self, key, data):
+                if not key.endswith(ObjectStoreStateFS.MANIFEST):
+                    self.data_puts += 1
+                    if (
+                        self.fail_after is not None
+                        and self.data_puts > self.fail_after
+                    ):
+                        raise RuntimeError("injected")
+                super().put(key, data)
+
+            def copy(self, src, dst):  # default-mode copies route here
+                self.put(dst, self.get(src))
+
+        n_obj = 64
+        rf = {}
+        for mode in ("rollback", "rollforward"):
+            store3 = _CrashStore()
+            root3 = tempfile.mkdtemp(prefix=f"objprobe_{mode}_")
+            try:
+                cond = mode == "rollforward"
+                f1 = ObjectStoreStateFS(
+                    store3, root3, owner="w", conditional_data=cond
+                )
+                srcd = os.path.join(root3, "src")
+                os.makedirs(srcd)
+                for i in range(n_obj):
+                    with open(os.path.join(srcd, f"k{i:03d}"), "w") as fh:
+                        fh.write("x" * 1024)
+                dstd = os.path.join(root3, "dst")
+                store3.fail_after = n_obj // 2
+                try:
+                    f1.rename(srcd, dstd)
+                except RuntimeError:
+                    pass
+                store3.fail_after = None
+                t0 = time.time()
+                f2 = ObjectStoreStateFS(
+                    store3, root3, owner="w", conditional_data=cond
+                )
+                if not cond:  # roll-back: the caller retries the rename
+                    f2.rename(srcd, dstd)
+                rf[mode] = {
+                    "recover_plus_retry_s": round(time.time() - t0, 4),
+                    "copies": f2.stats.get("copy", 0)
+                    + f2.stats.get("copy_cond", 0),
+                    "copies_skipped": f2.stats.get("copy_skipped", 0),
+                    "rollback_deletes": f2.stats.get("delete_prefix", 0),
+                }
+            finally:
+                shutil.rmtree(root3, ignore_errors=True)
+        out["halfway_crash_recovery"] = {"n_objects": n_obj, **rf}
     finally:
         set_state_fs(prev)
         shutil.rmtree(root, ignore_errors=True)
