@@ -190,6 +190,7 @@ HEADLINE = [
     "pipeline_crawl_frontier",
     "warc_wet_text",
     "warc_wat_links",
+    "pipeline_crawl_expand",
     "curate_robots_filter",
     "frontier_sitemap_urls",
     "frontier_politeness",

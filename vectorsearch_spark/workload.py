@@ -4909,6 +4909,138 @@ FROM d, unnest(range(doc_id % 4)) AS t(j)
 """
 
 
+def pipeline_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop CLOSED (r14, post-seal): frontier expansion from
+    WAT outlinks. Each doc's WAT metadata record carries its outlinks
+    — even-indexed links point at (possibly dangling, possibly
+    other-host) pages ``/p/<doc_id + j>``, odd-indexed ones are MESSY
+    external links (``HTTP://HOST:80/l<j>?utm_source=wat&b=2&a=1``) —
+    and the expansion is: parse WAT → canonicalize every outlink
+    (scheme/host lowercase, default-port drop, tracking-param strip,
+    query sort — `urls.canonicalize_url`, the load-bearing step for
+    the odd links) → anti-join the KNOWN frontier (the sitemap pages)
+    → count referrers per newly-discovered URL. Exactly what a crawler
+    does between cycles; a wrong canonicalization either leaks a
+    known page into "new" or splits one discovery into several, and
+    either breaks the hash. Plan: per-file Arrow passes, one
+    broadcast-able anti-join on url, one aggregation."""
+    import json as _json
+
+    from vectorsearch_spark.operators.urls import canonicalize_url
+    from vectorsearch_spark.sources.warc import build_warc, warc_records
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.lower("source"), r"[^a-z0-9]", ""),
+            F.lit(".com"),
+        ).alias("host"),
+        (F.col("doc_id") % 32).alias("file_id"),
+    )
+
+    def build_file(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for did, host in zip(pdf["doc_id"], pdf["host"]):
+            did = int(did)
+            links = [
+                {
+                    "url": (
+                        f"http://{host}/p/{did + j}"
+                        if j % 2 == 0
+                        else f"HTTP://{host.upper()}:80/l{j}"
+                        "?utm_source=wat&b=2&a=1"
+                    )
+                }
+                for j in range(did % 4)
+            ]
+            env = {
+                "Envelope": {
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {"Links": links}
+                        }
+                    }
+                }
+            }
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "metadata",
+                        "WARC-Target-URI": f"http://{host}/p/{did}",
+                        "Content-Type": "application/json",
+                    },
+                    _json.dumps(env).encode("utf-8"),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf["file_id"].iloc[0])],
+                "content": [build_warc(recs, gzip_per_record=True)],
+            }
+        )
+
+    files = docs.groupBy("file_id").applyInPandas(
+        build_file, "file_id long, content binary"
+    )
+    raw_links = (
+        warc_records(files)
+        .where(F.col("warc_type") == "metadata")
+        .select(
+            F.explode(
+                F.from_json(
+                    F.decode("payload", "UTF-8"), _WAT_LINKS_SCHEMA_DDL
+                )["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+                    "HTML-Metadata"
+                ]["Links"]
+            ).alias("l")
+        )
+        .select(F.col("l")["url"].alias("link"))
+    )
+    known = docs.select(
+        F.concat(
+            F.lit("http://"), "host", F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    cand = raw_links.select(
+        canonicalize_url(F.col("link"), strip_www=True).alias("url")
+    )
+    return (
+        cand.join(known, "url", "left_anti")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_referrers"))
+    )
+
+
+# the WAT envelope path, as a DDL string usable by from_json directly
+_WAT_LINKS_SCHEMA_DDL = (
+    "struct<Envelope: struct<`Payload-Metadata`: struct<"
+    "`HTTP-Response-Metadata`: struct<`HTML-Metadata`: struct<"
+    "Links: array<struct<url: string>>>>>>>"
+)
+
+
+PIPELINE_CRAWL_EXPAND_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(source), '[^a-z0-9]', '', 'g') || '.com' AS h
+  FROM documents),
+known AS (SELECT 'http://' || h || '/p/' || doc_id AS url FROM d),
+cand AS (
+  SELECT CASE WHEN t.j % 2 = 0
+              THEN 'http://' || h || '/p/' || (doc_id + t.j)
+              ELSE 'http://' || h || '/l' || t.j || '?a=1&b=2' END AS url
+  FROM d, unnest(range(doc_id % 4)) AS t(j))
+SELECT url, CAST(count(*) AS BIGINT) AS n_referrers
+FROM cand
+WHERE url NOT IN (SELECT url FROM known)
+GROUP BY url
+"""
+
+
 def curate_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt frontier filtering (r14 — operators/robots.py, RFC
     9309): per-host robots bodies parse into a rules table; the
@@ -10560,6 +10692,7 @@ FROM pix
 # first; everything else keeps its prior relative order behind them.
 _DRIVER_WINDOW = [
     # r14-touched
+    "pipeline_crawl_expand",
     "warc_wat_links",
     "warc_wet_text",
     "pipeline_crawl_frontier",
@@ -10611,9 +10744,8 @@ _DRIVER_WINDOW = [
     "revenue_rollup",
     "corpus_splits",
     "pipeline_pack_curated",
-    "doc_chunking",
-    # bloom_pruned_revenue, customer_balance_ranks and
-    # documents_profile slid to positions 51-53 as r14 post-seal
+    # doc_chunking, bloom_pruned_revenue, customer_balance_ranks and
+    # documents_profile slid to positions 51-54 as r14 post-seal
     # entries took the window's head — they lead the r15 rotation
 ]
 
@@ -10730,6 +10862,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_crawl_frontier": pipeline_crawl_frontier,
         "warc_wet_text": warc_wet_text,
         "warc_wat_links": warc_wat_links,
+        "pipeline_crawl_expand": pipeline_crawl_expand,
         "curate_robots_filter": curate_robots_filter,
         "frontier_sitemap_urls": frontier_sitemap_urls,
         "frontier_politeness": frontier_politeness,
@@ -10948,6 +11081,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_crawl_frontier": PIPELINE_CRAWL_FRONTIER_SQL,
         "warc_wet_text": WARC_WET_TEXT_SQL,
         "warc_wat_links": WARC_WAT_LINKS_SQL,
+        "pipeline_crawl_expand": PIPELINE_CRAWL_EXPAND_SQL,
         "curate_robots_filter": CURATE_ROBOTS_FILTER_SQL,
         "frontier_sitemap_urls": FRONTIER_SITEMAP_URLS_SQL,
         "frontier_politeness": FRONTIER_POLITENESS_SQL,
