@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from vectorsearch_spark.config import Metric
 from vectorsearch_spark.functions.distances import distance_for_metric, score_from_distance
+from vectorsearch_spark.functions.litarrays import lit_double_array
 
 _PAIR_SCHEMA = "query_id long, id long, distance double"
 
@@ -213,7 +214,7 @@ def brute_force_topk(
     top-k then a driver-side merge — the T2+T4 pattern for free.
     """
     metric = Metric(metric)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vector])
+    qcol = lit_double_array(query_vector)
     scored = vectors.select(
         F.col(id_col).cast("long").alias("id"),
         distance_for_metric(F.col(vec_col), qcol, metric).alias("distance"),

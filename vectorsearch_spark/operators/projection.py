@@ -165,9 +165,11 @@ def sq8_roundtrip_error(
     from pyspark.sql import functions as F
 
 
-    minarr = F.array(*[F.lit(float(v)) for v in mins])
-    rngarr = F.array(
-        *[F.lit(float(mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
+    from vectorsearch_spark.functions.litarrays import lit_double_array
+
+    minarr = lit_double_array([float(v) for v in mins])
+    rngarr = lit_double_array(
+        [float(mx - mn) if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
     )
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     norm = F.zip_with(

@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 )
 
 from vectorsearch_spark.config import Metric
+from vectorsearch_spark.functions.litarrays import lit_double_array, lit_int_array
 from vectorsearch_spark.functions.distances import (
     distance_for_metric,
     score_from_distance,
@@ -156,7 +157,7 @@ def ivf_assign(
                     F.aggregate(
                         F.zip_with(
                             F.col(vec_col),
-                            F.array(*[F.lit(float(x)) for x in c]),
+                            lit_double_array(c),
                             lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
                         ),
                         F.lit(0.0),
@@ -231,7 +232,7 @@ def ivf_route(
                     F.aggregate(
                         F.zip_with(
                             F.col("_qvec"),
-                            F.array(*[F.lit(float(x)) for x in c]),
+                            lit_double_array(c),
                             lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
                         ),
                         F.lit(0.0),
@@ -505,7 +506,7 @@ def lsh_probe_signatures(
             d = F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lit_double_array(plane),
                     lambda x, y: x.cast("double") * y,
                 ),
                 F.lit(0.0),
@@ -1070,7 +1071,7 @@ def ivf_range_join(
     # per-cell member radius IN THE ROUTING GEOMETRY: one bounded
     # (≤ k rows) aggregate; the distance to the OWN centroid is a
     # codegen expression over the bucket-indexed literal centroid array
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    cent_arr = F.array(*[lit_double_array(c) for c in cents])
     own = F.element_at(cent_arr, F.col("bucket") + 1)
     d_own = F.sqrt(
         F.aggregate(
@@ -1146,7 +1147,7 @@ def ivf_range_join(
                         F.aggregate(
                             F.zip_with(
                                 F.col("_qgeo"),
-                                F.array(*[F.lit(float(x)) for x in cents[b]]),
+                                lit_double_array(cents[b]),
                                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
                             ),
                             F.lit(0.0),
@@ -1172,8 +1173,8 @@ def ivf_range_join(
                 "_thr",
                 F.element_at(
                     F.map_from_arrays(
-                        F.array(*[F.lit(int(b)) for b in thr]),
-                        F.array(*[F.lit(float(tb)) for tb in thr.values()]),
+                        lit_int_array(list(thr)),
+                        lit_double_array(list(thr.values())),
                     ),
                     F.col("bucket"),
                 ),
@@ -1321,13 +1322,9 @@ def _blocked_candidates(
     buckets = sorted(qcount)
     sv = {b: max(1, -(-vcount.get(b, 1) // block_size)) for b in buckets}
     sq = {b: max(1, -(-qcount[b] // block_size)) for b in buckets}
-    bucket_arr = F.array(*[F.lit(int(b)) for b in buckets])
-    sv_map = F.map_from_arrays(
-        bucket_arr, F.array(*[F.lit(int(sv[b])) for b in buckets])
-    )
-    sq_map = F.map_from_arrays(
-        bucket_arr, F.array(*[F.lit(int(sq[b])) for b in buckets])
-    )
+    bucket_arr = lit_int_array(buckets)
+    sv_map = F.map_from_arrays(bucket_arr, lit_int_array([sv[b] for b in buckets]))
+    sq_map = F.map_from_arrays(bucket_arr, lit_int_array([sq[b] for b in buckets]))
 
     # members: one vsalt each, replicated across the cell's qsalts;
     # queries: one qsalt each, replicated across the cell's vsalts
