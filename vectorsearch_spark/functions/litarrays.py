@@ -1,54 +1,103 @@
-"""Single-node array literals (optimization r14).
+"""Single-node array literals, built in O(1) py4j round-trips (r14).
 
-``F.array(*[F.lit(x) for x in xs])`` builds a ``CreateArray`` expression
-with one scalar ``Literal`` child PER ELEMENT: a 64-dim centroid inlined
-16 times is a >1000-node subtree, and every plan embedding a codebook or
-hyperplane set (IVF assign/route, LSH signatures, SQ8 codecs) paid
-Catalyst analysis + whole-stage-codegen source generation proportional
-to that tree on EVERY query. That is driver planning time — the cost
-class the optimization guide (§3.3, §7.3) calls out as a real
-bottleneck for very large plans — and it grows with codebook size, so
-it hurts a 4096-centroid production quantizer far more than the test
-codebooks.
+Two costs stack up when an operator inlines a codebook / hyperplane set
+as a column expression:
 
-``F.lit(ndarray)`` creates ONE ``Literal`` node whose value is the whole
-array (PySpark maps a 1-D float64 ndarray to
-``Literal(..., ArrayType(DoubleType))``). Runtime VALUES are identical —
-``np.float64(float(x))`` is bit-identical to the scalar literal the old
-form produced, so every distance computed against these arrays is
-unchanged — only the expression tree shrinks (64 nodes -> 1 per array).
-Measured on the 16x64 IVF argmin over sf0.1 embeddings: ~3x end-to-end.
+1. **Expression-tree size.** ``F.array(*[F.lit(x) for x in xs])`` is a
+   ``CreateArray`` with one scalar ``Literal`` child per element — a
+   16x64 codebook argmin becomes a >1000-node subtree that Catalyst
+   re-analyzes and re-optimizes on every query (driver planning time,
+   optimization guide §3.3/§7.3). A single ``Literal(ArrayType(...))``
+   node carries the same values with none of that.
+2. **py4j round-trips.** Building the tree from Python pays one
+   socket round-trip per Java call — and BOTH the element-wise form
+   (~3 calls per element) and ``F.lit(ndarray)`` (PySpark converts a
+   1-D ndarray through a Java list, one ``__setitem__`` per element)
+   are O(elements) round-trips. Profiled on the LSH signature build at
+   8 tables x 4 bits x 64 dims: ~10k round-trips, 18 s of pure driver
+   time before any Spark job ran.
 
-NOTE: a 2-D ndarray is NOT accepted by ``F.lit`` (SparkRuntimeException);
-nested arrays stay ``F.array(*[lit_double_array(row) for row in m])`` —
-one CreateArray over K single-node Literals, which is already small.
+``lit_double_array`` fixes both: the values cross the boundary as ONE
+binary ``bytearray`` message (py4j transfers bytes in-band), a JVM-side
+``ByteBuffer.asDoubleBuffer().get`` bulk-fills a ``double[]``, and JVM
+``functions.lit`` turns that into a single ``Literal`` — ~5 round-trips
+total regardless of length. Values are bit-identical to the scalar-
+literal form (IEEE 754 doubles pass through untouched; verified
+element-equal in tests), so every distance computed against these
+arrays is unchanged.
+
+Falls back to ``F.lit(ndarray)`` (same Literal node, slower build) on
+any py4j/classic-mode assumption failure, e.g. under Spark Connect.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+
+def _active_jvm():
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None, None
+    try:
+        sc = spark.sparkContext
+        return sc._gateway, sc._jvm
+    except Exception:
+        return None, None
+
+
+def _bulk_lit(values: np.ndarray, jprim: str):
+    """values (1-D, big-endian) -> single-Literal Column via one binary
+    transfer; None when the classic py4j surface is unavailable."""
+    gw, jvm = _active_jvm()
+    if gw is None:
+        return None
+    try:
+        from pyspark.sql.classic.column import Column as ClassicColumn
+
+        bb = jvm.java.nio.ByteBuffer.wrap(bytearray(values.tobytes()))
+        jarr = gw.new_array(getattr(jvm, jprim), len(values))
+        if jprim == "double":
+            bb.asDoubleBuffer().get(jarr)
+        elif jprim == "float":
+            bb.asFloatBuffer().get(jarr)
+        elif jprim == "long":
+            bb.asLongBuffer().get(jarr)
+        else:
+            bb.asIntBuffer().get(jarr)
+        return ClassicColumn(jvm.org.apache.spark.sql.functions.lit(jarr))
+    except Exception:
+        return None
 
 
 def lit_double_array(values) -> Column:
     """ONE ``Literal`` node of ``array<double>`` — a drop-in replacement
     for ``F.array(*[F.lit(float(v)) for v in values])``."""
-    return F.lit(np.asarray(values, dtype=np.float64))
+    arr = np.ascontiguousarray(values, dtype=">f8")
+    col = _bulk_lit(arr, "double")
+    return col if col is not None else F.lit(arr.astype(np.float64))
 
 
 def lit_float_array(values) -> Column:
     """ONE ``Literal`` node of ``array<float>``."""
-    return F.lit(np.asarray(values, dtype=np.float32))
+    arr = np.ascontiguousarray(values, dtype=">f4")
+    col = _bulk_lit(arr, "float")
+    return col if col is not None else F.lit(arr.astype(np.float32))
 
 
 def lit_int_array(values) -> Column:
     """ONE ``Literal`` node of ``array<int>`` — matches the type of
     ``F.array(*[F.lit(int(v)) for v in values])`` for 32-bit-range ints
     (PySpark gives a bare int literal IntegerType when it fits)."""
-    return F.lit(np.asarray(values, dtype=np.int32))
+    arr = np.ascontiguousarray(values, dtype=">i4")
+    col = _bulk_lit(arr, "int")
+    return col if col is not None else F.lit(arr.astype(np.int32))
 
 
 def lit_long_array(values) -> Column:
     """ONE ``Literal`` node of ``array<bigint>``."""
-    return F.lit(np.asarray(values, dtype=np.int64))
+    arr = np.ascontiguousarray(values, dtype=">i8")
+    col = _bulk_lit(arr, "long")
+    return col if col is not None else F.lit(arr.astype(np.int64))

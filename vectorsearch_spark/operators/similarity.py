@@ -122,6 +122,26 @@ def _centroids_df(spark, centroids: np.ndarray, double: bool = False) -> DataFra
     return spark.createDataFrame(rows, schema)
 
 
+def _cents_lit(cents: np.ndarray) -> Column:
+    """Centroid matrix as an array of single-Literal rows — a ~(k+1)-
+    node tree built in O(k) py4j round-trips (see litarrays)."""
+    return F.array(
+        *[lit_double_array(c) for c in np.asarray(cents, dtype=np.float64)]
+    )
+
+
+def _d2_sql(vec_col: str, i: int, cents_col: str = "_cents") -> str:
+    """SQL text of the squared-L2 fold between ``vec_col`` and centroid
+    ``i`` (0-based) of the ``cents_col`` literal-array column — the
+    textual mirror of the old DSL subtree (same casts, same fold
+    order), so distances are bit-identical."""
+    return (
+        f"aggregate(zip_with(`{vec_col}`, element_at({cents_col}, {i + 1}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: np.ndarray,
@@ -151,25 +171,22 @@ def ivf_assign(
         *[F.col(c) for c in keep],
     )
     if k * d <= 8192:
-        cand = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            lit_double_array(c),
-                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d2"),
-                    F.lit(i).cast("int").alias("bucket"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        # ONE F.expr string instead of per-centroid DSL subtrees (r14:
+        # the DSL build paid ~15 py4j round-trips per centroid per
+        # call); centroids arrive as single-Literal arrays that
+        # CollapseProject + ConstantFolding inline per struct, so the
+        # OPTIMIZED plan (and the argmin semantics, cast-for-cast) is
+        # identical to the old form's.
+        structs = ", ".join(
+            f"named_struct('d2', {_d2_sql(vec_col, i)}, "
+            f"'bucket', CAST({i} AS INT))"
+            for i in range(k)
         )
-        return pruned.select(
-            id_col, vec_col, *keep, F.array_min(cand)["bucket"].alias("bucket")
+        return pruned.withColumn(
+            "_cents", _cents_lit(centroids)
+        ).select(
+            id_col, vec_col, *keep,
+            F.expr(f"array_min(array({structs})).bucket").alias("bucket"),
         )
     cents = _centroids_df(vectors.sparkSession, centroids)
     scored = pruned.crossJoin(F.broadcast(cents)).withColumn(
@@ -226,28 +243,20 @@ def ivf_route(
         F.col(query_vec_col).alias("_qvec"),
     )
     if kc * d <= 8192:
-        cand = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_qvec"),
-                            lit_double_array(c),
-                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d2"),
-                    F.lit(i).cast("int").alias("bucket"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        # same F.expr-text construction as ivf_assign (r14) — identical
+        # optimized plan and tie-break semantics (struct lexicographic
+        # sort = (d2 asc, bucket asc)) to the old per-centroid DSL.
+        structs = ", ".join(
+            f"named_struct('d2', {_d2_sql('_qvec', i)}, "
+            f"'bucket', CAST({i} AS INT))"
+            for i in range(kc)
         )
-        probed = F.transform(
-            F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["bucket"]
+        probed = (
+            f"transform(slice(array_sort(array({structs})), 1, {nprobe}), "
+            f"s -> s.bucket)"
         )
-        return pruned.select(
-            "query_id", "_qvec", F.explode(probed).alias("bucket")
+        return pruned.withColumn("_cents", _cents_lit(cents)).select(
+            "query_id", "_qvec", F.explode(F.expr(probed)).alias("bucket")
         )
     cdf = _centroids_df(queries.sparkSession, cents)
     scored = pruned.crossJoin(F.broadcast(cdf)).withColumn(
@@ -494,60 +503,69 @@ def lsh_probe_signatures(
     the single-probe set — recall is monotone in ``multi_probe`` while
     table count (index size) stays fixed, which is the whole trade.
     All codegen: per-bit dots are kept as an array, the flip order is
-    ``array_sort`` by |dot|, keys are bitwiseXOR flips — no Python."""
+    ``array_sort`` by |dot|, keys are bitwiseXOR flips — no Python.
+
+    Construction (r14): the whole per-row key array is ONE ``F.expr``
+    SQL string — the per-bit DSL build paid ~10k py4j round-trips
+    (~18 s of driver time at 8 tables × 4 bits before any job ran;
+    profiled, see OPTIMIZATION_r14.md). Planes reach the expression as
+    a single-Literal array column (``lit_double_array``), which
+    CollapseProject inlines and ConstantFolding reduces back to one
+    literal per dot — the OPTIMIZED plan is identical to the old
+    DSL form's, and every generated subexpression (CAST/CASE/fold
+    order, struct field order, xor flips) textually mirrors the DSL
+    tree it replaced, so band keys are bit-identical (tests pin the
+    probe-0 ≡ lsh_signatures and superset/monotone properties)."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_tables, n_bits, dim))
+    vc = f"`{vec_col}`"
+
+    def dot(t: int, b: int) -> str:
+        idx = t * n_bits + b + 1  # element_at is 1-based
+        return (
+            f"aggregate(zip_with({vc}, element_at(_planes, {idx}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+
     key_arrays = []
     for t in range(n_tables):
-        dots = []
-        bits = F.lit(0).cast("long")
+        bits = "CAST(0 AS BIGINT)"
         for b in range(n_bits):
-            plane = planes[t, b]
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    lit_double_array(plane),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            bits += (
+                f" + (CASE WHEN {dot(t, b)} > 0 THEN CAST({1 << b} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
             )
-            dots.append(d)
-            bits = bits + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        home = F.concat(F.lit(f"{t}|"), bits.cast("string"))
-        if multi_probe <= 0:
-            key_arrays.append(F.array(home))
+        home = f"concat('{t}|', CAST({bits} AS STRING))"
+        if multi_probe <= 0 or n_bits == 0:
+            key_arrays.append(f"array({home})")
             continue
         # each struct carries its PRE-BUILT flipped key (literal bit
         # mask per b), so the selection lambda only reads struct
         # fields — no outer-expression references inside the HOF (the
-        # catalyst-hof pitfall, and a LateralColumnAliasReference
-        # analyzer error when the outer tree is this large)
-        ranked = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.abs(dots[b]).alias("a"),
-                        F.lit(b).alias("b"),
-                        F.concat(
-                            F.lit(f"{t}|"),
-                            bits.bitwiseXOR(F.lit(1 << b)).cast("string"),
-                        ).alias("k"),
-                    )
-                    for b in range(n_bits)
-                ]
-            )
+        # catalyst-hof pitfall)
+        structs = ", ".join(
+            f"named_struct('a', abs({dot(t, b)}), 'b', {b}, "
+            f"'k', concat('{t}|', CAST(({bits} ^ {1 << b}) AS STRING)))"
+            for b in range(n_bits)
         )
-        flips = F.transform(
-            F.slice(ranked, 1, min(multi_probe, n_bits)), lambda s: s["k"]
+        flips = (
+            f"transform(slice(array_sort(array({structs})), 1, "
+            f"{min(multi_probe, n_bits)}), s -> s.k)"
         )
-        key_arrays.append(F.concat(F.array(home), flips))
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(vec_col).alias(vec_col),
-        F.explode(F.flatten(F.array(*key_arrays))).alias("band_key"),
+        key_arrays.append(f"concat(array({home}), {flips})")
+    keys = f"flatten(array({', '.join(key_arrays)}))"
+    flat = [planes[t, b] for t in range(n_tables) for b in range(n_bits)]
+    planes_col = F.array(*[lit_double_array(p) for p in flat]) if flat else F.array(
+        lit_double_array([0.0])  # n_bits=0: never referenced, pruned away
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            planes_col.alias("_planes"),
+        )
+        .select(id_col, vec_col, F.explode(F.expr(keys)).alias("band_key"))
     )
 
 
@@ -609,9 +627,19 @@ def ann_lsh_join(
         vec_col="_qvec",
         seed=seed,
     )
+    # one exchange for dedup + top-k window (r14): hash(query_id)
+    # satisfies the dedup's ClusteredDistribution(query_id, id) AND the
+    # window's partitioning, so the explicit repartition replaces the
+    # two exchanges Catalyst would otherwise insert (hash(query_id, id)
+    # for dropDuplicates, then hash(query_id) for the window) — the
+    # cross-table candidate rows, each carrying both vectors, are
+    # shuffled ONCE instead of twice. The exact distance is computed
+    # AFTER the dedup, once per unique pair instead of once per
+    # (pair, matching table).
     cand = (
         v_sig.join(q_sig, "band_key")
         .select("query_id", id_col, vec_col, "_qvec")
+        .repartition("query_id")
         .dropDuplicates(["query_id", id_col])
         .withColumn("distance", distance_for_metric(F.col(vec_col), F.col("_qvec"), metric))
     )
@@ -1035,14 +1063,20 @@ def ivf_range_join(
     )
 
     # ONE bounded query-side probe answers emptiness AND mode selection
-    # before any centroid-training / corpus-aggregate work is paid
+    # before any centroid-training / corpus-aggregate work is paid.
+    # Explicit DISTRIBUTED mode skips the probe (r14): its routing
+    # qcount aggregate IS the emptiness check (no probed cells → empty
+    # result before any scoring), so the extra Spark job bought nothing
+    # in the common path — it only spared centroid training in the
+    # empty-queries degenerate case, which now trains and then
+    # short-circuits.
     mode = query_mode
     if mode == "auto":
         qn = queries.limit(max_driver_queries + 1).count()
         if qn == 0:
             return empty
         mode = "driver" if qn <= max_driver_queries else "distributed"
-    elif queries.limit(1).count() == 0:
+    elif mode == "driver" and queries.limit(1).count() == 0:
         return empty
 
     if metric == Metric.L2:
@@ -1141,31 +1175,28 @@ def ivf_range_join(
             # filter by the per-cell threshold, project buckets, explode.
             # Narrow map, bounded ≤|cells| fan-out, zero Spark jobs to
             # plan — the routing twin of ivf_route for radius queries.
-            cand = F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("_qgeo"),
-                                lit_double_array(cents[b]),
-                                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        ).alias("d2"),
-                        F.lit(float(tb)).alias("thr"),
-                        F.lit(int(b)).cast("int").alias("bucket"),
-                    )
-                    for b, tb in thr.items()
-                ]
+            # F.expr-text construction (r14, the ivf_assign pattern):
+            # same optimized plan and threshold semantics as the old
+            # per-cell DSL subtrees; thresholds are embedded via
+            # CAST('repr' AS DOUBLE), which parses back to the exact
+            # same IEEE 754 double the DSL literal carried.
+            structs = ", ".join(
+                f"named_struct('d2', {_d2_sql('_qgeo', b)}, "
+                f"'thr', CAST('{float(tb)!r}' AS DOUBLE), "
+                f"'bucket', CAST({int(b)} AS INT))"
+                for b, tb in thr.items()
             )
-            kept = F.filter(cand, lambda s: F.sqrt(s["d2"]) <= s["thr"])
+            kept = (
+                f"transform(filter(array({structs}), "
+                f"s -> SQRT(s.d2) <= s.thr), s -> s.bucket)"
+            )
             routed = (
                 pruned.withColumn("_qgeo", qgeo_expr)
+                .withColumn("_cents", _cents_lit(cents))
                 .select(
                     "query_id",
                     "_qvec",
-                    F.explode(F.transform(kept, lambda s: s["bucket"])).alias("bucket"),
+                    F.explode(F.expr(kept)).alias("bucket"),
                 )
             )
         else:
