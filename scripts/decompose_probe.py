@@ -19,6 +19,8 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
+    import importlib.util
+
     from vectorsearch_spark import workload
     from vectorsearch_spark.session import get_spark
 
@@ -26,6 +28,12 @@ def main() -> None:
     spark = get_spark("vs_decompose", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.read.parquet(f"{args.sf}/lineitem.parquet").count()
     registry = dict(workload.queries())
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    registry.update({k: v for k, v in bench.EXTRA.items() if v is not None})
     tracker = spark.sparkContext.statusTracker()
 
     for name in args.names.split(","):

@@ -199,28 +199,28 @@ def _minhash_buckets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         (F.conv(F.substring("_d", 1, 15), 16, 10).cast("long") % P).alias("_h1"),
         (F.conv(F.substring("_d", 17, 15), 16, 10).cast("long") % P).alias("_h2"),
     )
+    # F.expr-text construction (r14): the per-hash/per-band DSL loops
+    # paid a few hundred py4j round-trips per call; the strings mirror
+    # the DSL trees exactly (same int-literal affine combos, same
+    # concat_ws band digests), so signatures are bit-identical.
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % P).alias(f"_s{i}")
+            F.expr(f"min((_h1 + {i} * _h2) % {P}) AS _s{i}")
             for i in range(num_hashes)
         ]
     )
-    band_keys = [
-        F.concat(
-            F.lit(f"{b}|"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"_s{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
+    band_keys = ", ".join(
+        "concat('{b}|', md5(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"_s{b * rows_per_band + r}" for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
-    ]
-    return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    )
+    return sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_keys})")).alias("band_key")
+    )
 
 
 def minhash_lsh_pairs(
@@ -626,6 +626,8 @@ def duplicate_clusters(
     deterministic regardless of round count; ``max_iters`` only guards
     against adversarial chains.
     """
+    from pyspark.sql import Observation
+
     a = F.col(id_a).cast("long")
     b = F.col(id_b).cast("long")
     edges = (
@@ -633,12 +635,18 @@ def duplicate_clusters(
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
     ).localCheckpoint()
+    # the Σlabel convergence metric rides each round's (eager)
+    # localCheckpoint job via observe() — one pass per round instead of
+    # checkpoint + separate aggregation job (r14; results unchanged,
+    # CollectMetrics adds no row transformation)
+    obs0 = Observation()
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
+        .observe(obs0, F.sum("label").alias("s"))
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = obs0.get["s"]
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc)
@@ -658,14 +666,16 @@ def duplicate_clusters(
         l2 = stepped.select(
             F.col("doc").alias("_ldoc"), F.col("label").alias("_llabel")
         )
+        obs = Observation()
         jumped = (
             stepped.join(l2, stepped.label == l2._ldoc, "left")
             .select(
                 "doc", F.coalesce("_llabel", F.col("label")).alias("label")
             )
+            .observe(obs, F.sum("label").alias("s"))
         ).localCheckpoint()
         labels = jumped
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

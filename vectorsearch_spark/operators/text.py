@@ -292,16 +292,25 @@ def simhash_fingerprints(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum((F.col("h").bitwiseAND(F.lit(1 << j)) != 0).cast("int")).alias(f"b{j}")
+    # F.expr-text construction (r14): the per-bit DSL loop built ~900
+    # Column objects = ~900 py4j round-trips per call (several seconds
+    # of driver time before any job); the SQL strings below textually
+    # mirror the old DSL trees (same casts, same bit masks, same
+    # left-assoc sum), so fingerprints are bit-identical.
+    aggs = [F.expr("count(1) AS n")] + [
+        F.expr(f"sum(CAST(((h & {1 << j}) != 0) AS INT)) AS b{j}")
         for j in range(bits)
     ]
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(
-            F.col(f"b{j}") * 2 >= F.col("n"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return hashed.groupBy("doc_id").agg(*aggs).select("doc_id", fp.alias("simhash"))
+    fp = "CAST(0 AS BIGINT)" + "".join(
+        f" + (CASE WHEN b{j} * 2 >= n THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.expr(fp).alias("simhash"))
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
