@@ -46,23 +46,35 @@ def logistic_fit(
     """
     d = len(feature_cols)
 
+    # materialize the (d+1)-column feature matrix ONCE (r14, guide §5):
+    # every GD iteration is a full pass, and without this each of the
+    # ``iters`` jobs re-evaluated the caller's feature pipeline from the
+    # raw text (tokenize + doc stats × 50 for the quality classifier).
+    # The checkpointed table is d+1 doubles per row — the standard
+    # iterative-ML materialization; weights are bit-identical since the
+    # casts are unchanged.
+    feat = df.select(
+        *[F.col(c).cast("double").alias(f"f{i}") for i, c in enumerate(feature_cols)],
+        F.col(label_col).cast("double").alias("y"),
+    ).localCheckpoint()
+
     def _bad(c: str) -> "F.Column":
-        v = F.col(c).cast("double")
+        v = F.col(c)
         return F.sum(F.when(v.isNull() | F.isnan(v), 1).otherwise(0))
 
     # one bounded aggregate for the standardizer (3d+2 numbers); the
     # null/NaN counters make a dirty feature column a loud ValueError —
     # without them NaNs flow through the mean/variance sums and the
     # per-partition gradients, and the "fitted" weights are silently NaN
-    stats = df.agg(
+    stats = feat.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col(c).cast("double")).alias(f"s{i}") for i, c in enumerate(feature_cols)],
+        *[F.sum(F.col(f"f{i}")).alias(f"s{i}") for i in range(d)],
         *[
-            F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"q{i}")
-            for i, c in enumerate(feature_cols)
+            F.sum(F.col(f"f{i}") * F.col(f"f{i}")).alias(f"q{i}")
+            for i in range(d)
         ],
-        *[_bad(c).alias(f"bad{i}") for i, c in enumerate(feature_cols)],
-        _bad(label_col).alias("bad_y"),
+        *[_bad(f"f{i}").alias(f"bad{i}") for i in range(d)],
+        _bad("y").alias("bad_y"),
     ).first()
     n = float(stats["n"])
     if n == 0:
@@ -79,11 +91,6 @@ def logistic_fit(
     var = np.array([stats[f"q{i}"] / n for i in range(d)]) - mu * mu
     sd = np.sqrt(np.maximum(var, 1e-12))
     sd[sd == 0] = 1.0
-
-    feat = df.select(
-        *[F.col(c).cast("double").alias(f"f{i}") for i, c in enumerate(feature_cols)],
-        F.col(label_col).cast("double").alias("y"),
-    )
     w = np.zeros(d + 1)  # standardized-space weights + intercept
 
     for _ in range(iters):

@@ -84,6 +84,11 @@ def kmeans_fit(
         cents = np.asarray(init, dtype=np.float64).copy()
     d = cents.shape[1]
 
+    # one materialization feeds all ``iters`` passes (r14, guide §5):
+    # without it every iteration re-ran the caller's upstream plan
+    # (parquet scan at minimum); centroids are bit-identical
+    vecs = df.select(vec_col).localCheckpoint()
+
     for _ in range(iters):
         c = cents.copy()
 
@@ -109,7 +114,7 @@ def kmeans_fit(
                     }
                 )
 
-        rows = df.select(vec_col).mapInPandas(
+        rows = vecs.mapInPandas(
             partials, schema="cl long, n long, s array<double>"
         ).collect()
         cnt = np.zeros(k)

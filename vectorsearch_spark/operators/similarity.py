@@ -1415,7 +1415,13 @@ def _blocked_candidates(
             cols["_q"] = pd.Series([qmat[j].tolist() for j in qi], dtype="object")
         return pd.DataFrame(cols)
 
-    n_part = 2 * spark.sparkContext.defaultParallelism
+    # scale-adaptive partition count (r14, guide §2): the grid has
+    # exactly Σ_cells sv·sq distinct (bucket, vsalt, qsalt) groups —
+    # repartitioning into more partitions than groups just schedules
+    # empty tasks (at bench scale 16 groups rode 64 partitions; at
+    # production scale groups ≫ cores and the cap binds as before).
+    total_groups = sum(sv[b] * sq[b] for b in buckets)
+    n_part = max(1, min(2 * spark.sparkContext.defaultParallelism, total_groups))
     keys = ["bucket", "vsalt", "qsalt"]
     schema = "query_id long, id long"
     if carry_vectors:

@@ -159,15 +159,25 @@ def unigram_train(
         raise ValueError("prune_frac must be in (0, 1) — at 1.0 pruning "
                          "keeps everything and the shrink loop cannot terminate")
     words = _word_freqs(df, id_col, text_col).localCheckpoint()
-    if words.limit(1).count() == 0:
+    # ONE aggregate answers emptiness + character set + char counts
+    # (r14: was three jobs — limit(1).count, distinct chars collect,
+    # char-count collect; every word has ≥1 character, so empty
+    # char_counts ⟺ empty words, and the distinct chars are exactly
+    # the aggregate's keys)
+    char_counts = {
+        r["ch"]: int(r["c"])
+        for r in words.select(
+            F.explode(F.split("w", "")).alias("ch"), F.col("cnt")
+        )
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    }
+    if not char_counts:
         raise ValueError("unigram_train: no alphabetic words in the corpus")
 
-    chars = sorted(
-        r["ch"]
-        for r in words.select(
-            F.explode(F.split("w", "")).alias("ch")
-        ).where(F.col("ch") != "").distinct().collect()
-    )
+    chars = sorted(char_counts)
     if int(vocab_size) <= len(chars):
         # every character must stay in the vocabulary (segmentability),
         # so a target at or below the char count is unreachable and the
@@ -216,16 +226,7 @@ def unigram_train(
     )
     counts: "dict[str, int]" = {r["piece"]: int(r["c"]) for r in cand}
     # chars enter with their corpus counts so initial probs are sane
-    char_counts = {
-        r["ch"]: int(r["c"])
-        for r in words.select(
-            F.explode(F.split("w", "")).alias("ch"), F.col("cnt")
-        )
-        .where(F.col("ch") != "")
-        .groupBy("ch")
-        .agg(F.sum("cnt").alias("c"))
-        .collect()
-    }
+    # (already aggregated above — the same (ch, Σcnt) rows)
     for ch, c in char_counts.items():
         counts.setdefault(ch, c)
     logp = _mstep(counts, chars)
