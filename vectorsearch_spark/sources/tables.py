@@ -49,6 +49,25 @@ def _check_schema(df: DataFrame, expected: dict[str, str], name: str) -> DataFra
     return df
 
 
+# schema METADATA memo (r14): every spark.read.parquet re-lists the
+# path and re-reads a footer for schema inference — pure driver
+# overhead re-paid on each of the hundreds of load_table calls a bench
+# run makes. Caching the inferred StructType per (path) and passing it
+# back via .schema(...) skips the inference entirely; this caches no
+# data, no plan, and no results — just the file schema, which is what
+# the module doc already prescribes for 100k+-file tables ("explicit
+# schemas skip file-footer schema inference").
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    st = _SCHEMA_CACHE.get(path)
+    if st is None:
+        st = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = st
+    return spark.read.schema(st).parquet(path)
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Normalize events.parquet's ``ts`` to a session-TZ TIMESTAMP.
 
@@ -60,7 +79,7 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     and string renderings are identical across drops under the UTC
     session zone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(path)
+    ev = _read_parquet(spark, path)
     ts_type = ev.schema["ts"].dataType.simpleString()
     if ts_type == "bigint":  # ns epoch via nanosAsLong
         return ev.withColumn(
@@ -76,7 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = read_events(spark, f"{sf_dir}/events.parquet")
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     expected = TABLE_SCHEMAS.get(name)
     return _check_schema(df, expected, name) if expected else df
 
