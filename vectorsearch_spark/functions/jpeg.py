@@ -30,6 +30,7 @@ payload column, vectorsearch.proto:123-125).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -114,6 +115,39 @@ def _huff_codes(bits, huffval):
     return out
 
 
+# Encoder code tables are constants (the Annex K tables above) — build
+# them once at import instead of four dict builds per encode_jpeg call.
+_ENC_DC_LUMA = _huff_codes(*_DC_LUMA)
+_ENC_AC_LUMA = _huff_codes(*_AC_LUMA)
+_ENC_DC_CHROMA = _huff_codes(*_DC_CHROMA)
+_ENC_AC_CHROMA = _huff_codes(*_AC_CHROMA)
+
+
+def _huff_lut(bits, huffval) -> list:
+    """(BITS, HUFFVAL) → 65536-entry decode LUT: a 16-bit lookahead
+    indexes straight to ``(code_length << 8) | symbol`` (0 = no code
+    matches — invalid stream). Huffman codes are ≤ 16 bits, so one
+    list lookup replaces the bit-by-bit tree walk."""
+    lut = np.zeros(65536, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            lut[start:start + (1 << (16 - length))] = (length << 8) | huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut.tolist()
+
+
+# Decode LUTs keyed by the raw DHT table payload (class/id byte + BITS
+# + HUFFVAL): every frame of an M-JPEG stream — and in practice every
+# payload, since encoders ship the standard Annex K tables — reuses the
+# same few tables, so the LUT build happens once per worker process.
+_DHT_LUT_CACHE: dict[bytes, list] = {}
+
+
 # DCT-II basis matrix: F = C @ x @ C.T ; inverse x = C.T @ F @ C
 def _dct_matrix() -> np.ndarray:
     k = np.arange(8)
@@ -153,46 +187,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG: truncated entropy-coded data")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError(
-                        f"JPEG: unexpected marker 0xFF{nxt:02X} in scan"
-                    )
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-        self.nbits -= n
-        val = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return val
-
-
-def _decode_huff_symbol(br: _BitReader, table: dict) -> int:
-    """table: {(code, length): symbol} — walk bit by bit (codes ≤ 16)."""
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid Huffman code")
-
-
 def _magnitude(v: int) -> tuple[int, int]:
     """Coefficient → (size category, value bits) per T.81 F.1.2.1."""
     if v == 0:
@@ -204,6 +198,7 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _extend(bits: int, size: int) -> int:
+    # kept for reference; the decoder inlines this arithmetic
     if size == 0:
         return 0
     if bits < (1 << (size - 1)):
@@ -215,22 +210,40 @@ def _extend(bits: int, size: int) -> int:
 # Encoder
 # ---------------------------------------------------------------------------
 
-def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
-    f = _C @ (block.astype(np.float64) - 128.0) @ _C.T
-    return np.round(f / q).astype(np.int64)
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) plane with 8-aligned dims → (n, 8, 8) blocks in raster
+    (by, bx) order — one reshape/transpose instead of a Python loop."""
+    H, W = plane.shape
+    return plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
 
 
-def _encode_block(bw: _BitWriter, coefs: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
-    zz = coefs.ravel()[ZIGZAG]
-    diff = int(zz[0]) - pred
+def _fdct_quant_batch(blocks: np.ndarray, q: np.ndarray):
+    """Forward DCT + quantize for a whole (n, 8, 8) block stack in one
+    matmul (guide §4.2: batch the GEMM), returning per-block zigzag
+    coefficient lists plus a has-AC flag so all-zero-AC blocks (the
+    common case for quantized content) skip the 63-entry scan."""
+    f = _C @ (blocks.astype(np.float64) - 128.0) @ _C.T
+    zz = np.round(f / q).astype(np.int64).reshape(len(blocks), 64)[:, ZIGZAG]
+    return zz.tolist(), (zz[:, 1:] != 0).any(axis=1).tolist()
+
+
+def _encode_block(bw: _BitWriter, zz: list, pred: int, dc_codes, ac_codes, has_ac: bool = True) -> int:
+    """Entropy-code one block given its zigzag coefficients as a plain
+    Python list (``_fdct_quant_batch`` output)."""
+    dc = zz[0]
+    diff = dc - pred
     size, bits = _magnitude(diff)
     code, length = dc_codes[size]
     bw.write(code, length)
     if size:
         bw.write(bits, size)
+    if not has_ac:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+        return dc
     run = 0
     for k in range(1, 64):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -246,7 +259,7 @@ def _encode_block(bw: _BitWriter, coefs: np.ndarray, pred: int, dc_codes, ac_cod
     if run:
         code, length = ac_codes[0x00]  # EOB
         bw.write(code, length)
-    return int(zz[0])
+    return dc
 
 
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
@@ -271,9 +284,50 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 def _pad_edge(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     h, w = plane.shape
+    if h % bh == 0 and w % bw_ == 0:
+        return plane  # already aligned — skip the np.pad call entirely
     H = (h + bh - 1) // bh * bh
     W = (w + bw_ - 1) // bw_ * bw_
     return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _dht_segment(tc_th: int, bits, huffval) -> bytes:
+    payload = bytes([tc_th]) + bytes(bits) + bytes(huffval)
+    return b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+_DHT_GRAY = _dht_segment(0x00, *_DC_LUMA) + _dht_segment(0x10, *_AC_LUMA)
+_DHT_COLOR = (
+    _DHT_GRAY
+    + _dht_segment(0x01, *_DC_CHROMA)
+    + _dht_segment(0x11, *_AC_CHROMA)
+)
+
+
+@lru_cache(maxsize=64)
+def _jfif_header(qzz: bytes, h: int, w: int, gray: bool, sub420: bool) -> bytes:
+    """Everything before the entropy-coded data. All of it is a pure
+    function of (quant table, dims, mode) — M-JPEG streams and
+    same-shaped corpora reuse the cached bytes."""
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + qzz  # DQT (table 0)
+    ncomp = 1 if gray else 3
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)  # SOF0
+    if gray:
+        out += bytes([1, 0x11, 0])
+    else:
+        luma_hv = 0x22 if sub420 else 0x11
+        out += bytes([1, luma_hv, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += _DHT_GRAY if gray else _DHT_COLOR
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)  # SOS
+    if gray:
+        out += bytes([1, 0x00])
+    else:
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += bytes([0, 63, 0])
+    return bytes(out)
 
 
 def encode_jpeg(
@@ -302,53 +356,22 @@ def encode_jpeg(
         if np.isscalar(quant)
         else np.asarray(quant, dtype=np.int64).reshape(8, 8)
     )
+    qz = q.ravel()[ZIGZAG]
+    if ((qz < 0) | (qz > 255)).any():
+        raise ValueError("bytes must be in range(0, 256)")
     h, w = img.shape[:2]
-
-    out = bytearray()
-    out += b"\xFF\xD8"  # SOI
-    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    # DQT (table 0; chroma reuses it)
-    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + bytes(
-        int(q.ravel()[ZIGZAG][i]) for i in range(64)
-    )
     sub420 = (not gray) and subsampling == "4:2:0"
-    # SOF0
-    ncomp = 1 if gray else 3
-    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    if gray:
-        out += bytes([1, 0x11, 0])
-    else:
-        luma_hv = 0x22 if sub420 else 0x11
-        out += bytes([1, luma_hv, 0, 2, 0x11, 0, 3, 0x11, 0])
-    # DHT — emit the four standard tables (grayscale only needs two)
-    def _dht(tc_th: int, bits, huffval) -> bytes:
-        payload = bytes([tc_th]) + bytes(bits) + bytes(huffval)
-        return b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
-
-    out += _dht(0x00, *_DC_LUMA) + _dht(0x10, *_AC_LUMA)
-    if not gray:
-        out += _dht(0x01, *_DC_CHROMA) + _dht(0x11, *_AC_CHROMA)
-    # SOS
-    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    if gray:
-        out += bytes([1, 0x00])
-    else:
-        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
-    out += bytes([0, 63, 0])
-
-    dc_l = _huff_codes(*_DC_LUMA)
-    ac_l = _huff_codes(*_AC_LUMA)
-    dc_c = _huff_codes(*_DC_CHROMA)
-    ac_c = _huff_codes(*_AC_CHROMA)
+    out = bytearray(
+        _jfif_header(qz.astype(np.uint8).tobytes(), h, w, gray, sub420)
+    )
 
     bw = _BitWriter()
     if gray:
         plane = _pad_edge(img, 8, 8)
+        zzs, has_ac = _fdct_quant_batch(_plane_blocks(plane), q)
         pred = 0
-        for by in range(plane.shape[0] // 8):
-            for bx in range(plane.shape[1] // 8):
-                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                pred = _encode_block(bw, _fdct_quant(blk, q), pred, dc_l, ac_l)
+        for zz, ha in zip(zzs, has_ac):
+            pred = _encode_block(bw, zz, pred, _ENC_DC_LUMA, _ENC_AC_LUMA, ha)
     else:
         ycc = _rgb_to_ycbcr(img)
         ys = _pad_edge(ycc[..., 0], 16 if sub420 else 8, 16 if sub420 else 8)
@@ -359,36 +382,43 @@ def encode_jpeg(
             cb = cb_full.reshape(cb_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
             cr = cr_full.reshape(cr_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
             cb, cr = np.round(cb), np.round(cr)
+            H, W = ys.shape
+            # luma blocks in MCU order (my, mx, sy, sx); chroma raster
+            yb = (
+                ys.reshape(H // 16, 2, 8, W // 16, 2, 8)
+                .transpose(0, 3, 1, 4, 2, 5)
+                .reshape(-1, 8, 8)
+            )
+            yzz, yha = _fdct_quant_batch(yb, q)
+            bzz, bha = _fdct_quant_batch(_plane_blocks(cb), q)
+            rzz, rha = _fdct_quant_batch(_plane_blocks(cr), q)
             preds = [0, 0, 0]
-            for my in range(ys.shape[0] // 16):
-                for mx in range(ys.shape[1] // 16):
-                    for sy in range(2):
-                        for sx in range(2):
-                            blk = ys[
-                                my * 16 + sy * 8: my * 16 + sy * 8 + 8,
-                                mx * 16 + sx * 8: mx * 16 + sx * 8 + 8,
-                            ]
-                            preds[0] = _encode_block(
-                                bw, _fdct_quant(blk, q), preds[0], dc_l, ac_l
-                            )
-                    for ci, plane in ((1, cb), (2, cr)):
-                        blk = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                        preds[ci] = _encode_block(
-                            bw, _fdct_quant(blk, q), preds[ci], dc_c, ac_c
-                        )
+            for m in range(len(bzz)):
+                for s in range(4):
+                    i = m * 4 + s
+                    preds[0] = _encode_block(
+                        bw, yzz[i], preds[0], _ENC_DC_LUMA, _ENC_AC_LUMA, yha[i]
+                    )
+                preds[1] = _encode_block(
+                    bw, bzz[m], preds[1], _ENC_DC_CHROMA, _ENC_AC_CHROMA, bha[m]
+                )
+                preds[2] = _encode_block(
+                    bw, rzz[m], preds[2], _ENC_DC_CHROMA, _ENC_AC_CHROMA, rha[m]
+                )
         else:
-            planes = [
-                _pad_edge(ycc[..., c], 8, 8) for c in range(3)
+            batched = [
+                _fdct_quant_batch(_plane_blocks(_pad_edge(ycc[..., c], 8, 8)), q)
+                for c in range(3)
             ]
             preds = [0, 0, 0]
-            for by in range(planes[0].shape[0] // 8):
-                for bx in range(planes[0].shape[1] // 8):
-                    for ci, plane in enumerate(planes):
-                        blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                        dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                        preds[ci] = _encode_block(
-                            bw, _fdct_quant(blk, q), preds[ci], dc, ac
-                        )
+            for i in range(len(batched[0][0])):
+                for ci, (zzs, has_ac) in enumerate(batched):
+                    dc, ac = (
+                        (_ENC_DC_LUMA, _ENC_AC_LUMA)
+                        if ci == 0
+                        else (_ENC_DC_CHROMA, _ENC_AC_CHROMA)
+                    )
+                    preds[ci] = _encode_block(bw, zzs[i], preds[ci], dc, ac, has_ac[i])
     out += bw.flush()
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
@@ -421,25 +451,21 @@ def _frame_end(data: bytes, start: int) -> int:
                 in_scan = True
             pos += seglen
         else:
-            b = data[pos]
-            pos += 1
-            if b != 0xFF:
-                continue
-            nxt = data[pos] if pos < len(data) else None
-            if nxt is None:
-                # scan data ends in a bare trailing 0xFF: the stream was
-                # cut mid-frame (rewinding would re-enter the marker
-                # walker one byte short and read past the buffer)
+            # jump straight to the next 0xFF instead of stepping bytes
+            j = data.find(b"\xff", pos)
+            if j == -1 or j + 1 >= len(data):
+                # no marker, or scan data ends in a bare trailing 0xFF:
+                # the stream was cut mid-frame
                 raise ValueError("MJPEG: truncated frame (no EOI)")
+            nxt = data[j + 1]
             if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                pos += 1  # stuffed byte / restart marker: still in scan
+                pos = j + 2  # stuffed byte / restart marker: still in scan
             elif nxt == 0xD9:
-                return pos + 1
+                return j + 2
             else:
                 # another marker segment inside the scan (e.g. DNL):
-                # rewind to the 0xFF so the segment walker re-parses
-                # the full marker (pos already sits ON the marker byte)
-                pos -= 1
+                # hand the 0xFF back to the segment walker
+                pos = j
                 in_scan = False
     raise ValueError("MJPEG: truncated frame (no EOI)")
 
@@ -465,11 +491,30 @@ def encode_mjpeg(frames, quant=None, subsampling: str = "4:4:4") -> bytes:
 
 def decode_mjpeg(data: bytes) -> np.ndarray:
     """Decode an M-JPEG stream → (n_frames, h, w, 3) uint8 (all frames
-    must share dimensions, as in any fixed-resolution video)."""
-    frames = [decode_jpeg(f) for f in split_mjpeg(data)]
-    if len({f.shape for f in frames}) != 1:
-        raise ValueError("MJPEG: frames have mixed dimensions")
-    return np.stack(frames)
+    must share dimensions, as in any fixed-resolution video).
+
+    Fixed-resolution streams from a single encoder share byte-identical
+    header segments, so the headers are parsed once and the per-frame
+    dequantize/IDCT/color work runs as ONE batched pass over every
+    block of every frame (guide §4.2) instead of 33 small passes."""
+    frames = split_mjpeg(data)
+    st = _parse_jpeg_header(frames[0])
+    hdr = frames[0][:st["pos"]]
+    if len(frames) > 1 and not all(f.startswith(hdr) for f in frames[1:]):
+        # headers differ: decode frame by frame (covers mixed dims too)
+        dec = [decode_jpeg(f) for f in frames]
+        if len({d.shape for d in dec}) != 1:
+            raise ValueError("MJPEG: frames have mixed dimensions")
+        return np.stack(dec)
+    zz_by: dict[int, list] = {c["id"]: [] for c in st["comps"]}
+    pos3: dict[int, list] = {c["id"]: [] for c in st["comps"]}
+    for fi, f in enumerate(frames):
+        z, p = _scan_decode(f, st)
+        for cid in z:
+            zz_by[cid].extend(z[cid])
+            pos3[cid].extend((fi, y0, x0) for (y0, x0) in p[cid])
+    planes = _idct_scatter(st, zz_by, pos3, len(frames))
+    return _reconstruct(st, planes)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -477,11 +522,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     replicates into 3 channels, matching the other codecs' contract).
     Supports 8-bit baseline sequential, 1 or 3 components, sampling
     factors 1×1 everywhere or 2×2 luma with 1×1 chroma (4:2:0)."""
+    st = _parse_jpeg_header(data)
+    zz_by, pos_by = _scan_decode(data, st)
+    pos3 = {cid: [(0, y0, x0) for (y0, x0) in pos_by[cid]] for cid in pos_by}
+    planes = _idct_scatter(st, zz_by, pos3, 1)
+    return _reconstruct(st, planes)[0]
+
+
+def _parse_jpeg_header(data: bytes) -> dict:
+    """Walk the marker segments up to and including SOS; returns the
+    parse state (component layout, tables, MCU grid, and ``pos`` — the
+    offset where entropy-coded data starts)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> {(code,len): sym}
+    htables: dict[tuple[int, int], list] = {}  # (class, id) -> 16-bit LUT
     comps: list[dict] = []
     h = w = 0
     scan_order: list[dict] = []
@@ -511,11 +567,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1:p + 17])
-                nval = sum(bits)
-                huffval = list(seg[p + 17:p + 17 + nval])
-                codes = _huff_codes(bits, huffval)
-                htables[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
+                nval = sum(seg[p + 1:p + 17])
+                key = seg[p:p + 17 + nval]
+                lut = _DHT_LUT_CACHE.get(key)
+                if lut is None:
+                    if len(_DHT_LUT_CACHE) > 64:
+                        _DHT_LUT_CACHE.clear()
+                    lut = _huff_lut(list(seg[p + 1:p + 17]), list(seg[p + 17:p + 17 + nval]))
+                    _DHT_LUT_CACHE[key] = lut
+                htables[(tc, th)] = lut
                 p += 17 + nval
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, nc = struct.unpack(">BHHB", seg[0:6])
@@ -548,60 +608,175 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if not ({(c["h"], c["v"]) for c in comps} <= {(1, 1), (2, 2)}):
         raise ValueError("JPEG: only 1x1 / 2x2 sampling factors supported")
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    planes = {
-        c["id"]: np.zeros(
-            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
-        )
-        for c in comps
+    return {
+        "pos": pos,
+        "comps": comps,
+        "qtables": qtables,
+        "htables": htables,
+        "scan_order": scan_order,
+        "h": h,
+        "w": w,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": (w + mcu_w - 1) // mcu_w,
+        "mcus_y": (h + mcu_h - 1) // mcu_h,
     }
 
-    br = _BitReader(data, pos)
+
+def _scan_decode(data: bytes, st: dict):
+    """Entropy-decode one frame's scan → per-component zigzag
+    coefficient lists and block positions.
+
+    The scan's end (the first non-stuffed marker) is found with
+    ``find``, the 0xFF00 stuffing removed once, and bits then read via
+    16-bit LUT lookups on a flat buffer instead of bit-by-bit tree
+    walks. The 5-byte sentinel keeps window slices full near the end;
+    reads that only succeed by consuming sentinel bits trip the
+    ``bitpos > total_bits`` check and raise the same truncated-data
+    ValueError the old reader did."""
+    pos = st["pos"]
+    comps, scan_order, htables = st["comps"], st["scan_order"], st["htables"]
+    mcus_x, mcus_y = st["mcus_x"], st["mcus_y"]
+    j = data.find(b"\xff", pos)
+    while j != -1 and j + 1 < len(data) and data[j + 1] == 0x00:
+        j = data.find(b"\xff", j + 2)
+    scan_end = j if j != -1 else len(data)
+    ent = data[pos:scan_end].replace(b"\xff\x00", b"\xff") + b"\x00" * 5
+    total_bits = 8 * (len(ent) - 5)
+    bitpos = 0
+
     preds = {c["id"]: 0 for c in comps}
+    zz_by: dict[int, list] = {c["id"]: [] for c in comps}
+    pos_by: dict[int, list] = {c["id"]: [] for c in comps}
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for c in scan_order:
                 dct = htables[(0, c["td"])]
                 act = htables[(1, c["ta"])]
-                q = qtables[c["tq"]]
+                cid = c["id"]
                 for sy in range(c["v"]):
                     for sx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _decode_huff_symbol(br, dct)
-                        diff = _extend(br.read(size), size) if size else 0
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
+                        zz = [0] * 64
+                        b0 = bitpos >> 3
+                        v = dct[
+                            (int.from_bytes(ent[b0:b0 + 5], "big")
+                             >> (24 - (bitpos & 7))) & 0xFFFF
+                        ]
+                        if not v:
+                            raise ValueError("JPEG: invalid Huffman code")
+                        bitpos += v >> 8
+                        size = v & 0xFF
+                        if size:
+                            b0 = bitpos >> 3
+                            sh = bitpos & 7
+                            bits = (
+                                int.from_bytes(ent[b0:b0 + 3], "big")
+                                >> (24 - sh - size)
+                            ) & ((1 << size) - 1)
+                            bitpos += size
+                            diff = (
+                                bits
+                                if bits >= (1 << (size - 1))
+                                else bits - (1 << size) + 1
+                            )
+                        else:
+                            diff = 0
+                        if bitpos > total_bits:
+                            raise ValueError("JPEG: truncated entropy-coded data")
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
                         k = 1
                         while k < 64:
-                            sym = _decode_huff_symbol(br, act)
+                            b0 = bitpos >> 3
+                            v = act[
+                                (int.from_bytes(ent[b0:b0 + 5], "big")
+                                 >> (24 - (bitpos & 7))) & 0xFFFF
+                            ]
+                            if not v:
+                                raise ValueError("JPEG: invalid Huffman code")
+                            bitpos += v >> 8
+                            if bitpos > total_bits:
+                                raise ValueError("JPEG: truncated entropy-coded data")
+                            sym = v & 0xFF
                             if sym == 0x00:  # EOB
                                 break
-                            run, size = sym >> 4, sym & 0x0F
                             if sym == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            k += run
+                            k += sym >> 4
+                            size = sym & 0x0F
                             if k > 63:
                                 raise ValueError("JPEG: coefficient overflow")
-                            zz[k] = _extend(br.read(size), size)
+                            if size:
+                                b0 = bitpos >> 3
+                                sh = bitpos & 7
+                                bits = (
+                                    int.from_bytes(ent[b0:b0 + 3], "big")
+                                    >> (24 - sh - size)
+                                ) & ((1 << size) - 1)
+                                bitpos += size
+                                if bitpos > total_bits:
+                                    raise ValueError(
+                                        "JPEG: truncated entropy-coded data"
+                                    )
+                                zz[k] = (
+                                    bits
+                                    if bits >= (1 << (size - 1))
+                                    else bits - (1 << size) + 1
+                                )
                             k += 1
-                        coefs = np.zeros(64, dtype=np.float64)
-                        coefs[ZIGZAG] = zz * q.ravel()[ZIGZAG]
-                        blk = _C.T @ coefs.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * c["v"] + sy) * 8
-                        x0 = (mx * c["h"] + sx) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
+                        zz_by[cid].append(zz)
+                        pos_by[cid].append(
+                            ((my * c["v"] + sy) * 8, (mx * c["h"] + sx) * 8)
+                        )
+    return zz_by, pos_by
 
+
+def _idct_scatter(st: dict, zz_by: dict, pos3: dict, n_frames: int) -> dict:
+    """Dequantize + inverse DCT for each component's whole block stack
+    — across ALL frames — in one matmul (guide §4.2), then scatter the
+    blocks into per-component (n_frames, Hp, Wp) planes. ``pos3``
+    entries are (frame, y0, x0)."""
+    comps, qtables = st["comps"], st["qtables"]
+    mcus_x, mcus_y = st["mcus_x"], st["mcus_y"]
+    planes = {
+        c["id"]: np.zeros(
+            (n_frames, mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]),
+            dtype=np.float64,
+        )
+        for c in comps
+    }
+    for c in comps:
+        lst = zz_by[c["id"]]
+        if not lst:
+            continue
+        q = qtables[c["tq"]]
+        arr = np.array(lst, dtype=np.int64)
+        coefs = np.zeros((len(lst), 64), dtype=np.float64)
+        coefs[:, ZIGZAG] = arr * q.ravel()[ZIGZAG]
+        blocks = _C.T @ coefs.reshape(-1, 8, 8) @ _C + 128.0
+        plane = planes[c["id"]]
+        for (fi, y0, x0), blk in zip(pos3[c["id"]], blocks):
+            plane[fi, y0:y0 + 8, x0:x0 + 8] = blk
+    return planes
+
+
+def _reconstruct(st: dict, planes: dict) -> np.ndarray:
+    """Per-component (n_frames, Hp, Wp) planes → (n_frames, h, w, 3)
+    uint8 RGB — crop, chroma up-sample, color conversion, all batched
+    over the frame axis."""
+    comps, h, w, hmax, vmax = st["comps"], st["h"], st["w"], st["hmax"], st["vmax"]
     if len(comps) == 1:
-        y = np.clip(np.round(planes[comps[0]["id"]][:h, :w]), 0, 255).astype(np.uint8)
-        return np.repeat(y[..., None], 3, axis=2)
+        y = np.clip(
+            np.round(planes[comps[0]["id"]][:, :h, :w]), 0, 255
+        ).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=3)
     full = []
     for c in comps:
         p = planes[c["id"]]
         if c["h"] < hmax:  # box replicate up-sample
-            p = p.repeat(hmax // c["h"], axis=1).repeat(vmax // c["v"], axis=0)
-        full.append(p[:h, :w])
+            p = p.repeat(hmax // c["h"], axis=2).repeat(vmax // c["v"], axis=1)
+        full.append(p[:, :h, :w])
     ycc = np.stack(full, axis=-1)
     ycc = np.clip(np.round(ycc), 0, 255)
     return _ycbcr_to_rgb(ycc)
