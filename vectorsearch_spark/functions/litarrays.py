@@ -91,7 +91,12 @@ def lit_int_array(values) -> Column:
     """ONE ``Literal`` node of ``array<int>`` — matches the type of
     ``F.array(*[F.lit(int(v)) for v in values])`` for 32-bit-range ints
     (PySpark gives a bare int literal IntegerType when it fits)."""
-    arr = np.ascontiguousarray(values, dtype=">i4")
+    wide = np.ascontiguousarray(values, dtype=np.int64)
+    if wide.size and (wide.max() > 2**31 - 1 or wide.min() < -(2**31)):
+        raise OverflowError(
+            "lit_int_array: values exceed int32 range — use lit_long_array"
+        )
+    arr = np.ascontiguousarray(wide, dtype=">i4")
     col = _bulk_lit(arr, "int")
     return col if col is not None else F.lit(arr.astype(np.int32))
 
