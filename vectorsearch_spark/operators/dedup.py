@@ -455,7 +455,16 @@ def bitstring_near_dup(
     bands = max(1, min(int(bands), int(n_bits)))
     band_len = -(-int(n_bits) // bands)
 
-    rows = df.select(F.col(id_col).cast("long").alias(id_col), hash_col)
+    # Materialize the (id, fingerprint) proxy table once (guide §5/§8):
+    # the downstream DAG references it from SIX subtrees (groupBy, both
+    # self-join sides, the member rejoin), and Spark re-executes the
+    # upstream fingerprint pipeline — for the mm_* entries a full
+    # decode of every payload — once per reference (6 MapInPandas
+    # chains in the r15-before plan). The checkpointed table is the
+    # tiny proxy (id + n_bits-char hash), never the payloads.
+    rows = df.select(
+        F.col(id_col).cast("long").alias(id_col), hash_col
+    ).localCheckpoint()
     g = rows.groupBy(hash_col).agg(F.min(id_col).alias("_g_min"))
 
     band_keys = F.array(
