@@ -302,8 +302,14 @@ def unigram_encode(
     lp = {p: float(v) for p, v in vocab}
     mpl = int(max_piece_len)
 
-    toks = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    # Materialize the token table once (guide §5): both the
+    # distinct-words Viterbi pass and the occurrence join consume it,
+    # and without the checkpoint each branch re-ran the regex tokenize
+    # over the full corpus (two tokenize passes per encode).
+    toks = (
+        fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
+        .localCheckpoint(eager=False)
     )
     alpha = F.col("w").rlike("^[a-z]+$")
     words = toks.where(alpha).select("w").distinct()
