@@ -7621,7 +7621,18 @@ def stream_token_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFr
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0))
         ).alias("token"),
     )
-    capacity = max(int(toks.count()), 1)
+    # capacity only needs to be ≥ N (total tokens) for the degenerate-
+    # exact regime; every token is ≥ 1 char and tokens never overlap,
+    # so Σ length(text) ≥ N — one narrow column aggregate instead of
+    # the full regex-tokenize + explode + count pass the old
+    # toks.count() sizing job ran (est/lb/ub/rank all unchanged: the
+    # error bound floor(total/(capacity+1)) stays 0 for any cap ≥ N)
+    capacity = int(
+        min(
+            max(docs.agg(F.sum(F.length("text"))).collect()[0][0] or 0, 1),
+            2**31 - 1,
+        )
+    )
     tag = sf_dir.strip("/").replace("/", "_")
     state = os.path.join(tempfile.gettempdir(), f"hhx_fold_{tag}")
     shutil.rmtree(state, ignore_errors=True)
@@ -7678,7 +7689,15 @@ def source_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0))
         ).alias("token"),
     )
-    capacity = max(int(toks.count()), 1)
+    # Σ length(text) ≥ N ≥ every group's N_g — the same cheap capacity
+    # upper bound as stream_token_heavy_hitters_exact (per-group error
+    # floors stay 0, results unchanged), minus the tokenize+count job
+    capacity = int(
+        min(
+            max(docs.agg(F.sum(F.length("text"))).collect()[0][0] or 0, 1),
+            2**31 - 1,
+        )
+    )
     tag = sf_dir.strip("/").replace("/", "_")
     state = os.path.join(tempfile.gettempdir(), f"ghh_fold_{tag}")
     shutil.rmtree(state, ignore_errors=True)
