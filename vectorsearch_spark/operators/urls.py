@@ -134,6 +134,14 @@ def remove_dot_segments(path: Column) -> Column:
     )
 
 
+# Built canonicalization expressions keyed by (column name, strip_www):
+# the ~100-node tree costs ~0.3 s of py4j round-trips per build (r14
+# profiling) and is a pure function of its inputs — Column objects are
+# immutable expression trees, so reuse across queries is safe. Only
+# string column names are cached; Column-typed inputs build fresh.
+_CANON_CACHE: dict = {}
+
+
 def canonicalize_url(url: Column | str, strip_www: bool = False) -> Column:
     """Canonical form of an absolute http(s)-style URL as ONE codegen
     column expression (rules 1-7 in the module docstring).
@@ -141,7 +149,17 @@ def canonicalize_url(url: Column | str, strip_www: bool = False) -> Column:
     Non-URL strings (no ``scheme://``) pass through unchanged — the
     caller filters or flags them with ``is_absolute_url``.
     """
-    u = F.col(url) if isinstance(url, str) else url
+    if isinstance(url, str):
+        key = (url, bool(strip_www))
+        col = _CANON_CACHE.get(key)
+        if col is None:
+            col = _canonicalize_url_expr(F.col(url), strip_www)
+            _CANON_CACHE[key] = col
+        return col
+    return _canonicalize_url_expr(url, strip_www)
+
+
+def _canonicalize_url_expr(u: Column, strip_www: bool) -> Column:
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     authority = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
     # default-port strip happens against the LOWERCASED authority

@@ -5006,7 +5006,7 @@ def pipeline_crawl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url")
     )
     cand = raw_links.select(
-        canonicalize_url(F.col("link"), strip_www=True).alias("url")
+        canonicalize_url("link", strip_www=True).alias("url")
     )
     return (
         cand.join(known, "url", "left_anti")
