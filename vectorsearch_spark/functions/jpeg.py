@@ -485,8 +485,152 @@ def split_mjpeg(data: bytes) -> list[bytes]:
 
 def encode_mjpeg(frames, quant=None, subsampling: str = "4:4:4") -> bytes:
     """Concatenated-JPEG video stream (the raw M-JPEG form used by
-    MJPEG-over-HTTP and AVI 'MJPG' payloads, minus the container)."""
+    MJPEG-over-HTTP and AVI 'MJPG' payloads, minus the container).
+
+    Same-shaped frames (every fixed-resolution video) take a batched
+    path: one forward-DCT matmul over every block of every frame and
+    one shared header, instead of per-frame numpy chains — the frames
+    differ only in their entropy-coded bits (byte-identical output,
+    pinned in tests)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if len(frames) > 1 and len({f.shape for f in frames}) == 1:
+        return _encode_mjpeg_batched(frames, quant, subsampling)
     return b"".join(encode_jpeg(f, quant=quant, subsampling=subsampling) for f in frames)
+
+
+def _pad_edge3(stack: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """(nf, H, W) edge-pad on the raster axes only."""
+    _, h, w = stack.shape
+    if h % bh == 0 and w % bw_ == 0:
+        return stack
+    H = (h + bh - 1) // bh * bh
+    W = (w + bw_ - 1) // bw_ * bw_
+    return np.pad(stack, ((0, 0), (0, H - h), (0, W - w)), mode="edge")
+
+
+def _encode_mjpeg_batched(frames: list, quant, subsampling: str) -> bytes:
+    """All frames share (h, w[, 3]): run the per-plane block extraction
+    and DCT once over the (nf, …) stack; entropy-code per frame (DC
+    prediction resets at each SOI, exactly as the per-frame encoder)."""
+    f0 = frames[0]
+    gray = f0.ndim == 2
+    if not gray and (f0.ndim != 3 or f0.shape[2] != 3):
+        raise ValueError(f"encode_jpeg expects (h,w) or (h,w,3), got {f0.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if quant is None:
+        quant = 16
+    q = (
+        np.full((8, 8), int(quant), dtype=np.int64)
+        if np.isscalar(quant)
+        else np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    )
+    qz = q.ravel()[ZIGZAG]
+    if ((qz < 0) | (qz > 255)).any():
+        raise ValueError("bytes must be in range(0, 256)")
+    nf = len(frames)
+    h, w = f0.shape[:2]
+    sub420 = (not gray) and subsampling == "4:2:0"
+    header = _jfif_header(qz.astype(np.uint8).tobytes(), h, w, gray, sub420)
+    stack = np.stack(frames)
+    out = bytearray()
+
+    if gray:
+        planes = _pad_edge3(stack, 8, 8)
+        _, H, W = planes.shape
+        blocks = (
+            planes.reshape(nf, H // 8, 8, W // 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(-1, 8, 8)
+        )
+        zzs, has_ac = _fdct_quant_batch(blocks, q)
+        nb = (H // 8) * (W // 8)
+        for f in range(nf):
+            out += header
+            bw = _BitWriter()
+            pred = 0
+            for i in range(f * nb, (f + 1) * nb):
+                pred = _encode_block(bw, zzs[i], pred, _ENC_DC_LUMA, _ENC_AC_LUMA, has_ac[i])
+            out += bw.flush()
+            out += b"\xFF\xD9"
+        return bytes(out)
+
+    ycc = _rgb_to_ycbcr(stack)  # (nf, h, w, 3)
+    if sub420:
+        ys = _pad_edge3(ycc[..., 0], 16, 16)
+        cb_full = _pad_edge3(ycc[..., 1], 16, 16)
+        cr_full = _pad_edge3(ycc[..., 2], 16, 16)
+        _, H, W = ys.shape
+        cb = cb_full.reshape(nf, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+        cr = cr_full.reshape(nf, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+        cb, cr = np.round(cb), np.round(cr)
+        yb = (
+            ys.reshape(nf, H // 16, 2, 8, W // 16, 2, 8)
+            .transpose(0, 1, 4, 2, 5, 3, 6)
+            .reshape(-1, 8, 8)
+        )
+        yzz, yha = _fdct_quant_batch(yb, q)
+
+        def chroma_blocks(p):
+            _, Hc, Wc = p.shape
+            return (
+                p.reshape(nf, Hc // 8, 8, Wc // 8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(-1, 8, 8)
+            )
+
+        bzz, bha = _fdct_quant_batch(chroma_blocks(cb), q)
+        rzz, rha = _fdct_quant_batch(chroma_blocks(cr), q)
+        n_mcu = (H // 16) * (W // 16)
+        for f in range(nf):
+            out += header
+            bw = _BitWriter()
+            preds = [0, 0, 0]
+            for m in range(n_mcu):
+                for s in range(4):
+                    i = (f * n_mcu + m) * 4 + s
+                    preds[0] = _encode_block(
+                        bw, yzz[i], preds[0], _ENC_DC_LUMA, _ENC_AC_LUMA, yha[i]
+                    )
+                cm = f * n_mcu + m
+                preds[1] = _encode_block(
+                    bw, bzz[cm], preds[1], _ENC_DC_CHROMA, _ENC_AC_CHROMA, bha[cm]
+                )
+                preds[2] = _encode_block(
+                    bw, rzz[cm], preds[2], _ENC_DC_CHROMA, _ENC_AC_CHROMA, rha[cm]
+                )
+            out += bw.flush()
+            out += b"\xFF\xD9"
+        return bytes(out)
+
+    batched = []
+    nb = None
+    for c in range(3):
+        p = _pad_edge3(ycc[..., c], 8, 8)
+        _, H, W = p.shape
+        blocks = (
+            p.reshape(nf, H // 8, 8, W // 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(-1, 8, 8)
+        )
+        batched.append(_fdct_quant_batch(blocks, q))
+        nb = (H // 8) * (W // 8)
+    for f in range(nf):
+        out += header
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for b in range(nb):
+            i = f * nb + b
+            for ci, (zzs, has_ac) in enumerate(batched):
+                dc, ac = (
+                    (_ENC_DC_LUMA, _ENC_AC_LUMA)
+                    if ci == 0
+                    else (_ENC_DC_CHROMA, _ENC_AC_CHROMA)
+                )
+                preds[ci] = _encode_block(bw, zzs[i], preds[ci], dc, ac, has_ac[i])
+        out += bw.flush()
+        out += b"\xFF\xD9"
+    return bytes(out)
 
 
 def decode_mjpeg(data: bytes) -> np.ndarray:
