@@ -5374,6 +5374,10 @@ FROM a
 """
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _raw_url_col() -> Column:
     """The messy-URL synthesis expression over (doc_id, source) — the
     SHARED builder of ``_url_corpus`` and ``pipeline_web_curation``
@@ -5418,6 +5422,51 @@ def _raw_url_col() -> Column:
             )
         )
     )
+
+
+@functools.lru_cache(maxsize=1)
+def _canon_raw_url() -> Column:
+    """``canonicalize_url(_raw_url_col(), strip_www=True)`` built once
+    per process — the canonicalization tree costs ~0.3 s of py4j
+    round-trips and is a pure expression (same rationale as the
+    name-keyed cache in operators/urls.py, which this Column-typed
+    input misses)."""
+    from vectorsearch_spark.operators.urls import canonicalize_url
+
+    return canonicalize_url(_raw_url_col(), strip_www=True)
+
+
+@functools.lru_cache(maxsize=2)
+def _raw_url_host(strip_www: bool) -> Column:
+    from vectorsearch_spark.operators.urls import url_host
+
+    return url_host(_raw_url_col(), strip_www=strip_www)
+
+
+# Default-parameter quality-core expression sets over the funnel's
+# fixed column names, built once per process (~0.25 s of py4j tree
+# building per rebuild). Shared by pipeline_web_curation and
+# pipeline_c4_text; treat the returned dicts as READ-ONLY (the Column
+# values are immutable, callers only iterate/alias them).
+@functools.lru_cache(maxsize=1)
+def _gopher_core():
+    from vectorsearch_spark.operators.text import gopher_quality_exprs
+
+    return gopher_quality_exprs(F.col("__words"), F.col("__lines"))
+
+
+@functools.lru_cache(maxsize=1)
+def _c4_core():
+    from vectorsearch_spark.operators.text import c4_clean_exprs
+
+    return c4_clean_exprs(F.col("text"), F.col("__lines"))
+
+
+@functools.lru_cache(maxsize=1)
+def _fineweb_core():
+    from vectorsearch_spark.operators.text import fineweb_quality_exprs
+
+    return fineweb_quality_exprs(F.col("__tlines"))
 
 
 def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6214,27 +6263,17 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing re-evaluates, nothing joins, one pass over the corpus."""
     from pyspark.sql.window import Window
 
-    from vectorsearch_spark.operators.text import (
-        c4_clean_exprs,
-        fineweb_quality_exprs,
-        gopher_quality_exprs,
-    )
-    from vectorsearch_spark.operators.urls import (
-        canonicalize_url,
-        domain_suffixes,
-        url_host,
-    )
+    from vectorsearch_spark.operators.urls import domain_suffixes
 
     cap, salt_buckets = 5, 64
     # ONE scan: url synthesis, canonicalization, hosts, decorations,
     # and the tokenized arrays all project from the same documents read
     docs = _web_decorated(_t(spark, sf_dir, "documents"))
-    raw_url = _raw_url_col()
     d0 = docs.select(
         "doc_id",
-        canonicalize_url(raw_url, strip_www=True).alias("url"),
-        url_host(raw_url, strip_www=False).alias("host_b"),
-        url_host(raw_url, strip_www=True).alias("host"),
+        _canon_raw_url().alias("url"),
+        _raw_url_host(False).alias("host_b"),
+        _raw_url_host(True).alias("host"),
         "text",
         "n_chars",
         F.filter(
@@ -6252,12 +6291,12 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality stages 4-6 from the SHARED expression cores, evaluated
     # over the materialized arrays (tokenize-once; the barrier above is
     # the same doc_stats pattern the standalone operators use)
-    _, gf = gopher_quality_exprs(F.col("__words"), F.col("__lines"))
+    _, gf = _gopher_core()
     g_keep = None
     for k in gf:
         g_keep = gf[k] if g_keep is None else (g_keep & gf[k])
-    c4_keep = c4_clean_exprs(F.col("text"), F.col("__lines"))["keep"]
-    _, ff = fineweb_quality_exprs(F.col("__tlines"))
+    c4_keep = _c4_core()["keep"]
+    _, ff = _fineweb_core()
     fw_keep = None
     for k in ff:
         fw_keep = ff[k] if fw_keep is None else (fw_keep & ff[k])
@@ -6457,8 +6496,6 @@ def pipeline_c4_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship. Two scans + one doc_id-keyed join is the honest 100 TB
     shape: either the text rides every funnel exchange (r11's
     rejected form) or survivors re-read it once — re-reading wins."""
-    from vectorsearch_spark.operators.text import c4_clean_exprs
-
     kept = (
         pipeline_web_curation(spark, sf_dir)
         .where(F.col("stage") == "kept")
@@ -6472,7 +6509,7 @@ def pipeline_c4_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("text"), "\n"), lambda l: F.trim(l) != ""
         ).alias("__lines"),
     )
-    cols = c4_clean_exprs(F.col("text"), F.col("__lines"))
+    cols = _c4_core()
     cleaned = d.select(
         "doc_id",
         cols["text_clean"].alias("text_clean"),
